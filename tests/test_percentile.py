@@ -1,0 +1,59 @@
+"""Golden percentile fixture from the reference's C++ unit test.
+
+`test/agg_test.cpp:29-76`: two series
+  A = {(1569859300000, 26.878908), (1569859310000, 0.0)}
+  B = {(1569859300000, 0.0),       (1569859310000, 0.0)}
+aggregated per-timestamp: p50@t1 = 13.439454 (midpoint, R-6 idx=q*(n+1));
+p75/p90/p95/p99/p999@t1 = 26.878908; everything @t2 = 0.0.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ticktock_spark.operators.aggregate import aggregate_across_series
+
+T1, T2 = 1569859300000, 1569859310000
+V = 26.878908
+
+ROWS = [
+    ("m", "A", T1, V),
+    ("m", "A", T2, 0.0),
+    ("m", "B", T1, 0.0),
+    ("m", "B", T2, 0.0),
+]
+
+EXPECTED = {
+    "p50": {T1: 13.439454, T2: 0.0},
+    "p75": {T1: V, T2: 0.0},
+    "p90": {T1: V, T2: 0.0},
+    "p95": {T1: V, T2: 0.0},
+    "p99": {T1: V, T2: 0.0},
+    "p999": {T1: V, T2: 0.0},
+}
+
+
+@pytest.mark.parametrize("func", sorted(EXPECTED))
+def test_percentile_golden(spark, func):
+    df = spark.createDataFrame(ROWS, ["metric", "series", "ts", "value"])
+    out = aggregate_across_series(df, ["metric"], func)
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    for ts, exp in EXPECTED[func].items():
+        assert math.isclose(got[ts], exp, rel_tol=1e-9), (func, ts, got[ts], exp)
+
+
+def test_percentile_single_value(spark):
+    df = spark.createDataFrame([("m", "A", T1, 42.5)], ["metric", "series", "ts", "value"])
+    out = aggregate_across_series(df, ["metric"], "p99")
+    assert out.collect()[0]["value"] == 42.5
+
+
+def test_percentile_skips_nan_inf(spark):
+    rows = [("m", "A", T1, 1.0), ("m", "B", T1, float("nan")), ("m", "C", T1, float("inf")), ("m", "D", T1, 3.0)]
+    df = spark.createDataFrame(rows, ["metric", "series", "ts", "value"])
+    out = aggregate_across_series(df, ["metric"], "p50")
+    # n=2 finite values [1,3]; idx=0.5*3=1.5 → 1 + 0.5*(3-1) = 2.0
+    assert out.collect()[0]["value"] == 2.0

@@ -1,0 +1,74 @@
+"""Canonical schemas.
+
+The reference stores every point as (metric, tags, timestamp, double)
+(`include/dp.h:34-96`, `include/tag.h:46-132`); timestamps are epoch sec or
+ms (`include/type.h:57`). We keep epoch-ms LONG for exactness plus a `dt`
+DATE partition column mirroring the reference's 1-day Tsdb rotation
+(`src/core/tsdb.cpp:2969-2974`) so Catalyst prunes day partitions the same
+way `Tsdb::insts` binary-searches them (`src/core/tsdb.cpp:2259-2322`).
+
+`seq` is a monotonically increasing ingest sequence used to reproduce the
+reference's last-wins duplicate-timestamp semantics
+(`src/core/query.cpp:722-803`): dedup = max_by(value, seq).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+DATAPOINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),  # epoch milliseconds
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("dt", T.DateType(), True),
+    ]
+)
+
+ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("bucket_ts", T.LongType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("min", T.DoubleType(), True),
+        T.StructField("max", T.DoubleType(), True),
+        T.StructField("sum", T.DoubleType(), True),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# testdata columns physically stored as TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong they arrive as long ns and are
+# normalized to TimestampType here (µs precision, matching DuckDB's read).
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Load one driver-generated parquet table (TESTDATA.md)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
