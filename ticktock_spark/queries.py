@@ -1,0 +1,673 @@
+"""Query catalog: one entry per operator class from SURVEY.md §2, each with
+a DuckDB oracle-SQL twin.
+
+Every pair is written to be *bit-identical* across Spark and DuckDB:
+
+- accumulations over raw 2-decimal values go through exact DECIMAL sums,
+  cast to DOUBLE only at the end;
+- derived floats (avg, stddev, rate) are canonicalized with
+  ``floor(x*1e6 + 0.5)/1e6`` — plain double ops that both engines evaluate
+  identically (unlike ``round()``, whose half-even/BigDecimal behavior
+  differs between engines);
+- order-dependent picks (first/last/dedup) use a scalar composite key
+  ``ts*100000 + seq`` so arg_max/max_by are deterministic.
+
+The TSDB queries treat the driver's `events` table as the canonical
+datapoint stream: metric=event_type, series key=user_id, seq=event_id
+(see sources/events.py). Time constants cover the generated span
+(2024-01-01 .. 2024-01-31 UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ticktock_spark.operators import (
+    aggregate_across_series,
+    build_rollup,
+    dedup_last_wins,
+    downsample,
+    fill_buckets,
+    rate,
+    top_bottom_n,
+)
+from ticktock_spark.operators.rollup import downsample_from_rollup
+from ticktock_spark.schema import load_table
+
+# --- time constants (UTC, epoch ms) ---
+T0 = 1704067200000          # 2024-01-01
+T_MID = 1705276800000       # 2024-01-15
+T_END = 1706745600000       # 2024-02-01
+FILL_START = 1704153600000  # 2024-01-02
+FILL_END = 1704240000000    # 2024-01-03
+
+MIN_MS, HOUR_MS, DAY_MS = 60_000, 3_600_000, 86_400_000
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def q6(c) -> F.Column:
+    """Engine-neutral 6-decimal canonicalization (see module docstring)."""
+    return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+
+
+_Q6 = "floor({x} * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _dps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → canonical datapoints with a bigint user_id series column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("metric"),
+        F.unix_millis("ts").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return load_table(spark, sf_dir, name)
+
+
+_EV = "(SELECT event_type AS metric, epoch_ms(ts) AS ts, value, user_id, event_id AS seq FROM events)"
+
+
+# ---------------------------------------------------------------------------
+# §2.3 scans / predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_scan_tag_filter",
+    f"""
+    SELECT metric, ts, user_id, value
+    FROM {_EV}
+    WHERE metric = 'click' AND ts BETWEEN {T0} AND {T_MID}
+      AND user_id IN (1, 2, 3)
+    """,
+)
+def q01(spark, sf_dir):
+    """Raw scan + time-range + tag literal_or filter (tsdb.cpp:2259-2322,
+    tag.cpp:718-726). Pushdown: metric + ts predicates reach parquet."""
+    d = _dps(spark, sf_dir)
+    return d.filter(
+        (F.col("metric") == "click")
+        & F.col("ts").between(T0, T_MID)
+        & F.col("user_id").isin(1, 2, 3)
+    ).select("metric", "ts", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 downsampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "q02_downsample_avg_1m",
+    f"""
+    SELECT metric, user_id, ts - ts % {MIN_MS} AS ts,
+           {_Q6.format(x='avg(value)')} AS avg_value
+    FROM {_EV} WHERE metric = 'click'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q02(spark, sf_dir):
+    """1m-avg downsample per series (down.cpp:314-383)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "click")
+    ds = downsample(d, ["metric", "user_id"], MIN_MS, "avg")
+    return ds.select("metric", "user_id", "ts", q6(F.col("value")).alias("avg_value"))
+
+
+@register(
+    "q03_downsample_sum_5m",
+    f"""
+    SELECT metric, user_id, ts - ts % {5 * MIN_MS} AS ts,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM {_EV} WHERE metric = 'purchase'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q03(spark, sf_dir):
+    """5m-sum downsample (down.cpp:658-699); exact decimal accumulation."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "purchase")
+    d = d.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    ds = downsample(d, ["metric", "user_id"], 5 * MIN_MS, "sum")
+    return ds.select("metric", "user_id", "ts", F.col("value").cast("double").alias("sum_value"))
+
+
+@register(
+    "q04_downsample_min_max_count_1h",
+    f"""
+    SELECT metric, user_id, ts - ts % {HOUR_MS} AS ts,
+           min(value) AS min_value, max(value) AS max_value,
+           count(value) AS cnt
+    FROM {_EV} WHERE metric = 'view'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q04(spark, sf_dir):
+    """1h min/max/count downsamplers (down.cpp:386-427,510-595)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "view")
+    from ticktock_spark.operators.downsample import bucket_expr
+
+    return d.groupBy("metric", "user_id", bucket_expr("ts", HOUR_MS).alias("ts")).agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count("value").alias("cnt"),
+    )
+
+
+@register(
+    "q05_downsample_p95_10m",
+    f"""
+    WITH b AS (
+      SELECT metric, user_id, ts - ts % {10 * MIN_MS} AS ts,
+             list_sort(list(value)) AS vals
+      FROM {_EV} WHERE metric = 'view'
+      GROUP BY 1, 2, 3
+    )
+    SELECT metric, user_id, ts,
+      CASE WHEN len(vals) = 1 THEN vals[1]
+           WHEN 0.95 * (len(vals) + 1) < 1 THEN vals[1]
+           WHEN 0.95 * (len(vals) + 1) >= len(vals) THEN vals[len(vals)]
+           ELSE vals[CAST(floor(0.95 * (len(vals) + 1)) AS INT)]
+                + (0.95 * (len(vals) + 1) - floor(0.95 * (len(vals) + 1)))
+                  * (vals[CAST(floor(0.95 * (len(vals) + 1)) AS INT) + 1]
+                     - vals[CAST(floor(0.95 * (len(vals) + 1)) AS INT)])
+      END AS p95_value
+    FROM b
+    """,
+)
+def q05(spark, sf_dir):
+    """10m-p95 downsample with OpenTSDB's R-6 index rule idx=q*(n+1)
+    (down.cpp:598-655, aggregate.cpp:341-387)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "view")
+    ds = downsample(d, ["metric", "user_id"], 10 * MIN_MS, "p95")
+    return ds.select("metric", "user_id", "ts", F.col("value").alias("p95_value"))
+
+
+@register(
+    "q17_downsample_dev_10m",
+    f"""
+    SELECT metric, user_id, ts - ts % {10 * MIN_MS} AS ts,
+           {_Q6.format(x='coalesce(stddev_pop(value), 0.0)')} AS dev_value
+    FROM {_EV} WHERE metric = 'purchase'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q17(spark, sf_dir):
+    """10m-dev downsample = population stddev (down.cpp:430-468,151-155)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "purchase")
+    ds = downsample(d, ["metric", "user_id"], 10 * MIN_MS, "dev")
+    return ds.select("metric", "user_id", "ts", q6(F.col("value")).alias("dev_value"))
+
+
+@register(
+    "q18_downsample_first_last_1h",
+    f"""
+    SELECT metric, user_id, ts - ts % {HOUR_MS} AS ts,
+           arg_min(value, ts * 100000 + seq) AS first_value,
+           arg_max(value, ts * 100000 + seq) AS last_value
+    FROM {_EV} WHERE metric = 'error'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q18(spark, sf_dir):
+    """1h first/last downsamplers, timestamp-ordered with seq tiebreak
+    (down.cpp:471-507)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "error")
+    from ticktock_spark.operators.downsample import bucket_expr
+
+    key = F.col("ts") * 100000 + F.col("seq")
+    return d.groupBy("metric", "user_id", bucket_expr("ts", HOUR_MS).alias("ts")).agg(
+        F.min_by("value", key).alias("first_value"),
+        F.max_by("value", key).alias("last_value"),
+    )
+
+
+@register(
+    "q16_0all_first_last",
+    f"""
+    SELECT metric, user_id,
+           arg_min(value, ts * 100000 + seq) AS first_value,
+           arg_max(value, ts * 100000 + seq) AS last_value,
+           count(*) AS cnt
+    FROM {_EV}
+    GROUP BY 1, 2
+    """,
+)
+def q16(spark, sf_dir):
+    """0all downsample: whole range = one bucket (down.cpp:82,96-99;
+    query_test.cpp:216-226 pins 0all-last/0all-avg)."""
+    d = _dps(spark, sf_dir)
+    key = F.col("ts") * 100000 + F.col("seq")
+    return d.groupBy("metric", "user_id").agg(
+        F.min_by("value", key).alias("first_value"),
+        F.max_by("value", key).alias("last_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregation across series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q06_agg_sum_of_avg_1m",
+    f"""
+    WITH ds AS (
+      SELECT metric, user_id, ts - ts % {MIN_MS} AS ts,
+             floor(avg(value) * 1000000.0 + 0.5) AS scaled_avg
+      FROM {_EV} WHERE metric = 'click'
+      GROUP BY 1, 2, 3
+    )
+    SELECT metric, ts, sum(scaled_avg) / 1000000.0 AS sum_value,
+           count(*) AS n_series
+    FROM ds GROUP BY 1, 2
+    """,
+)
+def q06(spark, sf_dir):
+    """m=sum:1m-avg:click — per-series downsample then exact-timestamp
+    cross-series sum (aggregate.cpp:140-215; no interpolation)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "click")
+    ds = downsample(d, ["metric", "user_id"], MIN_MS, "avg")
+    scaled = ds.withColumn("value", F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)))
+    out = scaled.groupBy("metric", "ts").agg(
+        (F.sum("value") / F.lit(1_000_000.0)).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_series"),
+    )
+    return out
+
+
+@register(
+    "q19_agg_dev_p50_1h",
+    f"""
+    WITH ds AS (
+      SELECT metric, user_id, ts - ts % {HOUR_MS} AS ts,
+             {_Q6.format(x='avg(value)')} AS value
+      FROM {_EV} WHERE metric = 'view'
+      GROUP BY 1, 2, 3
+    ), srt AS (
+      SELECT metric, ts, list_sort(list(value)) AS vals,
+             coalesce(stddev_samp(value), 0.0) AS sdev
+      FROM ds GROUP BY 1, 2
+    )
+    SELECT metric, ts, {_Q6.format(x='sdev')} AS dev_value,
+      {_Q6.format(x='''CASE WHEN len(vals) = 1 THEN vals[1]
+           WHEN 0.50 * (len(vals) + 1) < 1 THEN vals[1]
+           WHEN 0.50 * (len(vals) + 1) >= len(vals) THEN vals[len(vals)]
+           ELSE vals[CAST(floor(0.50 * (len(vals) + 1)) AS INT)]
+                + (0.50 * (len(vals) + 1) - floor(0.50 * (len(vals) + 1)))
+                  * (vals[CAST(floor(0.50 * (len(vals) + 1)) AS INT) + 1]
+                     - vals[CAST(floor(0.50 * (len(vals) + 1)) AS INT)])
+      END''')} AS p50_value
+    FROM srt
+    """,
+)
+def q19(spark, sf_dir):
+    """Cross-series dev (SAMPLE stddev, aggregate.cpp:263-294) and p50
+    aggregators over 1h-avg downsampled series."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "view")
+    ds = downsample(d, ["metric", "user_id"], HOUR_MS, "avg")
+    ds = ds.withColumn("value", q6(F.col("value")))
+    dev = aggregate_across_series(ds, ["metric"], "dev", out_col="dev_value")
+    p50 = aggregate_across_series(ds, ["metric"], "p50", out_col="p50_value")
+    out = dev.join(p50, ["metric", "ts"])
+    return out.select("metric", "ts", q6(F.col("dev_value")).alias("dev_value"), q6(F.col("p50_value")).alias("p50_value"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 rate
+# ---------------------------------------------------------------------------
+
+_RATE_CTE = f"""
+      SELECT metric, user_id, ts, value,
+             lag(value) OVER (PARTITION BY metric, user_id ORDER BY ts) AS pv,
+             lag(ts) OVER (PARTITION BY metric, user_id ORDER BY ts) AS pt
+      FROM {_EV} WHERE metric = 'error'
+"""
+
+
+@register(
+    "q07_rate",
+    f"""
+    WITH w AS ({_RATE_CTE})
+    SELECT metric, user_id, ts,
+           (value - pv) / ((ts - pt) / 1000.0) AS rate_value
+    FROM w WHERE pt IS NOT NULL
+    """,
+)
+def q07(spark, sf_dir):
+    """Plain rate: (v1-v0)/Δt_sec at t1, first point dropped
+    (rate.cpp:38-92)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "error")
+    r = rate(d, ["metric", "user_id"])
+    return r.select("metric", "user_id", "ts", F.col("value").alias("rate_value"))
+
+
+@register(
+    "q08_rate_counter",
+    f"""
+    WITH w AS ({_RATE_CTE})
+    SELECT metric, user_id, ts,
+           CASE WHEN value - pv < 0
+                THEN CASE WHEN (500.0 - pv + value) / ((ts - pt) / 1000.0) > 100.0
+                          THEN 0.0
+                          ELSE (500.0 - pv + value) / ((ts - pt) / 1000.0) END
+                ELSE (value - pv) / ((ts - pt) / 1000.0) END AS rate_value
+    FROM w WHERE pt IS NOT NULL
+    """,
+)
+def q08(spark, sf_dir):
+    """Counter rate with wrap (counterMax=500) and resetValue=100
+    (rate.cpp:60-77)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "error")
+    r = rate(d, ["metric", "user_id"], counter=True, counter_max=500, reset_value=100)
+    return r.select("metric", "user_id", "ts", F.col("value").alias("rate_value"))
+
+
+@register(
+    "q09_rate_drop_resets",
+    f"""
+    WITH w AS ({_RATE_CTE})
+    SELECT metric, user_id, ts,
+           (value - pv) / ((ts - pt) / 1000.0) AS rate_value
+    FROM w WHERE pt IS NOT NULL AND value - pv >= 0
+    """,
+)
+def q09(spark, sf_dir):
+    """dropResets: decreases dropped but prev still advances
+    (rate.cpp:60-62, the goto cont path)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "error")
+    r = rate(d, ["metric", "user_id"], counter=True, drop_resets=True)
+    return r.select("metric", "user_id", "ts", F.col("value").alias("rate_value"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 top/bottom-N series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_top3_series",
+    f"""
+    WITH ds AS (
+      SELECT user_id, ts - ts % {HOUR_MS} AS ts,
+             {_Q6.format(x='avg(value)')} AS value
+      FROM {_EV} WHERE metric = 'click'
+      GROUP BY 1, 2
+    ), tail AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      FROM ds
+    ), keys AS (
+      SELECT user_id, max(value) AS rank_key FROM tail WHERE rn <= 3 GROUP BY 1
+    ), chosen AS (
+      SELECT user_id FROM keys ORDER BY rank_key DESC, user_id LIMIT 3
+    )
+    SELECT ds.user_id, ds.ts, ds.value
+    FROM ds JOIN chosen USING (user_id)
+    """,
+)
+def q10(spark, sf_dir):
+    """top3: keep 3 whole series ranked by max of the LAST 3 downsampled
+    points (aggregate.cpp:236-260, query.cpp:858-884)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "click")
+    ds = downsample(d, ["user_id"], HOUR_MS, "avg")
+    ds = ds.withColumn("value", q6(F.col("value")))
+    return top_bottom_n(ds, ["user_id"], 3, "top").select("user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 fill
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_fill_zero_1h",
+    f"""
+    WITH d AS (
+      SELECT user_id, ts, value FROM {_EV}
+      WHERE metric = 'signup' AND ts BETWEEN {FILL_START} AND {FILL_END}
+    ), ds AS (
+      SELECT user_id, ts - ts % {HOUR_MS} AS ts,
+             {_Q6.format(x='avg(value)')} AS value
+      FROM d GROUP BY 1, 2
+    ), spine AS (
+      SELECT u.user_id, g.ts
+      FROM (SELECT DISTINCT user_id FROM d) u
+      CROSS JOIN (SELECT unnest(generate_series({FILL_START}, {FILL_END}, {HOUR_MS})) AS ts) g
+    )
+    SELECT s.user_id, s.ts, coalesce(ds.value, 0.0) AS value
+    FROM spine s LEFT JOIN ds ON s.user_id = ds.user_id AND s.ts = ds.ts
+    """,
+)
+def q11(spark, sf_dir):
+    """1h-avg-zero fill: complete bucket spine with 0.0 in gaps
+    (down.cpp:107-127,248-311)."""
+    d = _dps(spark, sf_dir).filter(
+        (F.col("metric") == "signup") & F.col("ts").between(FILL_START, FILL_END)
+    )
+    ds = downsample(d, ["user_id"], HOUR_MS, "avg")
+    ds = ds.withColumn("value", q6(F.col("value")))
+    return fill_buckets(ds, ["user_id"], HOUR_MS, FILL_START, FILL_END, "zero").select(
+        "user_id", "ts", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 rollup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_rollup_1h",
+    f"""
+    SELECT metric, user_id, ts - ts % {HOUR_MS} AS bucket_ts,
+           count(value) AS cnt, min(value) AS min_value, max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM {_EV}
+    GROUP BY 1, 2, 3
+    """,
+)
+def q12(spark, sf_dir):
+    """Hourly rollup build: per-series (cnt,min,max,sum) per 1h bucket
+    (rollup.cpp:199-276)."""
+    d = _dps(spark, sf_dir).withColumn("value", F.col("value").cast("decimal(18,2)"))
+    r = build_rollup(d, ["metric", "user_id"])
+    return r.select(
+        "metric",
+        "user_id",
+        "bucket_ts",
+        "cnt",
+        F.col("min").cast("double").alias("min_value"),
+        F.col("max").cast("double").alias("max_value"),
+        F.col("sum").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "q13_rollup_daily_avg",
+    f"""
+    WITH r1h AS (
+      SELECT metric, user_id, ts - ts % {HOUR_MS} AS bucket_ts,
+             count(value) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM {_EV}
+      GROUP BY 1, 2, 3
+    )
+    SELECT metric, user_id, bucket_ts - bucket_ts % {DAY_MS} AS ts,
+           {_Q6.format(x='sum(sum_value) / sum(cnt)')} AS avg_value
+    FROM r1h GROUP BY 1, 2, 3
+    """,
+)
+def q13(spark, sf_dir):
+    """1d-avg answered FROM the hourly rollup: avg = Σsum/Σcnt re-agg
+    (query.cpp:1032-1091, rollup.cpp:288-325)."""
+    d = _dps(spark, sf_dir).withColumn("value", F.col("value").cast("decimal(18,2)"))
+    r1h = build_rollup(d, ["metric", "user_id"]).withColumn(
+        "sum", F.col("sum").cast("double")
+    )
+    daily = downsample_from_rollup(r1h, ["metric", "user_id"], DAY_MS, "avg")
+    return daily.select("metric", "user_id", "ts", q6(F.col("value")).alias("avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# §1.3 duplicate semantics
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_dedup_last_wins",
+    f"""
+    WITH dd AS (
+      SELECT metric, user_id, ts, arg_max(value, seq) AS value
+      FROM {_EV}
+      GROUP BY 1, 2, 3
+    )
+    SELECT metric, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM dd GROUP BY 1
+    """,
+)
+def q14(spark, sf_dir):
+    """Duplicate timestamps: last (highest ingest seq) wins
+    (query.cpp:722-803; int_test3.py:1608-1652)."""
+    d = _dps(spark, sf_dir)
+    dd = dedup_last_wins(d, ["metric", "user_id"])
+    dd = dd.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    return dd.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 metadata / discovery
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_suggest_and_lookup",
+    f"""
+    SELECT metric, user_id, count(*) AS cnt
+    FROM {_EV}
+    WHERE metric LIKE 's%' OR metric LIKE 'c%'
+    GROUP BY 1, 2
+    """,
+)
+def q15(spark, sf_dir):
+    """/api/suggest prefix match + /api/search/lookup series enumeration
+    (tsdb.cpp:2595-2713, query.cpp:1477-1602)."""
+    d = _dps(spark, sf_dir)
+    return (
+        d.filter(F.col("metric").startswith("s") | F.col("metric").startswith("c"))
+        .groupBy("metric", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish batch analytics (beyond-reference general capability + bench)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(6,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(6,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(6,2))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+    GROUP BY 1, 2
+    """,
+)
+def q20(spark, sf_dir):
+    """TPC-H Q1-style pricing summary with exact decimal accumulation;
+    single scan + partial agg, no shuffle beyond one exchange."""
+    l = _table(spark, sf_dir, "lineitem")
+    dec_qty = F.col("l_quantity").cast("decimal(14,2)")
+    dec_price = F.col("l_extendedprice").cast("decimal(14,2)")
+    dec_disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(6,2)")
+    dec_tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(6,2)")
+    disc_price = dec_price * dec_disc1
+    charge = disc_price.cast("decimal(18,4)") * dec_tax1
+    n = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec_qty).cast("double").alias("sum_qty"),
+            F.sum(dec_price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec_qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(dec_price).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(6,2)")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q21_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l.l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+)
+def q21(spark, sf_dir):
+    """Star join: fact lineitem ⋈ orders, with customer/nation BROADCAST
+    (small dims) — at 100 TB the only shuffle is lineitem⋈orders on the
+    orderkey; dims never shuffle."""
+    l = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = _table(spark, sf_dir, "customer")
+    n = _table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(6,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
