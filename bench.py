@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark headline queries; prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Each query is forced end-to-end with the noop sink (no driver collect);
+a warmup pass runs first so JVM/codegen startup doesn't pollute numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "q02_downsample_avg_1m",      # hash agg downsample
+    "q05_downsample_p95_10m",     # percentile (collect_list path)
+    "q06_agg_sum_of_avg_1m",      # two-level agg pipeline
+    "q07_rate",                   # per-series window
+    "q10_top3_series",            # rank + semi join
+    "q12_rollup_1h",              # full-table rollup build
+    "q13_rollup_daily_avg",       # rollup re-agg
+    "q16_0all_first_last",        # whole-range agg
+    "q20_pricing_summary",        # TPC-H Q1 style scan+agg
+    "q21_revenue_by_nation",      # star join w/ broadcast dims
+]
+
+
+def main() -> None:
+    from ticktock_spark.queries import QUERIES
+    from ticktock_spark.session import get_spark
+
+    spark = get_spark(app_name="ticktock-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        df = QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warmup: JVM, codegen, parquet footer caches
+    run("q20_pricing_summary")
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = round(run(name), 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
