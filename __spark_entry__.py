@@ -13,21 +13,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    import ticktock_spark.queries as q
+    import ticktock_spark.pipeline.queries  # noqa: F401 — registers q3x/q4x
+
+    return q
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full TSDB pipeline
     m=sum:1m-avg:click — dedup → downsample → cross-series aggregate."""
-    from ticktock_spark.queries import QUERIES
-
-    return QUERIES["q06_agg_sum_of_avg_1m"](spark, "/root/testdata/sf0.001")
+    return _registry().QUERIES["q06_agg_sum_of_avg_1m"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ticktock_spark.queries import queries as _q
-
-    return _q()
+    return dict(_registry().QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from ticktock_spark.queries import oracle_sql as _o
-
-    return _o()
+    return dict(_registry().ORACLES)

@@ -13,6 +13,7 @@ import math
 import duckdb
 import pytest
 
+import ticktock_spark.pipeline.queries  # noqa: F401 — registers pipeline queries
 from ticktock_spark.queries import ORACLES, QUERIES
 from ticktock_spark.schema import TESTDATA_TABLES
 

@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point at 100 TB):
+
+- exact: one hash aggregation on a content digest — shuffle carries only
+  (digest, doc_id), never the text.
+- MinHash+LSH: signatures are computed scan-side (pure expressions);
+  the ONLY shuffle is on band keys, and each bucket is tiny. Candidate
+  pairs come from a self-join per bucket — never an all-pairs join.
+- SimHash: scan-side 32-bit signature; near-dup candidates bucket on the
+  signature (or rotated halves for 1-2 bit tolerance).
+- n-gram Jaccard: exact verification join on shared shingles — used on
+  LSH candidates at scale; full pairwise only for small corpora.
+
+MinHash here uses md5-string order ("min over a hash-defined random
+permutation"): h_j(doc) = min over shingles of md5(seed_j || shingle),
+compared lexicographically. This keeps the hash function identical and
+portable across engines (md5 exists everywhere) with no bit fiddling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ticktock_spark.pipeline.text import normalize_text
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of the normalized text."""
+    norm = normalize_text(text)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def _seeded_md5(j: int):
+    # NB: must return a 1-arg lambda — a `j=j` default would change the
+    # lambda arity and make PySpark bind the array index to it
+    return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
+    """Array of lexicographic-min md5 values, one per seed."""
+    sigs = [
+        F.array_min(F.transform(shingle_col, _seeded_md5(j))) for j in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: md5 over each contiguous r-slice of the signature."""
+    keys = [
+        F.md5(F.concat(F.lit(f"b{b}:"), F.concat_ws("", F.slice(sig, b * rows + 1, rows))))
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by md5 digest; keep min id as canonical.
+
+    Output: digest, canonical_id, n_copies, member ids.
+    """
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    return h.groupBy("digest").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sort_array(F.collect_list(id_col)).alias("members"),
+    )
+
+
+def _bucket_pairs(ids: Column) -> Column:
+    """All i<j pairs from a sorted id array (LSH bucket enumeration).
+
+    Enumerating pairs from grouped bucket lists instead of a self-join
+    means ONE shuffle total and no duplicate evaluation of the (costly)
+    signature expressions on both join sides. Bucket sizes are bounded by
+    cluster size, so the transform state stays small.
+    """
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Output: id_a < id_b pairs with the number of agreeing bands.
+    Plan: scan-side signatures (repartitioned — a single parquet file
+    otherwise serializes all the md5 work into one task) → explode band
+    keys → ONE hash aggregation into buckets → pair enumeration.
+    """
+    rows = num_hashes // bands
+    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    # two explicit exchanges: the first spreads a single-file scan across
+    # tasks; the second is a CollapseProject barrier — without it Catalyst
+    # inlines the shingle expression into all `num_hashes` minhash
+    # transforms (higher-order functions get no subexpression elimination)
+    # and the signature costs num_hashes× more than it should
+    sh = df.repartition(par).select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    sig = sh.repartition(par, id_col).select(
+        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        id_col, F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key")
+    )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    |A∩B| from a shared-shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
+    At 100 TB run this ONLY on LSH candidates (join against
+    minhash_lsh_candidates first); full version kept for oracles/tests.
+    """
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = spread.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    sizes = sh.select(id_col, F.size("sh").alias("n"))
+    ex = sh.select(id_col, F.explode("sh").alias("s"))
+    # bucket-enumeration instead of a shingle self-join: one shuffle, no
+    # double evaluation of the shingle expressions
+    inter = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    j = (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "inter", "jaccard")
+
+
+def simhash32(text: Column, token_pattern: str = r"[a-z0-9]+") -> Column:
+    """32-bit SimHash as a bit-string, one bit per md5 hex nibble position.
+
+    For each token, nibble i of md5(token) contributes +1 if ≥ 8 else -1
+    to bit i; the signature bit is 1 when the sum is ≥ 0. Pure expressions
+    (no UDF), identical semantics in any engine with md5/substr.
+    """
+    toks = F.regexp_extract_all(normalize_text(text), F.lit(token_pattern), 0)
+    hashes = F.transform(toks, F.md5)
+
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1)
+
+    bits = []
+    for i in range(1, 33):
+        votes = F.aggregate(hashes, F.lit(0), _vote(i))
+        bits.append(F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by identical 32-bit SimHash (near-dup buckets)."""
+    s = df.select(F.col(id_col), simhash32(F.col(text_col)).alias("simhash"))
+    return s.groupBy("simhash").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

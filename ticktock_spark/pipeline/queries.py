@@ -1,0 +1,325 @@
+"""Pipeline-layer query catalog (documents / embeddings tables) with
+DuckDB oracle twins.
+
+Registered into the same QUERIES/ORACLES registry as the TSDB catalog
+(import this module for its side effects). Portability notes:
+
+- DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all;
+- md5() is the shared hash everywhere (hex string; lexicographic min is a
+  valid MinHash permutation — no bit fiddling needed);
+- list comprehensions mirror Spark's transform/aggregate higher-order
+  functions; both fold left-to-right so double sums are bit-stable;
+- outputs avoid array columns (driver hash + pandas comparison friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ticktock_spark.pipeline import dedup as dd
+from ticktock_spark.pipeline import multimodal as mm
+from ticktock_spark.pipeline import similarity as sim
+from ticktock_spark.pipeline import text as tx
+from ticktock_spark.queries import _Q6, _table, q6, register
+
+# --- shared SQL fragments (DuckDB) mirroring text.py expressions ---
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_STOP = {
+    "en": "the|and|of|to|in|is|that|it|was|for",
+    "de": "der|die|das|und|ist|nicht|ein|mit|auf|sich",
+    "fr": "le|la|les|et|est|pas|une|dans|que|pour",
+    "es": "el|la|los|y|es|no|una|en|que|por",
+}
+_SW = {
+    lang: f"len(regexp_extract_all(lower(text), '\\b({words})\\b', 0))"
+    for lang, words in _STOP.items()
+}
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0"
+    " ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_PUNCT = "len(regexp_extract_all(text, '[^\\sA-Za-z0-9]', 0))"
+_SHINGLES = (
+    f"list_distinct([substr(norm, i, 5) for i in"
+    f" generate_series(1, greatest(length(norm) - 4, 1))])"
+)
+
+
+def _lang_case() -> str:
+    s = {l: f"s_{l}" for l in sorted(_STOP)}
+    mx = f"greatest({', '.join(s.values())})"
+    chain = " ".join(f"WHEN {v} = {mx} THEN '{l}'" for l, v in s.items())
+    return f"CASE WHEN {mx} <= 0 THEN 'und' {chain} END"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "q30_text_stats",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS} AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST({_PUNCT} AS DOUBLE) / length(text) END AS pr,
+             {_SW['en']} AS sw
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           {_Q6.format(x='pr')} AS punct_ratio,
+           {_Q6.format(x='''greatest(0.0, least(1.0,
+             0.5 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE) / n_tokens END) * 5.0
+             + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.2 * (1.0 - pr * 4.0)))''')} AS quality
+    FROM s
+    """,
+)
+def q30(spark, sf_dir):
+    """Per-document token count, punctuation ratio, quality score — one
+    scan, pure JVM expressions (pipeline/text.py)."""
+    d = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        q6(tx.punct_ratio(t)).alias("punct_ratio"),
+        q6(tx.quality_score(t)).alias("quality"),
+    )
+
+
+@register(
+    "q31_langid_confusion",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             {_SW['de']} AS s_de, {_SW['en']} AS s_en,
+             {_SW['es']} AS s_es, {_SW['fr']} AS s_fr
+      FROM documents
+    )
+    SELECT lang, {_lang_case()} AS lang_pred, count(*) AS cnt
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q31(spark, sf_dir):
+    """Stopword-heuristic language ID vs the labeled lang column
+    (confusion-matrix counts)."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q32_fingerprint",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+    SELECT md5(norm) AS fingerprint, min(doc_id) AS canonical_id,
+           count(*) AS n_docs
+    FROM n GROUP BY 1
+    """,
+)
+def q32(spark, sf_dir):
+    """Normalized-text fingerprint groups (rolling-hash-style doc
+    identity; md5 over the canonical form)."""
+    d = _table(spark, sf_dir, "documents")
+    return (
+        d.select(tx.fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q33_exact_dedup",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q33(spark, sf_dir):
+    """Exact dedup: identical bytes → one group (hash-groupBy; shuffle
+    carries digests, never text)."""
+    d = _table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d).select("digest", "canonical_id", "n_copies")
+
+
+def _minhash_sql() -> str:
+    hs = ",\n             ".join(
+        f"list_aggregate([md5('{j}:' || s) for s in sh], 'min') AS h{j}"
+        for j in range(8)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, md5('b{b}:' || h{2*b} || h{2*b+1}) AS key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM n),
+    sig AS (
+      SELECT doc_id,
+             {hs}
+      FROM sh
+    ),
+    bands AS (
+      {bands}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("q34_minhash_lsh", _minhash_sql())
+def q34(spark, sf_dir):
+    """MinHash(8 hashes)+LSH(4 bands × 2 rows) candidate pairs
+    (pipeline/dedup.py) — the scale path for near-dup at 100 TB."""
+    d = _table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
+
+
+@register(
+    "q35_ngram_jaccard",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM n),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           {_Q6.format(x='CAST(inter AS DOUBLE) / (na.n + nb.n - inter)')} AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.2
+    """,
+)
+def q35(spark, sf_dir):
+    """Exact 5-gram Jaccard pairs ≥ 0.2 via shared-shingle join; at scale
+    runs only on LSH candidates."""
+    d = _table(spark, sf_dir, "documents")
+    out = dd.ngram_jaccard_pairs(d, threshold=0.2)
+    return out.select("id_a", "id_b", "inter", q6(F.col("jaccard")).alias("jaccard"))
+
+
+def _simhash_sql() -> str:
+    bits = " || ".join(
+        "(CASE WHEN coalesce(list_sum([CASE WHEN substr(md5(t), %d, 1) >= '8'"
+        " THEN 1 ELSE -1 END for t in toks]), 0) >= 0 THEN '1' ELSE '0' END)" % i
+        for i in range(1, 33)
+    )
+    return f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    tk AS (SELECT doc_id, regexp_extract_all(norm, '[a-z0-9]+', 0) AS toks FROM n)
+    SELECT {bits} AS simhash, min(doc_id) AS canonical_id, count(*) AS n_docs
+    FROM tk GROUP BY 1
+    """
+
+
+@register("q36_simhash", _simhash_sql())
+def q36(spark, sf_dir):
+    """32-bit SimHash near-dup buckets (one bit per md5 nibble vote) —
+    pure expressions, no UDF (pipeline/dedup.py:simhash32)."""
+    d = _table(spark, sf_dir, "documents")
+    return dd.simhash_dedup(d).select("simhash", "canonical_id", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, len(c.embedding))])"
+)
+_NRM_C = (
+    "sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, len(c.embedding))]))"
+)
+_NRM_Q = (
+    "sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, len(q.embedding))]))"
+)
+
+
+@register(
+    "q40_knn_cosine",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             {_Q6.format(x=f'({_DOT}) / ({_NRM_C} * {_NRM_Q})')} AS cosine
+      FROM embeddings c, embeddings q
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q40(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors — broadcast queries,
+    one corpus scan, deterministic fold dot products; ranking on the
+    quantized cosine with vec_id tiebreak so order is engine-stable."""
+    e = _table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            q6(sim.cosine(F.col("embedding"), F.col("__qvec"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+@register("q41_ann_ivf")  # no SQL oracle: float centroid averaging is not
+def q41(spark, sf_dir):    # bit-stable across engines → rows-only check
+    """IVF-bucketed approximate nearest neighbors: probe 2 of the label
+    buckets per query, exact cosine within (pipeline/similarity.py)."""
+    e = _table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = sim.ivf_knn(e, q, k=10, nprobe=2)
+    return out.select("query_id", "vec_id", q6(F.col("cosine")).alias("cosine"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@register("q42_multimodal_decode")  # no SQL oracle: mapInPandas plumbing
+def q42(spark, sf_dir):
+    """Binary media column + Pandas-UDF decode/featurize plumbing over
+    mapInPandas; payloads synthesized deterministically (media libs absent
+    — decode stubbed, see pipeline/multimodal.py)."""
+    d = _table(spark, sf_dir, "documents")
+    media = mm.attach_fake_media(d)
+    out = mm.decode_and_featurize(media)
+    return out.select("doc_id", "width", "height", q6(F.col("mean_byte")).alias("mean_byte"))

@@ -1,0 +1,116 @@
+"""Text analysis operators: token stats, quality score, language ID,
+fingerprinting.
+
+All pure Column expressions over built-in functions — JVM-side, inside
+whole-stage codegen, no Python in the hot path. At 100 TB these run as a
+single scan + project; the only shuffle is whatever aggregation the caller
+adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small per-language stopword lists (public common words). Kept tiny and
+# deterministic so the oracle SQL can mirror them exactly.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "y", "es", "no", "una", "en", "que", "por"),
+}
+
+
+def _word_pattern(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty/blank text → 0)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored token estimate: word pieces + digits + punctuation
+    counted separately (regex proxy for subword tokenizers)."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]"), 0)
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.size(F.regexp_extract_all(text, F.lit(r"[^\sA-Za-z0-9]"), 0))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    pat = _word_pattern(LANG_STOPWORDS[lang])
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards stopword density and
+    moderate length, penalizes punctuation soup. Deterministic arithmetic
+    (mirrors the oracle SQL in pipeline/queries.py)."""
+    toks = token_count(text).cast("double")
+    sw = stopword_hits(text, "en").cast("double")
+    pr = punct_ratio(text)
+    sw_ratio = F.when(toks == 0, F.lit(0.0)).otherwise(sw / toks)
+    len_score = F.least(toks / F.lit(100.0), F.lit(1.0))
+    return F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0), F.lit(0.5) * sw_ratio * F.lit(5.0) + F.lit(0.3) * len_score + F.lit(0.2) * (F.lit(1.0) - pr * F.lit(4.0))),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per candidate language (n-gram/stopword
+    heuristic language ID)."""
+    lowered = F.lower(text)
+    return {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(_word_pattern(words)), 0))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; ties broken by language-code
+    order; no hits at all → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = None
+    for lang in langs:
+        pair = F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))
+        best = pair if best is None else F.when(scores[lang] > best["s"], pair).otherwise(best)
+    return F.when(best["s"] <= 0, F.lit("und")).otherwise(best["l"])
+
+
+def normalize_text(text: Column) -> Column:
+    """lowercase, strip non-alphanumerics, collapse whitespace — the
+    canonical form used for fingerprinting and near-dup shingles."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat set as columns (single projection)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_tokens_bpe": bpe_ish_token_count(t),
+            "punct_ratio": punct_ratio(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )
