@@ -1,0 +1,98 @@
+"""HTTP facade integration: write via /api/put (telnet + JSON + Influx),
+query via GET/POST /api/query, metadata endpoints — mirrors the
+reference's integration-test round-trips (int_test3.py Basic_Query)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from ticktock_spark.api.http import TsdbHttpServer
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    s = TsdbHttpServer(spark).start()
+    yield s
+    s.stop()
+
+
+def _post(server, path, body: str):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", data=body.encode(), method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def _get(server, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}") as r:
+        return json.loads(r.read())
+
+
+def test_http_round_trip(server):
+    # telnet put
+    r = _post(
+        server,
+        "/api/put",
+        "put test.metric 1704067200 10 host=host1\n"
+        "put test.metric 1704067260 20 host=host1\n"
+        "put test.metric 1704067200 30 host=host2\n",
+    )
+    assert r["success"] == 3
+    # JSON put
+    r = _post(
+        server,
+        "/api/put",
+        json.dumps({"metric": "test.metric", "timestamp": 1704067260, "value": 40,
+                    "tags": {"host": "host2"}}),
+    )
+    assert r["success"] == 1
+    # influx write
+    r = _post(server, "/api/write", "env,room=a temp=21.5,hum=40 1704067200000000000")
+    assert r["success"] == 2
+
+    # GET query: m=avg:test.metric{host=host1} (query.sh shape)
+    res = _get(
+        server,
+        "/api/query?start=1704067000&end=1704068000&m=avg:test.metric%7Bhost=host1%7D",
+    )
+    assert len(res) == 1
+    assert res[0]["tags"] == {"host": "host1"}
+    assert res[0]["dps"] == {"1704067200": 10.0, "1704067260": 20.0}
+
+    # POST query: sum across hosts
+    res = _post(
+        server,
+        "/api/query",
+        json.dumps(
+            {
+                "start": 1704067000,
+                "end": 1704068000,
+                "queries": [{"metric": "test.metric", "aggregator": "sum"}],
+            }
+        ),
+    )
+    assert res[0]["aggregateTags"] == ["host"]
+    assert res[0]["dps"] == {"1704067200": 40.0, "1704067260": 60.0}
+
+    # influx series got the _field tag
+    res = _get(server, "/api/query?start=1704067000&end=1704068000&m=none:env")
+    fields = {rs["tags"]["_field"] for rs in res}
+    assert fields == {"temp", "hum"}
+
+
+def test_http_metadata(server):
+    assert "avg" in _get(server, "/api/aggregators")
+    sugg = _get(server, "/api/suggest?type=metrics&q=test&max=10")
+    assert sugg == ["test.metric"]
+    assert "host" in _get(server, "/api/suggest?type=tagk&q=h")
+    look = _get(server, "/api/search/lookup?m=test.metric")
+    assert look["totalResults"] == 2
+    look = _get(server, "/api/search/lookup?m=test.metric%7Bhost=host1%7D")
+    assert look["totalResults"] == 1
+    filt = _get(server, "/api/config/filters")
+    assert "wildcard" in filt and "regexp" in filt
+    assert _get(server, "/api/version")["engine"] == "ticktock-spark"

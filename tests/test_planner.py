@@ -1,0 +1,133 @@
+"""Planner end-to-end: reproduces the reference's integration-test
+semantics (grouping/aggregateTags, fill, rate-after-agg, top-N, rollup
+routing, dedup) on small synthetic datapoints."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ticktock_spark.plans.parser import parse_m_expr
+from ticktock_spark.plans.planner import TsdbContext
+from ticktock_spark.plans.spec import TopLevelQuery
+
+H = 3_600_000
+ROWS = [
+    # metric, ts, value, tags, seq
+    ("cpu", 0, 1.0, {"host": "a", "dc": "east"}, 1),
+    ("cpu", 60_000, 3.0, {"host": "a", "dc": "east"}, 2),
+    ("cpu", 0, 5.0, {"host": "b", "dc": "east"}, 3),
+    ("cpu", 60_000, 7.0, {"host": "b", "dc": "east"}, 4),
+    ("cpu", 0, 100.0, {"host": "c", "dc": "west"}, 5),
+    # duplicate ts for host=c — higher seq must win
+    ("cpu", 0, 50.0, {"host": "c", "dc": "west"}, 6),
+]
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    df = spark.createDataFrame(
+        ROWS, "metric string, ts long, value double, tags map<string,string>, seq long"
+    )
+    return TsdbContext(df)
+
+
+def _top(spec, start=0, end=7_200_000, ms=True):
+    return TopLevelQuery(start, end, ms, None, [spec])
+
+
+def test_agg_sum_all_series(ctx):
+    rs = ctx.execute(_top(parse_m_expr("sum:cpu")))
+    assert len(rs) == 1
+    r = rs[0]
+    assert r.tags == {"dc": "east"} or r.tags == {}  # dc varies → dropped
+    # host varies, dc varies (east/east/west) → both aggregateTags
+    assert r.aggregate_tags == ["dc", "host"]
+    assert r.dps == {0: 1.0 + 5.0 + 50.0, 60_000: 3.0 + 7.0}
+
+
+def test_group_by_tag_aggregate_tags(ctx):
+    rs = ctx.execute(_top(parse_m_expr("sum:cpu{dc=*}")))
+    assert len(rs) == 2
+    by_dc = {r.tags["dc"]: r for r in rs}
+    assert by_dc["east"].dps == {0: 6.0, 60_000: 10.0}
+    assert by_dc["east"].aggregate_tags == ["host"]
+    # west has a single series → host constant → kept in tags
+    assert by_dc["west"].tags == {"dc": "west", "host": "c"}
+    assert by_dc["west"].aggregate_tags == []
+    assert by_dc["west"].dps == {0: 50.0}  # last-wins dedup applied
+
+
+def test_non_grouping_second_brace(ctx):
+    rs = ctx.execute(_top(parse_m_expr("sum:cpu{dc=east}{host=a|b}")))
+    assert len(rs) == 1
+    assert rs[0].dps == {0: 6.0, 60_000: 10.0}
+    assert rs[0].aggregate_tags == ["host"]
+
+
+def test_none_aggregator_per_series(ctx):
+    rs = ctx.execute(_top(parse_m_expr("none:cpu{host=*}")))
+    assert len(rs) == 3
+    tags = [r.tags for r in rs]
+    assert {"host": "a", "dc": "east"} in tags
+
+
+def test_downsample_and_fill(ctx):
+    rs = ctx.execute(_top(parse_m_expr("sum:2m-avg-zero:cpu{host=a}"), end=360_000))
+    assert len(rs) == 1
+    # buckets: 0 → avg(1,3)=2.0; 120000/240000/360000 filled 0
+    assert rs[0].dps == {0: 2.0, 120_000: 0.0, 240_000: 0.0, 360_000: 0.0}
+
+
+def test_rate_after_aggregation(ctx):
+    rs = ctx.execute(_top(parse_m_expr("sum:rate:cpu{dc=east}")))
+    assert len(rs) == 1
+    # summed series: (0,6),(60000,10) → rate at 60000 = 4/60
+    assert rs[0].dps.keys() == {60_000}
+    assert math.isclose(rs[0].dps[60_000], 4.0 / 60.0)
+
+
+def test_sec_resolution_output(ctx):
+    rs = ctx.execute(_top(parse_m_expr("sum:cpu{host=a}"), ms=False))
+    assert rs[0].dps == {0: 1.0, 60: 3.0}
+
+
+def test_topn(ctx):
+    rs = ctx.execute(_top(parse_m_expr("top1:cpu{host=*}")))
+    assert len(rs) == 1
+    assert rs[0].tags["host"] == "c"  # rank key = max of last dps (50 dedup'd)
+
+
+def test_explicit_tags(ctx):
+    # explicit_tags with only host → no series has exactly 1 tag → empty
+    rs = ctx.execute(_top(parse_m_expr("sum:explicit_tags:cpu{host=a}")))
+    assert rs == []
+
+
+def test_rollup_routing_matches_raw(spark):
+    # hourly data across 3 days; rollup-routed 1d-avg must equal raw-path
+    rows = []
+    seq = 0
+    for d in range(3):
+        for h in range(24):
+            ts = (d * 24 + h) * H
+            rows.append(("m", ts, float(h % 7) + d, {"host": "x"}, seq))
+            seq += 1
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, seq long"
+    )
+    ctx = TsdbContext(df)
+    top = TopLevelQuery(0, 3 * 24 * H, True, None, [parse_m_expr("none:1d-avg:m{host=x}")])
+    raw = ctx.execute(top)
+    ctx.materialize_rollups()
+    routed = ctx.execute(top)
+    assert routed[0].dps.keys() == raw[0].dps.keys()
+    for k in raw[0].dps:
+        assert math.isclose(routed[0].dps[k], raw[0].dps[k]), k
+    # ROLLUP_RAW forces the raw path even with rollups materialized
+    top_raw = TopLevelQuery(
+        0, 3 * 24 * H, True, None, [parse_m_expr("none:rollupUsage=ROLLUP_RAW:1d-avg:m{host=x}")]
+    )
+    assert ctx.execute(top_raw)[0].dps == raw[0].dps

@@ -1,0 +1,266 @@
+"""HTTP facade: the OpenTSDB-compatible API surface.
+
+Endpoints (reference: `src/core/http.cpp:826-897`, handlers in
+tsdb.cpp/query.cpp):
+
+  POST /api/put            telnet lines or JSON body (tsdb.cpp:2324-2480)
+  POST /api/write          InfluxDB line protocol (tsdb.cpp:2482-2593)
+  GET/POST /api/query      the query pipeline (query.cpp:1308-1453)
+  GET  /api/suggest        metric/tagk/tagv prefix search (tsdb.cpp:2595-2713)
+  GET  /api/search/lookup  series lookup (query.cpp:1477-1602)
+  GET  /api/aggregators    static list (aggregate.cpp:33-36)
+  GET  /api/config/filters static filter descriptions (query.cpp:1455-1475)
+  GET  /api/config /api/stats /api/version
+
+A stdlib ThreadingHTTPServer on the Spark driver: requests parse to
+QuerySpec, the planner builds the DataFrame plan, executors do the work —
+the server thread only shapes JSON (same thread-carries-query model as
+the reference's listener/responder, with Spark replacing the per-series
+work).
+
+Writes append to an in-driver buffer that is unioned with the base
+DataFrame (and can be checkpointed to parquet); production ingest is the
+Structured Streaming path in streaming/ingest.py.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from ticktock_spark import __version__
+from ticktock_spark.operators.aggregate import AGGREGATORS
+from ticktock_spark.plans.parser import parse_query_json, parse_query_params
+from ticktock_spark.plans.planner import TsdbContext
+from ticktock_spark.plans.shape import resultset_to_dict
+from ticktock_spark.plans.tagfilter import python_filter
+from ticktock_spark.schema import DATAPOINTS_SCHEMA
+from ticktock_spark.sources.parsers import (
+    parse_influx_line,
+    parse_put_json,
+    parse_put_line,
+)
+
+FILTER_DESCRIPTIONS = {
+    name: {"examples": f"host={name}(...)", "description": desc}
+    for name, desc in [
+        ("literal_or", "exact match of one of the pipe-separated values"),
+        ("iliteral_or", "case-insensitive literal_or"),
+        ("not_literal_or", "negated literal_or"),
+        ("not_iliteral_or", "negated iliteral_or"),
+        ("wildcard", "glob with * wildcards"),
+        ("iwildcard", "case-insensitive wildcard"),
+        ("regexp", "regular expression full match"),
+    ]
+}
+
+
+class TsdbStore:
+    """Base DataFrame + in-driver write buffer."""
+
+    def __init__(self, spark: SparkSession, base: DataFrame | None = None):
+        self.spark = spark
+        self.base = base
+        self._buffer: list[Row] = []
+        self._seq = 0
+        self._lock = threading.Lock()
+
+    def add(self, dps: list[dict]) -> int:
+        import datetime as _dt
+
+        with self._lock:
+            for dp in dps:
+                self._seq += 1
+                self._buffer.append(
+                    Row(
+                        metric=dp["metric"],
+                        ts=dp["ts"],
+                        value=dp["value"],
+                        tags=dp.get("tags") or {},
+                        seq=self._seq,
+                        dt=_dt.datetime.utcfromtimestamp(dp["ts"] / 1000).date(),
+                    )
+                )
+        return len(dps)
+
+    def dataframe(self) -> DataFrame:
+        with self._lock:
+            buf = list(self._buffer)
+        parts = []
+        if self.base is not None:
+            parts.append(self.base)
+        if buf:
+            parts.append(self.spark.createDataFrame(buf, DATAPOINTS_SCHEMA))
+        if not parts:
+            return self.spark.createDataFrame([], DATAPOINTS_SCHEMA)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def context(self) -> TsdbContext:
+        return TsdbContext(self.dataframe())
+
+
+class _Handler(BaseHTTPRequestHandler):
+    store: TsdbStore = None  # set by server factory
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    # -- helpers --
+    def _send(self, code: int, payload, content_type="application/json"):
+        body = payload if isinstance(payload, bytes) else json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(n) if n else b""
+
+    # -- GET --
+    def do_GET(self):
+        try:
+            parsed = urllib.parse.urlparse(self.path)
+            params = urllib.parse.parse_qs(parsed.query)
+            route = parsed.path
+            if route == "/api/version":
+                self._send(200, {"version": __version__, "engine": "ticktock-spark"})
+            elif route == "/api/aggregators":
+                self._send(200, AGGREGATORS)
+            elif route == "/api/config/filters":
+                self._send(200, FILTER_DESCRIPTIONS)
+            elif route == "/api/config":
+                conf = dict(self.store.spark.sparkContext.getConf().getAll())
+                self._send(200, {k: v for k, v in conf.items() if k.startswith("spark.sql")})
+            elif route == "/api/stats":
+                self._send(200, {"buffered_points": len(self.store._buffer)})
+            elif route == "/api/suggest":
+                self._send(200, self._suggest(params))
+            elif route == "/api/search/lookup":
+                self._send(200, self._lookup(params))
+            elif route == "/api/query":
+                top = parse_query_params(params)
+                results = self.store.context().execute(top)
+                self._send(200, [resultset_to_dict(r) for r in results])
+            else:
+                self._send(404, {"error": f"no route {route}"})
+        except Exception as e:  # noqa: BLE001 — HTTP boundary
+            self._send(500, {"error": str(e)})
+
+    # -- POST --
+    def do_POST(self):
+        try:
+            route = urllib.parse.urlparse(self.path).path
+            body = self._body()
+            if route == "/api/put":
+                text = body.decode()
+                if text.lstrip().startswith(("{", "[")):
+                    dps = parse_put_json(text)
+                else:
+                    dps = [d for d in (parse_put_line(l) for l in text.splitlines()) if d]
+                n = self.store.add(dps)
+                self._send(200, {"success": n, "failed": 0})
+            elif route == "/api/write":
+                import time as _t
+
+                now = int(_t.time() * 1000)
+                dps = []
+                for line in body.decode().splitlines():
+                    for dp in parse_influx_line(line):
+                        if dp["ts"] is None:
+                            dp["ts"] = now
+                        dps.append(dp)
+                n = self.store.add(dps)
+                self._send(200, {"success": n, "failed": 0})
+            elif route == "/api/query":
+                top = parse_query_json(json.loads(body or b"{}"))
+                results = self.store.context().execute(top)
+                self._send(200, [resultset_to_dict(r) for r in results])
+            else:
+                self._send(404, {"error": f"no route {route}"})
+        except Exception as e:  # noqa: BLE001
+            self._send(500, {"error": str(e)})
+
+    # -- metadata endpoints --
+    def _suggest(self, params) -> list[str]:
+        typ = (params.get("type") or ["metrics"])[0]
+        q = (params.get("q") or [""])[0]
+        mx = int((params.get("max") or ["25"])[0])
+        df = self.store.dataframe()
+        if typ == "metrics":
+            col = df.select(F.col("metric").alias("v"))
+        elif typ == "tagk":
+            col = df.select(F.explode(F.map_keys("tags")).alias("v"))
+        elif typ == "tagv":
+            col = df.select(F.explode(F.map_values("tags")).alias("v"))
+        else:
+            return []
+        out = (
+            col.filter(F.col("v").startswith(q))
+            .distinct()
+            .orderBy("v")
+            .limit(mx)
+            .collect()
+        )
+        return [r["v"] for r in out]
+
+    def _lookup(self, params) -> dict:
+        m = (params.get("m") or [""])[0]
+        limit = int((params.get("limit") or ["25"])[0])
+        start = int((params.get("startIndex") or ["0"])[0])
+        metric, tag_filters = m, {}
+        if "{" in m:
+            metric = m[: m.index("{")]
+            from ticktock_spark.plans.parser import _parse_tag_group
+
+            tag_filters = _parse_tag_group(m[m.index("{") :])
+        df = self.store.dataframe()
+        if metric and metric != "*":
+            df = df.filter(F.col("metric") == metric)
+        series = df.groupBy(
+            "metric", F.map_entries("tags").alias("te")
+        ).count().collect()
+        results = []
+        for r in series:
+            tags = {e["key"]: e["value"] for e in r["te"]}
+            if all(python_filter(v)(tags.get(k)) for k, v in tag_filters.items()):
+                results.append({"metric": r["metric"], "tags": tags, "tsuid": ""})
+        results.sort(key=lambda s: (s["metric"], sorted(s["tags"].items())))
+        page = results[start : start + limit]
+        return {
+            "type": "LOOKUP",
+            "metric": m,
+            "limit": limit,
+            "startIndex": start,
+            "totalResults": len(results),
+            "results": page,
+        }
+
+
+class TsdbHttpServer:
+    """ThreadingHTTPServer wrapper; serve_forever runs on a daemon thread."""
+
+    def __init__(self, spark: SparkSession, base: DataFrame | None = None, port: int = 0):
+        self.store = TsdbStore(spark, base)
+        handler = type("BoundHandler", (_Handler,), {"store": self.store})
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "TsdbHttpServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

@@ -1,0 +1,74 @@
+"""Structured Streaming ingest: the write path.
+
+Replaces the reference's listener→responder→page-buffer pipeline
+(`src/core/tcp.cpp`, `src/core/ts.cpp:276-421`) and its WAL
+(`src/utils/append.cpp`): sources (socket for dev, Kafka/files in prod)
+stream lines through the same parsers as batch, append to the
+`datapoints` table partitioned by `dt`, with exactly-once via
+checkpointing — crash recovery comes from the sink's checkpoint/WAL
+rather than a custom append log.
+
+Out-of-order data needs no special OOO page (`ts.cpp:365-421`): rows land
+where they land and query-time dedup (`max_by(value, seq)`) reproduces
+last-wins; `seq` is assigned from the streaming batch id + row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ticktock_spark.sources.parsers import (
+    influx_lines_to_datapoints,
+    json_lines_to_datapoints,
+    put_lines_to_datapoints,
+)
+
+FORMATS = {
+    "put": put_lines_to_datapoints,
+    "json": json_lines_to_datapoints,
+    "influx": influx_lines_to_datapoints,
+}
+
+
+def stream_put_lines(
+    spark: SparkSession,
+    path: str | None = None,
+    host: str | None = None,
+    port: int | None = None,
+    fmt: str = "put",
+) -> DataFrame:
+    """readStream (file dir or socket) → canonical datapoints stream."""
+    if path is not None:
+        lines = spark.readStream.format("text").load(path).withColumnRenamed("value", "value")
+    elif host is not None and port is not None:
+        lines = spark.readStream.format("socket").option("host", host).option("port", port).load()
+    else:
+        raise ValueError("need path or host/port")
+    dps = FORMATS[fmt](lines)
+    # seq = micro-batch wall clock (µs): later batches win dedup ties,
+    # matching last-write-wins at batch granularity. (The batch path uses
+    # monotonically_increasing_id, which streaming disallows; the
+    # reference's sub-batch tie-break is its page index, which has no
+    # streaming analogue.)
+    return dps.withColumns(
+        {
+            "seq": F.unix_micros(F.current_timestamp()),
+            "dt": F.to_date(F.timestamp_millis(F.col("ts"))),
+        }
+    )
+
+
+def write_datapoints_stream(
+    dps: DataFrame, out_path: str, checkpoint: str, trigger_once: bool = False
+):
+    """Append stream → dt-partitioned parquet (the `datapoints` table)."""
+    w = (
+        dps.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("dt")
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
