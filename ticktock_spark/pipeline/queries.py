@@ -240,6 +240,44 @@ def q36(spark, sf_dir):
     return dd.simhash_dedup(d).select("simhash", "canonical_id", "n_docs")
 
 
+@register(
+    "q37_embedding_neardup",
+    f"""
+    WITH a AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {{cos}} AS cosine
+      FROM a, a b
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35
+    """.format(
+        cos=_Q6.format(
+            x="(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+            " for i in generate_series(1, len(a.embedding))]))"
+            " / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)"
+            " for i in generate_series(1, len(a.embedding))]))"
+            " * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+            " for i in generate_series(1, len(b.embedding))])))"
+        )
+    ),
+)
+def q37(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 on the
+    6-decimal-canonical value). This is the exact all-pairs baseline; the
+    scale path prunes candidates first — IVF buckets (q41) or
+    sign-random-projection LSH — then runs this same exact cosine only
+    within buckets, so the O(n²) join never materializes at 100 TB."""
+    e = _table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a", "id_b", q6(sim.cosine(F.col("__va"), F.col("__vb"))).alias("cosine")
+    )
+    return out.filter(F.col("cosine") >= 0.35)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

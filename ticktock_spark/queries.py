@@ -553,6 +553,210 @@ def q14(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.3 tag-filter matrix over a real MAP<STRING,STRING> tags column
+# ---------------------------------------------------------------------------
+
+# Derived tag set: user=u<user_id>, host=h<user_id%10>, k=val<props.k>.
+_TAGS_CTE = f"""
+      SELECT event_type AS metric, epoch_ms(ts) AS ts, value, event_id AS seq,
+             'u' || CAST(user_id AS VARCHAR) AS tag_user,
+             'h' || CAST(user_id % 10 AS VARCHAR) AS tag_host,
+             'val' || regexp_extract(props, '([0-9]+)', 1) AS tag_k
+      FROM events
+"""
+
+
+def _tagged_dps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → canonical datapoints with a tags MAP<STRING,STRING> column
+    (the reference's native data model, SURVEY §1.1)."""
+    ev = _table(spark, sf_dir, "events")
+    tags = F.create_map(
+        F.lit("user"), F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        F.lit("host"), F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+        F.lit("k"), F.concat(F.lit("val"), F.regexp_extract("props", r"([0-9]+)", 1)),
+    )
+    return ev.select(
+        F.col("event_type").alias("metric"),
+        F.unix_millis("ts").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").cast("long").alias("seq"),
+        tags.alias("tags"),
+    )
+
+
+@register(
+    "q22_tag_filter_matrix",
+    f"""
+    WITH t AS ({_TAGS_CTE})
+    SELECT metric, tag_user, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM t
+    WHERE regexp_matches(tag_user, '(?i)^(?:U1.*)$')
+      AND regexp_matches(tag_host, '^(?:h[0-4])$')
+      AND NOT regexp_matches(tag_k, '^(?:val1|val2|val3)$')
+    GROUP BY 1, 2
+    """,
+)
+def q22(spark, sf_dir):
+    """Tag-filter matrix on the MAP tags column: iwildcard + regexp +
+    not_literal_or + explicit_tags conjunction, compiled to pushdown-able
+    Column predicates (tag.cpp:692-796,853-873; tsdb.cpp:736-737)."""
+    from ticktock_spark.plans.tagfilter import compile_tag_filters
+
+    d = _tagged_dps(spark, sf_dir)
+    pred = compile_tag_filters(
+        F.col("tags"),
+        {
+            "user": "iwildcard(U1*)",
+            "host": "regexp(h[0-4])",
+            "k": "not_literal_or(val1|val2|val3)",
+        },
+        explicit_tags=True,  # series has exactly 3 tags — matches all here
+    )
+    return (
+        d.filter(pred)
+        .withColumn("value", F.col("value").cast("decimal(18,2)"))
+        .groupBy("metric", F.col("tags")["user"].alias("tag_user"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 / §2.9 grouping-tag resolution + aggregateTags
+# ---------------------------------------------------------------------------
+
+@register(
+    "q23_aggregate_tags",
+    f"""
+    WITH t AS ({_TAGS_CTE}),
+    ds AS (
+      SELECT metric, tag_user, tag_k, ts - ts % {HOUR_MS} AS ts,
+             floor(avg(value) * 1000000.0 + 0.5) AS scaled_avg
+      FROM t WHERE metric = 'view'
+      GROUP BY 1, 2, 3, 4
+    ),
+    ser AS (SELECT DISTINCT metric, tag_user, tag_k FROM ds),
+    ag AS (
+      SELECT metric, tag_k,
+             CASE WHEN count(DISTINCT tag_user) > 1 THEN 'user' ELSE '' END
+               AS agg_tags
+      FROM ser GROUP BY 1, 2
+    )
+    SELECT d.metric, d.tag_k, d.ts,
+           sum(d.scaled_avg) / 1000000.0 AS sum_value,
+           a.agg_tags
+    FROM ds d JOIN ag a ON d.metric = a.metric AND d.tag_k = a.tag_k
+    GROUP BY 1, 2, 3, 5
+    """,
+)
+def q23(spark, sf_dir):
+    """m=sum:1h-avg:view{k=*} — group on tag k; user varies within each
+    group so it lands in aggregateTags (query.cpp:505-554,1683-1738).
+    aggregateTags computed from the series dimension (tiny — broadcast
+    joined back), never from the datapoint stream."""
+    from ticktock_spark.operators.aggregate import aggregate_tags
+
+    d = _tagged_dps(spark, sf_dir).filter(F.col("metric") == "view")
+    d = d.select(
+        "metric", "ts", "value",
+        F.col("tags")["user"].alias("tag_user"),
+        F.col("tags")["k"].alias("tag_k"),
+        "tags",
+    )
+    ds = downsample(d, ["metric", "tag_user", "tag_k"], HOUR_MS, "avg")
+    scaled = ds.withColumn("value", F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)))
+    out = scaled.groupBy("metric", "tag_k", "ts").agg(
+        (F.sum("value") / F.lit(1_000_000.0)).alias("sum_value")
+    )
+    series = d.select("metric", "tag_user", "tag_k").distinct().select(
+        "metric",
+        "tag_k",
+        F.create_map(F.lit("user"), F.col("tag_user")).alias("tags"),
+    )
+    ag = aggregate_tags(series, "tags", ["metric", "tag_k"]).select(
+        "metric", "tag_k", F.concat_ws(",", "aggregateTags").alias("agg_tags")
+    )
+    return out.join(F.broadcast(ag), ["metric", "tag_k"]).select(
+        "metric", "tag_k", "ts", "sum_value", "agg_tags"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 fill (null policy) + §2.9 second-resolution output
+# ---------------------------------------------------------------------------
+
+@register(
+    "q24_fill_null_sec",
+    f"""
+    WITH d AS (
+      SELECT user_id, ts, value FROM {_EV}
+      WHERE metric = 'signup' AND ts BETWEEN {FILL_START} AND {FILL_END}
+    ), ds AS (
+      SELECT user_id, ts - ts % {HOUR_MS} AS ts,
+             {_Q6.format(x='avg(value)')} AS value
+      FROM d GROUP BY 1, 2
+    ), spine AS (
+      SELECT u.user_id, g.ts
+      FROM (SELECT DISTINCT user_id FROM d) u
+      CROSS JOIN (SELECT unnest(generate_series({FILL_START}, {FILL_END}, {HOUR_MS})) AS ts) g
+    )
+    SELECT s.user_id, s.ts // 1000 AS ts_sec, ds.value AS value
+    FROM spine s LEFT JOIN ds ON s.user_id = ds.user_id AND s.ts = ds.ts
+    """,
+)
+def q24(spark, sf_dir):
+    """1h-avg-null fill (gaps stay NULL, down.cpp:107-127) with
+    second-resolution output timestamps (msResolution=false →
+    ts/1000, query.cpp:665-677,1281-1284)."""
+    d = _dps(spark, sf_dir).filter(
+        (F.col("metric") == "signup") & F.col("ts").between(FILL_START, FILL_END)
+    )
+    ds = downsample(d, ["user_id"], HOUR_MS, "avg")
+    ds = ds.withColumn("value", q6(F.col("value")))
+    filled = fill_buckets(ds, ["user_id"], HOUR_MS, FILL_START, FILL_END, "null")
+    return filled.select(
+        "user_id", (F.col("ts") / 1000).cast("long").alias("ts_sec"), "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 bottom-N series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q25_bottom3_series",
+    f"""
+    WITH ds AS (
+      SELECT user_id, ts - ts % {HOUR_MS} AS ts,
+             {_Q6.format(x='avg(value)')} AS value
+      FROM {_EV} WHERE metric = 'view'
+      GROUP BY 1, 2
+    ), tail AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      FROM ds
+    ), keys AS (
+      SELECT user_id, min(value) AS rank_key FROM tail WHERE rn <= 3 GROUP BY 1
+    ), chosen AS (
+      SELECT user_id FROM keys ORDER BY rank_key ASC, user_id LIMIT 3
+    )
+    SELECT ds.user_id, ds.ts, ds.value
+    FROM ds JOIN chosen USING (user_id)
+    """,
+)
+def q25(spark, sf_dir):
+    """bottom3: keep 3 whole series ranked by MIN of the last 3
+    downsampled points (aggregate.cpp:390-414, query.cpp:858-884)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "view")
+    ds = downsample(d, ["user_id"], HOUR_MS, "avg")
+    ds = ds.withColumn("value", q6(F.col("value")))
+    return top_bottom_n(ds, ["user_id"], 3, "bottom").select("user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
 # §2.2 metadata / discovery
 # ---------------------------------------------------------------------------
 
