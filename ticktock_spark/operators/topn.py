@@ -10,11 +10,20 @@ Spark: compute the rank key per series with one aggregation over each
 series' last-3 rows (max_by/min_by of a 3-element tail), take the top-N
 keys (tiny — N ≤ 9), and semi-join (broadcast) back to keep those series'
 points. No full sort of the data, no driver collect of points.
+
+The input is consumed by BOTH branches (rank-key computation and the
+final semi-join). Left as pure lineage, Catalyst pushes the semi-join
+below the left branch's aggregation, which re-scans and re-aggregates the
+raw source — at 100 TB that is two full scans. ``materialize=True``
+(default) persists the (already downsampled, #series × #buckets sized)
+input so the expensive scan+shuffle runs once and both branches read the
+materialized result.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def top_bottom_n(
@@ -25,7 +34,10 @@ def top_bottom_n(
     ts_col: str = "ts",
     value_col: str = "value",
     last_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
+    if materialize:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy(*series_cols).orderBy(F.col(ts_col).desc())
     tail = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= last_k)
     keyfn = F.max(value_col) if mode == "top" else F.min(value_col)

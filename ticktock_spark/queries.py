@@ -320,14 +320,19 @@ def q06(spark, sf_dir):
 )
 def q19(spark, sf_dir):
     """Cross-series dev (SAMPLE stddev, aggregate.cpp:263-294) and p50
-    aggregators over 1h-avg downsampled series."""
+    aggregators over 1h-avg downsampled series. Both aggregators evaluate
+    in ONE hash aggregation over the shared downsample — a join of two
+    separately-aggregated branches would recompute the scan+downsample
+    twice."""
+    from ticktock_spark.operators.aggregate import aggregator_expr
+
     d = _dps(spark, sf_dir).filter(F.col("metric") == "view")
     ds = downsample(d, ["metric", "user_id"], HOUR_MS, "avg")
     ds = ds.withColumn("value", q6(F.col("value")))
-    dev = aggregate_across_series(ds, ["metric"], "dev", out_col="dev_value")
-    p50 = aggregate_across_series(ds, ["metric"], "p50", out_col="p50_value")
-    out = dev.join(p50, ["metric", "ts"])
-    return out.select("metric", "ts", q6(F.col("dev_value")).alias("dev_value"), q6(F.col("p50_value")).alias("p50_value"))
+    return ds.groupBy("metric", "ts").agg(
+        q6(aggregator_expr("dev")).alias("dev_value"),
+        q6(aggregator_expr("p50")).alias("p50_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -656,7 +661,10 @@ def q23(spark, sf_dir):
     """m=sum:1h-avg:view{k=*} — group on tag k; user varies within each
     group so it lands in aggregateTags (query.cpp:505-554,1683-1738).
     aggregateTags computed from the series dimension (tiny — broadcast
-    joined back), never from the datapoint stream."""
+    joined back), never from the datapoint stream. At 100 TB the series
+    dimension is a standing table maintained at ingest (SURVEY §1.1), not
+    re-derived per query; here it's derived inline from a column-pruned
+    scan + map-side-combinable distinct."""
     from ticktock_spark.operators.aggregate import aggregate_tags
 
     d = _tagged_dps(spark, sf_dir).filter(F.col("metric") == "view")
