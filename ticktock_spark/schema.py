@@ -70,5 +70,9 @@ def load_table(spark, sf_dir: str, name: str):
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer division: `/` would go through double, whose ~2^-53
+            # relative error on an int64 ns value (~1.7e18 > 2^53) can
+            # truncate to the previous µs and flip a ms at a boundary —
+            # DuckDB (the oracle) converts ns → µs exactly.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
