@@ -13,9 +13,11 @@ Scale design (the whole point at 100 TB):
   LSH candidates at scale; full pairwise only for small corpora.
 
 MinHash here uses md5-string order ("min over a hash-defined random
-permutation"): h_j(doc) = min over shingles of md5(seed_j || shingle),
-compared lexicographically. This keeps the hash function identical and
-portable across engines (md5 exists everywhere) with no bit fiddling.
+permutation"): h_j(doc) = min over shingles of the j-th 8-hex-char slice
+of seeded md5 digests, compared lexicographically. This keeps the hash
+function identical and portable across engines (md5 + substr exist
+everywhere) with no bit fiddling, at ceil(num_hashes/4) digests per
+shingle.
 """
 
 from __future__ import annotations
@@ -26,25 +28,58 @@ from ticktock_spark.pipeline.text import normalize_text
 
 
 def shingles(text: Column, k: int = 5) -> Column:
-    """Distinct character k-grams of the normalized text."""
-    norm = normalize_text(text)
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+    """Distinct character k-grams of the normalized text.
 
-
-def _seeded_md5(j: int):
-    # NB: must return a 1-arg lambda — a `j=j` default would change the
-    # lambda arity and make PySpark bind the array index to it
-    return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+    The normalized string is bound through a single-element array so the
+    (regex-heavy) normalization evaluates ONCE per row — referenced
+    directly inside the per-position lambda it would be interpreted anew
+    for every shingle position (HOF lambdas get no CSE), turning an
+    O(chars) extraction into O(chars²) regex work."""
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.array(normalize_text(text)),
+                lambda nm: F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(nm) - F.lit(k - 1), F.lit(1))
+                    ),
+                    lambda i: nm.substr(i, F.lit(k)),
+                ),
+            )
+        )
+    )
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
-    """Array of lexicographic-min md5 values, one per seed."""
-    sigs = [
-        F.array_min(F.transform(shingle_col, _seeded_md5(j))) for j in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    """Array of lexicographic-min 32-bit (8-hex-char) hash values.
+
+    Each md5 digest yields FOUR independent 8-hex slices, so only
+    ceil(num_hashes/4) digests are computed per shingle — md5 dominates
+    the signature cost and these interpreted (CodegenFallback, no CSE)
+    expressions would otherwise re-hash every shingle once per signature
+    position. Structure: one transform materializes the concatenated
+    digests per shingle, then ONE fold keeps running minima per position,
+    slicing the digest through a bound lambda variable (never re-hashing).
+    32-bit slices keep the min-over-shingles well spread (a 16-bit slice
+    would degenerate: the min of a few thousand uniform 16-bit values is
+    nearly always ~0, and every doc would collide in LSH)."""
+    n_digests = (num_hashes + 3) // 4
+    cats = F.transform(
+        shingle_col,
+        lambda s: F.concat(
+            *[F.md5(F.concat(F.lit(f"{d}:"), s)) for d in range(n_digests)]
+        ),
+    )
+    positions = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        cats,
+        F.array_repeat(F.lit("g"), num_hashes),  # "g" > any hex char
+        lambda acc, cat: F.zip_with(
+            acc,
+            F.transform(positions, lambda j: F.substring(cat, j * 8 + 1, F.lit(8))),
+            lambda a, h: F.least(a, h),
+        ),
+    )
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -97,6 +132,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     parallelism: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -104,6 +140,8 @@ def minhash_lsh_candidates(
     Plan: scan-side signatures (repartitioned — a single parquet file
     otherwise serializes all the md5 work into one task) → explode band
     keys → ONE hash aggregation into buckets → pair enumeration.
+    ``shingles_df`` (id_col, sh) lets a caller share one (ideally
+    persisted) shingle computation across candidates + verification.
     """
     rows = num_hashes // bands
     par = parallelism or df.sparkSession.sparkContext.defaultParallelism
@@ -112,7 +150,13 @@ def minhash_lsh_candidates(
     # inlines the shingle expression into all `num_hashes` minhash
     # transforms (higher-order functions get no subexpression elimination)
     # and the signature costs num_hashes× more than it should
-    sh = df.repartition(par).select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else df.repartition(par).select(
+            F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+        )
+    )
     sig = sh.repartition(par, id_col).select(
         F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
     )
@@ -129,6 +173,53 @@ def minhash_lsh_candidates(
         .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def verify_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.2,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit candidate-pair set.
+
+    This is the verification half of the candidate→verify near-dup
+    pipeline: ``pairs`` (id_a < id_b, e.g. from minhash_lsh_candidates)
+    is small, so it broadcasts onto two joins against the per-doc shingle
+    sets and the exact set intersection runs only per candidate — never
+    all-pairs, and never via the shared-shingle self-join that explodes
+    quadratically on common shingles.
+    """
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+            F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+        )
+    )
+    out = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "inter", "jaccard"
     )
 
 
@@ -181,16 +272,24 @@ def simhash32(text: Column, token_pattern: str = r"[a-z0-9]+") -> Column:
     (no UDF), identical semantics in any engine with md5/substr.
     """
     toks = F.regexp_extract_all(normalize_text(text), F.lit(token_pattern), 0)
-    hashes = F.transform(toks, F.md5)
-
-    def _vote(i: int):
-        return lambda acc, h: acc + F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1)
-
-    bits = []
-    for i in range(1, 33):
-        votes = F.aggregate(hashes, F.lit(0), _vote(i))
-        bits.append(F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    # ONE fold over the tokens carrying all 32 counters. Array higher-order
+    # functions are CodegenFallback (interpreted) and get no common-
+    # subexpression elimination, so 32 separate aggregate() calls would
+    # re-run md5 over every token 32 times.
+    positions = F.sequence(F.lit(1), F.lit(32))
+    hashes = F.transform(toks, F.md5)  # digest once per token
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(positions, lambda i: F.substring(h, i, F.lit(1))),
+            lambda a, nib: a + F.when(nib >= "8", 1).otherwise(-1),
+        ),
+    )
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -155,9 +155,11 @@ def q33(spark, sf_dir):
     return dd.exact_dedup(d).select("digest", "canonical_id", "n_copies")
 
 
-def _minhash_sql() -> str:
+def _minhash_cte() -> str:
+    # mirror of dedup.minhash_signature: h_j = min over shingles of the
+    # j-th 8-hex slice of md5('0:'||s) || md5('1:'||s)
     hs = ",\n             ".join(
-        f"list_aggregate([md5('{j}:' || s) for s in sh], 'min') AS h{j}"
+        f"list_aggregate([substr(c, {j * 8 + 1}, 8) for c in cats], 'min') AS h{j}"
         for j in range(8)
     )
     bands = "\n      UNION ALL\n      ".join(
@@ -167,19 +169,25 @@ def _minhash_sql() -> str:
     return f"""
     WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM n),
+    ct AS (SELECT doc_id, [md5('0:' || s) || md5('1:' || s) for s in sh] AS cats FROM sh),
     sig AS (
       SELECT doc_id,
              {hs}
-      FROM sh
+      FROM ct
     ),
     bands AS (
       {bands}
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+def _minhash_sql() -> str:
+    return _minhash_cte() + "\n    SELECT id_a, id_b, n_bands FROM cand"
 
 
 @register("q34_minhash_lsh", _minhash_sql())
@@ -192,29 +200,34 @@ def q34(spark, sf_dir):
 
 @register(
     "q35_ngram_jaccard",
-    f"""
-    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
-    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM n),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    _minhash_cte()
+    + f"""
+    , j AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
     )
     SELECT id_a, id_b, inter,
-           {_Q6.format(x='CAST(inter AS DOUBLE) / (na.n + nb.n - inter)')} AS jaccard
-    FROM inter
-    JOIN sizes na ON na.doc_id = id_a
-    JOIN sizes nb ON nb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.2
+           {_Q6.format(x='CAST(inter AS DOUBLE) / (na + nb - inter)')} AS jaccard
+    FROM j
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
     """,
 )
 def q35(spark, sf_dir):
-    """Exact 5-gram Jaccard pairs ≥ 0.2 via shared-shingle join; at scale
-    runs only on LSH candidates."""
+    """Candidate→verify near-dup pipeline: exact 5-gram Jaccard ≥ 0.2
+    computed ONLY on MinHash-LSH candidate pairs. The all-pairs
+    shared-shingle join (dedup.ngram_jaccard_pairs) is quadratic in the
+    frequency of common shingles and is kept for small corpora/tests;
+    this composition is the 100 TB shape."""
     d = _table(spark, sf_dir, "documents")
-    out = dd.ngram_jaccard_pairs(d, threshold=0.2)
+    # NB: measured — persisting the shared shingle frame is a net LOSS
+    # here (caching the large array<string> column costs more than the
+    # second scan-side recompute); recompute stays in the scan stage.
+    cand = dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
+    out = dd.verify_jaccard(d, cand, threshold=0.2)
     return out.select("id_a", "id_b", "inter", q6(F.col("jaccard")).alias("jaccard"))
 
 
@@ -264,18 +277,14 @@ def q36(spark, sf_dir):
 )
 def q37(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 on the
-    6-decimal-canonical value). This is the exact all-pairs baseline; the
-    scale path prunes candidates first — IVF buckets (q41) or
-    sign-random-projection LSH — then runs this same exact cosine only
-    within buckets, so the O(n²) join never materializes at 100 TB."""
+    6-decimal-canonical value). Exact all-pairs baseline, computed as an
+    Arrow-batched numpy block product with fold-order-exact accumulation
+    (see similarity.cosine_neardup_pairs); the scale path prunes
+    candidates first — IVF buckets (q41) or sign-random-projection LSH —
+    then runs the same exact kernel only within buckets, so the O(n²)
+    product never materializes at 100 TB."""
     e = _table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    out = pairs.select(
-        "id_a", "id_b", q6(sim.cosine(F.col("__va"), F.col("__vb"))).alias("cosine")
-    )
-    return out.filter(F.col("cosine") >= 0.35)
+    return sim.cosine_neardup_pairs(e, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------

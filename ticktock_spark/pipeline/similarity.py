@@ -64,6 +64,74 @@ def brute_force_knn(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: bool = True,
+) -> DataFrame:
+    """All-pairs cosine near-duplicates: (id_a < id_b, cosine ≥ threshold).
+
+    Dense pairwise linear algebra is the one place the built-in array
+    expressions genuinely can't compete: fold/zip_with are interpreted
+    per element per pair (CodegenFallback, no codegen), which makes an
+    expression-based n² cosine O(n²·dim) *interpreter* steps. This runs
+    as an Arrow-batched ``mapInPandas`` block product instead: the corpus
+    matrix is broadcast once, each partition's rows score against it in
+    numpy — vectorized across pairs but accumulated SEQUENTIALLY over the
+    vector dimension in float64, so every partial sum rounds exactly like
+    a SQL engine's left-to-right fold and results stay bit-identical to
+    the DuckDB oracle.
+
+    Scale: fine to ~1M × small-dim broadcast; beyond that, block the
+    corpus into chunks and union one such scan per chunk (work stays
+    distributed over corpus partitions either way). The smarter scale
+    path is pruning candidates first (IVF buckets / sign-random-
+    projection LSH) and running this exact kernel only within buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    dim = M.shape[1]
+    # sequential-fold norms: acc += x*x over dims, left to right
+    acc = np.zeros(len(ids))
+    for d in range(dim):
+        acc = acc + M[:, d] * M[:, d]
+    norms = np.sqrt(acc)
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, M, norms))
+
+    def block(batches):
+        b_ids, b_M, b_norms = bc.value
+        for pdf_in in batches:
+            if len(pdf_in) == 0:
+                continue
+            a_ids = pdf_in[id_col].to_numpy(dtype=np.int64)
+            A = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(a_ids), len(b_ids)))
+            for d in range(dim):
+                dots = dots + A[:, d : d + 1] * b_M[:, d]
+            # a_norm computed the same sequential way
+            acc_a = np.zeros(len(a_ids))
+            for d in range(dim):
+                acc_a = acc_a + A[:, d] * A[:, d]
+            cos = dots / (np.sqrt(acc_a)[:, None] * b_norms[None, :])
+            if quantize:
+                cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
+            keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bj], "cosine": cos[ai, bj]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        block, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def ivf_centroids(corpus: DataFrame, bucket_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-bucket mean vector (the coarse quantizer). The testdata's
     `label` column stands in for a k-means assignment; at scale run a few
