@@ -29,10 +29,16 @@ BENCH_QUERIES = [
     "q16_0all_first_last",        # whole-range agg
     "q20_pricing_summary",        # TPC-H Q1 style scan+agg
     "q21_revenue_by_nation",      # star join w/ broadcast dims
+    "q30_text_stats",             # text quality scan (documents)
+    "q33_exact_dedup",            # hash-groupBy dedup
+    "q34_minhash_lsh",            # MinHash+LSH candidate pairs
+    "q37_embedding_neardup",      # numpy block cosine near-dup
+    "q40_knn_cosine",             # brute-force cosine top-k
 ]
 
 
 def main() -> None:
+    import ticktock_spark.pipeline.queries  # noqa: F401 — registers q3x/q4x
     from ticktock_spark.queries import QUERIES
     from ticktock_spark.session import get_spark
 
