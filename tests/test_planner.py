@@ -106,6 +106,41 @@ def test_explicit_tags(ctx):
     assert rs == []
 
 
+def test_downsample_range_stepping(spark):
+    # down.cpp:96-105,235-240 + down.h:76-82: the scan starts at the first
+    # bucket boundary >= start (leading partial bucket dropped) and runs to
+    # the END of the bucket containing `end` (trailing dps complete it).
+    rows = [
+        ("m", 0, 1.0, {"h": "a"}, 1),        # before first boundary → dropped
+        ("m", 60_000, 3.0, {"h": "a"}, 2),
+        ("m", 110_000, 5.0, {"h": "a"}, 3),  # after end, same bucket → kept
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, seq long"
+    )
+    ctx = TsdbContext(df)
+    top = TopLevelQuery(30_000, 70_000, True, None, [parse_m_expr("none:1m-avg:m")])
+    rs = ctx.execute(top)
+    assert len(rs) == 1
+    assert rs[0].dps == {60_000: 4.0}  # avg(3.0, 5.0); dp at 0 excluded
+
+
+def test_0all_emits_query_start(spark):
+    # 0all emits ONE bucket at the ORIGINAL query start (down.cpp:51,245)
+    rows = [
+        ("m", 60_000, 3.0, {"h": "a"}, 1),
+        ("m", 120_000, 7.0, {"h": "a"}, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, seq long"
+    )
+    ctx = TsdbContext(df)
+    top = TopLevelQuery(30_000, 200_000, True, None, [parse_m_expr("none:0all-last:m")])
+    rs = ctx.execute(top)
+    assert len(rs) == 1
+    assert rs[0].dps == {30_000: 7.0}
+
+
 def test_rollup_routing_matches_raw(spark):
     # hourly data across 3 days; rollup-routed 1d-avg must equal raw-path
     rows = []

@@ -136,6 +136,24 @@ class TsdbContext:
             pred = pred & compile_tag_filters(F.col("tags"), spec.tags, spec.explicit_tags)
         return table.filter(pred), snapped
 
+    @staticmethod
+    def _stepped_range(start_ms: int, end_ms: int, interval_ms: int) -> tuple[int, int]:
+        """Reference downsample range stepping (down.cpp:96-105,235-240;
+        down.h:76-82): the scan starts at the first bucket boundary ≥
+        start (the leading partial bucket is dropped) and extends to the
+        END of the bucket containing `end` (trailing dps beyond `end`
+        complete the last bucket)."""
+
+        def step_up(t: int) -> int:
+            t -= 1
+            return t - t % interval_ms + interval_ms
+
+        first = step_up(start_ms)
+        toe = step_up(end_ms)
+        to = end_ms if toe == end_ms else toe - 1
+        scan_hi = to + interval_ms - 1 if to % interval_ms == 0 else to
+        return first, scan_hi
+
     def _downsampled_series(
         self, spec: QuerySpec, start_ms: int, end_ms: int, group_keys: list[str]
     ) -> tuple[DataFrame, bool]:
@@ -145,6 +163,8 @@ class TsdbContext:
 
         if ds is not None:
             interval_ms, func, fill = ds
+            if interval_ms > 0:
+                start_ms, end_ms = self._stepped_range(start_ms, end_ms, interval_ms)
             routed = self._rollup_scan(spec, start_ms, end_ms, interval_ms, func)
             if routed is not None:
                 table, snapped = routed
@@ -179,10 +199,11 @@ class TsdbContext:
         interval_ms, func, fill = ds
         keys = [SERIES_KEY, *gcols]
         if interval_ms == 0:
+            # 0all emits ONE bucket at the ORIGINAL query start:
+            # step_down is m_start for m_all (down.cpp:51,245)
             out = base.groupBy(*keys).agg(
-                F.min("ts").alias("ts"),
-                downsample_agg_expr(func).alias("value"),
-            )
+                downsample_agg_expr(func).alias("value")
+            ).withColumn("ts", F.lit(start_ms))
         else:
             out = base.groupBy(*keys, bucket_expr("ts", interval_ms).alias("ts")).agg(
                 downsample_agg_expr(func).alias("value")
