@@ -36,6 +36,47 @@ def test_stream_ingest_to_parquet(spark, put_dir):
     assert str(row["dt"]) == "1970-01-01"
 
 
+def test_streaming_rate_state_across_batches(spark, tmp_path):
+    from ticktock_spark.sources.parsers import put_lines_to_datapoints
+    from ticktock_spark.streaming.rate import streaming_rate
+
+    import os
+
+    # two files + maxFilesPerTrigger=1 → two micro-batches; the rate at the
+    # first point of batch 1 needs batch 0's last point from the state store.
+    # Timestamps are epoch ms (small values would trip the sec-vs-ms
+    # auto-detect); mtimes pin the file-source processing order.
+    T = 1_704_067_200_000
+    (tmp_path / "in").mkdir()
+    f0, f1 = tmp_path / "in" / "b0.txt", tmp_path / "in" / "b1.txt"
+    f0.write_text(
+        f"put sys.cpu {T + 1000} 10.0 host=a\nput sys.cpu {T + 3000} 16.0 host=a\n"
+    )
+    f1.write_text(
+        f"put sys.cpu {T + 5000} 17.0 host=a\nput sys.cpu {T + 500} 99.0 host=a\n"
+    )  # T+500 is late (behind state) → dropped
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    rates = streaming_rate(put_lines_to_datapoints(lines))
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ts"] - T: r["value"] for r in spark.sql("select * from rate_test").collect()}
+    # (16-10)/2s = 3.0 at +3000; (17-16)/2s = 0.5 at +5000 (cross-batch state)
+    assert got == {3000: 3.0, 5000: 0.5}
+
+
 def test_streaming_rollup(spark, put_dir):
     dps = stream_put_lines(spark, path=str(put_dir / "in"))
     roll = streaming_rollup_1h(dps)
