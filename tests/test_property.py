@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis): parser round-trips and percentile
+semantics. Pure-Python paths only — no SparkSession — so they run fast
+and can explore many cases."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from ticktock_spark.sources.parsers import (
+    parse_influx_line,
+    parse_put_line,
+)
+
+IDENT = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-",
+    min_size=1,
+    max_size=12,
+)
+# identifiers that exercise the influx escape state machine
+RAW_IDENT = st.text(
+    alphabet="abcz09, =\\",
+    min_size=1,
+    max_size=10,
+).filter(lambda s: s.strip(" ,=\\") != "" and "\\" not in s)
+
+
+def _esc(s: str) -> str:
+    return s.replace(",", "\\,").replace("=", "\\=").replace(" ", "\\ ")
+
+
+@given(
+    metric=IDENT,
+    ts=st.integers(min_value=1_000_000_000_000, max_value=1_999_999_999_999),
+    value=st.floats(allow_nan=False, allow_infinity=False, width=32),
+    tags=st.dictionaries(IDENT, IDENT, min_size=0, max_size=4),
+)
+@settings(max_examples=200)
+def test_put_line_roundtrip(metric, ts, value, tags):
+    line = f"put {metric} {ts} {value!r} " + " ".join(
+        f"{k}={v}" for k, v in tags.items()
+    )
+    dp = parse_put_line(line)
+    assert dp is not None
+    assert dp["metric"] == metric
+    assert dp["ts"] == ts  # ms-magnitude passes through unscaled
+    assert math.isclose(dp["value"], value, rel_tol=1e-6, abs_tol=1e-6)
+    assert dp["tags"] == tags
+
+
+@given(
+    ts_ns=st.integers(min_value=1_000_000_000_000_000_000, max_value=1_999_999_999_999_999_999),
+)
+@settings(max_examples=200)
+def test_put_line_ns_exact(ts_ns):
+    # ns → ms downscale must be exact integer division, never float
+    dp = parse_put_line(f"put m {ts_ns} 1.0 a=b")
+    assert dp["ts"] == ts_ns // 1_000_000
+
+
+@given(
+    measurement=RAW_IDENT,
+    tags=st.dictionaries(RAW_IDENT, RAW_IDENT, min_size=0, max_size=3),
+    fields=st.dictionaries(
+        RAW_IDENT,
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=3,
+    ),
+    ts_ms=st.integers(min_value=1_000_000_000_000, max_value=1_999_999_999_999),
+)
+@settings(max_examples=200)
+def test_influx_line_roundtrip(measurement, tags, fields, ts_ms):
+    # build a line with full escaping of , = and space in identifiers
+    head = _esc(measurement)
+    if tags:
+        head += "," + ",".join(f"{_esc(k)}={_esc(v)}" for k, v in tags.items())
+    body = ",".join(f"{_esc(k)}={v!r}" for k, v in fields.items())
+    line = f"{head} {body} {ts_ms * 1_000_000}"  # ns timestamp
+    dps = parse_influx_line(line)
+    assert len(dps) == len(fields)
+    by_field = {d["tags"]["_field"]: d for d in dps}
+    assert set(by_field) == set(fields)
+    for fname, fval in fields.items():
+        d = by_field[fname]
+        assert d["metric"] == measurement
+        assert d["ts"] == ts_ms
+        assert math.isclose(d["value"], fval, rel_tol=1e-6, abs_tol=1e-6)
+        for k, v in tags.items():
+            assert d["tags"][k] == v
+
+
+def _r6_reference(sorted_vals: list[float], quantile: float) -> float:
+    """Direct transcription of aggregate.cpp:341-387 for cross-checking."""
+    n = len(sorted_vals)
+    p = quantile / 100.0
+    if n == 0:
+        return float("nan")
+    if n == 1:
+        return sorted_vals[0]
+    if p <= 0.0:
+        idx = 0.0
+    elif p >= 1.0:
+        idx = float(n)
+    else:
+        idx = p * (n + 1)
+    if idx < 1.0:
+        return sorted_vals[0]
+    if idx >= n:
+        return sorted_vals[n - 1]
+    i = int(idx)
+    lower = sorted_vals[i - 1]
+    upper = sorted_vals[i]
+    return lower + (idx - math.floor(idx)) * (upper - lower)
+
+
+def test_percentile_r6_matches_reference_randomized(spark):
+    # one Spark job per quantile over 120 seeded-random arrays, each
+    # cross-checked against a direct transcription of aggregate.cpp
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.operators.downsample import percentile_r6_on_array
+
+    rng = random.Random(20260813)
+    cases = [
+        (i, sorted(rng.uniform(-1e6, 1e6) for _ in range(rng.randint(1, 40))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(cases, "id long, vals array<double>")
+    for q in (50.0, 75.0, 90.0, 95.0, 99.0, 99.9):
+        got = {
+            r["id"]: r["p"]
+            for r in df.select(
+                "id", percentile_r6_on_array(F.col("vals"), q).alias("p")
+            ).collect()
+        }
+        for i, vals in cases:
+            exp = _r6_reference(vals, q)
+            assert math.isclose(got[i], exp, rel_tol=1e-12, abs_tol=1e-12), (i, q)

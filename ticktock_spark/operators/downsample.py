@@ -120,8 +120,10 @@ def downsample(
     """Per-series bucket aggregation.
 
     interval_ms == 0 means ``0all``: the whole query range is one bucket
-    (down.cpp:82,96-99) — we emit bucket_ts = min ts of the series range.
-    Output columns: series_cols + [ts_col, out_col].
+    (down.cpp:82,96-99) — this standalone operator emits bucket_ts =
+    min ts of the series (no query-range context here); the planner's
+    0all path emits the reference-exact original query start
+    (down.cpp:51,245). Output columns: series_cols + [ts_col, out_col].
     """
     agg = downsample_agg_expr(func, value_col, ts_col).alias(out_col)
     if interval_ms == 0:

@@ -44,6 +44,15 @@ PARSED_SCHEMA = T.StructType(
 )
 
 
+def _int_ts(s) -> int:
+    """Parse a timestamp string/number to int WITHOUT a float round-trip
+    (float64 rounds 19-digit ns values); fractional inputs truncate."""
+    try:
+        return int(s)
+    except (TypeError, ValueError):
+        return int(float(s))
+
+
 def _norm_ts(ts: float) -> int:
     ts = int(ts)
     if ts > 99999999999999999:  # nanoseconds (Influx default)
@@ -70,7 +79,7 @@ def parse_put_line(line: str) -> dict | None:
     try:
         return {
             "metric": metric,
-            "ts": _norm_ts(float(ts_s)),
+            "ts": _norm_ts(_int_ts(ts_s)),
             "value": float(val_s),
             "tags": tags,
         }
@@ -89,10 +98,16 @@ def put_lines_to_datapoints(lines: DataFrame, line_col: str = "value") -> DataFr
             F.split(kv, "=").getItem(1).alias("value"),
         ),
     )
-    raw_ts = F.element_at(parts, 3).cast("double").cast("long")
+    # integer timestamps parse directly as long (a double round-trip
+    # rounds 19-digit ns values); fractional ones fall back through double
+    p3 = F.element_at(parts, 3)
+    raw_ts = F.coalesce(p3.cast("long"), p3.cast("double").cast("long"))
+    # exact decimal division for ns/µs downscaling: `/` on longs goes
+    # through double, whose rounding near 1e18 can flip the truncated ms
+    dec_ts = raw_ts.cast("decimal(20,0)")
     ts = (
-        F.when(raw_ts > 99999999999999999, (raw_ts / 1_000_000).cast("long"))
-        .when(raw_ts > 99999999999999, (raw_ts / 1_000).cast("long"))
+        F.when(raw_ts > 99999999999999999, (dec_ts / 1_000_000).cast("long"))
+        .when(raw_ts > 99999999999999, (dec_ts / 1_000).cast("long"))
         .when(raw_ts <= 9999999999, raw_ts * 1000)
         .otherwise(raw_ts)
     )
@@ -123,7 +138,7 @@ def parse_put_json(body: str | bytes) -> list[dict]:
             out.append(
                 {
                     "metric": dp["metric"],
-                    "ts": _norm_ts(float(dp["timestamp"])),
+                    "ts": _norm_ts(_int_ts(dp["timestamp"])),
                     "value": float(dp["value"]),
                     "tags": {str(k): str(v) for k, v in dp.get("tags", {}).items()},
                 }
@@ -198,7 +213,7 @@ def parse_influx_line(line: str) -> list[dict]:
     if len(segs) < 2:
         return []
     head, fields_s = segs[0], segs[1]
-    ts_ms = _norm_ts(float(segs[2])) if len(segs) > 2 else None
+    ts_ms = _norm_ts(_int_ts(segs[2])) if len(segs) > 2 else None
     head_parts = _split_unescaped(head, ",")
     measurement = _unescape(head_parts[0])
     tags = {}
