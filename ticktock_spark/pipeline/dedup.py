@@ -91,6 +91,49 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
+def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str):
+    """mapInPandas stage: (id, sh) → (id, band, key) rows via hashlib.
+
+    Bit-identical to minhash_signature + band_keys (same md5 inputs), but
+    the per-shingle hashing runs in C (hashlib) instead of the interpreted
+    expression evaluator — the signature is the md5-bound hot loop, so
+    this is the one other deliberate Arrow/Python hot path (shingling
+    stays JVM-side: reimplementing the normalization regexes in Python
+    risks Java/Python regex semantic drift).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    n_digests = (num_hashes + 3) // 4
+    seeds = [f"{d}:".encode() for d in range(n_digests)]
+
+    def stage(pdfs):
+        for pdf in pdfs:
+            ids: list = []
+            band_idx: list[int] = []
+            keys: list[str] = []
+            for doc_id, sh in zip(pdf[id_col], pdf["sh"]):
+                minima = ["g"] * num_hashes
+                for s in sh:
+                    sb = s.encode()
+                    cat = "".join(
+                        hashlib.md5(seed + sb).hexdigest() for seed in seeds
+                    )
+                    for j in range(num_hashes):
+                        piece = cat[j * 8 : j * 8 + 8]
+                        if piece < minima[j]:
+                            minima[j] = piece
+                for b in range(bands):
+                    sig_slice = "".join(minima[b * rows : (b + 1) * rows])
+                    ids.append(doc_id)
+                    band_idx.append(b)
+                    keys.append(hashlib.md5(f"b{b}:{sig_slice}".encode()).hexdigest())
+            yield pd.DataFrame({id_col: ids, "band": band_idx, "key": keys})
+
+    return stage
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical texts by md5 digest; keep min id as canonical.
 
@@ -133,6 +176,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     parallelism: int | None = None,
     shingles_df: DataFrame | None = None,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -142,14 +186,15 @@ def minhash_lsh_candidates(
     keys → ONE hash aggregation into buckets → pair enumeration.
     ``shingles_df`` (id_col, sh) lets a caller share one (ideally
     persisted) shingle computation across candidates + verification.
+    ``engine``: 'pandas' (default) hashes signatures via Arrow-batched
+    hashlib; 'sql' uses the pure-expression path (same md5 inputs, same
+    output — kept for engines without Python workers and as the
+    parity-tested specification of the hash scheme).
     """
     rows = num_hashes // bands
     par = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    # two explicit exchanges: the first spreads a single-file scan across
-    # tasks; the second is a CollapseProject barrier — without it Catalyst
-    # inlines the shingle expression into all `num_hashes` minhash
-    # transforms (higher-order functions get no subexpression elimination)
-    # and the signature costs num_hashes× more than it should
+    # explicit exchange: spreads a single-file scan across tasks (and acts
+    # as a CollapseProject barrier for the expression engine)
     sh = (
         shingles_df
         if shingles_df is not None
@@ -157,12 +202,19 @@ def minhash_lsh_candidates(
             F.col(id_col), shingles(F.col(text_col), k).alias("sh")
         )
     )
-    sig = sh.repartition(par, id_col).select(
-        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
-    )
-    banded = sig.select(
-        id_col, F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key")
-    )
+    if engine == "pandas":
+        id_type = dict(sh.dtypes)[id_col]
+        banded = sh.mapInPandas(
+            _banded_pandas(num_hashes, bands, rows, id_col),
+            schema=f"{id_col} {id_type}, band int, key string",
+        )
+    else:
+        sig = sh.repartition(par, id_col).select(
+            F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
+        )
+        banded = sig.select(
+            id_col, F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key")
+        )
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
