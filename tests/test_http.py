@@ -84,6 +84,30 @@ def test_http_round_trip(server):
     assert fields == {"temp", "hum"}
 
 
+def test_http_multi_query_post(server):
+    # one POST, array of sub-queries sharing start/end — results concatenated
+    # in sub-query order (query.cpp:1346-1453)
+    res = _post(
+        server,
+        "/api/query",
+        json.dumps(
+            {
+                "start": 1704067000,
+                "end": 1704068000,
+                "queries": [
+                    {"metric": "test.metric", "aggregator": "sum"},
+                    {"metric": "test.metric", "aggregator": "avg",
+                     "tags": {"host": "host1"}},
+                ],
+            }
+        ),
+    )
+    assert len(res) == 2
+    assert res[0]["dps"] == {"1704067200": 40.0, "1704067260": 60.0}
+    assert res[1]["tags"] == {"host": "host1"}
+    assert res[1]["dps"] == {"1704067200": 10.0, "1704067260": 20.0}
+
+
 def test_http_metadata(server):
     assert "avg" in _get(server, "/api/aggregators")
     sugg = _get(server, "/api/suggest?type=metrics&q=test&max=10")
