@@ -1,0 +1,88 @@
+"""Housekeeping dataflow ops (SURVEY §2.11).
+
+Reference:
+- retention purge: drop day partitions older than a threshold
+  (`src/core/tsdb.cpp:3389-3429`, `tsdb.retention.threshold`).
+- compaction: rewrite a partition compactly
+  (`src/core/tsdb.cpp:3431-3658`) — in Spark this is rewriting a `dt`
+  partition's many small files into few large ones (the reference's
+  page-defragmentation has no other analogue; Parquet+ZSTD already
+  stores columns compressed).
+
+Both operate on a batch-managed dt-partitioned parquet `datapoints`
+table. They are metadata-scale operations: purge touches only the file
+listing; compaction reads and rewrites exactly one day partition, never
+the whole table.
+
+Caveat: a directory written by a Structured Streaming file sink carries a
+`_spark_metadata` transaction log that pins the file listing — deleting
+or rewriting files behind it breaks batch reads. Purge/compact such a
+table only after migrating it to batch management (drop the sink log and
+repoint the stream at a fresh directory), or use a table format with
+transactional DELETE/OPTIMIZE (Delta/Iceberg) where these two operations
+are built in.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import shutil
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def list_day_partitions(table_path: str) -> list[str]:
+    """Sorted `dt=YYYY-MM-DD` partition values present in the table."""
+    root = Path(table_path)
+    return sorted(
+        p.name.split("=", 1)[1]
+        for p in root.iterdir()
+        if p.is_dir() and p.name.startswith("dt=")
+    )
+
+
+def retention_purge(table_path: str, keep_days: int, today: _dt.date | None = None) -> list[str]:
+    """Remove day partitions older than ``keep_days`` (tsdb.cpp:3389-3429).
+
+    Returns the purged partition values. Purely a partition-directory
+    delete — no data scan, exactly like the reference removing whole Tsdb
+    day directories.
+    """
+    today = today or _dt.date.today()
+    cutoff = today - _dt.timedelta(days=keep_days)
+    purged = []
+    for dt_val in list_day_partitions(table_path):
+        if _dt.date.fromisoformat(dt_val) < cutoff:
+            shutil.rmtree(Path(table_path) / f"dt={dt_val}")
+            purged.append(dt_val)
+    return purged
+
+
+def compact_partition(
+    spark: SparkSession, table_path: str, dt_val: str, target_files: int = 1
+) -> int:
+    """Rewrite one day partition into ``target_files`` files
+    (tsdb.cpp:3431-3658). Returns the row count rewritten.
+
+    Streaming ingest appends a file per micro-batch; compaction folds
+    them so later scans open O(1) files per partition. The rewrite is
+    scoped to the single partition directory (read → coalesce →
+    atomic-ish swap), so cost is proportional to one day of data.
+    """
+    part_dir = Path(table_path) / f"dt={dt_val}"
+    if not part_dir.is_dir():
+        raise FileNotFoundError(part_dir)
+    df = spark.read.parquet(str(part_dir))
+    n = df.count()
+    tmp = part_dir.with_name(part_dir.name + ".compact-tmp")
+    df.coalesce(target_files).write.mode("overwrite").parquet(str(tmp))
+    # drop _SUCCESS etc. markers; keep only parquet parts
+    for extra in tmp.iterdir():
+        if not extra.name.endswith(".parquet") and extra.name != "_SUCCESS":
+            extra.unlink()
+    old = part_dir.with_name(part_dir.name + ".compact-old")
+    part_dir.rename(old)
+    tmp.rename(part_dir)
+    shutil.rmtree(old)
+    return n
