@@ -65,12 +65,14 @@ def _lang_case() -> str:
     f"""
     WITH s AS (
       SELECT doc_id, {_TOKS} AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^\\sA-Za-z0-9]', 0))
+               AS n_bpe_tokens,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST({_PUNCT} AS DOUBLE) / length(text) END AS pr,
              {_SW['en']} AS sw
       FROM documents
     )
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, n_tokens, n_bpe_tokens,
            {_Q6.format(x='pr')} AS punct_ratio,
            {_Q6.format(x='''greatest(0.0, least(1.0,
              0.5 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE) / n_tokens END) * 5.0
@@ -80,13 +82,14 @@ def _lang_case() -> str:
     """,
 )
 def q30(spark, sf_dir):
-    """Per-document token count, punctuation ratio, quality score — one
-    scan, pure JVM expressions (pipeline/text.py)."""
+    """Per-document whitespace + BPE-ish token counts, punctuation ratio,
+    quality score — one scan, pure JVM expressions (pipeline/text.py)."""
     d = _table(spark, sf_dir, "documents")
     t = F.col("text")
     return d.select(
         "doc_id",
         tx.token_count(t).alias("n_tokens"),
+        tx.bpe_ish_token_count(t).alias("n_bpe_tokens"),
         q6(tx.punct_ratio(t)).alias("punct_ratio"),
         q6(tx.quality_score(t)).alias("quality"),
     )
