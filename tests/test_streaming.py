@@ -77,6 +77,45 @@ def test_streaming_rate_state_across_batches(spark, tmp_path):
     assert got == {3000: 3.0, 5000: 0.5}
 
 
+def test_streaming_dedup_last_wins(spark, tmp_path):
+    import os
+
+    from ticktock_spark.streaming.dedup import streaming_dedup_last_wins
+
+    T = 1_704_067_200_000
+    (tmp_path / "in").mkdir()
+    f0, f1 = tmp_path / "in" / "b0.txt", tmp_path / "in" / "b1.txt"
+    f0.write_text(f"put m {T} 1.0 host=a\nput m {T + 1000} 5.0 host=a\n")
+    # duplicate of ts=T arrives in a LATER batch (higher seq → wins) plus a
+    # watermark pusher 4h ahead so the closed groups emit
+    f1.write_text(f"put m {T} 2.0 host=a\nput m {T + 4 * H} 9.9 host=a\n")
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    from ticktock_spark.sources.parsers import put_lines_to_datapoints
+    from pyspark.sql import functions as F
+
+    dps = put_lines_to_datapoints(lines).withColumn(
+        "seq", F.unix_micros(F.current_timestamp())
+    )
+    q = (
+        streaming_dedup_last_wins(dps)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ts"]: r["value"] for r in spark.sql("select * from dedup_test").collect()}
+    assert got == {T: 2.0, T + 1000: 5.0}  # dup resolved to the later batch
+
+
 def test_streaming_rollup(spark, put_dir):
     dps = stream_put_lines(spark, path=str(put_dir / "in"))
     roll = streaming_rollup_1h(dps)

@@ -327,23 +327,16 @@ _NRM_Q = (
 )
 def q40(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors — broadcast queries,
-    one corpus scan, deterministic fold dot products; ranking on the
-    quantized cosine with vec_id tiebreak so order is engine-stable."""
+    one corpus scan scored via the numpy block kernel (fold-order-exact,
+    see similarity.cosine_scores); ranking on the quantized cosine with
+    vec_id tiebreak so order is engine-stable."""
     e = _table(spark, sf_dir, "embeddings")
     from pyspark.sql import Window
 
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            q6(sim.cosine(F.col("embedding"), F.col("__qvec"))).alias("cosine"),
-        )
-    )
+    scored = sim.cosine_scores(e, q)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 

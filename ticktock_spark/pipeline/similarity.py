@@ -64,6 +64,68 @@ def brute_force_knn(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    quantize: bool = True,
+) -> DataFrame:
+    """(query_id, vec_id, cosine) for every corpus × query pair, scored
+    as an Arrow-batched numpy block product.
+
+    The query matrix (small — top-k searches have few queries) is
+    broadcast; each corpus partition scores against it with sequential
+    per-dimension float64 accumulation, so values are bit-identical to
+    the SQL fold the DuckDB oracles use (same rationale and kernel shape
+    as cosine_neardup_pairs). Self-pairs (vec_id == query_id) are
+    excluded, matching brute_force_knn.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    q_ids = qpdf[query_id_col].to_numpy(dtype=np.int64)
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    dim = Q.shape[1]
+    acc = np.zeros(len(q_ids))
+    for d in range(dim):
+        acc = acc + Q[:, d] * Q[:, d]
+    q_norms = np.sqrt(acc)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norms))
+
+    def block(batches):
+        b_qids, b_Q, b_qnorms = bc.value
+        for pdf_in in batches:
+            if len(pdf_in) == 0:
+                continue
+            c_ids = pdf_in[id_col].to_numpy(dtype=np.int64)
+            C = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(c_ids), len(b_qids)))
+            for d in range(dim):
+                dots = dots + C[:, d : d + 1] * b_Q[:, d]
+            acc_c = np.zeros(len(c_ids))
+            for d in range(dim):
+                acc_c = acc_c + C[:, d] * C[:, d]
+            cos = dots / (np.sqrt(acc_c)[:, None] * b_qnorms[None, :])
+            if quantize:
+                cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
+            keep = c_ids[:, None] != b_qids[None, :]
+            ci, qj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qj],
+                    "vec_id": c_ids[ci],
+                    "cosine": cos[ci, qj],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        block, schema="query_id long, vec_id long, cosine double"
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float,
