@@ -1,0 +1,51 @@
+"""Physical-plan quality guards: pushdown, broadcast, single-shuffle.
+
+These pin the *shape* of the plans the scale design depends on — a
+regression that silently drops a pushed filter or turns a broadcast join
+into a shuffle join should fail loudly, not just run slower.
+"""
+
+from __future__ import annotations
+
+import ticktock_spark.pipeline.queries  # noqa: F401
+from ticktock_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_scan_filter_pushdown(spark):
+    plan = _plan(spark, "q01_scan_tag_filter")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,click)" in plan
+    # column pruning: props/tags never read for this query
+    assert "props" not in plan
+
+
+def test_downsample_single_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "q02_downsample_avg_1m")
+    # formatted mode lists each node in the tree AND a detail section;
+    # count the numbered detail headers: partial agg -> ONE shuffle -> final
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "partial_avg" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q21_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation never shuffle
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+    # the orders date filter reaches the parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_topn_broadcast_semi_join(spark):
+    plan = _plan(spark, "q10_top3_series")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan  # materialized once
