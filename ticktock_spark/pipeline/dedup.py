@@ -134,6 +134,40 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str):
     return stage
 
 
+def _pairs_pandas(id_col: str):
+    """mapInPandas stage: bucket id-arrays → (id_a, id_b) rows via numpy.
+
+    Same i<j enumeration as ``_bucket_pairs`` (inputs are sorted, so
+    positional i<j implies id_a < id_b), but np.triu_indices generates the
+    pairs in C. Matters because LSH buckets are quadratic in bucket size
+    and exact-duplicate clusters produce mega-buckets (a 2k-doc bucket is
+    ~2M pairs): the interpreted HOF path evaluates — and slices — per
+    element, turning one skewed bucket into seconds of single-task
+    expression work.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def stage(pdfs):
+        for pdf in pdfs:
+            outs_a: list = []
+            outs_b: list = []
+            for ids in pdf["ids"]:
+                n = len(ids)
+                if n < 2:
+                    continue
+                arr = np.asarray(ids)
+                ia, ib = np.triu_indices(n, k=1)
+                outs_a.append(arr[ia])
+                outs_b.append(arr[ib])
+            if outs_a:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+                )
+
+    return stage
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical texts by md5 digest; keep min id as canonical.
 
@@ -220,12 +254,16 @@ def minhash_lsh_candidates(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
-        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    if engine == "pandas":
+        id_type = dict(df.select(id_col).dtypes)[id_col]
+        pairs = buckets.repartition(par).mapInPandas(
+            _pairs_pandas(id_col), schema=f"id_a {id_type}, id_b {id_type}"
+        )
+    else:
+        pairs = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p")).select(
+            "p.id_a", "p.id_b"
+        )
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
 
 
 def verify_jaccard(
