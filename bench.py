@@ -53,6 +53,14 @@ def main() -> None:
 
     # warmup: JVM, codegen, parquet footer caches
     run("q20_pricing_summary")
+    # warmup: Python worker pool (fork + pandas/numpy import on every core)
+    # so the Arrow-batched queries measure steady-state, not process startup
+    def _identity(batches):
+        yield from batches
+
+    spark.range(0, int(CPUS) * 4, 1, int(CPUS)).mapInPandas(
+        _identity, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
