@@ -353,6 +353,21 @@ def q41(spark, sf_dir):    # bit-stable across engines → rows-only check
     return out.select("query_id", "vec_id", q6(F.col("cosine")).alias("cosine"), "rank")
 
 
+@register("q43_ann_srp_lsh")  # no SQL oracle: approximate by design (probed
+def q43(spark, sf_dir):        # buckets only) → rows-only check; recall vs
+    """Sign-random-projection LSH approximate kNN: deterministic
+    hyperplane signatures bucket the corpus, queries probe their bucket
+    plus all Hamming-1 neighbors, exact cosine only within probed
+    buckets (pipeline/similarity.py:srp_lsh_knn). Recall against the
+    brute-force oracle is pinned in tests/test_pipeline.py."""
+    e = _table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = sim.srp_lsh_knn(e, q, k=10, nbits=8)
+    return out.select("query_id", "vec_id", q6(F.col("cosine")).alias("cosine"), "rank")
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

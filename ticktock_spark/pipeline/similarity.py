@@ -194,6 +194,97 @@ def cosine_neardup_pairs(
     )
 
 
+def srp_bucketed(
+    corpus: DataFrame,
+    nbits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach a sign-random-projection LSH bucket key to each vector.
+
+    ``nbits`` fixed hyperplanes (deterministic from ``seed``) → one bit
+    per sign of the projection → an integer bucket in [0, 2^nbits).
+    Nearby vectors (small angle) agree on most signs, so they land in the
+    same or Hamming-adjacent buckets. At 100 TB the bucket is a storage
+    partition/cluster key: a query touches only its probed buckets, and
+    the hyperplanes are a (nbits × dim) constant that ships to every
+    executor for free — unlike IVF there is no centroid training pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    planes = np.random.default_rng(seed).standard_normal((nbits, dim))
+    bc = corpus.sparkSession.sparkContext.broadcast(planes)
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+
+    def stage(batches):
+        P = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (M @ P.T) >= 0.0
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["bucket"] = (bits * weights).sum(axis=1)
+            yield pdf
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+    id_type = dict(corpus.dtypes)[id_col]
+    return corpus.select(id_col, vec_col).mapInPandas(
+        stage, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, bucket long"
+    )
+
+
+def srp_lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via SRP-LSH with Hamming≤1 multiprobe.
+
+    Query signatures and their nbits+1 probe buckets (exact bucket plus
+    every single-bit flip) are computed driver-side — the query set is
+    small — and broadcast onto the bucketed corpus; the exact cosine runs
+    only within probed buckets (~(nbits+1)/2^nbits of the corpus).
+    Deterministic for a fixed seed. Output: query_id, vec_id, cosine,
+    rank — same shape as brute_force_knn, which is its recall oracle.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    bucketed = srp_bucketed(corpus, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    first_dim = len(qpdf[vec_col].iloc[0])
+    planes = np.random.default_rng(seed).standard_normal((nbits, first_dim))
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    sigs = ((Q @ planes.T) >= 0.0) @ (1 << np.arange(nbits, dtype=np.int64))
+    probe_rows = []
+    for qid, sig, vec in zip(qpdf[query_id_col], sigs, qpdf[vec_col]):
+        buckets = {int(sig)} | {int(sig) ^ (1 << b) for b in range(nbits)}
+        probe_rows += [(int(qid), int(b), [float(x) for x in vec]) for b in sorted(buckets)]
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, bucket long, __qvec array<double>"
+    )
+
+    cand = bucketed.join(F.broadcast(probes), "bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_centroids(corpus: DataFrame, bucket_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-bucket mean vector (the coarse quantizer). The testdata's
     `label` column stands in for a k-means assignment; at scale run a few
