@@ -49,3 +49,30 @@ def test_topn_broadcast_semi_join(spark):
     plan = _plan(spark, "q10_top3_series")
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan  # materialized once
+
+
+def test_single_shuffle_aggregations(spark):
+    """Each single-level aggregation pipeline shuffles exactly once, with
+    map-side partial aggregation ahead of it. q13 (daily-from-hourly) is
+    deliberately two exchanges: both carry partial aggregates, which at
+    scale beats one raw-row repartition."""
+    import re
+
+    for name in (
+        "q20_pricing_summary",
+        "q33_exact_dedup",
+        "q12_rollup_1h",
+        "q07_rate",
+        "q05_downsample_p95_10m",
+    ):
+        plan = _plan(spark, name)
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, name
+
+
+def test_time_filter_pushdown(spark):
+    plan = _plan(spark, "q05_downsample_p95_10m")
+    assert "EqualTo(event_type,view)" in plan
+    plan = _plan(spark, "q20_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the consumed columns only
+    assert "l_comment" not in plan
