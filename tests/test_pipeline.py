@@ -91,3 +91,28 @@ def test_srp_lsh_recall_vs_brute_force(spark):
     a = sorted(map(tuple, sim.srp_lsh_knn(e, q, k=10, nbits=8).collect()))
     b = sorted(map(tuple, sim.srp_lsh_knn(e, q, k=10, nbits=8).collect()))
     assert a == b  # deterministic for a fixed seed
+
+
+def test_frame_sample_plumbing(spark):
+    """frame_sample emits ceil-spaced deterministic frames: n = dur*fps/1000
+    (min 1), timestamps evenly spaced from 0, binary frames stable."""
+    from ticktock_spark.pipeline import multimodal as mm
+
+    d = _docs(spark)
+    video = mm.attach_fake_media(d, modality="video")
+    out = mm.frame_sample(video, fps=0.05)  # one frame per 20s of "clip"
+    rows = out.collect()
+    durs = {r.doc_id: r.media_meta.duration_ms for r in video.collect()}
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        expect_n = max(1, int(durs[doc_id] * 0.05 / 1000.0))
+        assert len(frames) == expect_n
+        assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == list(
+            range(expect_n)
+        )
+        assert all(len(f.frame) == 16 for f in frames)  # md5 digest bytes
+        assert min(f.frame_ts_ms for f in frames) == 0
+    again = sorted(map(tuple, mm.frame_sample(video, fps=0.05).collect()))
+    assert again == sorted(map(tuple, rows))

@@ -33,20 +33,29 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
-def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+def attach_fake_media(
+    df: DataFrame, text_col: str = "text", modality: str = "image"
+) -> DataFrame:
     """Deterministically synthesize a binary payload + metadata from an
     existing column (container lacks real media files). The payload is
-    the md5 digest bytes repeated — stable across runs and engines."""
+    the md5 digest bytes repeated — stable across runs and engines.
+    ``modality='video'`` assigns a nonzero duration (100 ms per source
+    character) so frame sampling has something to sample."""
     payload = F.to_binary(F.repeat(F.md5(F.col(text_col)), 4), F.lit("hex"))
+    duration = (
+        (F.length(F.col(text_col)) * 100).cast("long")
+        if modality == "video"
+        else F.lit(0).cast("long")
+    )
     return df.withColumns(
         {
             "media": payload,
             "media_meta": F.struct(
-                F.lit("image").alias("modality"),
+                F.lit(modality).alias("modality"),
                 F.lit("fake").alias("format"),
                 (F.length(F.col(text_col)) % 64 + 16).cast("int").alias("width"),
                 (F.length(F.col(text_col)) % 48 + 16).cast("int").alias("height"),
-                F.lit(0).cast("long").alias("duration_ms"),
+                duration.alias("duration_ms"),
                 F.length(payload).cast("long").alias("n_bytes"),
             ),
         }
@@ -101,6 +110,49 @@ def _decode_real(payload: bytes, fmt: str):
         "media decoding requires imaging/audio libraries not present; "
         "plug PIL.Image.open / av.open here in a full deployment"
     )
+
+
+FRAME_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, fps: float = 1.0, id_col: str = "doc_id") -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame at
+    ``fps`` over the clip's `duration_ms` (always ≥ 1 frame), timestamps
+    evenly spaced from 0. The frame "decode" is a deterministic fake
+    (md5 of payload + frame index — a real build seeks the container via
+    `_decode_real`). This is the row-expanding mapInPandas shape: output
+    cardinality is data-dependent, which a pandas_udf can't express.
+    """
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            idxs: list[int] = []
+            tss: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, payload, meta in zip(pdf[id_col], pdf["media"], pdf["media_meta"]):
+                dur = int(meta["duration_ms"])
+                n = max(1, int(dur * fps / 1000.0))
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(int(i * (dur / n)))
+                    frames.append(
+                        hashlib.md5(bytes(payload) + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return df.mapInPandas(_batches, FRAME_OUT_SCHEMA)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
