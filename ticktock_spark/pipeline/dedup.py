@@ -134,16 +134,39 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str):
     return stage
 
 
-def _pairs_pandas(id_col: str):
-    """mapInPandas stage: bucket id-arrays → (id_a, id_b) rows via numpy.
+PAIR_BLOCK = 256
 
-    Same i<j enumeration as ``_bucket_pairs`` (inputs are sorted, so
-    positional i<j implies id_a < id_b), but np.triu_indices generates the
-    pairs in C. Matters because LSH buckets are quadratic in bucket size
-    and exact-duplicate clusters produce mega-buckets (a 2k-doc bucket is
-    ~2M pairs): the interpreted HOF path evaluates — and slices — per
-    element, turning one skewed bucket into seconds of single-task
-    expression work.
+
+def _bucket_blocks(buckets: DataFrame, block: int = PAIR_BLOCK) -> DataFrame:
+    """Split each bucket's sorted id-array into block-pair work units.
+
+    A bucket of n ids is quadratic to enumerate; exact-duplicate clusters
+    produce mega-buckets (a 2k-doc bucket is ~2M pairs) that would pin
+    all that work — and the map side of the downstream aggregation — on
+    ONE task. Chunking ids into ``block``-sized slices and emitting every
+    chunk pair (i ≤ j) bounds a task at block² pairs regardless of bucket
+    size, which is what survives a 1000× scale-up. Chunks inherit the
+    sort order, so for i < j every ca element < every cb element and
+    pair order stays id_a < id_b for free.
+    """
+    nc = F.ceil(F.size("ids") / F.lit(block)).cast("int")
+    ei = buckets.select("ids", nc.alias("nc"), F.explode(F.sequence(F.lit(0), nc - 1)).alias("i"))
+    eij = ei.select(
+        "ids", "i", F.explode(F.sequence(F.col("i"), F.col("nc") - 1)).alias("j")
+    )
+    return eij.select(
+        F.slice("ids", F.col("i") * block + 1, F.lit(block)).alias("ca"),
+        F.slice("ids", F.col("j") * block + 1, F.lit(block)).alias("cb"),
+        (F.col("i") == F.col("j")).alias("same"),
+    )
+
+
+def _pairs_pandas():
+    """mapInPandas stage: (ca, cb, same) chunk pairs → (id_a, id_b) rows.
+
+    np.triu_indices within a chunk (same=True), full cross product across
+    chunks — C-speed pair generation instead of the interpreted HOF path,
+    which evaluates (and slices) per element.
     """
     import numpy as np
     import pandas as pd
@@ -152,14 +175,18 @@ def _pairs_pandas(id_col: str):
         for pdf in pdfs:
             outs_a: list = []
             outs_b: list = []
-            for ids in pdf["ids"]:
-                n = len(ids)
-                if n < 2:
-                    continue
-                arr = np.asarray(ids)
-                ia, ib = np.triu_indices(n, k=1)
-                outs_a.append(arr[ia])
-                outs_b.append(arr[ib])
+            for ca, cb, same in zip(pdf["ca"], pdf["cb"], pdf["same"]):
+                a = np.asarray(ca)
+                if same:
+                    if len(a) < 2:
+                        continue
+                    ia, ib = np.triu_indices(len(a), k=1)
+                    outs_a.append(a[ia])
+                    outs_b.append(a[ib])
+                else:
+                    b = np.asarray(cb)
+                    outs_a.append(np.repeat(a, len(b)))
+                    outs_b.append(np.tile(b, len(a)))
             if outs_a:
                 yield pd.DataFrame(
                     {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
@@ -256,8 +283,8 @@ def minhash_lsh_candidates(
     )
     if engine == "pandas":
         id_type = dict(df.select(id_col).dtypes)[id_col]
-        pairs = buckets.repartition(par).mapInPandas(
-            _pairs_pandas(id_col), schema=f"id_a {id_type}, id_b {id_type}"
+        pairs = _bucket_blocks(buckets).repartition(par).mapInPandas(
+            _pairs_pandas(), schema=f"id_a {id_type}, id_b {id_type}"
         )
     else:
         pairs = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p")).select(
