@@ -166,3 +166,41 @@ def test_rollup_routing_matches_raw(spark):
         0, 3 * 24 * H, True, None, [parse_m_expr("none:rollupUsage=ROLLUP_RAW:1d-avg:m{host=x}")]
     )
     assert ctx.execute(top_raw)[0].dps == raw[0].dps
+
+
+def test_rollup_raw_fallback_splice(spark):
+    """ROLLUP_FALLBACK_RAW (query.cpp:1109-1238): day partitions marked
+    invalid (late data arrived after the rollup flush) are answered from
+    raw and spliced into the rollup stream; untouched days still come
+    from the rollup."""
+    rows = []
+    seq = 0
+    for d in range(3):
+        for h in range(24):
+            ts = (d * 24 + h) * H
+            rows.append(("m", ts, float(h % 7) + d, {"host": "x"}, seq))
+            seq += 1
+    schema = "metric string, ts long, value double, tags map<string,string>, seq long"
+    df = spark.createDataFrame(rows, schema)
+    ctx = TsdbContext(df)
+    ctx.materialize_rollups()
+    # rollup tables are now a snapshot; late points land in day 2 only
+    late = spark.createDataFrame(
+        [("m", (24 + h) * H, 100.0 + h, {"host": "x"}, 1000 + h) for h in range(0, 24, 3)],
+        schema,
+    )
+    ctx.datapoints = df.unionByName(late)
+    top = TopLevelQuery(0, 3 * 24 * H, True, None, [parse_m_expr("none:1d-avg:m{host=x}")])
+    truth = TsdbContext(ctx.datapoints).execute(top)  # pure raw path
+
+    stale = ctx.execute(top)
+    assert stale[0].dps[24 * H] != truth[0].dps[24 * H]  # day-2 rollup is stale
+
+    ctx.rollup_invalid_dts = {"1970-01-02"}
+    spliced = ctx.execute(top)
+    assert spliced[0].dps.keys() == truth[0].dps.keys()
+    for k in truth[0].dps:
+        assert math.isclose(spliced[0].dps[k], truth[0].dps[k]), k
+    # days 1/3 must still be served by the (unchanged) rollup rows
+    assert math.isclose(spliced[0].dps[0], stale[0].dps[0])
+    assert math.isclose(spliced[0].dps[48 * H], stale[0].dps[48 * H])

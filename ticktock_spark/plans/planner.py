@@ -74,10 +74,15 @@ class TsdbContext:
         datapoints: DataFrame,
         rollup_1h: DataFrame | None = None,
         rollup_1d: DataFrame | None = None,
+        rollup_invalid_dts: set[str] | None = None,
     ):
         self.datapoints = datapoints
         self.rollup_1h = rollup_1h
         self.rollup_1d = rollup_1d
+        # day partitions whose rollups may not be used (late/OOO data
+        # arrived after the rollup flush — can_use_rollup, tsdb.h:264-266);
+        # ISO date strings matching the `dt` partition column
+        self.rollup_invalid_dts = rollup_invalid_dts or set()
 
     # -- rollup maintenance (batch recompute; streaming variant in
     #    streaming/rollup.py) --
@@ -134,7 +139,42 @@ class TsdbContext:
         )
         if spec.tags:
             pred = pred & compile_tag_filters(F.col("tags"), spec.tags, spec.explicit_tags)
-        return table.filter(pred), snapped
+        scan = table.filter(pred)
+        if self.rollup_invalid_dts:
+            scan = self._splice_raw_fallback(scan, spec, start_ms, end_ms, unit)
+        return scan, snapped
+
+    def _splice_raw_fallback(
+        self, scan: DataFrame, spec: QuerySpec, start_ms: int, end_ms: int, unit: int
+    ) -> DataFrame:
+        """ROLLUP_FALLBACK_RAW splice (query.cpp:1109-1238): rollup rows
+        from invalidated day partitions are dropped and replaced by an
+        equivalent re-aggregation of the raw points of those days, unioned
+        into the same (bucket_ts, cnt, min, max, sum) stream. A rollup
+        bucket (1h/1d) never crosses a day boundary, so day(bucket_ts)
+        identifies the partition that produced it. The raw branch prunes
+        on the `dt` partition column, so at scale it scans only the
+        invalidated days — everything else stays on the rollup table."""
+        invalid = sorted(self.rollup_invalid_dts)
+        bucket_day = F.to_date(F.timestamp_millis(F.col("bucket_ts")))
+        valid = scan.filter(~bucket_day.isin(invalid))
+
+        raw = self._base_scan(spec, start_ms, end_ms)
+        day_col = (
+            F.col("dt")
+            if "dt" in raw.columns
+            else F.to_date(F.timestamp_millis(F.col("ts")))
+        )
+        raw = raw.filter(day_col.isin(invalid))
+        raw = raw.withColumn(SERIES_KEY, canonical_series_key(F.col("tags")))
+        if "seq" in raw.columns:
+            raw = dedup_last_wins(raw, ["metric", SERIES_KEY], seq_col="seq")
+        series_dim = raw.groupBy("metric", SERIES_KEY).agg(F.first("tags").alias("tags"))
+        re_agg = build_rollup(raw, ["metric", SERIES_KEY], unit).join(
+            series_dim, ["metric", SERIES_KEY]
+        )
+        cols = ["metric", SERIES_KEY, "bucket_ts", "cnt", "min", "max", "sum", "tags"]
+        return valid.select(*cols).unionByName(re_agg.select(*cols))
 
     @staticmethod
     def _stepped_range(start_ms: int, end_ms: int, interval_ms: int) -> tuple[int, int]:
