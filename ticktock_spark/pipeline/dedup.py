@@ -353,18 +353,25 @@ def ngram_jaccard_pairs(
     At 100 TB run this ONLY on LSH candidates (join against
     minhash_lsh_candidates first); full version kept for oracles/tests.
     """
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    spread = df.repartition(par)
     sh = spread.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
     sizes = sh.select(id_col, F.size("sh").alias("n"))
     ex = sh.select(id_col, F.explode("sh").alias("s"))
     # bucket-enumeration instead of a shingle self-join: one shuffle, no
-    # double evaluation of the shingle expressions
-    inter = (
+    # double evaluation of the shingle expressions; block-split so a
+    # shingle shared by a big duplicate cluster can't pin one task
+    id_type = dict(df.select(id_col).dtypes)[id_col]
+    buckets = (
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    )
+    inter = (
+        _bucket_blocks(buckets)
+        .repartition(par)
+        .mapInPandas(_pairs_pandas(), schema=f"id_a {id_type}, id_b {id_type}")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
