@@ -45,11 +45,14 @@ def main() -> None:
     spark = get_spark(app_name="ticktock-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str) -> float:
+    def run(name: str, reps: int = 1) -> float:
         df = QUERIES[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     # warmup: JVM, codegen, parquet footer caches
     run("q20_pricing_summary")
@@ -62,9 +65,11 @@ def main() -> None:
         _identity, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # min of 2 reps: scheduling/GC noise on a shared box dwarfs real
+    # regressions at this scale; the minimum is the reproducible cost
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        times[name] = round(run(name), 4)
+        times[name] = round(run(name, reps=2), 4)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
