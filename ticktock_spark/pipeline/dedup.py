@@ -91,15 +91,20 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
-def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str):
-    """mapInPandas stage: (id, sh) → (id, band, key) rows via hashlib.
+def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int | None = None):
+    """mapInPandas stage: (id, sh) or (id, norm) → (id, band, key) rows.
 
     Bit-identical to minhash_signature + band_keys (same md5 inputs), but
     the per-shingle hashing runs in C (hashlib) instead of the interpreted
-    expression evaluator — the signature is the md5-bound hot loop, so
-    this is the one other deliberate Arrow/Python hot path (shingling
-    stays JVM-side: reimplementing the normalization regexes in Python
-    risks Java/Python regex semantic drift).
+    expression evaluator — the signature is the md5-bound hot loop.
+    With ``k`` set, the input carries the NORMALIZED text (`norm`) and
+    shingle extraction happens here too: plain substring slicing has
+    identical semantics in Python and the JVM (unlike the normalization
+    regexes, which stay JVM-side to avoid Java/Python regex drift), it
+    skips materializing ~len(text) string array elements per row through
+    Arrow, and min-over-shingles is order-free so set() matches
+    array_distinct. Without ``k``, a precomputed/shared shingle array
+    column (`sh`) is consumed as-is.
     """
     import hashlib
 
@@ -113,7 +118,12 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str):
             ids: list = []
             band_idx: list[int] = []
             keys: list[str] = []
-            for doc_id, sh in zip(pdf[id_col], pdf["sh"]):
+            col = pdf["norm"] if k is not None else pdf["sh"]
+            for doc_id, doc in zip(pdf[id_col], col):
+                if k is not None:
+                    sh = set(doc[i : i + k] for i in range(max(len(doc) - k + 1, 1)))
+                else:
+                    sh = doc
                 minima = ["g"] * num_hashes
                 for s in sh:
                     sb = s.encode()
@@ -256,20 +266,29 @@ def minhash_lsh_candidates(
     par = parallelism or df.sparkSession.sparkContext.defaultParallelism
     # explicit exchange: spreads a single-file scan across tasks (and acts
     # as a CollapseProject barrier for the expression engine)
-    sh = (
-        shingles_df
-        if shingles_df is not None
-        else df.repartition(par).select(
-            F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+    if engine == "pandas" and shingles_df is None:
+        nm = df.repartition(par).select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("norm")
         )
-    )
-    if engine == "pandas":
-        id_type = dict(sh.dtypes)[id_col]
-        banded = sh.mapInPandas(
+        id_type = dict(nm.dtypes)[id_col]
+        banded = nm.mapInPandas(
+            _banded_pandas(num_hashes, bands, rows, id_col, k=k),
+            schema=f"{id_col} {id_type}, band int, key string",
+        )
+    elif engine == "pandas":
+        id_type = dict(shingles_df.dtypes)[id_col]
+        banded = shingles_df.mapInPandas(
             _banded_pandas(num_hashes, bands, rows, id_col),
             schema=f"{id_col} {id_type}, band int, key string",
         )
     else:
+        sh = (
+            shingles_df
+            if shingles_df is not None
+            else df.repartition(par).select(
+                F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+            )
+        )
         sig = sh.repartition(par, id_col).select(
             F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
         )
