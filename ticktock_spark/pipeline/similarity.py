@@ -104,10 +104,10 @@ def cosine_scores(
             C = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
             dots = np.zeros((len(c_ids), len(b_qids)))
             for d in range(dim):
-                dots = dots + C[:, d : d + 1] * b_Q[:, d]
+                dots += C[:, d : d + 1] * b_Q[:, d]
             acc_c = np.zeros(len(c_ids))
             for d in range(dim):
-                acc_c = acc_c + C[:, d] * C[:, d]
+                acc_c += C[:, d] * C[:, d]
             cos = dots / (np.sqrt(acc_c)[:, None] * b_qnorms[None, :])
             if quantize:
                 cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
@@ -175,11 +175,11 @@ def cosine_neardup_pairs(
             A = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
             dots = np.zeros((len(a_ids), len(b_ids)))
             for d in range(dim):
-                dots = dots + A[:, d : d + 1] * b_M[:, d]
+                dots += A[:, d : d + 1] * b_M[:, d]
             # a_norm computed the same sequential way
             acc_a = np.zeros(len(a_ids))
             for d in range(dim):
-                acc_a = acc_a + A[:, d] * A[:, d]
+                acc_a += A[:, d] * A[:, d]
             cos = dots / (np.sqrt(acc_a)[:, None] * b_norms[None, :])
             if quantize:
                 cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
