@@ -280,12 +280,14 @@ def q36(spark, sf_dir):
 )
 def q37(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 on the
-    6-decimal-canonical value). Exact all-pairs baseline, computed as an
-    Arrow-batched numpy block product with fold-order-exact accumulation
-    (see similarity.cosine_neardup_pairs); the scale path prunes
-    candidates first — IVF buckets (q41) or sign-random-projection LSH —
-    then runs the same exact kernel only within buckets, so the O(n²)
-    product never materializes at 100 TB."""
+    6-decimal-canonical value). Exact all-pairs, computed as a DISTRIBUTED
+    block-pair (triangle) join: rows are hashed into blocks, every block
+    pair becomes one bounded task scoring its cross product in numpy with
+    fold-order-exact accumulation (similarity.cosine_neardup_pairs) — the
+    corpus never touches the driver and no broadcast of the corpus
+    happens. For corpora where even blocked O(n²) is too much, prune
+    candidates first (IVF buckets q41 / SRP-LSH q43) and run the same
+    exact kernel only within buckets."""
     e = _table(spark, sf_dir, "embeddings")
     return sim.cosine_neardup_pairs(e, threshold=0.35)
 
@@ -341,42 +343,160 @@ def q40(spark, sf_dir):
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 
 
-@register("q41_ann_ivf")  # no SQL oracle: float centroid averaging is not
-def q41(spark, sf_dir):    # bit-stable across engines → rows-only check
+_CENT_DOT = (
+    "list_sum([CAST(q.embedding[i] AS DOUBLE) * centroid[i]"
+    " for i in generate_series(1, len(q.embedding))])"
+)
+_CENT_NRM = (
+    "sqrt(list_sum([centroid[i] * centroid[i]"
+    " for i in generate_series(1, len(centroid))]))"
+)
+
+
+@register(
+    "q41_ann_ivf",
+    f"""
+    WITH ex AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    cm AS (SELECT label, i, avg(CAST(x AS DOUBLE)) AS c FROM ex GROUP BY 1, 2),
+    cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM cm GROUP BY 1),
+    ps AS (
+      SELECT q.vec_id AS query_id, cent.label,
+             ({_CENT_DOT}) / ({_NRM_Q} * {_CENT_NRM}) AS cscore
+      FROM embeddings q, cent
+      WHERE q.vec_id < 5
+    ),
+    probes AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cscore DESC, label) AS r
+        FROM ps
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             {_Q6.format(x=f'({_DOT}) / ({_NRM_C} * {_NRM_Q})')} AS cosine
+      FROM probes p
+      JOIN embeddings c ON c.label = p.label
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q41(spark, sf_dir):
     """IVF-bucketed approximate nearest neighbors: probe 2 of the label
-    buckets per query, exact cosine within (pipeline/similarity.py)."""
+    buckets per query, exact cosine within (pipeline/similarity.py).
+    Ranking is on the 6-decimal-quantized cosine with vec_id tiebreak, so
+    the DuckDB oracle (same groupBy-avg centroids, same probe rule)
+    reproduces the output exactly."""
     e = _table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     out = sim.ivf_knn(e, q, k=10, nprobe=2)
-    return out.select("query_id", "vec_id", q6(F.col("cosine")).alias("cosine"), "rank")
+    return out.select("query_id", "vec_id", F.col("cosine"), "rank")
 
 
-@register("q43_ann_srp_lsh")  # no SQL oracle: approximate by design (probed
-def q43(spark, sf_dir):        # buckets only) → rows-only check; recall vs
+_SRP_PLANE = (
+    "(CASE WHEN substr(md5('srp:7:' || b || ':' || (i-1)), 1, 1) >= '8'"
+    " THEN 1.0 ELSE -1.0 END)"
+)
+
+
+@register(
+    "q43_ann_srp_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    proj AS (
+      SELECT vec_id, b,
+             list_sum([{_SRP_PLANE} * CAST(embedding[i] AS DOUBLE)
+                       for i in generate_series(1, len(embedding))]) AS p
+      FROM e, generate_series(0, 7) t(b)
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1
+    ),
+    probes AS (
+      SELECT s.vec_id AS query_id,
+             CASE WHEN g.k = -1 THEN s.bucket
+                  ELSE xor(s.bucket, CAST(1 << g.k AS BIGINT)) END AS bucket
+      FROM sig s, generate_series(-1, 7) g(k)
+      WHERE s.vec_id < 5
+    ),
+    cand AS (
+      SELECT p.query_id, cs.vec_id
+      FROM probes p JOIN sig cs ON cs.bucket = p.bucket
+      WHERE cs.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             {_Q6.format(x=f'({_DOT}) / ({_NRM_C} * {_NRM_Q})')} AS cosine
+      FROM cand
+      JOIN embeddings c ON c.vec_id = cand.vec_id
+      JOIN embeddings q ON q.vec_id = cand.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q43(spark, sf_dir):
     """Sign-random-projection LSH approximate kNN: deterministic
-    hyperplane signatures bucket the corpus, queries probe their bucket
-    plus all Hamming-1 neighbors, exact cosine only within probed
-    buckets (pipeline/similarity.py:srp_lsh_knn). Recall against the
-    brute-force oracle is pinned in tests/test_pipeline.py."""
+    md5-derived ±1 hyperplanes (similarity.srp_planes) bucket the corpus,
+    queries probe their bucket plus all Hamming-1 neighbors, exact cosine
+    only within probed buckets (pipeline/similarity.py:srp_lsh_knn).
+    Projections accumulate in left-to-right fold order, so the DuckDB
+    oracle computes bit-identical buckets and the full output hashes
+    equal; recall vs brute force is pinned in tests/test_pipeline.py."""
     e = _table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     out = sim.srp_lsh_knn(e, q, k=10, nbits=8)
-    return out.select("query_id", "vec_id", q6(F.col("cosine")).alias("cosine"), "rank")
+    return out.select("query_id", "vec_id", F.col("cosine"), "rank")
 
 
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
 
-@register("q42_multimodal_decode")  # no SQL oracle: mapInPandas plumbing
+@register(
+    "q42_multimodal_decode",
+    f"""
+    WITH m AS (SELECT doc_id, length(text) AS n, md5(text) AS h FROM documents)
+    SELECT doc_id,
+           CAST(n % 64 + 16 AS INTEGER) AS width,
+           CAST(n % 48 + 16 AS INTEGER) AS height,
+           {_Q6.format(x='''(CAST(4 * list_sum(
+             [16 * (strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1)
+                 + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)
+              for i in generate_series(1, 16)]) AS DOUBLE) / 64.0)''')} AS mean_byte
+    FROM m
+    """,
+)
 def q42(spark, sf_dir):
     """Binary media column + Pandas-UDF decode/featurize plumbing over
     mapInPandas; payloads synthesized deterministically (media libs absent
-    — decode stubbed, see pipeline/multimodal.py)."""
+    — decode stubbed, see pipeline/multimodal.py). The fake payload is the
+    md5 digest bytes ×4, so the byte-histogram features ARE expressible in
+    SQL: the oracle recomputes mean_byte from the digest's hex nibbles."""
     d = _table(spark, sf_dir, "documents")
     media = mm.attach_fake_media(d)
     out = mm.decode_and_featurize(media)

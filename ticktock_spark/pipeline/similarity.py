@@ -4,15 +4,23 @@
   query vectors are small); the corpus is scanned once; per-partition
   top-k then a tiny global top-k — no all-to-all shuffle. This is the
   baseline and the verification oracle for approximate variants.
+- cosine_neardup_pairs: exact all-pairs near-dup detection, distributed
+  as a block-pair (triangle) join — the corpus never touches the driver
+  and no task holds more than two blocks.
 - ivf_knn: IVF-style approximate search. Centroids (from a provided
   assignment column or computed by averaging per bucket) are broadcast;
   each query probes its nearest `nprobe` centroids and only scans those
   buckets. At 100 TB: corpus bucketed/partitioned by centroid id on
   storage → partition pruning makes a query touch nprobe/nlist of the
   data.
+- srp_lsh_knn: sign-random-projection LSH with deterministic
+  (md5-derived ±1) hyperplanes, so signatures are reproducible in ANY
+  engine with md5 — including the DuckDB oracle.
 
 Dot products use F.aggregate (sequential fold → deterministic order,
-bit-stable) over zip_with, entirely JVM-side.
+bit-stable) over zip_with, entirely JVM-side; the numpy kernels
+accumulate SEQUENTIALLY over the vector dimension in float64 so every
+partial sum rounds exactly like a SQL engine's left-to-right fold.
 """
 
 from __future__ import annotations
@@ -34,6 +42,11 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _q6col(c: Column) -> Column:
+    """Engine-neutral 6-decimal canonicalization (see queries.q6)."""
+    return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
 
 
 def brute_force_knn(
@@ -80,13 +93,16 @@ def cosine_scores(
     per-dimension float64 accumulation, so values are bit-identical to
     the SQL fold the DuckDB oracles use (same rationale and kernel shape
     as cosine_neardup_pairs). Self-pairs (vec_id == query_id) are
-    excluded, matching brute_force_knn.
+    excluded, matching brute_force_knn. Id dtypes are taken from the
+    input frames — any integral/string id column works.
     """
     import numpy as np
     import pandas as pd
 
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(corpus.dtypes)[id_col]
     qpdf = queries.select(query_id_col, vec_col).toPandas()
-    q_ids = qpdf[query_id_col].to_numpy(dtype=np.int64)
+    q_ids = qpdf[query_id_col].to_numpy()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     dim = Q.shape[1]
     acc = np.zeros(len(q_ids))
@@ -100,7 +116,7 @@ def cosine_scores(
         for pdf_in in batches:
             if len(pdf_in) == 0:
                 continue
-            c_ids = pdf_in[id_col].to_numpy(dtype=np.int64)
+            c_ids = pdf_in[id_col].to_numpy()
             C = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
             dots = np.zeros((len(c_ids), len(b_qids)))
             for d in range(dim):
@@ -122,7 +138,7 @@ def cosine_scores(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(
-        block, schema="query_id long, vec_id long, cosine double"
+        block, schema=f"query_id {qid_type}, vec_id {id_type}, cosine double"
     )
 
 
@@ -132,66 +148,147 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: bool = True,
+    block_rows: int = 8192,
 ) -> DataFrame:
     """All-pairs cosine near-duplicates: (id_a < id_b, cosine ≥ threshold).
 
     Dense pairwise linear algebra is the one place the built-in array
     expressions genuinely can't compete: fold/zip_with are interpreted
-    per element per pair (CodegenFallback, no codegen), which makes an
-    expression-based n² cosine O(n²·dim) *interpreter* steps. This runs
-    as an Arrow-batched ``mapInPandas`` block product instead: the corpus
-    matrix is broadcast once, each partition's rows score against it in
-    numpy — vectorized across pairs but accumulated SEQUENTIALLY over the
-    vector dimension in float64, so every partial sum rounds exactly like
-    a SQL engine's left-to-right fold and results stay bit-identical to
-    the DuckDB oracle.
+    per element per pair (CodegenFallback, no codegen). This runs as a
+    DISTRIBUTED block-pair (triangle) join instead:
 
-    Scale: fine to ~1M × small-dim broadcast; beyond that, block the
-    corpus into chunks and union one such scan per chunk (work stays
-    distributed over corpus partitions either way). The smarter scale
-    path is pruning candidates first (IVF buckets / sign-random-
-    projection LSH) and running this exact kernel only within buckets.
+      1. every row gets a block id (hash(id) mod nblocks);
+      2. each row is replicated once per block → every unordered block
+         pair {i, j} (and each diagonal {i, i}) becomes one shuffle
+         group holding exactly the rows of blocks i and j;
+      3. an applyInPandas kernel scores the group's cross/triangle
+         product in numpy, vectorized across pairs but accumulated
+         SEQUENTIALLY over the vector dimension in float64, so every
+         partial sum rounds exactly like a SQL engine's left-to-right
+         fold and results stay bit-identical to the DuckDB oracle.
+
+    Nothing is ever collected to the driver and no broadcast of the
+    corpus happens: shuffle volume is n·nblocks rows and each task holds
+    ≤ 2·block_rows vectors, so the plan survives arbitrary corpus sizes
+    (the total pair work is of course intrinsically O(n²) — at very
+    large n prune candidates first with srp_bucketed/ivf buckets and run
+    this exact kernel within buckets).
+
+    nblocks is also floored so the number of block pairs ≥ the default
+    parallelism — small corpora still use every core.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    dim = M.shape[1]
-    # sequential-fold norms: acc += x*x over dims, left to right
-    acc = np.zeros(len(ids))
-    for d in range(dim):
-        acc = acc + M[:, d] * M[:, d]
-    norms = np.sqrt(acc)
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, M, norms))
+    id_type = dict(corpus.dtypes)[id_col]
+    sc = corpus.sparkSession.sparkContext
+    n = corpus.count()
+    if n == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+    par = sc.defaultParallelism
+    # smallest k with k(k+1)/2 >= parallelism, so tasks >= cores
+    k_par = max(1, math.ceil((math.sqrt(8 * par + 1) - 1) / 2))
+    nblocks = max(math.ceil(n / block_rows), k_par)
 
-    def block(batches):
-        b_ids, b_M, b_norms = bc.value
-        for pdf_in in batches:
-            if len(pdf_in) == 0:
-                continue
-            a_ids = pdf_in[id_col].to_numpy(dtype=np.int64)
-            A = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
-            dots = np.zeros((len(a_ids), len(b_ids)))
-            for d in range(dim):
-                dots += A[:, d : d + 1] * b_M[:, d]
-            # a_norm computed the same sequential way
-            acc_a = np.zeros(len(a_ids))
-            for d in range(dim):
-                acc_a += A[:, d] * A[:, d]
-            cos = dots / (np.sqrt(acc_a)[:, None] * b_norms[None, :])
-            if quantize:
-                cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
-            keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold)
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bj], "cosine": cos[ai, bj]}
-            )
-
-    return corpus.select(id_col, vec_col).mapInPandas(
-        block, schema="id_a long, id_b long, cosine double"
+    rep = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__b", F.pmod(F.hash(F.col(id_col)), F.lit(nblocks)))
+        .withColumn("__x", F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))))
+        .select(
+            F.least("__b", "__x").alias("__bi"),
+            F.greatest("__b", "__x").alias("__bj"),
+            "__b",
+            id_col,
+            vec_col,
+        )
     )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(pdf) == 0:
+            return empty
+        bi = pdf["__bi"].iloc[0]
+        bj = pdf["__bj"].iloc[0]
+        if bi == bj:
+            a_pdf = b_pdf = pdf
+        else:
+            a_pdf = pdf[pdf["__b"] == bi]
+            b_pdf = pdf[pdf["__b"] == bj]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        a_ids = a_pdf[id_col].to_numpy()
+        b_ids = b_pdf[id_col].to_numpy()
+        A = np.stack(a_pdf[vec_col].to_numpy()).astype(np.float64)
+        B = np.stack(b_pdf[vec_col].to_numpy()).astype(np.float64)
+        dim = A.shape[1]
+        dots = np.zeros((len(a_ids), len(b_ids)))
+        for d in range(dim):
+            dots += A[:, d : d + 1] * B[:, d]
+        acc_a = np.zeros(len(a_ids))
+        acc_b = np.zeros(len(b_ids))
+        for d in range(dim):
+            acc_a += A[:, d] * A[:, d]
+            acc_b += B[:, d] * B[:, d]
+        cos = dots / (np.sqrt(acc_a)[:, None] * np.sqrt(acc_b)[None, :])
+        if quantize:
+            cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
+        if bi == bj:
+            keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold)
+            ai, bjx = np.nonzero(keep)
+            ia, ib = a_ids[ai], b_ids[bjx]
+        else:
+            # distinct blocks partition the id space: every A×B element is
+            # a distinct unordered pair; orient it id_a < id_b
+            keep = cos >= threshold
+            ai, bjx = np.nonzero(keep)
+            ia = np.minimum(a_ids[ai], b_ids[bjx])
+            ib = np.maximum(a_ids[ai], b_ids[bjx])
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cos[ai, bjx]})
+
+    return rep.groupBy("__bi", "__bj").applyInPandas(
+        kernel, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-random-projection LSH
+# ---------------------------------------------------------------------------
+
+def srp_planes(nbits: int, dim: int, seed: int):
+    """Deterministic ±1 (Rademacher) hyperplanes derived from md5.
+
+    plane[b][d] = +1 if the first hex nibble of md5("srp:<seed>:<b>:<d>")
+    is ≥ '8' else −1. A sign projection against ±1 planes is a valid
+    random projection for angular LSH, and — unlike Gaussian planes from
+    a PRNG — any engine with md5 can reproduce it exactly (the DuckDB
+    oracle computes the same CASE WHEN substr(md5(...),1,1) >= '8'
+    expression), so bucket assignments match bit-for-bit across engines.
+    """
+    import hashlib
+
+    import numpy as np
+
+    P = np.empty((nbits, dim), dtype=np.float64)
+    for b in range(nbits):
+        for d in range(dim):
+            nib = hashlib.md5(f"srp:{seed}:{b}:{d}".encode()).hexdigest()[0]
+            P[b, d] = 1.0 if nib >= "8" else -1.0
+    return P
+
+
+def _srp_project(M, P):
+    """proj[r, b] = Σ_d M[r, d]·P[b, d], accumulated sequentially over d
+    (left-to-right fold — matches DuckDB's list_sum order exactly)."""
+    import numpy as np
+
+    proj = np.zeros((M.shape[0], P.shape[0]))
+    for d in range(M.shape[1]):
+        proj += M[:, d : d + 1] * P[:, d]
+    return proj
 
 
 def srp_bucketed(
@@ -203,32 +300,28 @@ def srp_bucketed(
 ) -> DataFrame:
     """Attach a sign-random-projection LSH bucket key to each vector.
 
-    ``nbits`` fixed hyperplanes (deterministic from ``seed``) → one bit
-    per sign of the projection → an integer bucket in [0, 2^nbits).
-    Nearby vectors (small angle) agree on most signs, so they land in the
-    same or Hamming-adjacent buckets. At 100 TB the bucket is a storage
-    partition/cluster key: a query touches only its probed buckets, and
-    the hyperplanes are a (nbits × dim) constant that ships to every
-    executor for free — unlike IVF there is no centroid training pass.
+    ``nbits`` fixed hyperplanes (deterministic md5-derived ±1, see
+    srp_planes) → one bit per sign of the projection → an integer bucket
+    in [0, 2^nbits). Nearby vectors (small angle) agree on most signs, so
+    they land in the same or Hamming-adjacent buckets. At 100 TB the
+    bucket is a storage partition/cluster key: a query touches only its
+    probed buckets, and the planes are recomputed in each worker from the
+    seed (nbits×dim md5 calls — no broadcast, no driver round-trip).
     """
-    import numpy as np
-    import pandas as pd
-
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
-    planes = np.random.default_rng(seed).standard_normal((nbits, dim))
-    bc = corpus.sparkSession.sparkContext.broadcast(planes)
-    weights = 1 << np.arange(nbits, dtype=np.int64)
-
     def stage(batches):
-        P = bc.value
+        import numpy as np
+
+        P = None
+        w = 1 << np.arange(nbits, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (M @ P.T) >= 0.0
+            if P is None:
+                P = srp_planes(nbits, M.shape[1], seed)
+            bits = _srp_project(M, P) >= 0.0
             pdf = pdf[[id_col, vec_col]].copy()
-            pdf["bucket"] = (bits * weights).sum(axis=1)
+            pdf["bucket"] = (bits * w).sum(axis=1)
             yield pdf
 
     vec_type = dict(corpus.dtypes)[vec_col]
@@ -247,6 +340,7 @@ def srp_lsh_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    quantize: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via SRP-LSH with Hamming≤1 multiprobe.
 
@@ -254,8 +348,11 @@ def srp_lsh_knn(
     every single-bit flip) are computed driver-side — the query set is
     small — and broadcast onto the bucketed corpus; the exact cosine runs
     only within probed buckets (~(nbits+1)/2^nbits of the corpus).
-    Deterministic for a fixed seed. Output: query_id, vec_id, cosine,
-    rank — same shape as brute_force_knn, which is its recall oracle.
+    Deterministic: planes are md5-derived (srp_planes) and ranking is on
+    the 6-decimal-quantized cosine with vec_id tiebreak, so output is
+    stable across engines (the DuckDB oracle reproduces it exactly).
+    Output: query_id, vec_id, cosine, rank — same shape as
+    brute_force_knn, which is its recall oracle.
     """
     import numpy as np
 
@@ -263,10 +360,10 @@ def srp_lsh_knn(
     bucketed = srp_bucketed(corpus, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
 
     qpdf = queries.select(query_id_col, vec_col).toPandas()
-    first_dim = len(qpdf[vec_col].iloc[0])
-    planes = np.random.default_rng(seed).standard_normal((nbits, first_dim))
+    dim = len(qpdf[vec_col].iloc[0])
+    planes = srp_planes(nbits, dim, seed)
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    sigs = ((Q @ planes.T) >= 0.0) @ (1 << np.arange(nbits, dtype=np.int64))
+    sigs = (_srp_project(Q, planes) >= 0.0) @ (1 << np.arange(nbits, dtype=np.int64))
     probe_rows = []
     for qid, sig, vec in zip(qpdf[query_id_col], sigs, qpdf[vec_col]):
         buckets = {int(sig)} | {int(sig) ^ (1 << b) for b in range(nbits)}
@@ -278,9 +375,10 @@ def srp_lsh_knn(
     cand = bucketed.join(F.broadcast(probes), "bucket").filter(
         F.col(id_col) != F.col(query_id_col)
     )
-    scored = cand.select(
-        query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cosine")
-    )
+    score = cosine(F.col(vec_col), F.col("__qvec"))
+    if quantize:
+        score = _q6col(score)
+    scored = cand.select(query_id_col, id_col, score.alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -289,7 +387,6 @@ def ivf_centroids(corpus: DataFrame, bucket_col: str = "label", vec_col: str = "
     """Per-bucket mean vector (the coarse quantizer). The testdata's
     `label` column stands in for a k-means assignment; at scale run a few
     Lloyd iterations with the same groupBy-average."""
-    dim = F.size(F.col(vec_col))
     exploded = corpus.select(bucket_col, F.posexplode(vec_col).alias("i", "x"))
     cent = (
         exploded.groupBy(bucket_col, "i")
@@ -310,9 +407,11 @@ def ivf_knn(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     query_id_col: str = "query_id",
+    quantize: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe the nprobe nearest centroids per query,
-    then exact cosine within those buckets only."""
+    then exact cosine within those buckets only. Final ranking is on the
+    6-decimal-quantized cosine with vec_id tiebreak (engine-stable)."""
     cent = ivf_centroids(corpus, bucket_col, vec_col)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     probe_scores = q.crossJoin(F.broadcast(cent)).select(
@@ -326,8 +425,9 @@ def ivf_knn(
     candidates = corpus.join(
         F.broadcast(probes.select(query_id_col, bucket_col, "__qvec")), on=bucket_col
     ).filter(F.col(id_col) != F.col(query_id_col))
-    scored = candidates.select(
-        query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cosine")
-    )
+    score = cosine(F.col(vec_col), F.col("__qvec"))
+    if quantize:
+        score = _q6col(score)
+    scored = candidates.select(query_id_col, id_col, score.alias("cosine"))
     w2 = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
