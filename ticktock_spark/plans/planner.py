@@ -197,7 +197,14 @@ class TsdbContext:
     def _downsampled_series(
         self, spec: QuerySpec, start_ms: int, end_ms: int, group_keys: list[str]
     ) -> tuple[DataFrame, bool]:
-        """→ (df with [SERIES_KEY, grouping-value cols, ts, value], did_downsample)."""
+        """→ (df with [SERIES_KEY, grouping-value cols, ts, value, __tags],
+        did_downsample).
+
+        ``__tags`` (the series' tag map, F.first through every
+        aggregation) rides along so result assembly never needs a second
+        scan of the base table for series metadata — the old
+        ``_series_meta`` re-ran ``_base_scan`` per query, which at 100×
+        scale doubles every HTTP query's IO."""
         ds = spec.downsample_parts()
         gcols = {f"__g{i}": k for i, k in enumerate(group_keys)}
 
@@ -215,16 +222,24 @@ class TsdbContext:
                     *gcols,
                     bucket_expr("bucket_ts", snapped).alias("ts"),
                 )
+                tags_agg = F.first("tags").alias("__tags")
+                # sums are cast to double AFTER the final re-aggregation:
+                # with DECIMAL-valued rollups the Σ stays exact and the
+                # one deterministic decimal→double cast keeps results
+                # bit-identical across engines (see queries.q26/q27)
                 if func == "avg":
-                    out = grp.agg((F.sum("sum") / F.sum("cnt")).alias("value"))
+                    out = grp.agg(
+                        (F.sum("sum").cast("double") / F.sum("cnt")).alias("value"),
+                        tags_agg,
+                    )
                 elif func == "count":
-                    out = grp.agg(F.sum("cnt").cast("double").alias("value"))
+                    out = grp.agg(F.sum("cnt").cast("double").alias("value"), tags_agg)
                 elif func == "min":
-                    out = grp.agg(F.min("min").alias("value"))
+                    out = grp.agg(F.min("min").cast("double").alias("value"), tags_agg)
                 elif func == "max":
-                    out = grp.agg(F.max("max").alias("value"))
+                    out = grp.agg(F.max("max").cast("double").alias("value"), tags_agg)
                 else:
-                    out = grp.agg(F.sum("sum").alias("value"))
+                    out = grp.agg(F.sum("sum").cast("double").alias("value"), tags_agg)
                 return out, True
 
         base = self._base_scan(spec, start_ms, end_ms)
@@ -234,7 +249,12 @@ class TsdbContext:
         base = base.withColumns({c: F.col("tags").getItem(k) for c, k in gcols.items()})
 
         if ds is None:
-            return base.select(SERIES_KEY, *gcols, "ts", "value"), False
+            return (
+                base.select(
+                    SERIES_KEY, *gcols, "ts", "value", F.col("tags").alias("__tags")
+                ),
+                False,
+            )
 
         interval_ms, func, fill = ds
         keys = [SERIES_KEY, *gcols]
@@ -242,13 +262,17 @@ class TsdbContext:
             # 0all emits ONE bucket at the ORIGINAL query start:
             # step_down is m_start for m_all (down.cpp:51,245)
             out = base.groupBy(*keys).agg(
-                downsample_agg_expr(func).alias("value")
+                downsample_agg_expr(func).alias("value"),
+                F.first("tags").alias("__tags"),
             ).withColumn("ts", F.lit(start_ms))
         else:
             out = base.groupBy(*keys, bucket_expr("ts", interval_ms).alias("ts")).agg(
-                downsample_agg_expr(func).alias("value")
+                downsample_agg_expr(func).alias("value"),
+                F.first("tags").alias("__tags"),
             )
             if fill != "none":
+                # fill's left join leaves __tags NULL in gap rows; meta
+                # derivation uses first(ignorenulls)
                 out = fill_buckets(out, keys, interval_ms, start_ms, end_ms, fill)
         return out, True
 
@@ -268,22 +292,43 @@ class TsdbContext:
         ds, did_ds = self._downsampled_series(spec, top.start_ms, top.end_ms, group_keys)
         gcols = [c for c in ds.columns if c.startswith("__g")]
 
-        per_series = agg == "none" or topn_mode is not None
-        if per_series:
-            if topn_mode is not None:
-                mode, n = topn_mode
-                ds = top_bottom_n(ds, [SERIES_KEY], n, mode)
-            result_df = ds.select(SERIES_KEY, "ts", "value")
-            key_cols = [SERIES_KEY]
-        else:
-            result_df = ds.groupBy(*gcols, "ts").agg(
-                aggregator_expr(agg).alias("value")
-            )
-            key_cols = gcols
+        # ONE scan of the base table per query: the per-series frame
+        # (#series × #buckets rows — bounded by the result size, never raw
+        # points for downsampled queries) is persisted so the result
+        # aggregation and the series-metadata derivation both read it
+        # instead of re-running the scan+downsample lineage.
+        from pyspark.storagelevel import StorageLevel
 
-        # series metadata (tags maps) — tiny, bounded by series cardinality
-        meta = self._series_meta(spec, top)
-        rows = result_df.collect()
+        ds = ds.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            per_series = agg == "none" or topn_mode is not None
+            if per_series:
+                if topn_mode is not None:
+                    mode, n = topn_mode
+                    ds_sel = top_bottom_n(
+                        ds, [SERIES_KEY], n, mode, materialize=False
+                    )
+                else:
+                    ds_sel = ds
+                result_df = ds_sel.select(SERIES_KEY, "ts", "value")
+                key_cols = [SERIES_KEY]
+            else:
+                result_df = ds.groupBy(*gcols, "ts").agg(
+                    aggregator_expr(agg).alias("value")
+                )
+                key_cols = gcols
+
+            # series metadata (tags maps) — tiny, bounded by series
+            # cardinality; read from the persisted frame, not a re-scan
+            meta_rows = (
+                ds.groupBy(SERIES_KEY)
+                .agg(F.first("__tags", ignorenulls=True).alias("tags"))
+                .collect()
+            )
+            meta = {r[SERIES_KEY]: dict(r["tags"] or {}) for r in meta_rows}
+            rows = result_df.collect()
+        finally:
+            ds.unpersist()
         groups: dict[tuple, dict[int, float]] = {}
         for r in rows:
             key = tuple(r[c] for c in key_cols)
@@ -314,12 +359,6 @@ class TsdbContext:
         # stable sort by tag list (query.cpp:459-467)
         results.sort(key=lambda rs: sorted(rs.tags.items()))
         return results
-
-    def _series_meta(self, spec: QuerySpec, top: TopLevelQuery) -> dict[str, dict]:
-        base = self._base_scan(spec, top.start_ms, top.end_ms)
-        sk = base.withColumn(SERIES_KEY, canonical_series_key(F.col("tags")))
-        rows = sk.groupBy(SERIES_KEY).agg(F.first("tags").alias("tags")).collect()
-        return {r[SERIES_KEY]: dict(r["tags"] or {}) for r in rows}
 
 
 def _merge_member_tags(members: list[dict]) -> tuple[dict, list]:
