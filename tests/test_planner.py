@@ -123,6 +123,28 @@ def test_single_scan_per_query(ctx, monkeypatch):
     assert len(calls) == 1
 
 
+def test_q26_is_served_from_rollup(spark, monkeypatch):
+    """q26's 2h-avg with rollups materialized must NOT touch the raw
+    table (answer-from-rollup routing, query.cpp:1032-1091)."""
+    rows = [("m", h * H, float(h), {"host": "x"}, h) for h in range(48)]
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, seq long"
+    )
+    ctx = TsdbContext(df)
+    ctx.materialize_rollups()
+
+    def boom(self, *a, **k):
+        raise AssertionError("raw table scanned despite rollup routing")
+
+    monkeypatch.setattr(TsdbContext, "_base_scan", boom)
+    from ticktock_spark.plans.spec import QuerySpec
+
+    ds, did = ctx._downsampled_series(QuerySpec(metric="m", downsample="2h-avg"), 0, 48 * H, [])
+    assert did
+    got = {r["ts"]: r["value"] for r in ds.collect()}
+    assert got[0] == 0.5 and got[7_200_000] == 2.5
+
+
 def test_downsample_range_stepping(spark):
     # down.cpp:96-105,235-240 + down.h:76-82: the scan starts at the first
     # bucket boundary >= start (leading partial bucket dropped) and runs to

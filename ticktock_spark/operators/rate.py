@@ -27,8 +27,8 @@ def rate(
     ts_col: str = "ts",
     value_col: str = "value",
     counter: bool = False,
-    counter_max: int = 0,
-    reset_value: int = 0,
+    counter_max: int = 18446744073709551615,  # UINT64_MAX (query.cpp:119)
+    reset_value: int = 0,  # 0 = disabled (rate.cpp:68, m_reset_value != 0)
     drop_resets: bool = False,
     ts_in_ms: bool = True,
 ) -> DataFrame:

@@ -10,11 +10,17 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+UINT64_MAX = 18446744073709551615
+
+
 @dataclass
 class RateOptions:
     counter: bool = False
     drop_resets: bool = False
-    counter_max: int = 0  # 0 → no wrap handling cap (UINT64_MAX in ref)
+    # reference defaults (query.cpp:119-120): counterMax = UINT64_MAX —
+    # float() of it is exactly 2^64, the same double the C++ cast yields —
+    # and resetValue = 0 means disabled (rate.cpp:68: m_reset_value != 0)
+    counter_max: int = UINT64_MAX
     reset_value: int = 0
 
 

@@ -789,6 +789,228 @@ def q15(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.8 rollup ROUTING + raw-fallback splice through the planner itself
+# ---------------------------------------------------------------------------
+
+_SERIES_SQL = "'host=' || tag_host || ',k=' || tag_k || ',user=' || tag_user"
+# the planner's stepped range for a 2h downsample over [T0, T_END]
+# (both are 2h-aligned): scan_hi = T_END + 2h - 1 (planner._stepped_range)
+_Q26_HI = T_END + 2 * HOUR_MS - 1
+
+
+@register(
+    "q26_rollup_routed_2h_avg",
+    f"""
+    WITH t AS ({_TAGS_CTE}),
+    b AS (
+      SELECT {_SERIES_SQL} AS series, ts - ts % {2 * HOUR_MS} AS ts,
+             count(value) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM t
+      WHERE metric = 'view' AND (ts - ts % {HOUR_MS}) BETWEEN {T0} AND {_Q26_HI}
+      GROUP BY 1, 2
+    )
+    SELECT series, ts, {_Q6.format(x='CAST(s AS DOUBLE) / cnt')} AS avg_value
+    FROM b
+    """,
+)
+def q26(spark, sf_dir):
+    """Answer-from-rollup ROUTING through the planner (query.cpp:1032-1091):
+    a 2h-avg query with rollups materialized must be served from rollup_1h
+    (interval snapped to the 1h unit, avg = Σsum/Σcnt re-agg) and hash-equal
+    the direct raw re-aggregation the oracle computes. DECIMAL-valued
+    datapoints keep the Σ exact; the planner casts to double only after the
+    final fold, so both engines see one deterministic decimal→double cast.
+    tests/test_planner.py::test_q26_is_served_from_rollup pins that the raw
+    table is NOT scanned."""
+    from ticktock_spark.plans.planner import TsdbContext
+    from ticktock_spark.plans.spec import QuerySpec
+
+    d = _tagged_dps(spark, sf_dir).filter(F.col("metric") == "view")
+    d = d.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    ctx = TsdbContext(d)
+    ctx.materialize_rollups()
+    spec = QuerySpec(metric="view", downsample="2h-avg")
+    ds, _ = ctx._downsampled_series(spec, T0, T_END, [])
+    return ds.select(
+        F.col("__series").alias("series"), "ts", q6(F.col("value")).alias("avg_value")
+    )
+
+
+_Q27_INVALID = "2024-01-10"
+
+
+@register(
+    "q27_rollup_fallback_splice",
+    f"""
+    WITH t AS ({_TAGS_CTE}),
+    valid AS (
+      SELECT {_SERIES_SQL} AS series, ts - ts % {2 * HOUR_MS} AS ts,
+             count(value) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM t
+      WHERE metric = 'view' AND (ts - ts % {HOUR_MS}) BETWEEN {T0} AND {_Q26_HI}
+        AND CAST(to_timestamp(ts / 1000) AS DATE) <> DATE '{_Q27_INVALID}'
+      GROUP BY 1, 2
+    ),
+    redo AS (
+      SELECT {_SERIES_SQL} AS series, ts, arg_max(value, seq) AS value
+      FROM t
+      WHERE metric = 'view' AND ts BETWEEN {T0} AND {_Q26_HI}
+        AND CAST(to_timestamp(ts / 1000) AS DATE) = DATE '{_Q27_INVALID}'
+      GROUP BY 1, 2
+    ),
+    invalid AS (
+      SELECT series, ts - ts % {2 * HOUR_MS} AS ts,
+             count(value) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM redo GROUP BY 1, 2
+    ),
+    unioned AS (
+      SELECT * FROM valid UNION ALL SELECT * FROM invalid
+    )
+    SELECT series, ts, {_Q6.format(x='CAST(s AS DOUBLE) / cnt')} AS avg_value
+    FROM unioned
+    """,
+)
+def q27(spark, sf_dir):
+    """ROLLUP_FALLBACK_RAW splice (query.cpp:1109-1238): one day partition
+    is marked rollup-invalid (late/OOO data), so its buckets are re-
+    aggregated from raw (with last-wins dedup) and spliced into the rollup
+    stream; every other day is still served from rollup_1h. The oracle
+    computes the same union: rollup-equivalent agg for valid days +
+    deduped re-agg for the invalidated day."""
+    from ticktock_spark.plans.planner import TsdbContext
+    from ticktock_spark.plans.spec import QuerySpec
+
+    d = _tagged_dps(spark, sf_dir).filter(F.col("metric") == "view")
+    d = d.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    ctx = TsdbContext(d, rollup_invalid_dts={_Q27_INVALID})
+    ctx.materialize_rollups()
+    spec = QuerySpec(metric="view", downsample="2h-avg")
+    ds, _ = ctx._downsampled_series(spec, T0, T_END, [])
+    return ds.select(
+        F.col("__series").alias("series"), "ts", q6(F.col("value")).alias("avg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 rate: resetValue with the DEFAULT counterMax (rate.cpp:60-77)
+# ---------------------------------------------------------------------------
+
+_RATE_CTE_PURCHASE = f"""
+      SELECT metric, user_id, ts, value,
+             lag(value) OVER (PARTITION BY metric, user_id ORDER BY ts) AS pv,
+             lag(ts) OVER (PARTITION BY metric, user_id ORDER BY ts) AS pt
+      FROM {_EV} WHERE metric = 'purchase'
+"""
+
+# (double)UINT64_MAX rounds to exactly 2^64 — the same constant the
+# reference's C++ cast produces (query.cpp:119, rate.cpp:67)
+_U64_DOUBLE = "18446744073709551616.0"
+
+
+@register(
+    "q28_rate_reset_default_max",
+    f"""
+    WITH w AS ({_RATE_CTE_PURCHASE})
+    SELECT metric, user_id, ts,
+           CASE WHEN value - pv < 0
+                THEN CASE WHEN ({_U64_DOUBLE} - pv + value) / ((ts - pt) / 1000.0) > 50.0
+                          THEN 0.0
+                          ELSE ({_U64_DOUBLE} - pv + value) / ((ts - pt) / 1000.0) END
+                ELSE (value - pv) / ((ts - pt) / 1000.0) END AS rate_value
+    FROM w WHERE pt IS NOT NULL
+    """,
+)
+def q28(spark, sf_dir):
+    """resetValue with counterMax left at its default (UINT64_MAX,
+    query.cpp:119-120): every decrease computes an astronomically large
+    wrap-rate, which exceeds resetValue → emits 0.0. Completes the
+    rate.cpp:60-77 option matrix (q07 plain, q08 wrap+reset, q09
+    dropResets, q28 default-max reset)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "purchase")
+    r = rate(d, ["metric", "user_id"], counter=True, reset_value=50)
+    return r.select("metric", "user_id", "ts", F.col("value").alias("rate_value"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 ingest parser round-trip (telnet put + Influx line protocol)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q29_parser_roundtrip",
+    f"""
+    SELECT event_type AS metric, epoch_ms(ts) AS ts, value,
+           'u' || CAST(user_id AS VARCHAR) AS tag_user,
+           'h' || CAST(user_id % 10 AS VARCHAR) AS extra
+    FROM events
+    UNION ALL
+    SELECT event_type, epoch_ms(ts), value,
+           'u' || CAST(user_id AS VARCHAR), 'value@x y'
+    FROM events
+    UNION ALL
+    SELECT event_type, epoch_ms(ts), CAST(user_id % 5 AS DOUBLE),
+           'u' || CAST(user_id AS VARCHAR), 'n@x y'
+    FROM events
+    """,
+)
+def q29(spark, sf_dir):
+    """Parser round-trip over real data (dp.cpp:160-201, tsdb.cpp:2715-2953):
+    events are FORMATTED as telnet `put` lines and Influx lines (with an
+    escaped `\\ ` tag value and an integer-suffix field), pushed through the
+    bulk ingest parsers, and the canonical rows must hash-equal the oracle
+    computing the same values directly — pinning line splitting, sec/ms
+    detection, tag parsing, escape handling, and `_field` explosion."""
+    from ticktock_spark.sources.parsers import (
+        influx_lines_to_datapoints,
+        put_lines_to_datapoints,
+    )
+
+    ev = _table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts").cast("string")
+    uid = F.col("user_id").cast("string")
+
+    put_lines = ev.select(
+        F.concat_ws(
+            " ",
+            F.lit("put"),
+            F.col("event_type"),
+            ms,
+            F.col("value").cast("string"),
+            F.concat(F.lit("user=u"), uid),
+            F.concat(F.lit("host=h"), (F.col("user_id") % 10).cast("string")),
+        ).alias("value")
+    )
+    put_dps = put_lines_to_datapoints(put_lines).select(
+        "metric",
+        "ts",
+        "value",
+        F.col("tags")["user"].alias("tag_user"),
+        F.col("tags")["host"].alias("extra"),
+    )
+
+    influx_lines = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(",user=u"),
+            uid,
+            F.lit(",note=x\\ y value="),
+            F.col("value").cast("string"),
+            F.lit(",n="),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit("i "),
+            ms,
+        ).alias("value")
+    )
+    influx_dps = influx_lines_to_datapoints(influx_lines).select(
+        "metric",
+        "ts",
+        "value",
+        F.col("tags")["user"].alias("tag_user"),
+        F.concat(F.col("tags")["_field"], F.lit("@"), F.col("tags")["note"]).alias("extra"),
+    )
+    return put_dps.unionByName(influx_dps)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-ish batch analytics (beyond-reference general capability + bench)
 # ---------------------------------------------------------------------------
 

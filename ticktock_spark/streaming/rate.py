@@ -50,6 +50,12 @@ OUTPUT_SCHEMA = StructType(
 def _make_rate_fn(
     counter: bool, counter_max: float | None, drop_resets: bool, reset_value: float | None
 ):
+    # match operators/rate.py and rate.cpp:60-77: counterMax defaults to
+    # UINT64_MAX ((double) cast → exactly 2^64) and resetValue in {None, 0}
+    # means disabled (m_reset_value != 0)
+    cmax = float(counter_max) if counter_max is not None else float(2**64)
+    reset = None if reset_value in (None, 0) else float(reset_value)
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -74,11 +80,9 @@ def _make_rate_fn(
                         if drop_resets:
                             last_ts, last_value = ts, value
                             continue
-                        r = (float(counter_max) - last_value + value) / dt
+                        r = (cmax - last_value + value) / dt
                         out_ts.append(ts)
-                        out_val.append(
-                            0.0 if (reset_value is not None and r > reset_value) else r
-                        )
+                        out_val.append(0.0 if (reset is not None and r > reset) else r)
                     else:
                         out_ts.append(ts)
                         out_val.append(delta / dt)
