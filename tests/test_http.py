@@ -120,3 +120,65 @@ def test_http_metadata(server):
     filt = _get(server, "/api/config/filters")
     assert "wildcard" in filt and "regexp" in filt
     assert _get(server, "/api/version")["engine"] == "ticktock-spark"
+
+
+def test_http_admin(spark, tmp_path):
+    """POST /api/admin (src/admin.cpp:52-156): ping/stat/cfg/rollup/compact
+    wired to the existing maintenance + rollup functions; ops commands the
+    Spark runtime replaces answer 400."""
+    import urllib.error
+
+    from pyspark.sql import functions as F
+
+    # a dt-partitioned parquet table with 2 files in the partition
+    rows = [("cpu", 1704067200000 + i * 3_600_000, float(i), {"host": "a"}, i)
+            for i in range(4)]
+    schema = "metric string, ts long, value double, tags map<string,string>, seq long"
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "dt", F.to_date(F.timestamp_millis(F.col("ts")))
+    )
+    path = str(tmp_path / "dps")
+    df.repartition(2).write.partitionBy("dt").parquet(path)
+    base = spark.read.parquet(path)
+    srv = TsdbHttpServer(spark, base=base, table_path=path).start()
+    try:
+        # ping → raw "pong" (admin.cpp:38)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/admin?cmd=ping", data=b"", method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.read() == b"pong"
+        assert "buffered_points" in _post(srv, "/api/admin?cmd=stat", "")
+        assert _post(srv, "/api/admin?cmd=rollup", "") == {"rollup": "materialized"}
+        # rollup-eligible query is now answered from the materialized rollup
+        res = _get(
+            srv,
+            "/api/query?start=1704067200&end=1704081600&m=none:2h-avg:cpu",
+        )
+        assert res[0]["dps"] == {"1704067200": 0.5, "1704074400": 2.5}
+        r = _post(srv, "/api/admin?cmd=compact&dt=2024-01-01", "")
+        assert r["compacted"] == {"2024-01-01": 4}
+        part = tmp_path / "dps" / "dt=2024-01-01"
+        assert len(list(part.glob("*.parquet"))) == 1
+        for cmd in ("gc", "stop", "bogus", ""):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(srv, f"/api/admin?cmd={cmd}" if cmd else "/api/admin", "")
+            assert ei.value.code == 400
+    finally:
+        srv.stop()
+
+
+def test_lookup_filter_pushdown(server, monkeypatch):
+    """/api/search/lookup compiles tag filters into the DataFrame plan —
+    no Python-side filtering of collected series (VERDICT r01 #3)."""
+    from ticktock_spark.plans import tagfilter
+
+    def boom(*a, **k):
+        raise AssertionError("python_filter used in lookup path")
+
+    monkeypatch.setattr(tagfilter, "python_filter", boom)
+    look = _get(server, "/api/search/lookup?m=test.metric%7Bhost=wildcard(host*)%7D")
+    assert look["totalResults"] == 2
+    look = _get(server, "/api/search/lookup?m=test.metric%7Bhost=host2%7D")
+    assert look["totalResults"] == 1
+    assert look["results"][0]["tags"]["host"] == "host2"

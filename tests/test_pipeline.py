@@ -116,3 +116,28 @@ def test_frame_sample_plumbing(spark):
         assert min(f.frame_ts_ms for f in frames) == 0
     again = sorted(map(tuple, mm.frame_sample(video, fps=0.05).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_minhash_null_text_both_engines(spark):
+    """NULL text must not crash the pandas engine and both engines must
+    agree: the expression path drops null docs (md5(NULL) band keys
+    explode to nothing), so the hashlib path skips them too."""
+    from ticktock_spark.pipeline.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got_p = sorted(
+        (r["id_a"], r["id_b"], r["n_bands"])
+        for r in minhash_lsh_candidates(df, engine="pandas").collect()
+    )
+    got_s = sorted(
+        (r["id_a"], r["id_b"], r["n_bands"])
+        for r in minhash_lsh_candidates(df, engine="sql").collect()
+    )
+    assert got_p == got_s == [(1, 2, 4)]

@@ -135,3 +135,36 @@ def test_streaming_rollup(spark, put_dir):
     # hour 0: points at 0,20,40 min → values 0,1,2
     assert r["cnt"] == 3 and r["min"] == 0.0 and r["max"] == 2.0 and r["sum"] == 3.0
     assert r["tags"] == {"host": "a"}
+
+
+def test_kafka_records_to_datapoints(spark):
+    """Kafka production ingest (SURVEY §2.1, tcp.cpp:514-534 protocol
+    split): the record→datapoint transform is driven with a batch frame
+    shaped like Kafka's output (binary key/value), since no broker or
+    connector lives in this container — stream_kafka_lines shares this
+    exact transform after .load()."""
+    from ticktock_spark.streaming.ingest import kafka_records_to_datapoints
+
+    records = spark.createDataFrame(
+        [
+            (b"k1", b"put sys.cpu 1704067200000 1.5 host=a dc=east"),
+            (b"k2", b"put sys.cpu 1704067260000 2.5 host=b"),
+            (None, b"garbage line"),
+        ],
+        "key binary, value binary",
+    )
+    out = kafka_records_to_datapoints(records, fmt="put").collect()
+    assert len(out) == 2
+    by_ts = {r["ts"]: r for r in out}
+    assert by_ts[1704067200000]["tags"] == {"host": "a", "dc": "east"}
+    assert by_ts[1704067260000]["value"] == 2.5
+    assert str(by_ts[1704067200000]["dt"]) == "2024-01-01"
+    assert all(r["seq"] is not None for r in out)
+
+    influx = spark.createDataFrame(
+        [(None, b"env,room=a temp=21.5,hum=40 1704067200000000000")],
+        "key binary, value binary",
+    )
+    out2 = kafka_records_to_datapoints(influx, fmt="influx").collect()
+    assert {r["tags"]["_field"] for r in out2} == {"temp", "hum"}
+    assert all(r["ts"] == 1704067200000 for r in out2)

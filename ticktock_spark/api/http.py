@@ -37,7 +37,7 @@ from ticktock_spark.operators.aggregate import AGGREGATORS
 from ticktock_spark.plans.parser import parse_query_json, parse_query_params
 from ticktock_spark.plans.planner import TsdbContext
 from ticktock_spark.plans.shape import resultset_to_dict
-from ticktock_spark.plans.tagfilter import python_filter
+from ticktock_spark.plans.tagfilter import compile_tag_filters
 from ticktock_spark.schema import DATAPOINTS_SCHEMA
 from ticktock_spark.sources.parsers import (
     parse_influx_line,
@@ -60,11 +60,23 @@ FILTER_DESCRIPTIONS = {
 
 
 class TsdbStore:
-    """Base DataFrame + in-driver write buffer."""
+    """Base DataFrame + in-driver write buffer.
 
-    def __init__(self, spark: SparkSession, base: DataFrame | None = None):
+    ``table_path`` (optional) points at the dt-partitioned parquet table
+    backing ``base`` so admin compaction can rewrite partitions in place.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: DataFrame | None = None,
+        table_path: str | None = None,
+    ):
         self.spark = spark
         self.base = base
+        self.table_path = table_path
+        self.rollup_1h: DataFrame | None = None
+        self.rollup_1d: DataFrame | None = None
         self._buffer: list[Row] = []
         self._seq = 0
         self._lock = threading.Lock()
@@ -103,7 +115,15 @@ class TsdbStore:
         return df
 
     def context(self) -> TsdbContext:
-        return TsdbContext(self.dataframe())
+        return TsdbContext(self.dataframe(), self.rollup_1h, self.rollup_1d)
+
+    def materialize_rollups(self) -> None:
+        """Build + cache hourly/daily rollups from the current data (the
+        batch analogue of the reference's background rollup task)."""
+        ctx = TsdbContext(self.dataframe())
+        ctx.materialize_rollups()
+        self.rollup_1h = ctx.rollup_1h.cache()
+        self.rollup_1d = ctx.rollup_1d.cache()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -159,7 +179,9 @@ class _Handler(BaseHTTPRequestHandler):
     # -- POST --
     def do_POST(self):
         try:
-            route = urllib.parse.urlparse(self.path).path
+            parsed = urllib.parse.urlparse(self.path)
+            route = parsed.path
+            params = urllib.parse.parse_qs(parsed.query)
             body = self._body()
             if route == "/api/put":
                 text = body.decode()
@@ -185,10 +207,51 @@ class _Handler(BaseHTTPRequestHandler):
                 top = parse_query_json(json.loads(body or b"{}"))
                 results = self.store.context().execute(top)
                 self._send(200, [resultset_to_dict(r) for r in results])
+            elif route == "/api/admin":
+                self._admin(params)
             else:
                 self._send(404, {"error": f"no route {route}"})
         except Exception as e:  # noqa: BLE001
             self._send(500, {"error": str(e)})
+
+    def _admin(self, params) -> None:
+        """POST /api/admin?cmd=... (src/admin.cpp:52-156). Implemented:
+        ping → "pong" (admin.cpp:38), stat/cfg → the stats/config dumps,
+        rollup → materialize rollup tables (the reference schedules its
+        background rollup task), compact&dt=YYYY-MM-DD → rewrite that day
+        partition (needs a table_path-backed store). The ops commands the
+        Spark runtime replaces (append/cp/gc/log/stop) answer 400 like the
+        reference's error path for commands it cannot run."""
+        cmd = (params.get("cmd") or [None])[0]
+        if cmd is None:
+            self._send(400, {"error": "cmd missing"})
+        elif cmd == "ping":
+            self._send(200, b"pong", content_type="text/plain")
+        elif cmd == "stat":
+            self._send(200, {"buffered_points": len(self.store._buffer)})
+        elif cmd == "cfg":
+            conf = dict(self.store.spark.sparkContext.getConf().getAll())
+            self._send(200, {k: v for k, v in conf.items() if k.startswith("spark.sql")})
+        elif cmd == "rollup":
+            self.store.materialize_rollups()
+            self._send(200, {"rollup": "materialized"})
+        elif cmd == "compact":
+            if self.store.table_path is None:
+                self._send(400, {"error": "store has no table_path"})
+                return
+            dt = (params.get("dt") or [None])[0]
+            from ticktock_spark.maintenance import compact_partition, list_day_partitions
+
+            dts = [dt] if dt else list_day_partitions(self.store.table_path)
+            rows = {
+                d: compact_partition(self.store.spark, self.store.table_path, d)
+                for d in dts
+            }
+            self._send(200, {"compacted": rows})
+        elif cmd in ("append", "cp", "gc", "log", "stop"):
+            self._send(400, {"error": f"cmd {cmd} not applicable to the Spark runtime"})
+        else:
+            self._send(400, {"error": f"unrecognized cmd: {cmd}"})
 
     # -- metadata endpoints --
     def _suggest(self, params) -> list[str]:
@@ -226,14 +289,22 @@ class _Handler(BaseHTTPRequestHandler):
         df = self.store.dataframe()
         if metric and metric != "*":
             df = df.filter(F.col("metric") == metric)
+        if tag_filters:
+            # tag filters compile to Column predicates and run in the scan
+            # (pushdown/codegen) — only the matching, distinct series are
+            # collected; paging stays driver-side (query.cpp:1477-1602)
+            df = df.filter(compile_tag_filters(F.col("tags"), tag_filters))
         series = df.groupBy(
             "metric", F.map_entries("tags").alias("te")
         ).count().collect()
-        results = []
-        for r in series:
-            tags = {e["key"]: e["value"] for e in r["te"]}
-            if all(python_filter(v)(tags.get(k)) for k, v in tag_filters.items()):
-                results.append({"metric": r["metric"], "tags": tags, "tsuid": ""})
+        results = [
+            {
+                "metric": r["metric"],
+                "tags": {e["key"]: e["value"] for e in r["te"]},
+                "tsuid": "",
+            }
+            for r in series
+        ]
         results.sort(key=lambda s: (s["metric"], sorted(s["tags"].items())))
         page = results[start : start + limit]
         return {
@@ -249,8 +320,14 @@ class _Handler(BaseHTTPRequestHandler):
 class TsdbHttpServer:
     """ThreadingHTTPServer wrapper; serve_forever runs on a daemon thread."""
 
-    def __init__(self, spark: SparkSession, base: DataFrame | None = None, port: int = 0):
-        self.store = TsdbStore(spark, base)
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: DataFrame | None = None,
+        port: int = 0,
+        table_path: str | None = None,
+    ):
+        self.store = TsdbStore(spark, base, table_path=table_path)
         handler = type("BoundHandler", (_Handler,), {"store": self.store})
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
         self.port = self.httpd.server_address[1]

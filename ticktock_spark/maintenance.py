@@ -71,6 +71,11 @@ def compact_partition(
     atomic-ish swap), so cost is proportional to one day of data.
     """
     part_dir = Path(table_path) / f"dt={dt_val}"
+    old = part_dir.with_name(part_dir.name + ".compact-old")
+    # crash recovery: a previous run died between the two renames — the
+    # data is intact in .compact-old; restore it before proceeding
+    if old.is_dir() and not part_dir.is_dir():
+        old.rename(part_dir)
     if not part_dir.is_dir():
         raise FileNotFoundError(part_dir)
     df = spark.read.parquet(str(part_dir))
@@ -81,7 +86,6 @@ def compact_partition(
     for extra in tmp.iterdir():
         if not extra.name.endswith(".parquet") and extra.name != "_SUCCESS":
             extra.unlink()
-    old = part_dir.with_name(part_dir.name + ".compact-old")
     part_dir.rename(old)
     tmp.rename(part_dir)
     shutil.rmtree(old)

@@ -36,6 +36,12 @@ def top_bottom_n(
     last_k: int = 3,
     materialize: bool = True,
 ) -> DataFrame:
+    """``materialize=False`` when the caller already persists the input
+    (the planner does persist+unpersist around result assembly). With
+    ``materialize=True`` the cache entry lives until the returned frame
+    is garbage-collected (ContextCleaner unpersists it) — long-lived
+    sessions issuing many top-N queries should prefer the caller-managed
+    pattern."""
     if materialize:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy(*series_cols).orderBy(F.col(ts_col).desc())

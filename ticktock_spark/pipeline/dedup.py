@@ -120,6 +120,11 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
             keys: list[str] = []
             col = pdf["norm"] if k is not None else pdf["sh"]
             for doc_id, doc in zip(pdf[id_col], col):
+                if doc is None:
+                    # NULL text: the expression path yields NULL band keys
+                    # (md5 of NULL) which posexplode drops — match it by
+                    # emitting nothing instead of crashing on len(None)
+                    continue
                 if k is not None:
                     sh = set(doc[i : i + k] for i in range(max(len(doc) - k + 1, 1)))
                 else:

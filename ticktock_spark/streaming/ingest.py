@@ -30,6 +30,62 @@ FORMATS = {
 }
 
 
+def _finalize_datapoints(dps: DataFrame) -> DataFrame:
+    """Attach seq + dt to a parsed datapoint stream.
+
+    seq = micro-batch wall clock (µs): later batches win dedup ties,
+    matching last-write-wins at batch granularity. (The batch path uses
+    monotonically_increasing_id, which streaming disallows; the
+    reference's sub-batch tie-break is its page index, which has no
+    streaming analogue.)
+    """
+    return dps.withColumns(
+        {
+            "seq": F.unix_micros(F.current_timestamp()),
+            "dt": F.to_date(F.timestamp_millis(F.col("ts"))),
+        }
+    )
+
+
+def kafka_records_to_datapoints(records: DataFrame, fmt: str = "put") -> DataFrame:
+    """Kafka-shaped records (binary `value` column) → canonical datapoints.
+
+    One record = one protocol line; `fmt` selects the parser, mirroring
+    the reference's two-listener protocol split (`src/core/tcp.cpp:514-534`
+    port A = telnet put, port B line protocol via the TCS_SECOND flag;
+    `conf/tt.conf:11-16`). Factored out of stream_kafka_lines so tests can
+    drive it with a batch frame when no broker/connector is available.
+    """
+    lines = records.select(F.col("value").cast("string").alias("value"))
+    return _finalize_datapoints(FORMATS[fmt](lines))
+
+
+def stream_kafka_lines(
+    spark: SparkSession,
+    brokers: str,
+    topics: str,
+    fmt: str = "put",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Production ingest: Kafka topic(s) of protocol lines → canonical
+    datapoints stream (SURVEY §2.1 maps `tcp.cpp` listeners to "socket
+    (dev) or Kafka (prod)"). Exactly-once to the parquet sink comes from
+    the sink checkpoint tracking Kafka offsets — the streaming analogue of
+    the reference's WAL (`src/utils/append.cpp`).
+
+    Requires the spark-sql-kafka connector on the classpath; everything
+    after `.load()` is the same parser pipeline as file/socket ingest.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return kafka_records_to_datapoints(raw, fmt)
+
+
 def stream_put_lines(
     spark: SparkSession,
     path: str | None = None,
@@ -44,18 +100,7 @@ def stream_put_lines(
         lines = spark.readStream.format("socket").option("host", host).option("port", port).load()
     else:
         raise ValueError("need path or host/port")
-    dps = FORMATS[fmt](lines)
-    # seq = micro-batch wall clock (µs): later batches win dedup ties,
-    # matching last-write-wins at batch granularity. (The batch path uses
-    # monotonically_increasing_id, which streaming disallows; the
-    # reference's sub-batch tie-break is its page index, which has no
-    # streaming analogue.)
-    return dps.withColumns(
-        {
-            "seq": F.unix_micros(F.current_timestamp()),
-            "dt": F.to_date(F.timestamp_millis(F.col("ts"))),
-        }
-    )
+    return _finalize_datapoints(FORMATS[fmt](lines))
 
 
 def write_datapoints_stream(
