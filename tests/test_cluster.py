@@ -1,0 +1,116 @@
+"""Connected components (large-star/small-star) vs a brute-force
+union-find, plus the sampling/splitting and sessionization operators."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ticktock_spark.pipeline.cluster import connected_components, dedup_clusters
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id label per node
+    return {n: find(n) for n in parent}
+
+
+def _labels(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = connected_components(df).collect()
+    lab = {r["node"]: r["cluster_id"] for r in got}
+    assert len(got) == len(lab), "duplicate node labels emitted"
+    return lab
+
+
+def test_cc_chain_and_star(spark):
+    # a chain (worst case for naive propagation), a clique, a self-pair
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 20)]
+    lab = _labels(spark, pairs)
+    assert {lab[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {lab[i] for i in (10, 11, 12)} == {10}
+    # self-pairs carry no linkage and are dropped — 20 is a singleton,
+    # labeled (like all singletons) by dedup_clusters' docs join
+    assert 20 not in lab
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cc_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    nodes = rng.sample(range(1000), 60)
+    pairs = [tuple(rng.sample(nodes, 2)) for _ in range(70)]
+    assert _labels(spark, pairs) == _union_find(pairs)
+
+
+def test_dedup_clusters_singletons_and_sizes(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    got = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert {i: got[i]["cluster_id"] for i in range(6)} == {
+        0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1,
+    }
+    assert got[3]["cluster_size"] == 3 and not got[3]["is_canonical"]
+    assert got[1]["is_canonical"] and got[0]["is_canonical"]
+    assert sum(1 for r in got.values() if r["is_canonical"]) == 4
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    from ticktock_spark.pipeline.sample import hash_sample, split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = sorted(r["doc_id"] for r in hash_sample(df, 0.3).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df.repartition(7), 0.3).collect())
+    assert a == b, "sampling must not depend on partitioning"
+    assert 0.25 < len(a) / 2000 < 0.35
+    # rate edges
+    assert hash_sample(df, 0.0).count() == 0
+    assert hash_sample(df, 1.0).count() == 2000
+
+    out = split_assign(df, {"train": 8, "valid": 1, "test": 1}).groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in out.collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1400  # ~1600 expected
+    # splits are disjoint by construction (single assignment column); the
+    # stable-under-growth property: a subset keeps its assignments
+    sub = split_assign(df.filter("doc_id < 500"), {"train": 8, "valid": 1, "test": 1})
+    full = split_assign(df, {"train": 8, "valid": 1, "test": 1}).filter("doc_id < 500")
+    assert sorted(map(tuple, sub.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_sessionize_gap_boundaries(spark):
+    from ticktock_spark.pipeline.sessions import session_stats, sessionize
+
+    M = 60_000_000  # µs per minute
+    rows = [
+        # user 7: events at t=0, 10min, 45min (gap 35min > 30min → new session)
+        (1, 0, 7, 1.0),
+        (2, 10 * M // 1000, 7, 2.0),  # ts in ms here? use epoch-ms longs
+        (3, 45 * M // 1000, 7, 3.0),
+        # user 8: single event
+        (4, 0, 8, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, value double")
+    s = sessionize(df, gap_ms=30 * 60_000)
+    idx = {r["event_id"]: r["session_idx"] for r in s.collect()}
+    assert idx == {1: 1, 2: 1, 3: 2, 4: 1}
+    stats = session_stats(df, gap_ms=30 * 60_000)
+    r = {(x["user_id"], x["session_idx"]): x for x in stats.collect()}
+    assert r[(7, 1)]["n_events"] == 2 and r[(7, 1)]["sum_value"] == 3.0
+    assert r[(7, 1)]["duration_us"] == 10 * M
+    assert r[(7, 2)]["n_events"] == 1 and r[(8, 1)]["sum_value"] == 9.0

@@ -168,3 +168,34 @@ def test_kafka_records_to_datapoints(spark):
     out2 = kafka_records_to_datapoints(influx, fmt="influx").collect()
     assert {r["tags"]["_field"] for r in out2} == {"temp", "hum"}
     assert all(r["ts"] == 1704067200000 for r in out2)
+
+
+def test_streaming_rate_counter_defaults():
+    """Counter semantics match operators/rate.py and rate.cpp:60-77
+    (ADVICE r01): counter_max=None defaults to 2^64 (no TypeError on the
+    first wrap) and reset_value=0 means disabled, not zero-every-wrap.
+    Drives the pandas kernel directly — no Spark session needed."""
+    import pandas as pd
+
+    from ticktock_spark.streaming.rate import _make_rate_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    def run(**kw):
+        fn = _make_rate_fn(**kw)
+        pdf = pd.DataFrame({"ts": [1000, 2000, 3000], "value": [10.0, 3.0, 5.0]})
+        out = list(fn(("m", "s"), iter([pdf]), FakeState()))
+        return dict(zip(out[0]["ts"], out[0]["value"]))
+
+    # wrap at ts=2000: (2^64 - 10 + 3) / 1 — huge positive, no crash
+    got = run(counter=True, counter_max=None, drop_resets=False, reset_value=None)
+    assert got[2000] == float(2**64) - 7.0 and got[3000] == 2.0
+    # reset_value=0 is DISABLED (rate.cpp: m_reset_value != 0) — same output
+    assert run(counter=True, counter_max=None, drop_resets=False, reset_value=0) == got
+    # a real reset_value zeroes wraps exceeding it
+    got = run(counter=True, counter_max=100.0, drop_resets=False, reset_value=50.0)
+    assert got[2000] == 0.0 and got[3000] == 2.0

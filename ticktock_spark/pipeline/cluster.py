@@ -1,0 +1,140 @@
+"""Connected components over near-duplicate pairs → dedup clusters.
+
+Pair-emitting dedup (MinHash-LSH → Jaccard verify, SimHash, embedding
+near-dup) is only half the job: to actually deduplicate a corpus the
+pairs must be closed into clusters and one canonical doc kept per
+cluster. This module does that closure with the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) — the standard O(log n)-round,
+shuffle-bounded formulation:
+
+  large-star: every node points its LARGER neighbors at the minimum of
+              its neighborhood (incl. itself);
+  small-star: every node points its smaller neighbors (and itself) at
+              that minimum.
+
+Each round is a groupBy-min + co-partitioned join — state per node is
+one long, no adjacency lists are ever collected (no collect_set, no
+driver participation), so a degree-10^7 node (an exact-dup mega cluster)
+costs a hash-agg, not a memory blowup. Rounds converge in O(log n);
+real near-dup graphs (many small clusters + a few stars) converge in
+2-4 rounds. Lineage is truncated per round with localCheckpoint so the
+plan doesn't grow unboundedly.
+
+At convergence every component is a star centered at its minimum node
+id — the cluster id. This matches the greedy min-id canonicalization the
+reference-style dedup pipelines use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # symmetrize; m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient u > v; m(u) = min(N(u)); emit (x, m(u)) for x ∈ N(u) ∪ {u}, x ≠ m
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    neigh = (
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return neigh.union(self_edge)
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    return (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id_a, id_b) undirected pairs → (node, cluster_id) with
+    cluster_id = min node id in the component. Only nodes appearing in
+    a real (non-self) pair are emitted — self-pairs carry no linkage and
+    singletons are trivially their own cluster; callers left-join if they
+    need them labeled (dedup_clusters does).
+
+    Convergence check: canonical edge count + xxhash64 checksum stable
+    across a round. Each check is one action over the (node, min)-sized
+    frame — small relative to a round's shuffles.
+    """
+    edges = _canon(
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    ).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _canon(_small_star(_large_star(edges))).localCheckpoint()
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: sum of 64-bit hashes overflows long
+            # under ANSI mode; decimal(38,0) absorbs any realistic count
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
+        ).collect()[0]
+        sig = (sig["n"], sig["chk"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # stars: u > v = center. members = u side; centers label themselves.
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    centers = edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")).distinct()
+    return members.union(centers)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full closure: near-dup pairs → (doc_id, cluster_id, cluster_size,
+    is_canonical). Docs with no pair are singleton clusters of
+    themselves. Downstream dedup = ``filter(is_canonical)``.
+
+    The docs join is a broadcast-or-shuffle on id — at 100 TB the pair
+    graph is tiny relative to the corpus (near-dup rate ≪ 1), so AQE
+    broadcasts the labels side.
+    """
+    labels = connected_components(pairs, src, dst)
+    joined = docs.select(F.col(id_col).cast("long").alias("node")).join(
+        labels, "node", "left"
+    )
+    labeled = joined.select(
+        F.col("node").alias(id_col),
+        F.coalesce("cluster_id", "node").alias("cluster_id"),
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )

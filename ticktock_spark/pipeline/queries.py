@@ -501,3 +501,232 @@ def q42(spark, sf_dir):
     media = mm.attach_fake_media(d)
     out = mm.decode_and_featurize(media)
     return out.select("doc_id", "width", "height", q6(F.col("mean_byte")).alias("mean_byte"))
+
+
+# ---------------------------------------------------------------------------
+# sampling / splitting (pipeline/sample.py)
+# ---------------------------------------------------------------------------
+
+from ticktock_spark.pipeline import cluster as cl  # noqa: E402
+from ticktock_spark.pipeline import sample as sp  # noqa: E402
+from ticktock_spark.pipeline import sessions as ss  # noqa: E402
+
+_RATES = {"en": 0.5, "zh": 0.25}
+_DEFAULT_RATE = 1.0
+
+
+def _strat_case() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{v}' THEN '{sp._thr(r)}'" for v, r in sorted(_RATES.items())
+    )
+    return f"CASE {arms} ELSE '{sp._thr(_DEFAULT_RATE)}' END"
+
+
+@register(
+    "q44_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8) < {_strat_case()}
+    """,
+)
+def q44(spark, sf_dir):
+    """Deterministic per-language downsampling (keep 50% en, 25% zh,
+    100% tail) — pure scan-side md5-threshold filter, no shuffle, stable
+    under retries/repartitioning (pipeline/sample.py)."""
+    d = _table(spark, sf_dir, "documents")
+    return sp.stratified_sample(
+        d, rates=_RATES, strata_col="lang", default_rate=_DEFAULT_RATE
+    ).select("doc_id", "lang", "source")
+
+
+_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _split_case() -> str:
+    arms, prev = [], None
+    for name, hi in sp.split_boundaries(_WEIGHTS):
+        h = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        cond = f"{h} < '{hi}'" if hi != "g" * 8 else "TRUE"
+        arms.append(f"WHEN {cond} THEN '{name}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+@register(
+    "q45_train_test_split",
+    f"""
+    WITH s AS (SELECT lang, n_chars, {_split_case()} AS split FROM documents)
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q45(spark, sf_dir):
+    """Deterministic train/valid/test assignment (80/10/10 by hashed id;
+    contiguous hash ranges in sorted-name order) + per-split language
+    composition. Adding documents never reassigns existing ones."""
+    d = _table(spark, sf_dir, "documents")
+    out = sp.split_assign(d, _WEIGHTS)
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (pipeline/sessions.py, events table)
+# ---------------------------------------------------------------------------
+
+_GAP_MS = 14_400_000  # 4h
+
+
+@register(
+    "q46_sessionize",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_MS * 1000}
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    si AS (
+      SELECT user_id, us, value,
+             CAST(1 + sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM s
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(us) AS start_us, max(us) AS end_us,
+           max(us) - min(us) AS duration_us,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM si GROUP BY 1, 2
+    """,
+)
+def q46(spark, sf_dir):
+    """Gap-based sessionization (4h gap) + per-session stats — one
+    shuffle keyed by user_id shared by the lag window, the running-sum
+    session index, and the aggregation (pipeline/sessions.py)."""
+    e = _table(spark, sf_dir, "events")
+    return ss.session_stats(e, gap_ms=_GAP_MS)
+
+
+# ---------------------------------------------------------------------------
+# corpus curation (pipeline/text.py additions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q47_quality_topk_per_lang",
+    f"""
+    WITH s AS (
+      SELECT lang, doc_id, {_TOKS} AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST({_PUNCT} AS DOUBLE) / length(text) END AS pr,
+             {_SW['en']} AS sw
+      FROM documents
+    ),
+    q AS (
+      SELECT lang, doc_id,
+             {_Q6.format(x='''greatest(0.0, least(1.0,
+               0.5 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE) / n_tokens END) * 5.0
+               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.2 * (1.0 - pr * 4.0)))''')} AS quality
+      FROM s
+    )
+    SELECT lang, rank, doc_id, quality FROM (
+      SELECT lang, doc_id, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rank
+      FROM q
+    ) WHERE rank <= 10
+    """,
+)
+def q47(spark, sf_dir):
+    """Top-10 docs per language by quality score (corpus curation).
+    Ranks on the 6-decimal-canonical score so cross-engine ordering is
+    pinned; ties break by doc_id (pipeline/text.py
+    quality_topk_per_stratum ranks the same way via its q6-scored twin
+    here)."""
+    from pyspark.sql import Window
+
+    d = _table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang", "doc_id", q6(tx.quality_score(F.col("text"))).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "doc_id", "quality")
+    )
+
+
+@register(
+    "q48_token_histogram",
+    f"""
+    WITH s AS (SELECT {_TOKS} AS t FROM documents),
+    b AS (SELECT CASE WHEN t <= 0 THEN 0 ELSE length(bin(t)) END AS bucket, t FROM s)
+    SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS sum_tokens,
+           min(t) AS min_tokens, max(t) AS max_tokens
+    FROM b GROUP BY 1
+    """,
+)
+def q48(spark, sf_dir):
+    """Token-count histogram in power-of-two buckets (bucket = bit length
+    of the count — integer-exact, no float log2); single scan + tiny agg
+    (pipeline/text.py token_histogram)."""
+    d = _table(spark, sf_dir, "documents")
+    return tx.token_histogram(d)
+
+
+# ---------------------------------------------------------------------------
+# dedup closure: pairs → clusters (pipeline/cluster.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q49_dedup_clusters",
+    "WITH RECURSIVE "
+    + _minhash_cte().replace("\n    WITH ", "")
+    + f"""
+    , j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ),
+    pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    walk(node, lbl) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node WHERE w.lbl < e.v
+    ),
+    lab AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM labeled GROUP BY cluster_id)
+    SELECT doc_id, labeled.cluster_id, cluster_size,
+           doc_id = labeled.cluster_id AS is_canonical
+    FROM labeled JOIN sizes USING (cluster_id)
+    """,
+)
+def q49(spark, sf_dir):
+    """The dedup CLOSURE: MinHash-LSH candidates → Jaccard ≥ 0.5 verify →
+    connected components (large-star/small-star, O(log n) rounds of
+    groupBy-min — no adjacency lists, no driver) → every doc labeled with
+    its cluster (min doc_id), cluster size, canonical flag. Downstream
+    dedup = filter(is_canonical). The oracle closes the same pairs with a
+    recursive CTE; min-label propagation prunes to lbl < target, which is
+    lossless because only the component minimum survives the final
+    group-min."""
+    d = _table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
+    verified = dd.verify_jaccard(d, cand, threshold=0.5)
+    return cl.dedup_clusters(d, verified.select("id_a", "id_b"))

@@ -1,0 +1,115 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+All operators here are pure scan-side Column expressions: the sampling
+decision for a row is a function of md5(seed || ':' || id) alone, so
+
+- no shuffle, no state, no RNG — the filter runs inside whole-stage
+  codegen at the scan and composes with parquet predicate/column pruning;
+- the same row always lands in the same sample/split regardless of
+  partitioning, executor count, or retries (idempotent under task
+  re-execution — critical at 100 TB where stragglers re-run);
+- adding data never reassigns existing rows (stable train/test splits
+  across dataset versions).
+
+Mechanism: the first 8 hex chars of md5 are a uniform draw over
+[0, 16^8); a rate r keeps rows whose hex prefix is lexicographically
+below the 8-hex threshold floor(r * 16^8). Pure string comparison —
+bit-identical in any engine with md5 (the DuckDB oracles in
+pipeline/queries.py embed the same thresholds as literals).
+
+The reference has no sampling surface (it is a TSDB); these are the
+beyond-reference operators SURVEY §7 phase 11 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SPACE = 16**8  # 8 hex chars
+
+
+def hash_hex(id_col: Column, seed: str = "s0") -> Column:
+    """The uniform 8-hex draw for a row id. Shared by all operators so
+    sample/split decisions are consistent for the same (seed, id)."""
+    return F.substring(F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string"))), 1, 8)
+
+
+def _thr(rate: float) -> str:
+    # 'ffffffff' < 'g', so 'gggggggg' keeps everything (rate 1.0) and
+    # '00000000' keeps nothing (every draw is >= it ... draws start at
+    # '00000000' so rate 0 must compare strictly below).
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    if rate >= 1.0:
+        return "g" * 8
+    return format(int(rate * _SPACE), "08x")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", seed: str = "s0"
+) -> DataFrame:
+    """Keep a deterministic ~rate fraction of rows, keyed by id."""
+    return df.filter(hash_hex(F.col(id_col), seed) < F.lit(_thr(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    downsample dominant languages, keep the tail). One scan, no shuffle:
+    the stratum column picks the threshold via a CASE chain and the hash
+    filter runs scan-side. Skew-proof by construction — there is no
+    groupBy on the stratum, so a 90%-English corpus costs the same as a
+    uniform one."""
+    thr: Column = F.lit(_thr(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(_thr(rate))).otherwise(thr)
+    return df.filter(hash_hex(F.col(id_col), seed) < thr)
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint split assignment (train/valid/test).
+
+    Weights are normalized; split names are assigned to contiguous
+    [lo, hi) hash ranges in sorted-name order so the mapping is stable
+    and engine-independent. Every row gets exactly one split.
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive number")
+    names = sorted(weights)
+    cum = 0.0
+    expr: Column | None = None
+    h = hash_hex(F.col(id_col), seed)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = h < F.lit(_thr(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def split_boundaries(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, upper-threshold-hex) pairs in assignment order — used by the
+    DuckDB oracle to embed the identical CASE chain."""
+    total = sum(weights.values())
+    names = sorted(weights)
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, _thr(cum)))
+    out.append((names[-1], "g" * 8))
+    return out

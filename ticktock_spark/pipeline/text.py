@@ -114,3 +114,58 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def quality_topk_per_stratum(
+    df: DataFrame,
+    k: int = 10,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per stratum by quality score (corpus curation: keep the
+    best k documents per language / source / domain).
+
+    One shuffle keyed by the stratum. rank() runs inside the per-stratum
+    sort; Catalyst plans a WindowExec over a single Exchange. With few
+    strata and huge rows-per-stratum the sort dominates — at that scale
+    pre-filter with an approximate per-stratum quality cutoff
+    (approxQuantile on a sample) so the window only sorts survivors;
+    for the corpus sizes where k << n this exact form is the right
+    default because the filter it feeds is usually the next scan anyway.
+    Ties break by id for determinism.
+    """
+    t = F.col(text_col)
+    from pyspark.sql import Window
+
+    scored = df.select(
+        F.col(strata_col), F.col(id_col), quality_score(t).alias("__q")
+    )
+    w = Window.partitionBy(strata_col).orderBy(F.col("__q").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(strata_col, "rank", id_col, F.col("__q").alias("quality"))
+    )
+
+
+def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-count distribution in power-of-two buckets.
+
+    bucket = number of binary digits of the token count (0 tokens →
+    bucket 0): integer-exact in any engine (no float log2), so the oracle
+    matches bit-for-bit. Single scan + a tiny (≤ ~40 row) aggregation —
+    the shuffle carries one row per bucket per partition.
+    """
+    toks = token_count(F.col(text_col))
+    bucket = F.when(toks <= 0, F.lit(0)).otherwise(F.length(F.bin(toks)))
+    return (
+        df.select(bucket.cast("int").alias("bucket"), toks.alias("__t"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("sum_tokens"),
+            F.min("__t").alias("min_tokens"),
+            F.max("__t").alias("max_tokens"),
+        )
+    )
