@@ -182,3 +182,23 @@ def test_lookup_filter_pushdown(server, monkeypatch):
     look = _get(server, "/api/search/lookup?m=test.metric%7Bhost=host2%7D")
     assert look["totalResults"] == 1
     assert look["results"][0]["tags"]["host"] == "host2"
+
+
+def test_http_response_too_large_413(spark):
+    """Over-cap query responses answer 413 with an empty plain body —
+    the reference's fixed response buffer overflow (query.cpp:1641-1646);
+    under-cap responses are unaffected."""
+    import urllib.error
+
+    srv = TsdbHttpServer(spark, max_response_bytes=64).start()
+    try:
+        _post(srv, "/api/put", "put big.metric 1704067200 10 host=h1\n"
+                               "put big.metric 1704067260 20 host=h1\n")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/api/query?start=1704067000&end=1704068000&m=avg:big.metric")
+        assert ei.value.code == 413
+        assert ei.value.read() == b""
+        # a tiny response (no series matched -> []) still fits
+        assert _get(srv, "/api/query?start=1&end=2&m=avg:big.metric") == []
+    finally:
+        srv.stop()

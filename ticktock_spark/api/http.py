@@ -71,10 +71,14 @@ class TsdbStore:
         spark: SparkSession,
         base: DataFrame | None = None,
         table_path: str | None = None,
+        max_response_bytes: int | None = None,
     ):
         self.spark = spark
         self.base = base
         self.table_path = table_path
+        # response size cap, the analogue of the reference's fixed response
+        # buffer (query.cpp:1641-1646: overflow → 413) — None = unlimited
+        self.max_response_bytes = max_response_bytes
         self.rollup_1h: DataFrame | None = None
         self.rollup_1d: DataFrame | None = None
         self._buffer: list[Row] = []
@@ -170,11 +174,25 @@ class _Handler(BaseHTTPRequestHandler):
             elif route == "/api/query":
                 top = parse_query_params(params)
                 results = self.store.context().execute(top)
-                self._send(200, [resultset_to_dict(r) for r in results])
+                self._send_query_results(results)
             else:
                 self._send(404, {"error": f"no route {route}"})
+        except MemoryError:
+            # query.cpp:1630-1632: ENOMEM → 503, empty plain body
+            self._send(503, b"", content_type="text/plain")
         except Exception as e:  # noqa: BLE001 — HTTP boundary
             self._send(500, {"error": str(e)})
+
+    def _send_query_results(self, results) -> None:
+        """Serialize query results; over-cap responses answer 413 with an
+        empty plain body, matching the reference's fixed-buffer overflow
+        path (query.cpp:1641-1646)."""
+        body = json.dumps([resultset_to_dict(r) for r in results]).encode()
+        cap = self.store.max_response_bytes
+        if cap is not None and len(body) > cap:
+            self._send(413, b"", content_type="text/plain")
+        else:
+            self._send(200, body)
 
     # -- POST --
     def do_POST(self):
@@ -206,11 +224,13 @@ class _Handler(BaseHTTPRequestHandler):
             elif route == "/api/query":
                 top = parse_query_json(json.loads(body or b"{}"))
                 results = self.store.context().execute(top)
-                self._send(200, [resultset_to_dict(r) for r in results])
+                self._send_query_results(results)
             elif route == "/api/admin":
                 self._admin(params)
             else:
                 self._send(404, {"error": f"no route {route}"})
+        except MemoryError:
+            self._send(503, b"", content_type="text/plain")
         except Exception as e:  # noqa: BLE001
             self._send(500, {"error": str(e)})
 
@@ -326,8 +346,11 @@ class TsdbHttpServer:
         base: DataFrame | None = None,
         port: int = 0,
         table_path: str | None = None,
+        max_response_bytes: int | None = None,
     ):
-        self.store = TsdbStore(spark, base, table_path=table_path)
+        self.store = TsdbStore(
+            spark, base, table_path=table_path, max_response_bytes=max_response_bytes
+        )
         handler = type("BoundHandler", (_Handler,), {"store": self.store})
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
         self.port = self.httpd.server_address[1]
