@@ -81,22 +81,34 @@ def connected_components(
     need them labeled (dedup_clusters does).
 
     Convergence check: canonical edge count + xxhash64 checksum stable
-    across a round. Each check is one action over the (node, min)-sized
-    frame — small relative to a round's shuffles.
+    across a round (collision odds negligible; a false positive would
+    need two different edge sets with equal count AND equal hash sum).
+
+    Iteration pattern: each round's edge set is lazily
+    localCheckpoint'ed and then materialized by the SAME action that
+    computes the convergence signature — one Spark job per round, and
+    the checkpoint physically truncates lineage (a star-graph round
+    references its input twice, so without truncation the plan tree
+    grows exponentially; plain persist() only caches the physical scan,
+    the logical tree still explodes).
     """
-    edges = _canon(
-        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-    ).localCheckpoint()
-    prev_sig = None
-    for _ in range(max_iter):
-        edges = _canon(_small_star(_large_star(edges))).localCheckpoint()
-        sig = edges.agg(
+
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal accumulator: sum of 64-bit hashes overflows long
             # under ANSI mode; decimal(38,0) absorbs any realistic count
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
         ).collect()[0]
-        sig = (sig["n"], sig["chk"])
+        return (r["n"], r["chk"])
+
+    edges = _canon(
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    ).localCheckpoint(eager=False)
+    prev_sig = _sig(edges)  # materializes the checkpoint
+    for _ in range(max_iter):
+        edges = _canon(_small_star(_large_star(edges))).localCheckpoint(eager=False)
+        sig = _sig(edges)
         if sig == prev_sig:
             break
         prev_sig = sig

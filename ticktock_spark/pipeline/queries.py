@@ -730,3 +730,55 @@ def q49(spark, sf_dir):
     cand = dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
     verified = dd.verify_jaccard(d, cand, threshold=0.5)
     return cl.dedup_clusters(d, verified.select("id_a", "id_b"))
+
+
+_COS_AB = (
+    "(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, len(a.embedding))]))"
+    " / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, len(a.embedding))]))"
+    " * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, len(b.embedding))])))"
+)
+
+
+@register(
+    "q50_embedding_dedup_clusters",
+    f"""
+    WITH RECURSIVE a AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM a, a b
+      WHERE a.vec_id < b.vec_id AND {_COS_AB} >= 0.6
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    walk(node, lbl) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node WHERE w.lbl < e.v
+    ),
+    lab AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    labeled AS (
+      SELECT v.vec_id, coalesce(l.cluster_id, v.vec_id) AS cluster_id
+      FROM a v LEFT JOIN lab l ON l.node = v.vec_id
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM labeled GROUP BY cluster_id)
+    SELECT vec_id, labeled.cluster_id, cluster_size,
+           vec_id = labeled.cluster_id AS is_canonical
+    FROM labeled JOIN sizes USING (cluster_id)
+    """,
+)
+def q50(spark, sf_dir):
+    """Semantic (embedding) dedup end-to-end: cosine ≥ 0.6 near-dup
+    pairs (distributed block-pair kernel, pipeline/similarity.py) closed
+    into clusters by the same connected-components operator as the
+    textual path (q49) — one canonical vector per semantic group. At
+    100 TB the pair source swaps to the SRP/IVF-bucketed kernel; the
+    closure is unchanged."""
+    e = _table(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_neardup_pairs(e, threshold=0.6)
+    return cl.dedup_clusters(
+        e.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
