@@ -141,3 +141,35 @@ def test_minhash_null_text_both_engines(spark):
         for r in minhash_lsh_candidates(df, engine="sql").collect()
     )
     assert got_p == got_s == [(1, 2, 4)]
+
+
+def test_ivf_index_persistence_and_pruning(spark, tmp_path):
+    """write_ivf_index lays vectors out partitioned by bucket;
+    ivf_index_knn's probe becomes a literal partition filter, so the
+    scan reads ONLY the probed directories — and results equal the
+    in-memory ivf_knn on the same corpus."""
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = corpus.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(corpus, path)
+
+    got = sim.ivf_index_knn(spark, path, queries, k=5, nprobe=2)
+    exp = sim.ivf_knn(corpus, queries, k=5, nprobe=2)
+    key = lambda r: (r["query_id"], r["rank"])
+    g = sorted(((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in got.collect()))
+    e = sorted(((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in exp.collect()))
+    assert g == e and len(g) == 15
+
+    # pruning proof: the literal IN predicate lands in the parquet
+    # scan's PartitionFilters (inputFiles() lists pre-pruning, so read
+    # the physical plan instead)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    part_filters = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln and "label" in ln
+    ]
+    assert part_filters and all("IN" in ln.upper() for ln in part_filters), plan[:2000]

@@ -199,3 +199,55 @@ def test_streaming_rate_counter_defaults():
     # a real reset_value zeroes wraps exceeding it
     got = run(counter=True, counter_max=100.0, drop_resets=False, reset_value=50.0)
     assert got[2000] == 0.0 and got[3000] == 2.0
+
+
+def test_streaming_sessionization(spark, tmp_path):
+    """session_window sessions close after the gap: events 0/10min and a
+    40-min-later one split into two sessions for user 7; session_window's
+    end = last event + gap."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.sessions import streaming_session_stats
+
+    T = 1_704_067_200  # epoch sec
+    M = 60
+    rows = [
+        {"event_id": 1, "ts": T, "user_id": 7, "value": 1.5},
+        {"event_id": 2, "ts": T + 10 * M, "user_id": 7, "value": 2.0},
+        {"event_id": 3, "ts": T + 50 * M, "user_id": 7, "value": 3.0},
+        {"event_id": 4, "ts": T, "user_id": 8, "value": 9.0},
+        # sentinel far in the future: advances the watermark past every
+        # other session's close so append mode emits them (its own
+        # session stays open and is NOT emitted)
+        {"event_id": 5, "ts": T + 3 * 3600, "user_id": 99, "value": 0.0},
+    ]
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    events = (
+        spark.readStream.schema("event_id long, ts long, user_id long, value double")
+        .json(str(tmp_path / "in"))
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    out = streaming_session_stats(events, gap_ms=30 * 60_000, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start_us"]): r
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    US = 1_000_000
+    s1 = got[(7, T * US)]
+    assert s1["n_events"] == 2 and s1["sum_value"] == 3.5
+    assert s1["end_us"] == (T + 10 * M + 30 * M) * US  # last event + gap
+    s2 = got[(7, (T + 50 * M) * US)]
+    assert s2["n_events"] == 1 and s2["sum_value"] == 3.0
+    assert got[(8, T * US)]["n_events"] == 1
