@@ -113,6 +113,26 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
     n_digests = (num_hashes + 3) // 4
     seeds = [f"{d}:".encode() for d in range(n_digests)]
 
+    md5 = hashlib.md5
+    slices = [(j * 8, j * 8 + 8) for j in range(num_hashes)]
+    # shingle → its num_hashes hex pieces, cached across the partition:
+    # natural-language 5-gram vocabulary is FAR smaller than the total
+    # shingle instance count ("the q" recurs in every batch), so the
+    # cache converts most md5 work into a dict hit. Capped so a
+    # pathological high-entropy corpus can't grow it unboundedly.
+    cache: dict[str, tuple] = {}
+
+    def _pieces(s: str) -> tuple:
+        p = cache.get(s)
+        if p is None:
+            sb = s.encode()
+            cat = "".join(md5(seed + sb).hexdigest() for seed in seeds)
+            p = tuple(cat[a:b] for a, b in slices)
+            if len(cache) > 2_000_000:
+                cache.clear()
+            cache[s] = p
+        return p
+
     def stage(pdfs):
         for pdf in pdfs:
             ids: list = []
@@ -129,21 +149,16 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
                     sh = set(doc[i : i + k] for i in range(max(len(doc) - k + 1, 1)))
                 else:
                     sh = doc
-                minima = ["g"] * num_hashes
-                for s in sh:
-                    sb = s.encode()
-                    cat = "".join(
-                        hashlib.md5(seed + sb).hexdigest() for seed in seeds
-                    )
-                    for j in range(num_hashes):
-                        piece = cat[j * 8 : j * 8 + 8]
-                        if piece < minima[j]:
-                            minima[j] = piece
+                if sh:
+                    # min per hash over all shingles, in C (zip + min)
+                    minima = [min(c) for c in zip(*(_pieces(s) for s in sh))]
+                else:
+                    minima = ["g"] * num_hashes
                 for b in range(bands):
                     sig_slice = "".join(minima[b * rows : (b + 1) * rows])
                     ids.append(doc_id)
                     band_idx.append(b)
-                    keys.append(hashlib.md5(f"b{b}:{sig_slice}".encode()).hexdigest())
+                    keys.append(md5(f"b{b}:{sig_slice}".encode()).hexdigest())
             yield pd.DataFrame({id_col: ids, "band": band_idx, "key": keys})
 
     return stage
