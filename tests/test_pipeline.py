@@ -173,3 +173,51 @@ def test_ivf_index_persistence_and_pruning(spark, tmp_path):
         ln for ln in plan.splitlines() if "PartitionFilters" in ln and "label" in ln
     ]
     assert part_filters and all("IN" in ln.upper() for ln in part_filters), plan[:2000]
+
+
+def test_pii_redact(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@ex-ample.co.uk or call 12345678 now"),
+         (2, "clean text 123 only")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.pii_redact(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_longnum"] == 1
+    assert got[1]["redacted"] == "mail <EMAIL> or call <NUM> now"
+    assert got[2]["redacted"] == "clean text 123 only"  # short digits kept
+
+
+def test_token_chunks_overlap(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, ""), (3, "a b")],
+                               "doc_id long, text string")
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in tx.token_chunks(df, chunk_tokens=64, stride=48).collect()
+    )
+    # doc 1: 100 tokens -> ceil(100/48)=3 chunks: [0..63], [48..99], [96..99]
+    d1 = [r for r in rows if r[0] == 1]
+    assert [(r[1], r[2]) for r in d1] == [(0, 64), (1, 52), (2, 4)]
+    assert d1[0][3].split()[48:] == d1[1][3].split()[:16]  # 16-token overlap
+    assert d1[2][3] == "w96 w97 w98 w99"
+    assert not [r for r in rows if r[0] == 2]  # empty doc: no chunks
+    assert [(r[1], r[2]) for r in rows if r[0] == 3] == [(0, 2)]
+
+
+def test_repetition_score(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "spam ham " * 10), (2, "all words here are distinct tokens"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.repetition_score(df).collect()}
+    # doc 1: 20 tokens -> 19 bigrams; "spam ham" occurs 10x
+    assert got[1]["n_bigrams"] == 19 and got[1]["top_bigram_count"] == 10
+    assert abs(got[1]["rep_ratio"] - 10 / 19) < 1e-12
+    assert got[2]["top_bigram_count"] == 1
+    assert got[3]["n_bigrams"] == 0 and got[3]["rep_ratio"] == 0.0

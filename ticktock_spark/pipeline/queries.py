@@ -782,3 +782,109 @@ def q50(spark, sf_dir):
     return cl.dedup_clusters(
         e.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene: PII redaction, chunking, repetition (pipeline/text.py)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_LONGNUM_RE = "\\b\\d{6,}\\b"
+
+
+@register(
+    "q52_pii_redact",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_EMAIL_RE}', 0)) AS n_email,
+             len(regexp_extract_all(text, '{_LONGNUM_RE}', 0)) AS n_longnum,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_LONGNUM_RE}', '<NUM>', 'g') AS red
+      FROM documents
+    )
+    SELECT doc_id, n_email, n_longnum, md5(red) AS redacted_md5 FROM r
+    """,
+)
+def q52(spark, sf_dir):
+    """PII scrubbing (emails, long digit runs) — scan-side RE2-compatible
+    regexp_replace; redacted text pinned by md5 so the driver compare
+    stays small (pipeline/text.py pii_redact)."""
+    d = _table(spark, sf_dir, "documents")
+    out = tx.pii_redact(d)
+    return out.select(
+        "doc_id", "n_email", "n_longnum", F.md5("redacted").alias("redacted_md5")
+    )
+
+
+@register(
+    "q53_token_chunks",
+    f"""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t, {_TOKS} AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST(ceil(n / 48.0) AS INTEGER) - 1)) AS i
+      FROM s WHERE n > 0
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(t, i * 48 + 1, i * 48 + 64)) AS INTEGER)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' '))
+             AS chunk_md5
+    FROM e
+    """,
+)
+def q53(spark, sf_dir):
+    """Context-window chunking: 64-token windows, stride 48 (16-token
+    overlap) — the pre-embedding/pre-packing split. One scan, explode of
+    a ceil(n/stride) index range, chunk text pinned by md5
+    (pipeline/text.py token_chunks)."""
+    d = _table(spark, sf_dir, "documents")
+    out = tx.token_chunks(d, chunk_tokens=64, stride=48)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@register(
+    "q54_repetition_score",
+    f"""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t, {_TOKS} AS n
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, t, unnest(generate_series(1, n - 1)) AS i
+      FROM s WHERE n >= 2
+    ),
+    bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram FROM ex),
+    c AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count,
+             CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM c GROUP BY 1
+    )
+    SELECT s.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(top_bigram_count, 0) AS top_bigram_count,
+           {_Q6.format(x='''CASE WHEN n_bigrams IS NULL OR n_bigrams = 0 THEN 0.0
+             ELSE CAST(top_bigram_count AS DOUBLE) / n_bigrams END''')} AS rep_ratio
+    FROM s LEFT JOIN top USING (doc_id)
+    """,
+)
+def q54(spark, sf_dir):
+    """Gopher-style repetition signal: share of bigram instances taken
+    by the most frequent bigram (machine spam → 1.0). Explode + two
+    partial-aggregated groupBys keyed by doc — no per-doc collect
+    (pipeline/text.py repetition_score)."""
+    d = _table(spark, sf_dir, "documents")
+    out = tx.repetition_score(d)
+    return out.select(
+        "doc_id", "n_bigrams", "top_bigram_count", q6(F.col("rep_ratio")).alias("rep_ratio")
+    )

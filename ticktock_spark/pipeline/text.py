@@ -169,3 +169,107 @@ def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.max("__t").alias("max_tokens"),
         )
     )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub common PII patterns (training-data hygiene): emails →
+    ``<EMAIL>``, long digit runs (phone/account numbers) → ``<NUM>``.
+
+    Patterns are deliberately conservative and RE2-compatible (\\w, \\d,
+    \\b only) so the Java-regex Spark path and any RE2-based oracle
+    agree byte-for-byte. Scan-side regexp_replace — no shuffle, no UDF.
+    Output adds redacted text + per-kind match counts.
+    """
+    t = F.col(text_col)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    longnum = r"\b\d{6,}\b"
+    red = F.regexp_replace(F.regexp_replace(t, email, "<EMAIL>"), longnum, "<NUM>")
+    return df.withColumns(
+        {
+            "n_email": F.size(F.regexp_extract_all(t, F.lit(email), 0)),
+            "n_longnum": F.size(F.regexp_extract_all(t, F.lit(longnum), 0)),
+            "redacted": red,
+        }
+    )
+
+
+def token_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows (the
+    context-window chunking step before embedding / training-sequence
+    packing). Chunk i covers tokens [i*stride+1, i*stride+chunk_tokens];
+    i ranges over ceil(n/stride) windows, so every token lands in ≥1
+    chunk and consecutive chunks overlap by chunk_tokens - stride.
+
+    Pure expressions: split once, explode a ceil(n/stride)-long index
+    range, slice per chunk — the token array is carried through one
+    generate, never through a shuffle. Zero-token docs yield no chunks.
+    """
+    if stride <= 0 or chunk_tokens < stride:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = token_count(F.col(text_col))
+    nch = F.ceil(n.cast("double") / F.lit(float(stride))).cast("int")
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"), nch.alias("__nch")
+    ).filter(F.col("__n") > 0)
+    idx = base.select(
+        id_col,
+        "__toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("__nch") - 1)).alias("chunk_idx", "__i"),
+    )
+    chunk = F.slice("__toks", F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return idx.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of bigram instances
+    taken by the single most frequent bigram. Low-quality machine spam
+    scores near 1; natural prose near 1/n_bigrams.
+
+    Shape: explode bigrams → two hash aggregations keyed by doc (and
+    doc+bigram) — partial aggregation keeps the shuffle at distinct
+    bigram granularity; no per-doc collect. Docs with < 2 tokens have no
+    bigrams and score 0 over 0 bigrams (emitted with n_bigrams = 0).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = token_count(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"), n.alias("__n"))
+    bigrams = base.filter(F.col("__n") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.groupBy(id_col).agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    all_docs = base.select(id_col).join(top, id_col, "left")
+    ratio = F.when(
+        F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0), F.lit(0.0)
+    ).otherwise(F.col("top_bigram_count").cast("double") / F.col("n_bigrams"))
+    return all_docs.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        ratio.alias("rep_ratio"),
+    )

@@ -769,6 +769,47 @@ def q25(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    "q51_rate_after_agg",
+    f"""
+    WITH ds AS (
+      SELECT metric, user_id, ts - ts % {HOUR_MS} AS ts,
+             floor(avg(value) * 1000000.0 + 0.5) AS scaled_avg
+      FROM {_EV} WHERE metric = 'view'
+      GROUP BY 1, 2, 3
+    ),
+    ag AS (
+      SELECT metric, ts, sum(scaled_avg) / 1000000.0 AS value
+      FROM ds GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT metric, ts, value,
+             lag(value) OVER (PARTITION BY metric ORDER BY ts) AS pv,
+             lag(ts) OVER (PARTITION BY metric ORDER BY ts) AS pt
+      FROM ag
+    )
+    SELECT metric, ts,
+           {_Q6.format(x='(value - pv) / ((ts - pt) / 1000.0)')} AS rate_value
+    FROM w WHERE pt IS NOT NULL
+    """,
+)
+def q51(spark, sf_dir):
+    """Rate applied AFTER cross-series aggregation (the reference's
+    rate-of-aggregate ordering, query.cpp RateOptions applied on the
+    assembled aggregate — planner path plans/planner.py; distributed
+    twin of the same composition: 1h-avg downsample → exact-timestamp
+    sum across series → rate). Scaled-integer avg keeps the double sums
+    order-free; rate quotient quantized to 6 decimals."""
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "view")
+    ds = downsample(d, ["metric", "user_id"], HOUR_MS, "avg")
+    scaled = ds.withColumn("value", F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)))
+    agg = scaled.groupBy("metric", "ts").agg(
+        (F.sum("value") / F.lit(1_000_000.0)).alias("value")
+    )
+    r = rate(agg, ["metric"])
+    return r.select("metric", "ts", q6(F.col("value")).alias("rate_value"))
+
+
+@register(
     "q15_suggest_and_lookup",
     f"""
     SELECT metric, user_id, count(*) AS cnt
