@@ -888,3 +888,44 @@ def q54(spark, sf_dir):
     return out.select(
         "doc_id", "n_bigrams", "top_bigram_count", q6(F.col("rep_ratio")).alias("rep_ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured props (events table)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q55_props_json_stats",
+    """
+    WITH p AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
+      FROM events
+    )
+    SELECT event_type, k % 10 AS k_mod, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q55(spark, sf_dir):
+    """Semi-structured payload extraction at scan time: the JSON `props`
+    column parsed with get_json_object (codegen'd JVM path, no UDF),
+    aggregated by event_type × k-bucket. At 100 TB: JSON parse cost is
+    per-row CPU in the scan stage — for hot fields, materialize them as
+    columns at ingest instead (the repo's parsers do exactly that for
+    tags); this query is the ad-hoc exploration path."""
+    from ticktock_spark.queries import _table as _t
+
+    e = _t(spark, sf_dir, "events")
+    p = e.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "value",
+    )
+    return p.groupBy(
+        "event_type", (F.col("k") % 10).alias("k_mod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
