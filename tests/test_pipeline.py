@@ -221,3 +221,26 @@ def test_repetition_score(spark):
     assert abs(got[1]["rep_ratio"] - 10 / 19) < 1e-12
     assert got[2]["top_bigram_count"] == 1
     assert got[3]["n_bigrams"] == 0 and got[3]["rep_ratio"] == 0.0
+
+
+def test_pack_sequences_budget(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    # one pack group (ids all ≡ 1 mod 64): chunks of 60 tokens against a
+    # budget of 128 → exclusive cumsums 0,60,120,180... bins 0,0,0,1,...
+    chunks = spark.createDataFrame(
+        [(1, i, 60) for i in range(6)],
+        "doc_id long, chunk_idx int, n_chunk_tokens int",
+    )
+    got = sorted(
+        (r["seq_idx"], r["chunk_idx"])
+        for r in tx.pack_sequences(chunks, budget_tokens=128, n_groups=64).collect()
+    )
+    # bins: cum 0,60,120 -> bin 0 (last overflows: 180 tokens > 128, the
+    # documented ≤ one-chunk overflow); cum 180,240 -> bin 1; cum 300 -> 2
+    assert got == [(0, 0), (0, 1), (0, 2), (1, 3), (1, 4), (2, 5)]
+    # per-sequence load: bin 0 carries 3 chunks = 180 tokens (overflow ≤ 1 chunk)
+    loads = {}
+    for s, _ in got:
+        loads[s] = loads.get(s, 0) + 60
+    assert max(loads.values()) <= 128 + 60

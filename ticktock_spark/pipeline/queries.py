@@ -929,3 +929,52 @@ def q55(spark, sf_dir):
         F.sum("k").alias("sum_k"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "q56_sequence_packing",
+    f"""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t, {_TOKS} AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST(ceil(n / 64.0) AS INTEGER) - 1)) AS i
+      FROM s WHERE n > 0
+    ),
+    ch AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             len(list_slice(t, i * 64 + 1, i * 64 + 64)) AS ln
+      FROM e
+    ),
+    packed AS (
+      SELECT doc_id % 64 AS pack_group, doc_id, chunk_idx, ln,
+             CAST(sum(ln) OVER (PARTITION BY doc_id % 64
+                                ORDER BY doc_id, chunk_idx
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) - ln
+               AS cum
+      FROM ch
+    ),
+    seqs AS (
+      SELECT pack_group, CAST(floor(cum / 256.0) AS INTEGER) AS seq_idx,
+             ln FROM packed
+    )
+    SELECT pack_group, seq_idx, count(*) AS n_chunks,
+           CAST(sum(ln) AS BIGINT) AS seq_tokens
+    FROM seqs GROUP BY 1, 2
+    """,
+)
+def q56(spark, sf_dir):
+    """Training-sequence packing: non-overlapping 64-token chunks packed
+    into 256-token sequences by a deterministic streaming rule (running
+    token total within doc-hash pack groups — parallelism = n_groups, no
+    global order, partition-invariant). Output: per-sequence chunk count
+    and token load (pipeline/text.py pack_sequences)."""
+    d = _table(spark, sf_dir, "documents")
+    ch = tx.token_chunks(d, chunk_tokens=64, stride=64)
+    packed = tx.pack_sequences(ch, budget_tokens=256, n_groups=64)
+    return packed.groupBy("pack_group", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("seq_tokens"),
+    )

@@ -273,3 +273,43 @@ def repetition_score(
         F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
         ratio.alias("rep_ratio"),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget_tokens: int = 256,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    len_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed-token training sequences (packing).
+
+    Deterministic streaming pack: chunks are ordered by (doc_id,
+    chunk_idx) WITHIN a hash-assigned pack group, a running token total
+    is kept, and a chunk whose window starts in bin b = floor(
+    exclusive_cumsum / budget) joins sequence b. A sequence can overflow
+    by at most one chunk (the classic streaming approximation of bin
+    packing — exact first-fit is inherently sequential state and not
+    worth a single-partition bottleneck).
+
+    Scale shape: the running sum is a window PARTITIONED by pack group
+    (doc_id % n_groups), never a global total order — each group packs
+    independently, so parallelism = n_groups regardless of corpus size
+    and results don't depend on physical partitioning. Raise n_groups
+    with corpus size; sequence ids are (group, bin) pairs, globally
+    unique without coordination.
+    """
+    from pyspark.sql import Window
+
+    grp = (F.col(id_col) % n_groups).alias("pack_group")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = chunks.select(grp, F.col(id_col), F.col(idx_col), F.col(len_col))
+    cum = F.sum(len_col).over(w) - F.col(len_col)  # exclusive prefix sum
+    return c.withColumn(
+        "seq_idx", F.floor(cum / F.lit(float(budget_tokens))).cast("int")
+    )
