@@ -114,3 +114,48 @@ def test_sessionize_gap_boundaries(spark):
     assert r[(7, 1)]["n_events"] == 2 and r[(7, 1)]["sum_value"] == 3.0
     assert r[(7, 1)]["duration_us"] == 10 * M
     assert r[(7, 2)]["n_events"] == 1 and r[(8, 1)]["sum_value"] == 9.0
+
+
+def test_sample_monotone_subset(spark):
+    """Growing the rate only ADDS rows (thresholds are nested), so
+    sample(r1) ⊆ sample(r2) for r1 < r2 — the property that makes
+    hash sampling usable for reproducible scaling ladders."""
+    from ticktock_spark.pipeline.sample import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    small = {r["doc_id"] for r in hash_sample(df, 0.1).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, 0.4).collect()}
+    assert small < big
+
+
+def test_scale_plan_shapes(spark):
+    """Pin the physical-plan properties the 100 TB story depends on:
+    - quality top-k: partial WindowGroupLimit BEFORE the exchange
+      (shuffle carries ≤ k·partitions rows per stratum);
+    - sessionize: exactly ONE exchange (windows + agg share the
+      user partitioning);
+    - stratified sample: no exchange at all (pure scan-side filter)."""
+    from ticktock_spark.pipeline import sample as sp, sessions as ss, text as tx
+    from ticktock_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+
+    plan = (
+        tx.quality_topk_per_stratum(docs, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.index("Partial") > plan.index("Exchange") or (
+        "WindowGroupLimit" in plan and "Partial" in plan
+    )
+
+    plan = (
+        ss.session_stats(events)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+    plan = (
+        sp.stratified_sample(docs, {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan

@@ -126,14 +126,12 @@ def quality_topk_per_stratum(
     """Top-k docs per stratum by quality score (corpus curation: keep the
     best k documents per language / source / domain).
 
-    One shuffle keyed by the stratum. rank() runs inside the per-stratum
-    sort; Catalyst plans a WindowExec over a single Exchange. With few
-    strata and huge rows-per-stratum the sort dominates — at that scale
-    pre-filter with an approximate per-stratum quality cutoff
-    (approxQuantile on a sample) so the window only sorts survivors;
-    for the corpus sizes where k << n this exact form is the right
-    default because the filter it feeds is usually the next scan anyway.
-    Ties break by id for determinism.
+    Scale shape (verified in the physical plan): Catalyst rewrites the
+    rank<=k filter into WindowGroupLimit with a PARTIAL pass before the
+    Exchange — every input partition keeps only its local top-k per
+    stratum, so the shuffle carries at most k × n_partitions rows per
+    stratum no matter how big the corpus is. No approximate pre-filter
+    needed. Ties break by id for determinism.
     """
     t = F.col(text_col)
     from pyspark.sql import Window
