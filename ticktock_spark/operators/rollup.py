@@ -93,3 +93,22 @@ def downsample_from_rollup(
     else:
         out = grp.agg(F.sum("sum").alias(out_col))
     return out
+
+
+def rollup_monthly_from_daily(rollup_1d: DataFrame, series_cols: list[str]) -> DataFrame:
+    """Level-3 CALENDAR-month rollup (the reference organizes rollup data
+    in monthly files with true calendar boundaries, `src/utils/cal.cpp`;
+    month ≠ fixed 30d). bucket_ts = epoch ms of the first instant of the
+    UTC month, via date_trunc — associative re-aggregation, same shape as
+    daily-from-hourly."""
+    month_ts = F.unix_millis(
+        F.date_trunc("month", F.timestamp_millis(F.col("bucket_ts")))
+    )
+    return rollup_1d.groupBy(
+        *series_cols, month_ts.alias("bucket_ts")
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum").alias("sum"),
+    )

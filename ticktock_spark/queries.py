@@ -33,7 +33,11 @@ from ticktock_spark.operators import (
     rate,
     top_bottom_n,
 )
-from ticktock_spark.operators.rollup import downsample_from_rollup
+from ticktock_spark.operators.rollup import (
+    downsample_from_rollup,
+    rollup_daily_from_hourly,
+    rollup_monthly_from_daily,
+)
 from ticktock_spark.schema import load_table
 
 # --- time constants (UTC, epoch ms) ---
@@ -526,6 +530,51 @@ def q13(spark, sf_dir):
     )
     daily = downsample_from_rollup(r1h, ["metric", "user_id"], DAY_MS, "avg")
     return daily.select("metric", "user_id", "ts", q6(F.col("value")).alias("avg_value"))
+
+
+@register(
+    "q57_rollup_monthly",
+    f"""
+    WITH r1h AS (
+      SELECT metric, user_id, ts - ts % {HOUR_MS} AS bucket_ts,
+             count(value) AS cnt, min(value) AS mn, max(value) AS mx,
+             sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM {_EV}
+      GROUP BY 1, 2, 3
+    ),
+    r1d AS (
+      SELECT metric, user_id, bucket_ts - bucket_ts % {DAY_MS} AS bucket_ts,
+             CAST(sum(cnt) AS BIGINT) AS cnt, min(mn) AS mn, max(mx) AS mx,
+             sum(s) AS s
+      FROM r1h GROUP BY 1, 2, 3
+    )
+    SELECT metric, user_id,
+           epoch_ms(date_trunc('month', make_timestamp(bucket_ts * 1000)))
+             AS bucket_ts,
+           CAST(sum(cnt) AS BIGINT) AS cnt, min(mn) AS min_value,
+           max(mx) AS max_value,
+           CAST(sum(s) AS DOUBLE) AS sum_value
+    FROM r1d GROUP BY 1, 2, 3
+    """,
+)
+def q57(spark, sf_dir):
+    """Calendar-month rollup derived hourly → daily → monthly by
+    associative re-aggregation with TRUE month boundaries (date_trunc,
+    not fixed 30d — src/utils/cal.cpp month files). Decimal-exact sums
+    end to end."""
+    d = _dps(spark, sf_dir).withColumn("value", F.col("value").cast("decimal(18,2)"))
+    r1h = build_rollup(d, ["metric", "user_id"])
+    r1d = rollup_daily_from_hourly(r1h, ["metric", "user_id"])
+    r1m = rollup_monthly_from_daily(r1d, ["metric", "user_id"])
+    return r1m.select(
+        "metric",
+        "user_id",
+        "bucket_ts",
+        "cnt",
+        F.col("min").cast("double").alias("min_value"),
+        F.col("max").cast("double").alias("max_value"),
+        F.col("sum").cast("double").alias("sum_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
