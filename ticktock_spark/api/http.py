@@ -123,7 +123,12 @@ class TsdbStore:
 
     def materialize_rollups(self) -> None:
         """Build + cache hourly/daily rollups from the current data (the
-        batch analogue of the reference's background rollup task)."""
+        batch analogue of the reference's background rollup task).
+        Re-materializing drops the previous cache entries first so
+        repeated admin rollup commands don't accumulate cached plans."""
+        for old in (self.rollup_1h, self.rollup_1d):
+            if old is not None:
+                old.unpersist()
         ctx = TsdbContext(self.dataframe())
         ctx.materialize_rollups()
         self.rollup_1h = ctx.rollup_1h.cache()

@@ -978,3 +978,106 @@ def q56(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_chunk_tokens").alias("seq_tokens"),
     )
+
+
+@register(
+    "q58_embedding_quantize",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding AS x,
+             list_max([abs(CAST(e AS DOUBLE)) for e in embedding]) AS m
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT vec_id, m / 127.0 AS scale,
+             CASE WHEN m = 0
+                  THEN [CAST(0 AS BIGINT) for e in x]
+                  ELSE [CAST(floor(CAST(e AS DOUBLE) / (m / 127.0) + 0.5) AS BIGINT)
+                        for e in x] END AS q
+      FROM b
+    )
+    SELECT vec_id, {_Q6.format(x='scale')} AS scale,
+           CAST(len(q) AS INTEGER) AS n_dims,
+           CAST(list_min(q) AS BIGINT) AS min_q,
+           CAST(list_max(q) AS BIGINT) AS max_q,
+           CAST(list_sum([q[i] * i for i in generate_series(1, len(q))]) AS BIGINT)
+             AS checksum
+    FROM qq
+    """,
+)
+def q58(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding column
+    (storage tier for 100 TB vector corpora). The quantized vector is
+    pinned without array output: dims, min/max level, and a position-
+    weighted integer checksum (pipeline/similarity.py
+    quantize_embeddings)."""
+    e = _table(spark, sf_dir, "embeddings")
+    out = sim.quantize_embeddings(e)
+    idx = F.sequence(F.lit(1), F.size("q"))
+    return out.select(
+        "vec_id",
+        q6(F.col("scale")).alias("scale"),
+        F.size("q").alias("n_dims"),
+        F.array_min("q").alias("min_q"),
+        F.array_max("q").alias("max_q"),
+        F.aggregate(
+            F.zip_with(F.col("q"), idx, lambda qv, i: qv * i.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("checksum"),
+    )
+
+
+_QUALITY_CTE = f"""
+      SELECT lang, doc_id, {_TOKS} AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST({_PUNCT} AS DOUBLE) / length(text) END AS pr,
+             {_SW['en']} AS sw
+      FROM documents
+"""
+
+_QUALITY_EXPR = """greatest(0.0, least(1.0,
+    0.5 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE) / n_tokens END) * 5.0
+    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+    + 0.2 * (1.0 - pr * 4.0)))"""
+
+
+@register(
+    "q59_quality_percentiles",
+    f"""
+    WITH s AS ({_QUALITY_CTE}),
+    q AS (SELECT lang, {_Q6.format(x=_QUALITY_EXPR)} AS v FROM s),
+    g AS (SELECT lang, list_sort(list(v)) AS vals, count(*) AS n
+          FROM q GROUP BY 1),
+    e AS (SELECT lang, vals, n, unnest([25.0, 50.0, 75.0, 95.0]) AS quantile
+          FROM g),
+    c AS (
+      SELECT lang, quantile, n, vals,
+             CASE WHEN quantile <= 0 THEN 0.0
+                  WHEN quantile >= 100 THEN CAST(n AS DOUBLE)
+                  ELSE quantile / 100.0 * (n + 1) END AS idx
+      FROM e
+    )
+    SELECT lang, quantile, CAST(n AS BIGINT) AS n,
+           {_Q6.format(x='''CASE WHEN n = 1 THEN vals[1]
+             WHEN idx < 1 THEN vals[1]
+             WHEN idx >= n THEN vals[n]
+             ELSE vals[CAST(floor(idx) AS INTEGER)]
+                  + (idx - floor(idx))
+                    * (vals[CAST(floor(idx) AS INTEGER) + 1]
+                       - vals[CAST(floor(idx) AS INTEGER)]) END''')} AS pct
+    FROM c
+    """,
+)
+def q59(spark, sf_dir):
+    """Exact R-6 quality percentiles per language WITHOUT per-group
+    arrays: rank + two-row interpolation (operators/percentile.py) — the
+    corpus-scale twin of the TSDB's collect_list percentile (bounded by
+    time buckets there, unbounded group sizes here). Ranks on the
+    6-decimal-canonical score so both engines sort identical values."""
+    from ticktock_spark.operators.percentile import group_percentiles_r6
+
+    d = _table(spark, sf_dir, "documents")
+    scored = d.select("lang", q6(tx.quality_score(F.col("text"))).alias("quality"))
+    out = group_percentiles_r6(scored, ["lang"], "quality", [25.0, 50.0, 75.0, 95.0])
+    return out.select("lang", "quantile", "n", q6(F.col("pct")).alias("pct"))

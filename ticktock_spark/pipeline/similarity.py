@@ -512,3 +512,37 @@ def ivf_index_knn(
     scored = candidates.select(query_id_col, id_col, score.alias("cosine"))
     w2 = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = maxabs/levels,
+    q_i = floor(x_i/scale + 0.5) ∈ [-levels-1, levels+1] — 4× smaller
+    storage + int kernels for the 100 TB embedding tier; dequantized
+    error is ≤ scale/2 per coordinate.
+
+    Engine-neutral spec: floor(x + 0.5) instead of round() (banker's vs
+    half-away drift), float64 division. All-zero vectors quantize to
+    zeros with scale 0. Pure higher-order expressions, single scan; the
+    maxabs is bound to a column ONCE before the transform (HOFs are
+    interpreted with no CSE — binding avoids len(vec) recomputes).
+    """
+    x = F.col(vec_col)
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    bound = corpus.select(F.col(id_col), x.alias("__x"), absmax.alias("__m"))
+    scale = F.col("__m") / F.lit(float(levels))
+    q = F.when(F.col("__m") == 0.0, F.transform("__x", lambda v: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            "__x",
+            lambda v: F.floor(v.cast("double") / scale + F.lit(0.5)).cast("long"),
+        )
+    )
+    return bound.select(
+        id_col,
+        scale.alias("scale"),
+        q.alias("q"),
+    )
