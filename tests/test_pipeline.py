@@ -244,3 +244,55 @@ def test_pack_sequences_budget(spark):
     for s, _ in got:
         loads[s] = loads.get(s, 0) + 60
     assert max(loads.values()) <= 128 + 60
+
+
+def test_kmeans_lloyd_separated_blobs(spark):
+    """Three well-separated direction blobs must be recovered exactly;
+    results identical under different input partitioning (driver-held
+    centroids, scan-side numpy assignment)."""
+    import numpy as np
+
+    from ticktock_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    rows = []
+    for b, c in enumerate(centers):
+        for i in range(30):
+            v = c + rng.normal(0, 0.5, 4)
+            rows.append((b * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    assign, cents = sim.kmeans_lloyd(df, k=3, iters=4)
+    got = {r["vec_id"]: r["bucket"] for r in assign.collect()}
+    # each true blob maps to exactly one learned bucket, bijectively
+    blob_to_bucket = {}
+    for vid, bucket in got.items():
+        blob = vid // 100
+        assert blob_to_bucket.setdefault(blob, bucket) == bucket
+    assert len(set(blob_to_bucket.values())) == 3
+    # learned centroids point along the blob axes (unit-normalized)
+    import numpy as np
+    C = np.array(cents)
+    assert np.allclose(np.abs(C).max(axis=1), C.max(axis=1))
+    assert sorted(C.argmax(axis=1)) == [0, 1, 2]
+
+    assign2, cents2 = sim.kmeans_lloyd(df.repartition(13), k=3, iters=4)
+    got2 = {r["vec_id"]: r["bucket"] for r in assign2.collect()}
+    assert got == got2, "assignments must not depend on partitioning"
+
+
+def test_build_ivf_index_from_kmeans(spark, tmp_path):
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "kmivf")
+    sim.build_ivf_index(corpus, path, k=4, iters=2)
+    queries = corpus.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.ivf_index_knn(spark, path, queries, k=5, nprobe=2, bucket_col="bucket")
+    rows = got.collect()
+    assert len(rows) == 10 and {r["query_id"] for r in rows} == {0, 1}
+    assert all(1 <= r["rank"] <= 5 for r in rows)

@@ -251,3 +251,55 @@ def test_streaming_sessionization(spark, tmp_path):
     s2 = got[(7, (T + 50 * M) * US)]
     assert s2["n_events"] == 1 and s2["sum_value"] == 3.0
     assert got[(8, T * US)]["n_events"] == 1
+
+
+def test_streaming_rollup_late_data_within_watermark(spark, tmp_path):
+    """The claim in streaming/rollup.py: late data WITHIN the watermark
+    merges into its (still open) hour bucket — strictly better than the
+    reference's invalidate-and-fall-back (rollup.cpp:237-243). A second
+    micro-batch delivers an hour-0 point after hour-1 data arrived; the
+    emitted hour-0 rollup must include it."""
+    import os
+
+    from ticktock_spark.sources.parsers import put_lines_to_datapoints
+    from ticktock_spark.streaming.rollup import streaming_rollup_1h
+
+    T = 1_704_067_200_000  # hour-aligned epoch ms
+    H, M = 3_600_000, 60_000
+    (tmp_path / "in").mkdir()
+    f0, f1 = tmp_path / "in" / "b0.txt", tmp_path / "in" / "b1.txt"
+    f0.write_text(
+        f"put sys.cpu {T + 10 * M} 1.0 host=a\n"
+        f"put sys.cpu {T + H + 10 * M} 2.0 host=a\n"
+    )
+    f1.write_text(
+        # late hour-0 point (watermark after b0 is hour1 - 2h, hour 0 open)
+        f"put sys.cpu {T + 20 * M} 5.0 host=a\n"
+        # far-future point drives the watermark past hours 0 and 1
+        f"put sys.cpu {T + 6 * H} 9.0 host=a\n"
+    )
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    roll = streaming_rollup_1h(put_lines_to_datapoints(lines), watermark="2 hours")
+    q = (
+        roll.writeStream.format("memory")
+        .queryName("late_rollup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["bucket_ts"]: r
+        for r in spark.sql("select * from late_rollup").collect()
+    }
+    h0 = got[T]
+    assert h0["cnt"] == 2 and h0["min"] == 1.0 and h0["max"] == 5.0 and h0["sum"] == 6.0
+    assert got[T + H]["cnt"] == 1 and got[T + H]["sum"] == 2.0
+    assert T + 6 * H not in got  # its window is still open (unemitted)

@@ -546,3 +546,118 @@ def quantize_embeddings(
         scale.alias("scale"),
         q.alias("q"),
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "km",
+):
+    """Deterministic Lloyd k-means for the IVF coarse quantizer (the
+    "few Lloyd iterations with the same groupBy-average" promised by
+    ivf_centroids, for corpora without a usable bucket column).
+
+    Scale shape — the model is tiny, the data is huge, so:
+    - centroids (k × dim floats) live on the DRIVER and ship to tasks in
+      the mapInPandas closure; the corpus is never collected;
+    - each iteration is ONE scan: every partition computes numpy partial
+      (sum, count) per cluster and emits k rows; the driver reduces the
+      k × partitions partials. No shuffle at all in the update step;
+    - init is deterministic and partition-invariant: the k vectors whose
+      md5(seed:id) hex is smallest (a uniform reservoir, orderBy+limit).
+
+    Assignment is max cosine (unit-normalized dot), matching ivf_knn's
+    probe scoring. Returns (assignments DataFrame [id, bucket],
+    centroids as a list of k lists). Empty clusters keep their previous
+    centroid. Partial float sums are reduced in partition order, so
+    centroid bits can drift ~1e-16 across different partitionings —
+    assignments are argmax-stable; no oracle claims bit-exact centroids.
+    """
+    import numpy as np
+    import pandas as pd
+
+    hexcol = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    seeds = (
+        corpus.select(id_col, vec_col, hexcol.alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"corpus has fewer than k={k} rows")
+    C = np.array([list(r[vec_col]) for r in seeds], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+
+    def _norm_rows(M):
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+
+    def _partials(Cn):
+        def fn(pdfs):
+            S = np.zeros_like(Cn)
+            n = np.zeros(len(Cn), dtype=np.int64)
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                a = (_norm_rows(X) @ Cn.T).argmax(axis=1)
+                for j in range(len(Cn)):
+                    m = a == j
+                    if m.any():
+                        S[j] += X[m].sum(axis=0)
+                        n[j] += int(m.sum())
+            yield pd.DataFrame(
+                {"j": range(len(Cn)), "s": [list(row) for row in S], "n": n}
+            )
+
+        return fn
+
+    dim = len(C[0])
+    for _ in range(iters):
+        rows = corpus.select(vec_col).mapInPandas(
+            _partials(C), schema=f"j int, s array<double>, n long"
+        ).collect()
+        S = np.zeros((k, dim))
+        n = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            S[r["j"]] += np.array(r["s"])
+            n[r["j"]] += r["n"]
+        newC = C.copy()
+        nz = n > 0
+        newC[nz] = S[nz] / n[nz, None]
+        C = _norm_rows(newC)
+
+    Cn = C
+
+    def _assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            a = (_norm_rows(X) @ Cn.T).argmax(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": a.astype("int32")})
+
+    id_type = dict(corpus.dtypes)[id_col]
+    assignments = corpus.select(id_col, vec_col).mapInPandas(
+        _assign, schema=f"{id_col} {id_type}, bucket int"
+    )
+    return assignments, [list(row) for row in C]
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """End-to-end IVF build for corpora WITHOUT a bucket column: learn k
+    centroids with kmeans_lloyd, attach assignments (one shuffle on id),
+    write the bucket-partitioned index. Query with
+    ivf_index_knn(..., bucket_col="bucket")."""
+    assignments, _ = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    bucketed = corpus.join(assignments, id_col)
+    write_ivf_index(bucketed, path, bucket_col="bucket", vec_col=vec_col)
