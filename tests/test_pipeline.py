@@ -296,3 +296,65 @@ def test_build_ivf_index_from_kmeans(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == 10 and {r["query_id"] for r in rows} == {0, 1}
     assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_lexical_diversity_exact_values(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, "x! x, x?")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in tx.lexical_diversity(df).collect()}
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["n_types"]) == (3, 2)
+    assert r1["ttr"] == 2 / 3
+    assert r1["simpson"] == 1.0 - 5.0 / 9.0   # counts {a:2, b:1} → 1 - (4+1)/9
+    assert got[2]["n_tokens"] == 0 and got[2]["ttr"] == 0.0 and got[2]["simpson"] == 0.0
+    r3 = got[3]                                # punctuation normalized away
+    assert (r3["n_tokens"], r3["n_types"], r3["simpson"]) == (3, 1, 0.0)
+
+
+def test_vocab_topk_tiebreak(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = tx.vocab_top_k(df, k=2).collect()
+    # a and b tie at 2 occurrences — 'a' first; c excluded by k
+    assert [(r["tok"], r["n_occ"], r["n_docs"]) for r in rows] == [
+        ("a", 2, 2),
+        ("b", 2, 2),
+    ]
+
+
+def test_contamination_report_known_overlap(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    bench = spark.createDataFrame([(100, "one two three four")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three five"),   # grams: 1-2-3 (hit), 2-3-5 (miss)
+            (2, "six seven eight nine"), # no overlap
+            (3, "one two"),              # < 3 tokens → 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.contamination_report(corpus, bench).collect()}
+    assert (got[1]["n_grams"], got[1]["n_hit"], got[1]["contamination"]) == (2, 1, 0.5)
+    assert (got[2]["n_grams"], got[2]["n_hit"]) == (2, 0)
+    assert (got[3]["n_grams"], got[3]["contamination"]) == (0, 0.0)
+
+
+def test_uniform_rebalance_rates(spark):
+    from ticktock_spark.pipeline import sample as sp
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else "de") for i in range(100)], "doc_id long, lang string"
+    )
+    rates = sp.uniform_rebalance_rates(df, "lang")
+    assert rates == {"en": 20 / 80, "de": 1.0}
+    kept = sp.stratified_sample(df, rates, strata_col="lang", seed="mix")
+    counts = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert counts["de"] == 20                   # rate 1.0 keeps everything
+    assert 0 < counts.get("en", 0) <= 80        # ~20 expected, deterministic

@@ -1081,3 +1081,223 @@ def q59(spark, sf_dir):
     scored = d.select("lang", q6(tx.quality_score(F.col("text"))).alias("quality"))
     out = group_percentiles_r6(scored, ["lang"], "quality", [25.0, 50.0, 75.0, 95.0])
     return out.select("lang", "quantile", "n", q6(F.col("pct")).alias("pct"))
+
+
+# ---------------------------------------------------------------------------
+# as-of join (events table) — operators/asof.py
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 7 * 86_400_000_000  # 7 days in µs
+
+
+@register(
+    "q60_asof_join",
+    f"""
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             arg_max(value, event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT l.event_id, l.user_id, l.us,
+             p.purchase_value AS pv, p.us AS pus
+      FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.us >= p.us
+    )
+    SELECT event_id, user_id, us,
+           CASE WHEN pus IS NOT NULL AND us - pus <= {_ASOF_TOL_US}
+                THEN pv END AS purchase_value,
+           CASE WHEN pus IS NOT NULL AND us - pus <= {_ASOF_TOL_US}
+                THEN pus END AS purchase_us,
+           CASE WHEN pus IS NOT NULL AND us - pus <= {_ASOF_TOL_US}
+                THEN us - pus END AS lag_us
+    FROM j
+    """,
+)
+def q60(spark, sf_dir):
+    """As-of join: every click gets the user's most recent purchase at
+    or before it (within 7 days), via operators/asof.py's union +
+    running-last-value window — one shuffle on user_id, no broadcast,
+    no per-key loop. Duplicate purchase timestamps are last-wins
+    pre-deduped (max_by on event_id) so the match is deterministic."""
+    from ticktock_spark.operators.asof import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    us = F.unix_micros("ts").alias("us")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", us)
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", us)
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    out = asof_join(
+        left,
+        right,
+        key_cols=["user_id"],
+        value_cols=["purchase_value"],
+        ts_col="us",
+        tolerance=_ASOF_TOL_US,
+        right_ts_name="purchase_us",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "us",
+        "purchase_value",
+        "purchase_us",
+        (F.col("us") - F.col("purchase_us")).alias("lag_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary / lexical diversity / contamination (pipeline/text.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q61_vocab_topk",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS tok
+      FROM nm WHERE length(norm) > 0
+    ),
+    pd AS (SELECT tok, doc_id, count(*) AS c FROM t GROUP BY 1, 2)
+    SELECT tok, CAST(sum(c) AS BIGINT) AS n_occ,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pd GROUP BY 1
+    ORDER BY n_occ DESC, tok LIMIT 50
+    """,
+)
+def q61(spark, sf_dir):
+    """Corpus vocabulary: top-50 normalized tokens by occurrences with
+    exact document frequency (pipeline/text.py vocab_top_k). Two-level
+    agg — shuffle rows bounded by distinct (token, doc) then by vocab
+    size; top-k is TakeOrdered, never a global sort."""
+    return tx.vocab_top_k(_table(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "q62_lexical_diversity",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS tok
+      FROM nm WHERE length(norm) > 0
+    ),
+    pd AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+    ag AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * c) AS BIGINT) AS c2
+      FROM pd GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(ag.n_tokens, 0) AS n_tokens,
+           coalesce(ag.n_types, 0) AS n_types,
+           CASE WHEN ag.n_tokens IS NULL THEN 0.0
+                ELSE CAST(ag.n_types AS DOUBLE) / CAST(ag.n_tokens AS DOUBLE)
+           END AS ttr,
+           CASE WHEN ag.n_tokens IS NULL THEN 0.0
+                ELSE 1.0 - CAST(ag.c2 AS DOUBLE)
+                     / (CAST(ag.n_tokens AS DOUBLE) * CAST(ag.n_tokens AS DOUBLE))
+           END AS simpson
+    FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+    """,
+)
+def q62(spark, sf_dir):
+    """Per-document lexical diversity: type-token ratio + Gini-Simpson
+    index (pipeline/text.py lexical_diversity). Integer-count derived
+    with one final division per metric — bit-exact across engines with
+    no transcendental functions involved."""
+    return tx.lexical_diversity(_table(spark, sf_dir, "documents"))
+
+
+_GRAMS_CTE = f"""
+      nm AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS t,
+                    length({_NORM}) AS ln
+             FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN ln = 0 OR len(t) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                        for i in generate_series(1, len(t) - 2)])
+               END AS grams
+        FROM nm
+      )
+"""
+
+
+@register(
+    "q63_contamination",
+    f"""
+    WITH {_GRAMS_CTE},
+    b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+    c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT d.doc_id,
+           CAST(count(c.gram) AS BIGINT) AS n_grams,
+           CAST(count(b.gram) AS BIGINT) AS n_hit,
+           CASE WHEN count(c.gram) = 0 THEN 0.0
+                ELSE CAST(count(b.gram) AS DOUBLE) / CAST(count(c.gram) AS DOUBLE)
+           END AS contamination
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN c ON d.doc_id = c.doc_id
+    LEFT JOIN b ON c.gram = b.gram
+    GROUP BY 1
+    """,
+)
+def q63(spark, sf_dir):
+    """Benchmark decontamination screen: fraction of each training doc's
+    distinct word trigrams that appear in a held-out benchmark set
+    (docs with doc_id % 97 == 0 stand in for the eval set). The
+    benchmark gram set is broadcast — the 100 TB corpus side never
+    shuffles (pipeline/text.py contamination_report)."""
+    d = _table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return tx.contamination_report(corpus, bench, n=3)
+
+
+@register(
+    "q64_mix_rebalance",
+    """
+    WITH n AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),
+    r AS (
+      SELECT lang, n_before,
+             CAST(min(n_before) OVER () AS DOUBLE) / CAST(n_before AS DOUBLE)
+               AS rate
+      FROM n
+    ),
+    t AS (
+      SELECT lang, n_before,
+             CASE WHEN rate >= 1.0 THEN 'gggggggg'
+                  ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+             END AS thr
+      FROM r
+    )
+    SELECT d.lang, t.n_before,
+           CAST(count(CASE WHEN substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                           < t.thr THEN 1 END) AS BIGINT) AS n_after
+    FROM documents d JOIN t ON d.lang = t.lang
+    GROUP BY 1, 2
+    """,
+)
+def q64(spark, sf_dir):
+    """Language-mix rebalancing to a uniform target: per-lang keep-rates
+    = min_count/count computed from a tiny counting agg
+    (pipeline/sample.py uniform_rebalance_rates), applied as the same
+    scan-side deterministic md5 filter stratified_sample uses. Reports
+    per-lang corpus size before/after."""
+    from ticktock_spark.pipeline import sample as sp
+
+    d = _table(spark, sf_dir, "documents")
+    rates = sp.uniform_rebalance_rates(d, "lang")
+    kept = sp.stratified_sample(d, rates, strata_col="lang", seed="mix")
+    before = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    return before.join(after, "lang", "left").select(
+        "lang", "n_before", F.coalesce("n_after", F.lit(0)).alias("n_after")
+    )

@@ -113,3 +113,19 @@ def split_boundaries(weights: dict[str, float]) -> list[tuple[str, str]]:
         out.append((name, _thr(cum)))
     out.append((names[-1], "g" * 8))
     return out
+
+
+def uniform_rebalance_rates(
+    df: DataFrame, strata_col: str = "lang"
+) -> dict[str, float]:
+    """Per-stratum keep-rates that downsample every stratum to the size
+    of the smallest one (uniform mix). The counts aggregation is tiny
+    (one row per stratum — map-side combined, #strata rows collected);
+    apply the result with stratified_sample for the scan-side filter, so
+    the whole rebalance is one cheap counting scan + one filtered scan.
+    """
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    if not counts:
+        return {}
+    mn = min(counts.values())
+    return {k: mn / v for k, v in counts.items()}

@@ -311,3 +311,122 @@ def pack_sequences(
     return c.withColumn(
         "seq_idx", F.floor(cum / F.lit(float(budget_tokens))).cast("int")
     )
+
+
+def tokens(text: Column) -> Column:
+    """Normalized word tokens (the vocab/ngram unit): normalize_text then
+    whitespace split; blank text → empty array."""
+    norm = normalize_text(text)
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, r"\s+")
+    )
+
+
+def vocab_top_k(
+    df: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total occurrences (ties by
+    token asc), with exact document frequency.
+
+    Scale shape: explode → two-level agg. The (token, doc) stage gets
+    map-side partial aggregation (a doc repeats its own tokens), so the
+    shuffle carries at most one row per (token, doc); the second agg
+    shuffles one row per distinct token. The top-k itself is a
+    TakeOrdered over token counts — no global sort materialized. Vocab
+    cardinality, not corpus size, bounds the final stage.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    per_doc = toks.groupBy("tok", id_col).agg(F.count(F.lit(1)).alias("c"))
+    counts = per_doc.groupBy("tok").agg(
+        F.sum("c").alias("n_occ"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return counts.orderBy(F.col("n_occ").desc(), "tok").limit(k)
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical diversity: token/type counts, type-token
+    ratio, and Gini-Simpson index 1 - Σc²/n² — all derived from integer
+    counts with a single final division each, so the values are
+    bit-exact across engines (no transcendentals, no float accumulation;
+    contrast the entropy variant, which would hang on log2 ULPs).
+
+    Scale: one explode + (doc, token) agg + (doc) agg; both shuffles key
+    on doc_id-prefixed keys so a skewed token doesn't concentrate.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    per = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    out = df.select(id_col).join(agg, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_types", F.lit(0)).alias("n_types"),
+        F.when(F.col("n_tokens").isNull(), F.lit(0.0))
+        .otherwise(F.col("n_types").cast("double") / n)
+        .alias("ttr"),
+        F.when(F.col("n_tokens").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) - F.col("sum_c2").cast("double") / (n * n))
+        .alias("simpson"),
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the normalized text;
+    fewer than n tokens → empty array. Pure expression (transform over a
+    position sequence) — interpreted, not codegen'd, but still JVM-side
+    and scan-local."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, the fraction
+    of its distinct word n-grams that appear anywhere in the benchmark
+    set (the standard train-set decontamination screen).
+
+    Scale shape: the benchmark gram set is distinct-reduced and then
+    BROADCAST — eval sets are MBs against a 100 TB corpus, so the corpus
+    side never shuffles; each scan task probes a shared hash set. If the
+    benchmark outgrows broadcast range, drop the hint and Spark falls
+    back to a shuffled join keyed on the gram. Docs with fewer than n
+    tokens report 0 grams / 0.0 contamination.
+    """
+    bench = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    grams = corpus.select(
+        F.col(id_col), F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    joined = grams.join(F.broadcast(bench), "gram", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.col("gram")).alias("n_grams"),
+        F.count(F.col("__hit")).alias("n_hit"),
+    )
+    frac = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+    )
+    return agg.select(id_col, "n_grams", "n_hit", frac.alias("contamination"))
