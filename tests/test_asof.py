@@ -77,3 +77,90 @@ def test_asof_single_shuffle_plan(spark):
     right = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, v double")
     plan = asof_join(left, right, ["k"], ["v"], ts_col="ts")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- rolling window (operators/rolling.py) ---
+
+
+def test_rolling_agg_exact_frames(spark):
+    from ticktock_spark.operators.rolling import rolling_agg
+
+    df = spark.createDataFrame(
+        [("m", 0, 1.0), ("m", 500, 2.0), ("m", 1000, 4.0), ("m", 1601, 8.0),
+         ("x", 0, 100.0)],
+        "s string, ts long, value double",
+    )
+    got = {(r["s"], r["ts"]): r for r in rolling_agg(df, ["s"], 1000).collect()}
+    assert got[("m", 0)]["roll_n"] == 1 and got[("m", 0)]["roll_avg"] == 1.0
+    assert got[("m", 1000)]["roll_n"] == 3          # 0,500,1000 all in [0,1000]
+    assert got[("m", 1000)]["roll_sum"] == 7.0
+    assert got[("m", 1601)]["roll_n"] == 2          # 1000,1601 (601 in range, 500 not)
+    assert got[("m", 1601)]["roll_sum"] == 12.0
+    assert got[("x", 0)]["roll_n"] == 1             # series isolated
+
+
+def test_rolling_duplicate_ts_identical_frames(spark):
+    from ticktock_spark.operators.rolling import rolling_agg
+
+    df = spark.createDataFrame(
+        [("m", 10, 1.0), ("m", 10, 2.0)], "s string, ts long, value double"
+    )
+    rows = rolling_agg(df, ["s"], 1000).collect()
+    assert all(r["roll_n"] == 2 and r["roll_sum"] == 3.0 for r in rows)
+
+
+# --- range join (operators/rangejoin.py) ---
+
+
+def test_range_join_inclusive_bounds_and_buckets(spark):
+    from ticktock_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 1, 251), (4, 2, 100)],
+        "pid long, k long, ts long",
+    )
+    iv = spark.createDataFrame(
+        [(10, 1, 100, 250), (11, 1, 240, 300)], "iid long, k long, start long, end long"
+    )
+    got = sorted(
+        (r["pid"], r["iid"]) for r in range_join(pts, iv, ["k"], 50, ts_col="ts").collect()
+    )
+    # pid1 in iv10 only; pid2 in both (inclusive end=250); pid3 in iv11 only;
+    # pid4 wrong key. Buckets of width 50 — intervals span several buckets,
+    # but each (point, interval) pair appears exactly once.
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 11)]
+
+
+def test_range_join_matches_naive(spark):
+    from ticktock_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(i, i % 4, (i * 37) % 1000) for i in range(200)], "pid long, k long, ts long"
+    )
+    iv = spark.createDataFrame(
+        [(j, j % 4, (j * 91) % 900, (j * 91) % 900 + (j * 13) % 300)
+         for j in range(40)],
+        "iid long, k long, start long, end long",
+    )
+    fast = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, ["k"], 128, ts_col="ts").collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(iv, "k").filter("ts between start and end").collect()
+    )
+    assert fast == naive and len(fast) > 0
+
+
+def test_range_join_collision_rejected(spark):
+    from ticktock_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 1, 5)], "pid long, k long, ts long")
+    iv = spark.createDataFrame([(1, 1, 0, 9)], "pid long, k long, start long, end long")
+    try:
+        range_join(pts, iv, ["k"], 10, ts_col="ts")
+    except ValueError as e:
+        assert "collision" in str(e)
+    else:
+        raise AssertionError("expected ValueError")

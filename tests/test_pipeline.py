@@ -358,3 +358,24 @@ def test_uniform_rebalance_rates(spark):
     counts = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
     assert counts["de"] == 20                   # rate 1.0 keeps everything
     assert 0 < counts.get("en", 0) <= 80        # ~20 expected, deterministic
+
+
+def test_gopher_quality_flags_rules(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    good = "the cat sat on the mat and it was warm for " + " ".join(
+        f"word{i}" for i in range(40)
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "the " + "# " * 30
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.gopher_quality_flags(df).collect()}
+    g = got[1]
+    assert g["keep"] and g["flag_word_count"] and g["flag_alpha"] and g["flag_stopwords"]
+    assert not got[2]["flag_bullets"] and not got[2]["keep"]
+    assert not got[3]["flag_symbol_ratio"] and not got[3]["keep"]
+    e = got[4]
+    assert e["n_words"] == 0 and not e["keep"] and e["flag_bullets"]

@@ -1,0 +1,52 @@
+"""Rolling (sliding) time-window aggregates per series.
+
+The reference's downsampler emits one row per fixed bucket; a rolling
+window emits one row PER POINT covering the trailing ``window_ms`` — the
+moving-average / trailing-rate shape OpenTSDB users build client-side.
+Spark-first: a RANGE-framed window over the numeric timestamp, which is
+a single partition-by-series sort — the exact same shuffle the
+downsample agg pays, no self-join, no explode.
+
+Determinism: the frame is range-based (every row whose ts falls in
+[ts - window_ms, ts] is in scope), so duplicate timestamps see identical
+frames and the result does not depend on their relative order — no
+pre-dedup required. Sums accumulate in DECIMAL(18,2) (the canonical
+2-decimal value domain, see queries.py module doc) so the result is
+bit-exact under any accumulation order; the average is a single double
+division at the end.
+
+Scale: state per frame is O(points in window) inside one sorted
+partition pass; skew = one series' day of points in one task, same bound
+as sessionization — pre-split monster series by (series, dt) if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rolling_agg(
+    df: DataFrame,
+    series_cols: list[str],
+    window_ms: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Attach trailing-window aggregates to every point: ``roll_n``
+    (points in [ts - window_ms, ts]), ``roll_sum`` (decimal-exact, as
+    double) and ``roll_avg``. ``ts_col`` must be numeric (epoch ms)."""
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col)
+        .rangeBetween(-window_ms, Window.currentRow)
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    s = F.sum(dec).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return df.withColumns(
+        {
+            "roll_n": n,
+            "roll_sum": s.cast("double"),
+            "roll_avg": s.cast("double") / n.cast("double"),
+        }
+    )

@@ -1301,3 +1301,151 @@ def q64(spark, sf_dir):
     return before.join(after, "lang", "left").select(
         "lang", "n_before", F.coalesce("n_after", F.lit(0)).alias("n_after")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling window / quality rules / range join
+# ---------------------------------------------------------------------------
+
+_HOUR_MS = 3_600_000
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "q65_rolling_1h_avg",
+    f"""
+    SELECT event_type, user_id, epoch_ms(ts) AS ts, value,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) AS roll_avg
+    FROM events
+    WINDOW w AS (PARTITION BY event_type, user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN {_HOUR_MS} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q65(spark, sf_dir):
+    """Trailing-1h rolling average per (event_type, user) series — one
+    row per point, RANGE-framed window (operators/rolling.py): the same
+    single series shuffle a downsample pays, decimal-exact sums, frames
+    independent of duplicate-ts ordering."""
+    from ticktock_spark.operators.rolling import rolling_agg
+
+    ev = _table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", "user_id", F.unix_millis("ts").alias("ts"), "value"
+    )
+    return rolling_agg(pts, ["event_type", "user_id"], window_ms=_HOUR_MS)
+
+
+_LINES = "string_split(text, chr(10))"
+_RAWTOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])"
+    " ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+@register(
+    "q66_gopher_quality",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_RAWTOKS}) AS n_words,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_chars,
+             len(regexp_extract_all(text, '#|\\.\\.\\.', 0)) AS n_sym,
+             len({_LINES}) AS n_lines,
+             len([l for l in {_LINES} if regexp_matches(ltrim(l), '^[-*•]')])
+               AS n_bullet,
+             len([l for l in {_LINES} if regexp_matches(rtrim(l), '\\.\\.\\.$')])
+               AS n_ellipsis,
+             len([t for t in {_RAWTOKS} if regexp_matches(t, '[A-Za-z]')])
+               AS n_alpha,
+             {_SW['en']} AS sw
+      FROM documents
+    ),
+    fl AS (
+      SELECT doc_id, n_words,
+             n_words >= 50 AND n_words <= 100000 AS flag_word_count,
+             n_words > 0 AND CAST(n_chars AS DOUBLE) / n_words >= 3.0
+                         AND CAST(n_chars AS DOUBLE) / n_words <= 10.0
+               AS flag_mean_word_len,
+             n_words > 0 AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+               AS flag_symbol_ratio,
+             CAST(n_bullet AS DOUBLE) / n_lines < 0.9 AS flag_bullets,
+             CAST(n_ellipsis AS DOUBLE) / n_lines < 0.3 AS flag_ellipsis,
+             n_words > 0 AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+               AS flag_alpha,
+             sw >= 2 AS flag_stopwords
+      FROM s
+    )
+    SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+           flag_word_count, flag_mean_word_len, flag_symbol_ratio,
+           flag_bullets, flag_ellipsis, flag_alpha, flag_stopwords,
+           flag_word_count AND flag_mean_word_len AND flag_symbol_ratio
+             AND flag_bullets AND flag_ellipsis AND flag_alpha
+             AND flag_stopwords AS keep
+    FROM fl
+    """,
+)
+def q66(spark, sf_dir):
+    """Gopher-rule document quality filter: per-rule boolean flags and
+    the conjunctive keep decision (pipeline/text.py
+    gopher_quality_flags) — integer-count rationals, one scan, no
+    shuffle."""
+    return tx.gopher_quality_flags(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q67_range_join",
+    f"""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS us, value
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.us AS purchase_us,
+           CAST(count(c.us) AS BIGINT) AS n_clicks,
+           CAST(coalesce(sum(CAST(c.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+             AS sum_click_value
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id AND c.us BETWEEN p.us AND p.us + {_HOUR_US}
+    GROUP BY 1, 2, 3
+    """,
+)
+def q67(spark, sf_dir):
+    """Point-in-interval range join: clicks landing within 1h after each
+    purchase by the same user, counted and decimal-summed per purchase.
+    Runs through operators/rangejoin.py's bucketed equi-join (interval
+    side exploded over covered time buckets) — never the nested-loop
+    plan Spark would pick for the raw inequality join."""
+    from ticktock_spark.operators.rangejoin import range_join
+
+    ev = _table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us"), F.col("value").alias("click_value")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("start"),
+        (us + _HOUR_US).alias("end"),
+    )
+    j = range_join(clicks, purch, ["user_id"], bucket_width=_HOUR_US, ts_col="us")
+    agg = j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("click_value").cast("decimal(18,2)")).alias("s"),
+    )
+    return (
+        purch.join(agg, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("start").alias("purchase_us"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("sum_click_value"),
+        )
+    )

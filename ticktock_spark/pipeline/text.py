@@ -430,3 +430,72 @@ def contamination_report(
         F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
     )
     return agg.select(id_col, "n_grams", "n_hit", frac.alias("contamination"))
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    public heuristics), each as a boolean flag plus the conjunctive
+    ``keep`` decision:
+
+    - 50 <= word count <= 100_000
+    - mean word length in [3, 10] (non-whitespace chars / words)
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - < 90% of lines start with a bullet, < 30% end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 stopword hits
+
+    All rational arithmetic over integer counts (single final divisions)
+    — deterministic and oracle-exact; one scan, no shuffle. The HOF
+    line/token filters are interpreted expressions, still JVM-side and
+    scan-local (acceptable: they run once per doc, not per token pair).
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    toks = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    n_words = F.size(toks)
+    n_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0))
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    sw = stopword_hits(t, "en")
+
+    nz = n_words > 0
+    d = n_words.cast("double")
+    # ANSI mode evaluates both operands of `&`, so the n_words == 0 case
+    # must sit behind a lazily-evaluated when(), not a conjunction
+    mwl = n_chars.cast("double") / d
+    flag_word_count = (n_words >= 50) & (n_words <= 100_000)
+    flag_mean_word_len = F.when(nz, (mwl >= 3.0) & (mwl <= 10.0)).otherwise(F.lit(False))
+    flag_symbol_ratio = F.when(nz, n_sym.cast("double") / d <= 0.1).otherwise(F.lit(False))
+    flag_bullets = n_bullet.cast("double") / n_lines.cast("double") < 0.9
+    flag_ellipsis = n_ellipsis.cast("double") / n_lines.cast("double") < 0.3
+    flag_alpha = F.when(nz, n_alpha.cast("double") / d >= 0.8).otherwise(F.lit(False))
+    flag_stopwords = sw >= 2
+    keep = (
+        flag_word_count
+        & flag_mean_word_len
+        & flag_symbol_ratio
+        & flag_bullets
+        & flag_ellipsis
+        & flag_alpha
+        & flag_stopwords
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        flag_word_count.alias("flag_word_count"),
+        flag_mean_word_len.alias("flag_mean_word_len"),
+        flag_symbol_ratio.alias("flag_symbol_ratio"),
+        flag_bullets.alias("flag_bullets"),
+        flag_ellipsis.alias("flag_ellipsis"),
+        flag_alpha.alias("flag_alpha"),
+        flag_stopwords.alias("flag_stopwords"),
+        keep.alias("keep"),
+    )
