@@ -303,3 +303,57 @@ def test_streaming_rollup_late_data_within_watermark(spark, tmp_path):
     assert h0["cnt"] == 2 and h0["min"] == 1.0 and h0["max"] == 5.0 and h0["sum"] == 6.0
     assert got[T + H]["cnt"] == 1 and got[T + H]["sum"] == 2.0
     assert T + 6 * H not in got  # its window is still open (unemitted)
+
+
+def test_streaming_asof_state_across_batches(spark, tmp_path):
+    """Right snapshots advance in the state store across micro-batches;
+    left events match the latest prior snapshot, in event-time order
+    within a batch (a left event BEFORE a same-batch right row must not
+    see it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.asof import streaming_asof
+
+    (tmp_path / "in").mkdir()
+    f0, f1 = tmp_path / "in" / "b0.txt", tmp_path / "in" / "b1.txt"
+    # fields: side key id_or_zero ts value_or_zero
+    f0.write_text("L 1 1 50 0\nR 1 0 100 1.0\nL 1 2 100 0\n")
+    f1.write_text("L 1 3 200 0\nR 1 0 300 3.0\nL 1 4 350 0\nL 1 5 250 0\n")
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    parsed = lines.select(
+        p.getItem(0).alias("side"),
+        p.getItem(1).cast("long").alias("key"),
+        p.getItem(2).cast("long").alias("event_id"),
+        p.getItem(3).cast("long").alias("ts"),
+        p.getItem(4).cast("double").alias("value"),
+    )
+    left = parsed.filter("side = 'L'").select("key", "event_id", "ts")
+    right = parsed.filter("side = 'R'").select("key", "ts", "value")
+    out = streaming_asof(left, right)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: (r["value"], r["right_ts"]) for r in spark.sql(
+        "select * from asof_out"
+    ).collect()}
+    assert got[1] == (None, None)       # before any snapshot
+    assert got[2] == (1.0, 100)         # equal ts inclusive
+    assert got[3] == (1.0, 100)         # state carried from batch 0
+    assert got[4] == (3.0, 300)         # same-batch newer snapshot
+    assert got[5] == (1.0, 100)         # ts 250 < 300: event-time order holds
