@@ -76,3 +76,36 @@ def test_time_filter_pushdown(spark):
     assert "LessThanOrEqual(l_shipdate" in plan
     # projection pruned to the consumed columns only
     assert "l_comment" not in plan
+
+
+def test_contamination_broadcasts_bench_set(spark):
+    """q63's benchmark gram set must broadcast — the corpus side of the
+    decontamination screen never shuffles for the join."""
+    plan = _plan(spark, "q63_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketed range join must compile to hash/sort-merge equi-joins
+    on (key, bucket) — never the nested-loop or cartesian plan Spark
+    picks for a raw inequality join."""
+    plan = _plan(spark, "q67_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_window_single_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "q65_rolling_1h_avg")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_vocab_topk_no_global_sort(spark):
+    """Top-k must be TakeOrdered (partial top-k per partition), never a
+    full Exchange rangepartitioning + global Sort."""
+    plan = _plan(spark, "q61_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
