@@ -164,3 +164,31 @@ def test_range_join_collision_rejected(spark):
         assert "collision" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_asof_matches_naive_on_random_data(spark):
+    """Randomized differential check: the window formulation must equal
+    the quadratic per-row 'latest prior right' reference."""
+    import random
+
+    rng = random.Random(42)
+    lrows = [(i, rng.randrange(4), rng.randrange(500)) for i in range(120)]
+    rrows = [
+        (rng.randrange(4), rng.randrange(500), float(j)) for j in range(60)
+    ]
+    # dedup right (k, ts) — keep the highest v, mirroring seq-less use
+    best = {}
+    for k, t, v in rrows:
+        best[(k, t)] = max(best.get((k, t), v), v)
+    rrows = [(k, t, v) for (k, t), v in best.items()]
+
+    left = spark.createDataFrame(lrows, "id long, k long, ts long")
+    right = spark.createDataFrame(rrows, "k long, ts long, v double")
+    got = {
+        r["id"]: (r["v"], r["right_ts"])
+        for r in asof_join(left, right, ["k"], ["v"], ts_col="ts").collect()
+    }
+    for i, k, t in lrows:
+        cand = [(rt, rv) for (rk, rt, rv) in rrows if rk == k and rt <= t]
+        exp = max(cand) if cand else None
+        assert got[i] == ((exp[1], exp[0]) if exp else (None, None)), (i, k, t)

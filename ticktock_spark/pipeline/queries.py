@@ -1449,3 +1449,34 @@ def q67(spark, sf_dir):
             F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("sum_click_value"),
         )
     )
+
+
+@register(
+    "q68_tfidf_top_terms",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS tok
+      FROM nm WHERE length(norm) > 0
+    ),
+    pd AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM pd GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM documents),
+    s AS (
+      SELECT pd.doc_id, pd.tok,
+             CAST(pd.c * n.nn AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS score
+      FROM pd JOIN dfq ON pd.tok = dfq.tok CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, score FROM (
+      SELECT doc_id, tok, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok) AS rank
+      FROM s
+    ) WHERE rank <= 3
+    """,
+)
+def q68(spark, sf_dir):
+    """Top-3 characteristic terms per document by the rational tf-idf
+    surrogate tf*N/df (pipeline/text.py tfidf_top_terms) — same ranking
+    as log-idf without the cross-engine transcendental hazard."""
+    return tx.tfidf_top_terms(_table(spark, sf_dir, "documents"), k=3)

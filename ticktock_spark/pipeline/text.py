@@ -499,3 +499,39 @@ def gopher_quality_flags(
         flag_stopwords.alias("flag_stopwords"),
         keep.alias("keep"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by a rational tf-idf
+    surrogate: score = tf * N / df (N = corpus size, df = document
+    frequency). Ranking is identical to classic tf·idf with any
+    monotone idf — and integer-derived with one final division, so
+    scores are bit-exact across engines (no log).
+
+    Scale: (doc, token) counts → token doc-frequencies (vocab-sized) →
+    join back on token → per-doc top-k window. The df table is
+    vocab-bounded, not corpus-bounded; the final window partitions by
+    doc. N comes from a driver-side count — one cheap metadata-level
+    action, the same pattern as uniform_rebalance_rates.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    per = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = per.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = per.join(dfreq, "tok").select(
+        F.col(id_col),
+        "tok",
+        ((F.col("c") * F.lit(n_docs)).cast("double") / F.col("df").cast("double")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "tok", "score")
+    )
