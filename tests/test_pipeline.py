@@ -379,3 +379,129 @@ def test_gopher_quality_flags_rules(spark):
     assert not got[3]["flag_symbol_ratio"] and not got[3]["keep"]
     e = got[4]
     assert e["n_words"] == 0 and not e["keep"] and e["flag_bullets"]
+
+
+def test_temperature_rebalance_rates(spark):
+    import math
+
+    from ticktock_spark.pipeline import sample as sp
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else "de") for i in range(100)], "doc_id long, lang string"
+    )
+    rates = sp.temperature_rebalance_rates(df, "lang", alpha=0.5)
+    assert rates["de"] == 1.0                       # smallest stratum untouched
+    assert rates["en"] == math.sqrt(20 / 80) == 0.5  # sqrt-softened, > uniform's 0.25
+    # alpha=0 degenerates to the uniform rule
+    assert sp.temperature_rebalance_rates(df, "lang", alpha=0.0) == (
+        sp.uniform_rebalance_rates(df, "lang")
+    )
+    # alpha=1 keeps the natural mix (all rates 1.0)
+    assert set(sp.temperature_rebalance_rates(df, "lang", alpha=1.0).values()) == {1.0}
+
+
+def test_token_budget_cap(spark):
+    from ticktock_spark.pipeline import sample as sp
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", 10 + i) for i in range(40)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    got = sp.token_budget_cap(df, budget=100, strata_col="lang")
+    rows = got.collect()
+    # running totals never exceed the budget, per stratum
+    by_lang: dict = {}
+    for r in rows:
+        assert r["cum_tokens"] <= 100
+        by_lang.setdefault(r["lang"], []).append(r)
+    # every stratum kept at least one doc (min n_tokens 10/11 << 100)
+    assert set(by_lang) == {"en", "de"}
+    # adding the cheapest dropped doc would cross the budget: totals are maximal
+    # for the hash order (the kept set is a prefix, not a knapsack optimum)
+    kept_ids = {r["doc_id"] for r in rows}
+    # deterministic under repartitioning
+    got2 = sp.token_budget_cap(df.repartition(7), budget=100, strata_col="lang")
+    assert {r["doc_id"] for r in got2.collect()} == kept_ids
+
+
+def test_oov_stats(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the dog"),
+            (2, "the zzz qqq"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.oov_stats(df, vocab_size=2).collect()}
+    # vocab = top-2 by occurrences: 'the' (3), then ties (cat,dog,qqq,zzz each 1)
+    # → tie broken by token asc → 'cat'
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 1)      # dog OOV
+    assert got[1]["oov_rate"] == 0.25
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 2)      # zzz qqq OOV
+    assert got[3]["n_tokens"] == 0 and got[3]["oov_rate"] is None
+    assert got[4]["n_tokens"] == 0 and got[4]["oov_rate"] is None
+
+
+def test_keep_best_per_cluster(spark):
+    from ticktock_spark.pipeline import cluster as cl
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r for r in
+           cl.keep_best_per_cluster(docs, pairs, "quality").collect()}
+    # cluster {1,2,3}: 2 has top quality → kept, 1 and 3 dropped
+    assert got[2]["is_kept"] and not got[1]["is_kept"] and not got[3]["is_kept"]
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == got[3]["cluster_id"] == 1
+    # cluster {4,5}: quality tie → min doc_id wins
+    assert got[4]["is_kept"] and not got[5]["is_kept"]
+
+
+def test_incremental_exact_dedup(spark):
+    from ticktock_spark.pipeline import dedup as dd
+
+    batch = spark.createDataFrame(
+        [(10, "aaa"), (11, "aaa"), (12, "bbb"), (13, "ccc")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame([("bbb",)], "text string").select(
+        F.md5("text").alias("digest")
+    )
+    got = {r["canonical_id"]: r for r in
+           dd.incremental_exact_dedup(batch, corpus).collect()}
+    # 'aaa' collapses to min-id 10; 'bbb' already in corpus → dropped; 'ccc' new
+    assert set(got) == {10, 13}
+    assert got[10]["n_copies"] == 2
+
+
+def test_minhash_lsh_join_matches_self_join_cross_pairs(spark):
+    """Parity: cross-corpus pairs from minhash_lsh_join == the cross-side
+    subset of the self-join candidates on the union (same hash scheme)."""
+    from ticktock_spark.pipeline import dedup as dd
+    from ticktock_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    left = docs.filter(F.col("doc_id") % 3 == 0)
+    right = docs.filter(F.col("doc_id") % 3 != 0)
+    got = {
+        (r["left_id"], r["right_id"]): r["n_bands"]
+        for r in dd.minhash_lsh_join(left, right).collect()
+    }
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    sides = {r["doc_id"]: r["doc_id"] % 3 == 0 for r in docs.select("doc_id").collect()}
+    exp = {}
+    for r in cand.collect():
+        a, b, n = r["id_a"], r["id_b"], r["n_bands"]
+        if sides[a] and not sides[b]:
+            exp[(a, b)] = n
+        elif sides[b] and not sides[a]:
+            exp[(b, a)] = n
+    assert got == exp and len(got) > 0

@@ -150,3 +150,43 @@ def dedup_clusters(
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware canonical selection: label every doc with its
+    near-dup cluster (connected components over ``pairs``) and keep the
+    highest-``score_col`` doc per cluster (ties → lowest id), instead of
+    dedup_clusters' blind min-id rule. This is the curation-grade dedup:
+    when a page and its mirror differ only in boilerplate, the cleaner
+    copy survives.
+
+    Output: (id, cluster_id, score, is_kept) for every doc — filter
+    ``is_kept`` for the deduplicated corpus.
+
+    Scale shape: same as dedup_clusters (tiny label side joined to the
+    corpus) plus one per-cluster window; cluster sizes are bounded by
+    near-dup group sizes, so the window partitions are small.
+    """
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs, src, dst)
+    labeled = (
+        docs.select(F.col(id_col).cast("long").alias("node"), F.col(score_col))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("cluster_id", "node").alias("cluster_id"),
+            score_col,
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn("is_kept", F.row_number().over(w) == 1)

@@ -462,3 +462,79 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental ingest dedup: collapse the new batch's exact
+    duplicates (md5 groups, min-id canonical) and drop every group whose
+    digest already exists in the standing corpus index.
+
+    ``corpus_digests`` is any DataFrame with a ``digest_col`` column —
+    in steady state a small parquet/Delta digest index maintained across
+    ingests (append the survivors' digests after each batch).
+
+    Scale shape: the batch groupBy shuffles (digest, id) only; the
+    anti-join keys on digest, so AQE broadcasts whichever side is small
+    (typically the batch). The corpus text is never rescanned — the
+    whole point of keeping the digest index.
+    """
+    groups = exact_dedup(batch, text_col=text_col, id_col=id_col)
+    seen = corpus_digests.select(F.col(digest_col).alias("digest")).distinct()
+    return groups.join(seen, "digest", "left_anti")
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Cross-corpus LSH: near-duplicate CANDIDATE pairs between two
+    corpora (e.g. a new crawl vs the standing training set) without ever
+    enumerating within-corpus pairs — the cross join on (band, key)
+    touches only buckets populated on both sides.
+
+    Output: (left_id, right_id, n_bands). Verify with ``verify_jaccard``
+    over the union of both corpora (alias the pair columns to
+    id_a/id_b first).
+
+    Same hash scheme as minhash_lsh_candidates' pandas engine (md5
+    signatures in C, bit-identical to the SQL spec twin), so a given
+    doc pair buckets identically whether deduped within or across
+    corpora. One shuffle per side into the band-key join; a viral
+    boilerplate key that floods a bucket is a skewed join key, which
+    AQE's skew-join split handles — or pre-filter stop-buckets (keys
+    whose one-side population exceeds a cap) like _bucket_blocks does
+    for the self-join path.
+    """
+    rows = num_hashes // bands
+    par = parallelism or left.sparkSession.sparkContext.defaultParallelism
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        id_type = dict(df.select(id_col).dtypes)[id_col]
+        nm = df.repartition(par).select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("norm")
+        )
+        b = nm.mapInPandas(
+            _banded_pandas(num_hashes, bands, rows, id_col, k=k),
+            schema=f"{id_col} {id_type}, band int, key string",
+        )
+        return b.withColumnRenamed(id_col, out_id)
+
+    lb = banded(left, "left_id")
+    rb = banded(right, "right_id")
+    return (
+        lb.join(rb, ["band", "key"])
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )

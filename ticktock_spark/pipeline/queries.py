@@ -158,7 +158,7 @@ def q33(spark, sf_dir):
     return dd.exact_dedup(d).select("digest", "canonical_id", "n_copies")
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(cand_cond: str = "a.doc_id < b.doc_id") -> str:
     # mirror of dedup.minhash_signature: h_j = min over shingles of the
     # j-th 8-hex slice of md5('0:'||s) || md5('1:'||s)
     hs = ",\n             ".join(
@@ -184,7 +184,7 @@ def _minhash_cte() -> str:
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.key = b.key AND {cand_cond}
       GROUP BY 1, 2
     )"""
 
@@ -1480,3 +1480,240 @@ def q68(spark, sf_dir):
     surrogate tf*N/df (pipeline/text.py tfidf_top_terms) — same ranking
     as log-idf without the cross-engine transcendental hazard."""
     return tx.tfidf_top_terms(_table(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# round 2: corpus curation — OOV, temperature mix, keep-best dedup,
+# token budgets, incremental + cross-corpus dedup
+# ---------------------------------------------------------------------------
+
+_T_SPLIT = "SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS tok"
+
+
+@register(
+    "q69_oov_rate",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS ({_T_SPLIT} FROM nm WHERE length(norm) > 0),
+    pd AS (SELECT tok, doc_id, count(*) AS c FROM t GROUP BY 1, 2),
+    v AS (
+      SELECT tok FROM (
+        SELECT tok, sum(c) AS n_occ FROM pd GROUP BY 1
+        ORDER BY n_occ DESC, tok LIMIT 50
+      )
+    ),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov
+      FROM t LEFT JOIN v ON t.tok = v.tok
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov,
+           CASE WHEN per.n_tokens IS NULL THEN NULL
+                ELSE CAST(per.n_oov AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
+           END AS oov_rate
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def q69(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate against the corpus's own top-50
+    vocabulary (LM-free junk signal; pipeline/text.py oov_stats) —
+    integer counts + one division, broadcast vocab join."""
+    return tx.oov_stats(_table(spark, sf_dir, "documents"), vocab_size=50)
+
+
+@register(
+    "q70_temperature_mix",
+    """
+    WITH n AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),
+    r AS (
+      SELECT lang, n_before,
+             sqrt(CAST(min(n_before) OVER () AS DOUBLE)
+                  / CAST(n_before AS DOUBLE)) AS rate
+      FROM n
+    ),
+    t AS (
+      SELECT lang, n_before,
+             CASE WHEN rate >= 1.0 THEN 'gggggggg'
+                  ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+             END AS thr
+      FROM r
+    )
+    SELECT d.lang, t.n_before,
+           CAST(count(CASE WHEN substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                           < t.thr THEN 1 END) AS BIGINT) AS n_after
+    FROM documents d JOIN t ON d.lang = t.lang
+    GROUP BY 1, 2
+    """,
+)
+def q70(spark, sf_dir):
+    """Temperature-scaled language rebalancing (alpha=0.5): keep-rate
+    sqrt(min_count/count) per language — up-weights the tail without
+    flattening to uniform (pipeline/sample.py temperature_rebalance_rates,
+    applied by the same scan-side md5 filter as q64)."""
+    from ticktock_spark.pipeline import sample as sp
+
+    d = _table(spark, sf_dir, "documents")
+    rates = sp.temperature_rebalance_rates(d, "lang", alpha=0.5)
+    kept = sp.stratified_sample(d, rates, strata_col="lang", seed="tmix")
+    before = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    return before.join(after, "lang", "left").select(
+        "lang", "n_before", F.coalesce("n_after", F.lit(0)).alias("n_after")
+    )
+
+
+@register(
+    "q71_keep_best_cluster",
+    "WITH RECURSIVE "
+    + _minhash_cte().replace("\n    WITH ", "")
+    + f"""
+    , j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ),
+    pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    walk(node, lbl) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node WHERE w.lbl < e.v
+    ),
+    lab AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    s AS (
+      SELECT doc_id, {_TOKS} AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST({_PUNCT} AS DOUBLE) / length(text) END AS pr,
+             {_SW['en']} AS sw
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             {_Q6.format(x='''greatest(0.0, least(1.0,
+               0.5 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE) / n_tokens END) * 5.0
+               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.2 * (1.0 - pr * 4.0)))''')} AS quality
+      FROM s
+    )
+    SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id, q.quality,
+           row_number() OVER (PARTITION BY coalesce(l.cluster_id, q.doc_id)
+                              ORDER BY q.quality DESC, q.doc_id) = 1 AS is_kept
+    FROM q LEFT JOIN lab l ON l.node = q.doc_id
+    """,
+)
+def q71(spark, sf_dir):
+    """Quality-aware dedup closure: LSH -> Jaccard >= 0.5 pairs ->
+    connected components -> keep the HIGHEST-quality doc per cluster
+    (ties by doc_id) instead of blind min-id
+    (pipeline/cluster.py keep_best_per_cluster)."""
+    from ticktock_spark.pipeline import cluster as cl
+
+    d = _table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
+    verified = dd.verify_jaccard(d, cand, threshold=0.5)
+    scored = d.select("doc_id", q6(tx.quality_score(F.col("text"))).alias("quality"))
+    return cl.keep_best_per_cluster(
+        scored, verified.select("id_a", "id_b"), score_col="quality"
+    )
+
+
+@register(
+    "q72_token_budget",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_TOKS} AS n_tokens,
+             substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 500
+    """,
+)
+def q72(spark, sf_dir):
+    """Per-language token budgeting: walk docs in deterministic hash
+    order, keep while the running token total fits the 500-token budget
+    (pipeline/sample.py token_budget_cap) — integer-exact running sums."""
+    from ticktock_spark.pipeline import sample as sp
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return sp.token_budget_cap(d, budget=500, strata_col="lang", seed="budget")
+
+
+from ticktock_spark.pipeline.sample import _thr as _rate_thr  # noqa: E402
+
+_INC_THR = _rate_thr(0.3)  # deterministic 30% "new batch" split
+_IS_NEW = f"substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{_INC_THR}'"
+
+
+@register(
+    "q73_incremental_dedup",
+    f"""
+    WITH b AS (SELECT doc_id, text FROM documents WHERE {_IS_NEW}),
+    c AS (SELECT md5(text) AS digest FROM documents WHERE NOT ({_IS_NEW})),
+    g AS (
+      SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+             count(*) AS n_copies
+      FROM b GROUP BY 1
+    )
+    SELECT g.digest, g.canonical_id, CAST(g.n_copies AS BIGINT) AS n_copies
+    FROM g WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.digest = g.digest)
+    """,
+)
+def q73(spark, sf_dir):
+    """Incremental ingest dedup: the 'new batch' (deterministic 30%
+    hash split) collapses its own exact duplicates, then anti-joins the
+    standing corpus's digest index — corpus text is never rescanned
+    (pipeline/dedup.py incremental_exact_dedup)."""
+    from ticktock_spark.pipeline import sample as sp
+
+    d = _table(spark, sf_dir, "documents")
+    is_new = sp.hash_hex(F.col("doc_id"), "inc") < F.lit(_INC_THR)
+    batch = d.filter(is_new)
+    index = d.filter(~is_new).select(F.md5("text").alias("digest"))
+    return dd.incremental_exact_dedup(batch, index).select(
+        "digest", "canonical_id", "n_copies"
+    )
+
+
+_CROSS_COND = (
+    f"substr(md5('inc:' || CAST(a.doc_id AS VARCHAR)), 1, 8) < '{_INC_THR}'"
+    f" AND substr(md5('inc:' || CAST(b.doc_id AS VARCHAR)), 1, 8) >= '{_INC_THR}'"
+)
+
+
+@register(
+    "q74_cross_corpus_lsh",
+    _minhash_cte(cand_cond=_CROSS_COND)
+    + """
+    SELECT id_a AS left_id, id_b AS right_id, n_bands FROM cand
+    """,
+)
+def q74(spark, sf_dir):
+    """Cross-corpus LSH: near-dup candidates between the new batch and
+    the standing corpus only — band keys computed per side, joined on
+    (band, key), never enumerating within-corpus pairs
+    (pipeline/dedup.py minhash_lsh_join)."""
+    from ticktock_spark.pipeline import sample as sp
+
+    d = _table(spark, sf_dir, "documents")
+    is_new = sp.hash_hex(F.col("doc_id"), "inc") < F.lit(_INC_THR)
+    return dd.minhash_lsh_join(d.filter(is_new), d.filter(~is_new))

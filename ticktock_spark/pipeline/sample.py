@@ -23,7 +23,7 @@ beyond-reference operators SURVEY §7 phase 11 calls for.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _SPACE = 16**8  # 8 hex chars
 
@@ -113,6 +113,68 @@ def split_boundaries(weights: dict[str, float]) -> list[tuple[str, str]]:
         out.append((name, _thr(cum)))
     out.append((names[-1], "g" * 8))
     return out
+
+
+def temperature_rebalance_rates(
+    df: DataFrame, strata_col: str = "lang", alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-scaled per-stratum keep-rates: sample stratum ``l``
+    proportionally to ``count_l ** alpha`` (the multilingual-training
+    convention — alpha=1 keeps the natural mix, alpha=0 flattens to
+    uniform, 0<alpha<1 up-weights tail languages without erasing the
+    head). Rates are normalized so the largest is exactly 1.0 (no
+    stratum is ever upsampled): ``r_l = (c_min / c_l) ** (1 - alpha)``,
+    which for alpha=0 degenerates to uniform_rebalance_rates.
+
+    alpha=0.5 (the default, and the oracle-pinned case) needs only
+    ``sqrt`` — correctly-rounded IEEE in every engine, so the rates and
+    the derived md5 thresholds are bit-identical to a SQL twin. The
+    counts aggregation is one tiny map-side-combined groupBy; apply the
+    result with stratified_sample for the scan-side filter.
+    """
+    import math
+
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    if not counts:
+        return {}
+    mn = min(counts.values())
+    if alpha == 0.5:
+        return {k: math.sqrt(mn / v) for k, v in counts.items()}
+    return {k: (mn / v) ** (1.0 - alpha) for k, v in counts.items()}
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: str = "budget",
+) -> DataFrame:
+    """Per-stratum token budgeting: walk each stratum's docs in
+    deterministic hash order and keep rows while the running token total
+    stays within ``budget`` (the doc that would cross the line is
+    dropped, as is everything after it). Output: the kept rows with
+    their running total — integer-exact, so oracle-stable.
+
+    Hash order (not doc_id order) makes the kept set an unbiased sample
+    of the stratum, and stable under corpus growth *up to the budget
+    boundary*: a new doc displaces only docs hashing after it.
+
+    Scale shape: one shuffle on the stratum key + a per-stratum sort for
+    the running-sum window — the same cost as any per-stratum ranking.
+    A 90%-one-language corpus concentrates that language's window in
+    one task; if that bites, pre-filter with stratified_sample to the
+    approximate budget first and budget-cap the survivors.
+    """
+    h = hash_hex(F.col(id_col), seed)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("cum_tokens", F.sum(token_col).over(w))
+    return out.filter(F.col("cum_tokens") <= budget)
 
 
 def uniform_rebalance_rates(

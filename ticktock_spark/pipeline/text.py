@@ -343,6 +343,47 @@ def vocab_top_k(
     return counts.orderBy(F.col("n_occ").desc(), "tok").limit(k)
 
 
+def oov_stats(
+    df: DataFrame,
+    vocab_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` vocabulary (a cheap LM-free quality signal: high
+    OOV rate flags boilerplate, code, non-target-language, or junk).
+
+    The vocabulary is the ``vocab_top_k`` head ranked by (occurrences
+    desc, token asc) — fully deterministic including the cut boundary.
+    All outputs are integer counts plus one final division, so values
+    are bit-exact across engines.
+
+    Scale shape: vocab is ``vocab_size`` rows → broadcast hash join
+    against the exploded tokens (no shuffle on the token side beyond the
+    per-doc count agg, which keys on doc_id and map-side combines).
+    Zero-token docs are preserved with a NULL rate via the left join
+    back to the corpus spine.
+    """
+    vocab = vocab_top_k(df, k=vocab_size, text_col=text_col, id_col=id_col).select(
+        "tok", F.lit(True).alias("in_vocab")
+    )
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.when(F.col("n_tokens").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("oov_rate"),
+    )
+
+
 def lexical_diversity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,79 @@
+"""Driver-parity differential: every queries() entry vs its DuckDB oracle
+at an arbitrary SF dir (the driver verifies at sf0.01; tests/test_oracle.py
+pins sf0.001). Usage:
+
+    python tools/diff_sf.py [sf_dir] [name_substring ...]
+
+Prints one line per query: OK/MISMATCH with row counts, and a non-zero exit
+if anything mismatches. Mirrors the driver's compare: column names, row
+count, order-insensitive full-precision value compare.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import ticktock_spark.pipeline.queries  # noqa: F401
+from ticktock_spark.queries import ORACLES, QUERIES
+from ticktock_spark.schema import TESTDATA_TABLES
+from ticktock_spark.session import get_spark
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else repr(v))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    pats = sys.argv[2:]
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    spark = get_spark()
+    names = [n for n in sorted(QUERIES) if not pats or any(p in n for p in pats)]
+    bad = []
+    for name in names:
+        try:
+            got = QUERIES[name](spark, sf_dir).toPandas()
+            exp = con.sql(ORACLES[name]).df()
+            if sorted(got.columns) != sorted(exp.columns):
+                bad.append(name)
+                print(f"MISMATCH {name}: cols {sorted(got.columns)} != {sorted(exp.columns)}")
+                continue
+            cg, ce = canon(got), canon(exp)
+            if len(cg) != len(ce):
+                bad.append(name)
+                print(f"MISMATCH {name}: rows {len(cg)} != {len(ce)}")
+                continue
+            diff = [(a, b) for a, b in zip(cg, ce) if a != b]
+            if diff:
+                bad.append(name)
+                print(f"MISMATCH {name}: {len(diff)} differing rows; first: {diff[:2]}")
+            else:
+                print(f"OK {name} ({len(cg)} rows)")
+        except Exception as e:  # noqa: BLE001
+            bad.append(name)
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+    print(f"\n{len(names) - len(bad)}/{len(names)} green")
+    if bad:
+        print("BAD:", bad)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
