@@ -505,3 +505,76 @@ def test_minhash_lsh_join_matches_self_join_cross_pairs(spark):
         elif sides[b] and not sides[a]:
             exp[(b, a)] = n
     assert got == exp and len(got) > 0
+
+
+def test_new_ops_plan_shapes(spark):
+    """Pin the scale-critical physical-plan properties of the round-2
+    operators:
+    - oov_stats: the vocab side joins via BroadcastHashJoin (50 rows —
+      must never shuffle the exploded token stream against it);
+    - minhash_lsh_join: band-key equi-join, no cartesian/nested-loop;
+    - token_budget_cap: the running-sum window adds exactly one exchange
+      over the input.
+    """
+    from ticktock_spark.pipeline import dedup as dd, sample as sp, text as tx
+    from ticktock_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    plan = (
+        tx.oov_stats(docs, vocab_size=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+    plan = (
+        dd.minhash_lsh_join(docs.limit(20), docs.limit(40))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    pre = docs.select("doc_id", "lang", F.lit(5).cast("long").alias("n_tokens"))
+    plan = (
+        sp.token_budget_cap(pre, budget=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_collapse_repeat_tokens(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "batch batch batch stream stream ok"),
+            (2, "a b a b"),          # non-adjacent repeats stay
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.collapse_repeat_tokens(df).collect()}
+    assert got[1]["text_clean"] == "batch stream ok"
+    assert (got[1]["n_tokens"], got[1]["n_kept"]) == (6, 3)
+    assert got[2]["text_clean"] == "a b a b"
+    assert (got[3]["n_tokens"], got[3]["text_clean"]) == (0, "")
+    assert got[4]["n_tokens"] is None and got[4]["text_clean"] is None
+
+
+def test_cap_to_vocab(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the dog"),
+            (2, "THE Cat! zzz"),     # normalization folds case/punct
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    # top-2 vocab: 'the' (3 occ), 'cat' (2 occ)
+    got = {r["doc_id"]: r for r in tx.cap_to_vocab(df, vocab_size=2).collect()}
+    assert got[1]["text_capped"] == "the cat the <unk>"
+    assert (got[1]["n_tokens"], got[1]["n_unk"]) == (4, 1)
+    assert got[2]["text_capped"] == "the cat <unk>"
+    assert got[3]["text_capped"] is None and got[3]["n_unk"] is None

@@ -1717,3 +1717,78 @@ def q74(spark, sf_dir):
     d = _table(spark, sf_dir, "documents")
     is_new = sp.hash_hex(F.col("doc_id"), "inc") < F.lit(_INC_THR)
     return dd.minhash_lsh_join(d.filter(is_new), d.filter(~is_new))
+
+
+@register(
+    "q75_collapse_repeats",
+    f"""
+    WITH nm AS (SELECT doc_id, text, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(norm, '\\s+') END AS tk
+      FROM nm
+    ),
+    k AS (
+      SELECT doc_id, text, tk,
+             [tk[i] for i in generate_series(1, len(tk))
+              if i = 1 OR tk[i] <> tk[i - 1]] AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE CAST(len(tk) AS BIGINT) END
+             AS n_tokens,
+           CASE WHEN text IS NULL THEN NULL ELSE CAST(len(kept) AS BIGINT) END
+             AS n_kept,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE array_to_string(kept, ' ') END AS text_clean
+    FROM k
+    """,
+)
+def q75(spark, sf_dir):
+    """Collapse consecutively repeated tokens (crawl-artifact cleanup:
+    'batch batch batch' -> 'batch'); pure scan-side HOFs, no shuffle
+    (pipeline/text.py collapse_repeat_tokens)."""
+    return tx.collapse_repeat_tokens(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q76_vocab_cap",
+    f"""
+    WITH nm AS (SELECT doc_id, text, {_NORM} AS norm FROM documents),
+    tkn AS ({_T_SPLIT} FROM nm WHERE length(norm) > 0),
+    pd AS (SELECT tok, doc_id, count(*) AS c FROM tkn GROUP BY 1, 2),
+    v AS (
+      SELECT list(tok) AS vl FROM (
+        SELECT tok, sum(c) AS n_occ FROM pd GROUP BY 1
+        ORDER BY n_occ DESC, tok LIMIT 50
+      )
+    ),
+    t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(norm, '\\s+') END AS tk
+      FROM nm
+    ),
+    c AS (
+      SELECT doc_id, text, tk,
+             [CASE WHEN list_contains(vl, x) THEN x
+                   ELSE '<unk>' END for x in tk] AS capped
+      FROM t CROSS JOIN v
+    )
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE CAST(len(tk) AS BIGINT) END
+             AS n_tokens,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(len([x for x in capped if x = '<unk>']) AS BIGINT)
+           END AS n_unk,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE array_to_string(capped, ' ') END AS text_capped
+    FROM c
+    """,
+)
+def q76(spark, sf_dir):
+    """LM vocabulary capping: tokens outside the corpus top-50 vocab
+    become '<unk>' — tiny vocab agg collected once, then a pure
+    scan-side map-literal replacement (pipeline/text.py cap_to_vocab)."""
+    return tx.cap_to_vocab(_table(spark, sf_dir, "documents"), vocab_size=50)

@@ -576,3 +576,89 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "tok", "score")
     )
+
+
+def collapse_repeat_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse runs of consecutively repeated tokens to one occurrence
+    ("batch batch batch" → "batch") — the classic crawl-artifact /
+    decoder-loop cleanup. Operates on the normalized token stream.
+
+    Output: (id, n_tokens, n_kept, text_clean). Pure scan-side
+    higher-order functions — no shuffle, no state; the run test is
+    token[i] != token[i-1], so only adjacent duplicates collapse
+    (cf. repetition_score, which *measures* global repetition).
+
+    HOFs are interpreted (no codegen, no CSE) so the token array is
+    evaluated once per referencing expression — three times here, which
+    is still one scan and beats an explode/re-assemble round-trip.
+    """
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks, lambda x, i: (i == F.lit(0)) | (x != F.element_at(toks, i))
+    )
+    null_text = F.col(text_col).isNull()
+    return df.select(
+        F.col(id_col),
+        F.when(null_text, F.lit(None).cast("long"))
+        .otherwise(F.size(toks).cast("long"))
+        .alias("n_tokens"),
+        F.when(null_text, F.lit(None).cast("long"))
+        .otherwise(F.size(kept).cast("long"))
+        .alias("n_kept"),
+        F.when(null_text, F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text_clean"),
+    )
+
+
+def cap_to_vocab(
+    df: DataFrame,
+    vocab_size: int = 100,
+    unk: str = "<unk>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Replace every token outside the corpus's top-``vocab_size``
+    vocabulary with ``unk`` (LM-style vocabulary capping). The vocab is
+    the same deterministic vocab_top_k head oov_stats uses.
+
+    The vocab is collected to the driver (``vocab_size`` rows — the same
+    tiny-aggregate-then-literal pattern as uniform_rebalance_rates) and
+    embedded as a map literal, so the replacement is a pure scan-side
+    expression: no join, no shuffle, composes with column pruning. The
+    normalized token stream never contains '<' so ``unk`` cannot
+    collide with a real token.
+
+    Output: (id, n_tokens, n_unk, text_capped).
+    """
+    vocab = [
+        r["tok"]
+        for r in vocab_top_k(df, k=vocab_size, text_col=text_col, id_col=id_col)
+        .select("tok")
+        .collect()
+    ]
+    pairs: list[Column] = []
+    for t in vocab:
+        pairs.extend([F.lit(t), F.lit(True)])
+    m = F.create_map(*pairs) if pairs else F.create_map().cast("map<string,boolean>")
+    toks = tokens(F.col(text_col))
+    capped = F.transform(
+        toks, lambda x: F.when(m.getItem(x).isNotNull(), x).otherwise(F.lit(unk))
+    )
+    null_text = F.col(text_col).isNull()
+    return df.select(
+        F.col(id_col),
+        F.when(null_text, F.lit(None).cast("long"))
+        .otherwise(F.size(toks).cast("long"))
+        .alias("n_tokens"),
+        F.when(null_text, F.lit(None).cast("long"))
+        .otherwise(
+            F.size(F.filter(capped, lambda x: x == F.lit(unk))).cast("long")
+        )
+        .alias("n_unk"),
+        F.when(null_text, F.lit(None).cast("string"))
+        .otherwise(F.array_join(capped, " "))
+        .alias("text_capped"),
+    )
