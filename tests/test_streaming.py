@@ -357,3 +357,67 @@ def test_streaming_asof_state_across_batches(spark, tmp_path):
     assert got[3] == (1.0, 100)         # state carried from batch 0
     assert got[4] == (3.0, 300)         # same-batch newer snapshot
     assert got[5] == (1.0, 100)         # ts 250 < 300: event-time order holds
+
+
+def test_streaming_lsh_screen_matches_batch(spark, tmp_path):
+    """Stream-static LSH screen parity: the distinct (doc, corpus) pairs
+    emitted by the stream equal minhash_lsh_join's batch pairs, and the
+    per-pair event multiplicity equals n_bands."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.pipeline.dedup import minhash_lsh_join
+    from ticktock_spark.schema import load_table
+    from ticktock_spark.streaming.dedup_lsh import (
+        corpus_band_index,
+        streaming_flagged_hits,
+        streaming_lsh_candidates,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    arriving = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    index = corpus_band_index(corpus)
+
+    (tmp_path / "in").mkdir()
+    rows = [
+        {"doc_id": r["doc_id"], "text": r["text"]} for r in arriving.collect()
+    ]
+    (tmp_path / "in" / "b0.json").write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(tmp_path / "in")
+    )
+    out = streaming_lsh_candidates(stream, index)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lsh_screen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("select * from lsh_screen").collect():
+        got[(r["doc_id"], r["corpus_id"])] = got.get((r["doc_id"], r["corpus_id"]), 0) + 1
+    exp = {
+        (r["left_id"], r["right_id"]): r["n_bands"]
+        for r in minhash_lsh_join(arriving, corpus).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    flagged = streaming_flagged_hits(stream, index)
+    q2 = (
+        flagged.writeStream.format("memory")
+        .queryName("lsh_flagged")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    flagged_docs = {r["doc_id"] for r in spark.sql("select * from lsh_flagged").collect()}
+    assert flagged_docs == {a for (a, _) in exp}

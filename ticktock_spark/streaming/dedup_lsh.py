@@ -1,0 +1,107 @@
+"""Streaming near-duplicate screening against a standing corpus.
+
+The batch twin is ``pipeline.dedup.minhash_lsh_join`` (new batch vs
+corpus without within-side pairs). On a stream the corpus side becomes a
+STATIC band index — (band, key, doc id) rows precomputed once with
+``corpus_band_index`` and ideally written to parquet bucketed by key —
+and each arriving document's band keys join against it stream-static.
+
+Stream-static equi-joins are STATELESS in Structured Streaming: no
+watermark, no state store, append mode; each micro-batch hash-joins its
+few band keys against the (big but static) index, so the per-batch cost
+is O(batch), never O(corpus). The same md5 hash scheme as the batch
+path means a (stream doc, corpus doc) pair buckets identically whether
+screened online or in the nightly batch job.
+
+Emission semantics: one row per agreeing (band, key) — a pair that
+agrees in k bands appears k times. Within one micro-batch that is the
+same multiplicity n_bands counts in the batch twin; dedupe/aggregate
+downstream (or in the sink) if single-row-per-pair is needed — a
+streaming groupBy here would force a watermark and delay emission for
+what is fundamentally a stateless screen.
+
+For an exact "only novel docs pass" filter (doc survives iff NO band
+matched), use ``foreachBatch`` with the batch operator instead: a
+per-doc all-bands condition is an aggregation, and the batch path inside
+``foreachBatch`` (minhash_lsh_join + anti join) gives it exactly-once
+per micro-batch without streaming state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ticktock_spark.pipeline.dedup import _banded_pandas
+from ticktock_spark.pipeline.text import normalize_text
+
+
+def _banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    id_type = dict(df.select(id_col).dtypes)[id_col]
+    nm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
+    return nm.mapInPandas(
+        _banded_pandas(num_hashes, bands, num_hashes // bands, id_col, k=k),
+        schema=f"{id_col} {id_type}, band int, key string",
+    )
+
+
+def corpus_band_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The static side: (corpus_id, band, key) rows for the standing
+    corpus. Compute once per corpus version; persist (parquet, bucketed
+    by (band, key) for a shuffle-free stream join) and reload for the
+    streaming job."""
+    return _banded(corpus, text_col, id_col, k, num_hashes, bands).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+
+
+def streaming_lsh_candidates(
+    doc_stream: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Arriving docs → near-dup candidate events against the corpus.
+
+    Output stream: (doc_id, corpus_id, band) — one row per agreeing
+    band (see module docstring for multiplicity semantics). mapInPandas
+    runs the md5 signatures per micro-batch; the join is a stateless
+    stream-static hash join on (band, key).
+    """
+    banded = _banded(doc_stream, text_col, id_col, k, num_hashes, bands)
+    return banded.join(index, ["band", "key"]).select(id_col, "corpus_id", "band")
+
+
+def streaming_flagged_hits(
+    doc_stream: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The review/quarantine feed: (doc_id, band) rows for every band
+    that collided with the corpus (left-semi stream-static join — a doc
+    repeats up to ``bands`` times; dedupe in the sink, keeping this side
+    stateless). The complement ("novel docs only") needs the per-doc
+    no-band-matched aggregate; do that in ``foreachBatch`` with the
+    batch twin (module docstring)."""
+    banded = _banded(doc_stream, text_col, id_col, k, num_hashes, bands)
+    return banded.join(index, ["band", "key"], "left_semi").select(id_col, "band")
