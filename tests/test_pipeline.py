@@ -578,3 +578,26 @@ def test_cap_to_vocab(spark):
     assert (got[1]["n_tokens"], got[1]["n_unk"]) == (4, 1)
     assert got[2]["text_capped"] == "the cat <unk>"
     assert got[3]["text_capped"] is None and got[3]["n_unk"] is None
+
+
+def test_dedup_pipeline_semantics(spark):
+    """Exact copies and near-dups land in one cluster; the kept doc is
+    the min id; per-cluster exactly one is_kept."""
+    from ticktock_spark.pipeline import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    near = base + " tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),            # exact copy of 1
+            (3, near),            # near-dup of 1 (high shingle overlap)
+            (4, "completely different content about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dd.dedup_pipeline(docs).collect()}
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == got[3]["cluster_id"] == 1
+    assert got[1]["is_kept"] and not got[2]["is_kept"] and not got[3]["is_kept"]
+    assert got[1]["n_total"] == 3
+    assert got[4]["is_kept"] and got[4]["n_total"] == 1

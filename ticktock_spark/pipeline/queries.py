@@ -158,7 +158,9 @@ def q33(spark, sf_dir):
     return dd.exact_dedup(d).select("digest", "canonical_id", "n_copies")
 
 
-def _minhash_cte(cand_cond: str = "a.doc_id < b.doc_id") -> str:
+def _minhash_cte(
+    cand_cond: str = "a.doc_id < b.doc_id", src: str = "documents"
+) -> str:
     # mirror of dedup.minhash_signature: h_j = min over shingles of the
     # j-th 8-hex slice of md5('0:'||s) || md5('1:'||s)
     hs = ",\n             ".join(
@@ -170,7 +172,7 @@ def _minhash_cte(cand_cond: str = "a.doc_id < b.doc_id") -> str:
         for b in range(4)
     )
     return f"""
-    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM {src}),
     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM n),
     ct AS (SELECT doc_id, [md5('0:' || s) || md5('1:' || s) for s in sh] AS cats FROM sh),
     sig AS (
@@ -1792,3 +1794,51 @@ def q76(spark, sf_dir):
     become '<unk>' — tiny vocab agg collected once, then a pure
     scan-side map-literal replacement (pipeline/text.py cap_to_vocab)."""
     return tx.cap_to_vocab(_table(spark, sf_dir, "documents"), vocab_size=50)
+
+
+@register(
+    "q77_dedup_pipeline",
+    "WITH RECURSIVE canon0 AS ("
+    "  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+    "), canon AS (SELECT d.doc_id, d.text FROM documents d JOIN canon0 USING (doc_id)), "
+    + _minhash_cte(src="canon").replace("\n    WITH ", "")
+    + f"""
+    , j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ),
+    pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    walk(node, lbl) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node WHERE w.lbl < e.v
+    ),
+    lab AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    m AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    ),
+    lab2 AS (
+      SELECT m.doc_id, coalesce(l.cluster_id, m.canonical_id) AS cluster_id
+      FROM m LEFT JOIN lab l ON l.node = m.canonical_id
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n_total FROM lab2 GROUP BY 1)
+    SELECT doc_id, cluster_id, CAST(n_total AS BIGINT) AS n_total,
+           doc_id = cluster_id AS is_kept
+    FROM lab2 JOIN sizes USING (cluster_id)
+    """,
+)
+def q77(spark, sf_dir):
+    """FLAGSHIP dedup composition: exact dedup -> LSH + Jaccard verify +
+    connected components over CANONICAL docs only -> every original doc
+    mapped to its final cluster. Exact-first ordering kills the LSH
+    mega-bucket blow-up quadratic in copy count
+    (pipeline/dedup.py dedup_pipeline; tools/scale_stress.py numbers)."""
+    return dd.dedup_pipeline(_table(spark, sf_dir, "documents"))

@@ -1,0 +1,110 @@
+"""Scale-stress harness: replicate the sf0.1 documents/embeddings tables
+N x (fresh ids, worst-case exact-duplicate mega-clusters) and time the
+dedup/similarity paths that would dominate a 100 TB run. Evidence for
+the COVERAGE scale claims: task-bounded LSH buckets (_bucket_blocks),
+block-pair cosine kernel, log-round connected components.
+
+Usage: python tools/scale_stress.py [N]   (default 20 -> 100k docs)
+Writes scratch parquet under /root/repo/.scratch/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from ticktock_spark.pipeline import cluster as cl, dedup as dd, text as tx
+from ticktock_spark.pipeline import sample as sp, similarity as sim
+from ticktock_spark.schema import load_table
+from ticktock_spark.session import get_spark
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def replicate(spark, n: int) -> tuple[str, str]:
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    vecs = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    copies = spark.range(n).withColumnRenamed("id", "copy")
+    big_docs = (
+        docs.crossJoin(copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * 1_000_000)
+        .drop("copy")
+    )
+    big_vecs = (
+        vecs.crossJoin(copies)
+        .withColumn("vec_id", F.col("vec_id") + F.col("copy") * 1_000_000)
+        .drop("copy")
+    )
+    dp, vp = f"{SCRATCH}/docs_{n}x.parquet", f"{SCRATCH}/vecs_{n}x.parquet"
+    big_docs.repartition(32).write.mode("overwrite").parquet(dp)
+    big_vecs.repartition(32).write.mode("overwrite").parquet(vp)
+    return dp, vp
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    spark = get_spark()
+    dp, vp = replicate(spark, n)
+    docs = spark.read.parquet(dp)
+    vecs = spark.read.parquet(vp)
+    n_docs, n_vecs = docs.count(), vecs.count()
+    out = {"n": n, "docs": n_docs, "vecs": n_vecs, "timings": {}}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        v = fn()
+        out["timings"][name] = round(time.monotonic() - t0, 2)
+        print(f"{name}: {out['timings'][name]}s -> {v}", flush=True)
+        return v
+
+    timed("exact_dedup", lambda: dd.exact_dedup(docs).count())
+    pairs = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    timed("minhash_lsh_candidates", lambda: pairs.count())
+    # candidate pairs explode quadratically with exact replication
+    # (every original near-dup cluster grows n-fold); verify+cluster on a
+    # thresholded subset keeps the stress on the operators, not the O(p^2)
+    # pair volume intrinsic to replicating identical text
+    strong = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4).filter(
+        F.col("n_bands") >= 4
+    )
+    timed(
+        "connected_components",
+        lambda: cl.connected_components(strong.limit(2_000_000)).count(),
+    )
+    timed(
+        "cosine_neardup_pairs",
+        lambda: sim.cosine_neardup_pairs(vecs, threshold=0.35).count(),
+    )
+    timed("dedup_pipeline", lambda: dd.dedup_pipeline(docs).count())
+    timed(
+        "dedup_pipeline_canon_candidates",
+        lambda: dd.minhash_lsh_candidates(
+            docs.join(
+                dd.exact_dedup(docs).select(
+                    F.col("canonical_id").alias("doc_id")
+                ),
+                "doc_id",
+                "left_semi",
+            )
+        ).count(),
+    )
+    timed("oov_stats", lambda: tx.oov_stats(docs, vocab_size=50).count())
+    timed(
+        "token_budget_cap",
+        lambda: sp.token_budget_cap(
+            docs.select(
+                "doc_id", "lang", tx.token_count(F.col("text")).cast("long").alias("n_tokens")
+            ),
+            budget=100_000,
+        ).count(),
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
