@@ -421,3 +421,40 @@ def test_streaming_lsh_screen_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     flagged_docs = {r["doc_id"] for r in spark.sql("select * from lsh_flagged").collect()}
     assert flagged_docs == {a for (a, _) in exp}
+
+
+def test_streaming_novelty_screen(spark, tmp_path):
+    """foreachBatch novelty screen: exact dup and verified near-dup of
+    corpus docs are dropped; the genuinely novel doc lands in the sink."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.dedup_lsh import streaming_novelty_screen
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "ticktock stores time series data points compactly")],
+        "doc_id long, text string",
+    )
+    arriving = [
+        {"doc_id": 100, "text": base},                    # exact dup → drop
+        {"doc_id": 101, "text": base + " tonight"},       # near-dup → drop
+        {"doc_id": 102, "text": "zebras graze quietly on wide open plains today"},
+    ]
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "b0.json").write_text(
+        "\n".join(json.dumps(r) for r in arriving)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(tmp_path / "in")
+    )
+    q = streaming_novelty_screen(
+        stream,
+        corpus,
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {102}

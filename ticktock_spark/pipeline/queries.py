@@ -1842,3 +1842,36 @@ def q77(spark, sf_dir):
     mega-bucket blow-up quadratic in copy count
     (pipeline/dedup.py dedup_pipeline; tools/scale_stress.py numbers)."""
     return dd.dedup_pipeline(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q78_neardup_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    proj AS (
+      SELECT vec_id, b,
+             list_sum([{_SRP_PLANE} * CAST(embedding[i] AS DOUBLE)
+                       for i in generate_series(1, len(embedding))]) AS p
+      FROM e, generate_series(0, 7) t(b)
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1
+    )
+    SELECT sa.vec_id AS id_a, sb.vec_id AS id_b,
+           {_Q6.format(x=_COS_AB)} AS cosine
+    FROM sig sa JOIN sig sb
+      ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+    JOIN embeddings a ON a.vec_id = sa.vec_id
+    JOIN embeddings b ON b.vec_id = sb.vec_id
+    WHERE {_Q6.format(x=_COS_AB)} >= 0.35
+    """,
+)
+def q78(spark, sf_dir):
+    """SRP-bucketed semantic near-dup pairs — the scale path when even
+    blocked all-pairs is too much: deterministic md5-derived buckets
+    (same planes as q43), exact fold-order-stable cosine kernel within
+    buckets only (pipeline/similarity.py cosine_neardup_bucketed)."""
+    e = _table(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_bucketed(e, threshold=0.35, nbits=8)

@@ -149,8 +149,14 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     quantize: bool = True,
     block_rows: int = 8192,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine near-duplicates: (id_a < id_b, cosine ≥ threshold).
+
+    With ``bucket_col`` set, pairs are enumerated WITHIN buckets only
+    (block-pair groups key on (bucket, bi, bj)) — the approximate scale
+    path when even blocked O(n²) is too much; see
+    ``cosine_neardup_bucketed`` for the SRP-pruned composition.
 
     Dense pairwise linear algebra is the one place the built-in array
     expressions genuinely can't compete: fold/zip_with are interpreted
@@ -194,11 +200,13 @@ def cosine_neardup_pairs(
     k_par = max(1, math.ceil((math.sqrt(8 * par + 1) - 1) / 2))
     nblocks = max(math.ceil(n / block_rows), k_par)
 
+    extra = [bucket_col] if bucket_col else []
     rep = (
-        corpus.select(id_col, vec_col)
+        corpus.select(*extra, id_col, vec_col)
         .withColumn("__b", F.pmod(F.hash(F.col(id_col)), F.lit(nblocks)))
         .withColumn("__x", F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))))
         .select(
+            *extra,
             F.least("__b", "__x").alias("__bi"),
             F.greatest("__b", "__x").alias("__bj"),
             "__b",
@@ -249,7 +257,7 @@ def cosine_neardup_pairs(
             ib = np.maximum(a_ids[ai], b_ids[bjx])
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cos[ai, bjx]})
 
-    return rep.groupBy("__bi", "__bj").applyInPandas(
+    return rep.groupBy(*extra, "__bi", "__bj").applyInPandas(
         kernel, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )
 
@@ -661,3 +669,42 @@ def build_ivf_index(
     assignments, _ = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     bucketed = corpus.join(assignments, id_col)
     write_ivf_index(bucketed, path, bucket_col="bucket", vec_col=vec_col)
+
+
+def cosine_neardup_bucketed(
+    corpus: DataFrame,
+    threshold: float,
+    nbits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: bool = True,
+    block_rows: int = 8192,
+) -> DataFrame:
+    """Semantic near-dup pairs at the scale where even the blocked
+    all-pairs kernel is too much: SRP-bucket the corpus (deterministic
+    md5-derived hyperplanes — same scheme as srp_lsh_knn / the q43
+    oracle), then run the exact fold-order-stable cosine kernel WITHIN
+    buckets only.
+
+    Approximate by construction: a pair straddling two buckets (vectors
+    near a hyperplane) is missed — expected recall falls with angle, so
+    pick nbits so 2^nbits ≪ expected cluster count but buckets stay
+    small. Fully deterministic (planes from the seed), so the output is
+    still oracle-checkable: the SQL twin computes the same buckets and
+    same-bucket pairs.
+
+    Scale: pair work drops from O(n²) to Σ_b O(n_b²); the block-pair
+    machinery still bounds every task at ≤ 2·block_rows vectors even if
+    one bucket swallows a viral embedding cluster.
+    """
+    b = srp_bucketed(corpus, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
+    return cosine_neardup_pairs(
+        b,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        quantize=quantize,
+        block_rows=block_rows,
+        bucket_col="bucket",
+    )

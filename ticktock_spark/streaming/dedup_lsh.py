@@ -105,3 +105,77 @@ def streaming_flagged_hits(
     batch twin (module docstring)."""
     banded = _banded(doc_stream, text_col, id_col, k, num_hashes, bands)
     return banded.join(index, ["band", "key"], "left_semi").select(id_col, "band")
+
+
+def streaming_novelty_screen(
+    doc_stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+):
+    """The exact screen: append ONLY novel documents (no exact digest
+    match in the corpus AND no Jaccard-verified near-dup) to
+    ``out_path``.
+
+    "Doc survives iff NO band matched + verification failed" is a
+    per-doc aggregate, so it can't stay stateless inside the stream —
+    instead each micro-batch runs the BATCH operators via foreachBatch:
+    exact anti-join on digests, then minhash_lsh_join + verify_jaccard
+    against the corpus, then an anti-join of the batch against flagged
+    ids. Checkpointing makes the whole batch transform effectively-once;
+    the parquet append is idempotent per epoch.
+
+    Note the corpus frame is re-used across batches — persist() it (or
+    point it at the parquet digest/band indexes) so each micro-batch
+    pays lookup cost, not recompute cost. Ids must be unique ACROSS the
+    stream and the corpus (the Jaccard verification unions both sides).
+
+    Returns the StreamingQuery.
+    """
+    from ticktock_spark.pipeline.dedup import minhash_lsh_join, verify_jaccard
+
+    corpus_digests = corpus.select(F.md5(F.col(text_col)).alias("digest"))
+
+    def screen(batch: DataFrame, epoch_id: int) -> None:
+        fresh = batch.withColumn("__digest", F.md5(F.col(text_col))).join(
+            corpus_digests.withColumnRenamed("digest", "__digest"),
+            "__digest",
+            "left_anti",
+        )
+        cand = minhash_lsh_join(
+            fresh,
+            corpus,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+        ).select(
+            F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b")
+        )
+        both = fresh.select(id_col, text_col).unionByName(
+            corpus.select(id_col, text_col)
+        )
+        flagged = (
+            verify_jaccard(
+                both, cand, text_col=text_col, id_col=id_col, k=k,
+                threshold=jaccard_threshold,
+            )
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+        novel = fresh.drop("__digest").join(flagged, id_col, "left_anti")
+        novel.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
