@@ -159,3 +159,47 @@ def test_scale_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_funnel_stages(spark):
+    from ticktock_spark.pipeline import sessions as ssn
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "signup", 100), (1, "view", 200), (1, "click", 300), (1, "purchase", 400),
+        # user 2: view BEFORE signup doesn't count; no later view → stage 1
+        (2, "view", 50), (2, "signup", 100), (2, "click", 200),
+        # user 3: signup + two views (earliest-after wins), no click
+        (3, "signup", 10), (3, "view", 30), (3, "view", 20),
+        # user 4: never signed up → excluded
+        (4, "view", 10), (4, "purchase", 20),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, us long")
+    got = {r["user_id"]: r for r in
+           ssn.funnel_stages(ev, ["signup", "view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["t_signup"], got[1]["t_view"], got[1]["t_click"],
+            got[1]["t_purchase"], got[1]["stage"]) == (100, 200, 300, 400, 4)
+    assert got[2]["t_view"] is None and got[2]["stage"] == 1
+    assert got[3]["t_view"] == 20 and got[3]["t_click"] is None and got[3]["stage"] == 2
+
+
+def test_cohort_retention(spark):
+    from ticktock_spark.pipeline import sessions as ssn
+
+    DAY = 86_400 * 1_000_000
+    T0 = 1_704_067_200 * 1_000_000  # 2024-01-01 UTC
+    rows = [
+        (1, T0), (1, T0 + 8 * DAY),            # cohort 01-01: week 0 and 1
+        (2, T0 + 2 * DAY), (2, T0 + 2 * DAY + 1),  # cohort 01-03: week 0 twice → once
+        (3, T0), (3, T0 + 20 * DAY),           # cohort 01-01: week 0 and 2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, us long")
+    got = {(r["cohort_date"], r["week_offset"]): r["n_users"]
+           for r in ssn.cohort_retention(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-03", 0): 1,
+    }

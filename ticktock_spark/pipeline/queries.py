@@ -1875,3 +1875,65 @@ def q78(spark, sf_dir):
     buckets only (pipeline/similarity.py cosine_neardup_bucketed)."""
     e = _table(spark, sf_dir, "embeddings")
     return sim.cosine_neardup_bucketed(e, threshold=0.35, nbits=8)
+
+
+@register(
+    "q79_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, min(us) AS t_signup FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(us) AS t_view FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'view' AND us > t_signup GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'click' AND us > t_view GROUP BY 1),
+    s4 AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN s3 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t_click GROUP BY 1)
+    SELECT s1.user_id, t_signup, t_view, t_click, t_purchase,
+           CAST(CASE WHEN t_purchase IS NOT NULL THEN 4
+                     WHEN t_click IS NOT NULL THEN 3
+                     WHEN t_view IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS stage
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    LEFT JOIN s4 USING (user_id)
+    """,
+)
+def q79(spark, sf_dir):
+    """Ordered conversion funnel signup -> view -> click -> purchase:
+    earliest strictly-later completion per stage per user
+    (pipeline/sessions.py funnel_stages)."""
+    from ticktock_spark.pipeline import sessions as ssn
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    return ssn.funnel_stages(ev, ["signup", "view", "click", "purchase"])
+
+
+@register(
+    "q80_cohort_retention",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    f AS (SELECT user_id, min(us) AS first_us FROM e GROUP BY 1),
+    p AS (
+      SELECT DISTINCT e.user_id,
+             strftime(make_timestamp(f.first_us), '%Y-%m-%d') AS cohort_date,
+             CAST(floor((e.us - f.first_us) / {7 * 86_400 * 1_000_000}) AS INTEGER)
+               AS week_offset
+      FROM e JOIN f USING (user_id)
+    )
+    SELECT cohort_date, week_offset, count(*) AS n_users
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q80(spark, sf_dir):
+    """Weekly cohort retention from first activity (integer-microsecond
+    offsets; pipeline/sessions.py cohort_retention)."""
+    from ticktock_spark.pipeline import sessions as ssn
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    return ssn.cohort_retention(ev)

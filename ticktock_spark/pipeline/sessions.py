@@ -82,3 +82,78 @@ def session_stats(
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user who performed
+    ``stages[0]``, the earliest time of each subsequent stage STRICTLY
+    AFTER the previous stage's time (the classic signup → view → click →
+    purchase analysis). Users missing a stage get NULL there and for all
+    later stages; ``stage`` is the deepest stage index reached (1-based).
+
+    Scale shape: one filtered aggregation per stage, each shuffling on
+    the user key — after the first agg the per-user frames co-partition,
+    and each stage's event filter pushes down to the scan. All integer
+    timestamp comparisons; no windows over the full event stream.
+    """
+    t0 = F.col(ts_col)
+    out = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(t0).alias(f"t_{stages[0]}"))
+    )
+    prev = f"t_{stages[0]}"
+    for s in stages[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .join(out.select(user_col, prev), user_col)
+            .filter(t0 > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(t0).alias(f"t_{s}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev = f"t_{s}"
+    stage = None
+    for i, s in enumerate(reversed(stages)):
+        cond = F.col(f"t_{s}").isNotNull()
+        lvl = F.lit(len(stages) - i)
+        stage = F.when(cond, lvl) if stage is None else stage.when(cond, lvl)
+    return out.withColumn("stage", stage.otherwise(F.lit(0)).cast("int"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_us: int = 7 * 86_400 * 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "us",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date, counted
+    once per (cohort, period offset) they were active in. Offsets are
+    integer µs arithmetic (floor((t - first)/period)) — engine-exact.
+
+    Scale shape: first-activity agg (one shuffle on user), broadcast-or-
+    shuffle join back, then distinct + count keyed on (cohort, offset,
+    user) — the distinct carries one row per user-period, far smaller
+    than the event stream.
+    """
+    t = F.col(ts_col)
+    first = events.groupBy(user_col).agg(F.min(t).alias("__first_us"))
+    joined = events.select(user_col, t.alias("__us")).join(first, user_col)
+    per = joined.select(
+        user_col,
+        F.date_format(F.timestamp_micros(F.col("__first_us")), "yyyy-MM-dd").alias(
+            "cohort_date"
+        ),
+        F.floor((F.col("__us") - F.col("__first_us")) / F.lit(period_us))
+        .cast("int")
+        .alias("week_offset"),
+    ).distinct()
+    return per.groupBy("cohort_date", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
