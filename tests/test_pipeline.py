@@ -632,3 +632,28 @@ def test_cosine_neardup_bucketed_subset_and_recall(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_diversity_sample(spark):
+    """Bucket caps hold, output is deterministic under repartitioning,
+    and the rank<=k filter runs as a partial WindowGroupLimit before the
+    exchange (bounded shuffle)."""
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = sim.diversity_sample(vecs, per_bucket=5, nbits=4).collect()
+    per = {}
+    for r in got:
+        per[r["bucket"]] = per.get(r["bucket"], 0) + 1
+        assert 1 <= r["pick"] <= 5
+    assert per and max(per.values()) <= 5
+    got2 = sim.diversity_sample(vecs.repartition(11), per_bucket=5, nbits=4).collect()
+    assert {(r["vec_id"], r["bucket"], r["pick"]) for r in got2} == {
+        (r["vec_id"], r["bucket"], r["pick"]) for r in got
+    }
+    plan = (
+        sim.diversity_sample(vecs, per_bucket=5, nbits=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan

@@ -1937,3 +1937,41 @@ def q80(spark, sf_dir):
         "user_id", F.unix_micros("ts").alias("us")
     )
     return ssn.cohort_retention(ev)
+
+
+@register(
+    "q81_diversity_sample",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    proj AS (
+      SELECT vec_id, b,
+             list_sum([{_SRP_PLANE} * CAST(embedding[i] AS DOUBLE)
+                       for i in generate_series(1, len(embedding))]) AS p
+      FROM e, generate_series(0, 7) t(b)
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1
+    ),
+    r AS (
+      SELECT vec_id, bucket,
+             row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY substr(md5('div:' || CAST(vec_id AS VARCHAR)), 1, 8),
+                        vec_id
+             ) AS pick
+      FROM sig
+    )
+    SELECT vec_id, bucket, CAST(pick AS INTEGER) AS pick
+    FROM r WHERE pick <= 5
+    """,
+)
+def q81(spark, sf_dir):
+    """Diversity-aware subsample: at most 5 vectors per SRP bucket in
+    deterministic md5 order — dense embedding regions can't dominate the
+    sample (pipeline/similarity.py diversity_sample)."""
+    e = _table(spark, sf_dir, "embeddings")
+    return sim.diversity_sample(e, per_bucket=5, nbits=8).withColumn(
+        "pick", F.col("pick").cast("int")
+    )

@@ -708,3 +708,40 @@ def cosine_neardup_bucketed(
         block_rows=block_rows,
         bucket_col="bucket",
     )
+
+
+def diversity_sample(
+    corpus: DataFrame,
+    per_bucket: int,
+    nbits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_seed: str = "div",
+) -> DataFrame:
+    """Diversity-aware subsampling: cap each SRP bucket at ``per_bucket``
+    rows, chosen by deterministic md5 hash order (ties by id). Dense
+    embedding regions — near-dup clusters, templated boilerplate — can
+    only contribute ``per_bucket`` docs each, so the sample spreads
+    across the embedding space instead of mirroring its skew (the
+    training-mix analogue of stratified sampling, with strata induced by
+    geometry instead of labels).
+
+    Fully deterministic (md5 planes + md5 order), so SQL-oracle-checkable.
+    Scale shape: bucket assignment is a scan-side mapInPandas; the cap is
+    one per-bucket window — Catalyst turns rank<=k into WindowGroupLimit
+    with a partial pass before the exchange, so the shuffle carries at
+    most per_bucket × n_partitions rows per bucket.
+    """
+    from pyspark.sql import Window
+
+    b = srp_bucketed(corpus, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
+    h = F.substring(
+        F.md5(F.concat(F.lit(hash_seed + ":"), F.col(id_col).cast("string"))), 1, 8
+    )
+    w = Window.partitionBy("bucket").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        b.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= per_bucket)
+        .select(id_col, "bucket", "pick")
+    )

@@ -47,7 +47,9 @@ def replicate(spark, n: int) -> tuple[str, str]:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip_raw = "--skip-raw" in sys.argv
+    n = int(args[0]) if args else 20
     spark = get_spark()
     dp, vp = replicate(spark, n)
     docs = spark.read.parquet(dp)
@@ -63,19 +65,20 @@ def main():
         return v
 
     timed("exact_dedup", lambda: dd.exact_dedup(docs).count())
-    pairs = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
-    timed("minhash_lsh_candidates", lambda: pairs.count())
-    # candidate pairs explode quadratically with exact replication
-    # (every original near-dup cluster grows n-fold); verify+cluster on a
-    # thresholded subset keeps the stress on the operators, not the O(p^2)
-    # pair volume intrinsic to replicating identical text
-    strong = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4).filter(
-        F.col("n_bands") >= 4
-    )
-    timed(
-        "connected_components",
-        lambda: cl.connected_components(strong.limit(2_000_000)).count(),
-    )
+    if not skip_raw:
+        # candidate pairs explode quadratically with exact replication
+        # (every original near-dup cluster grows n-fold) — intrinsic to
+        # the input, kept here to show tasks stay bounded anyway; pass
+        # --skip-raw at high N where the O(p^2) volume dwarfs the point
+        pairs = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+        timed("minhash_lsh_candidates", lambda: pairs.count())
+        strong = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4).filter(
+            F.col("n_bands") >= 4
+        )
+        timed(
+            "connected_components",
+            lambda: cl.connected_components(strong.limit(2_000_000)).count(),
+        )
     timed(
         "cosine_neardup_pairs",
         lambda: sim.cosine_neardup_pairs(vecs, threshold=0.35).count(),
