@@ -203,3 +203,78 @@ def test_cohort_retention(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-03", 0): 1,
     }
+
+
+def test_leakage_safe_split(spark):
+    """Every cluster lands wholly in one split; singletons match plain
+    split_assign on their own id; weights are respected loosely."""
+    from ticktock_spark.pipeline import cluster as cl
+    from ticktock_spark.pipeline import sample as sp
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(50)], "id_a long, id_b long"
+    )
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r for r in cl.leakage_safe_split(docs, pairs, w).collect()}
+    for i in range(50):  # paired docs share cluster and split
+        assert got[i]["cluster_id"] == got[i + 100]["cluster_id"] == i
+        assert got[i]["split"] == got[i + 100]["split"]
+    # singletons (50..99, 150..199) = plain split_assign on own id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sp.split_assign(docs, w).collect()
+    }
+    for i in list(range(50, 100)) + list(range(150, 200)):
+        assert got[i]["split"] == plain[i]
+    assert {r["split"] for r in got.values()} == {"train", "valid", "test"}
+
+
+def test_funnel_matches_naive_on_random_events(spark):
+    """Randomized differential: the join-chain funnel equals a per-user
+    brute-force walk."""
+    import random
+
+    from ticktock_spark.pipeline import sessions as ssn
+
+    rng = random.Random(7)
+    stages = ["signup", "view", "click", "purchase"]
+    types = stages + ["error"]
+    rows = [
+        (e, rng.randrange(20), types[rng.randrange(5)], rng.randrange(1000))
+        for e in range(600)
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, us) for (_, u, t, us) in rows],
+        "user_id long, event_type string, us long",
+    )
+    got = {r["user_id"]: r for r in ssn.funnel_stages(ev, stages).collect()}
+
+    by_user: dict = {}
+    for _, u, t, us in rows:
+        by_user.setdefault(u, []).append((t, us))
+    for u, evs in by_user.items():
+        cur = None
+        expected = {}
+        for s in stages:
+            cands = [us for (t, us) in evs if t == s and (cur is None or us > cur)]
+            if cur is not None and not expected:
+                pass
+            nxt = min(cands) if cands else None
+            if s == stages[0]:
+                cur = nxt
+            elif cur is not None:
+                cur = nxt
+            expected[s] = cur
+            if cur is None:
+                for s2 in stages[stages.index(s) + 1:]:
+                    expected[s2] = None
+                break
+        if expected[stages[0]] is None:
+            assert u not in got
+            continue
+        r = got[u]
+        for s in stages:
+            assert r[f"t_{s}"] == expected[s], (u, s, dict(r.asDict()), expected)

@@ -190,3 +190,38 @@ def keep_best_per_cluster(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     return labeled.withColumn("is_kept", F.row_number().over(w) == 1)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/valid/test assignment where every near-dup CLUSTER lands in
+    one split — the leakage guard: hashing doc ids independently would
+    scatter near-identical documents across train and test, leaking eval
+    content into training. Assignment hashes the cluster id (min member
+    id) through the same deterministic md5 ranges as
+    ``sample.split_assign``, so singleton docs get exactly the plain
+    assignment and clustered docs inherit their cluster's.
+
+    Output: (id, cluster_id, split). Same scale shape as dedup_clusters
+    (tiny label side) + the scan-side split expression.
+    """
+    from ticktock_spark.pipeline.sample import split_assign
+
+    labels = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        docs.select(F.col(id_col).cast("long").alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("cluster_id", "node").alias("cluster_id"),
+        )
+    )
+    return split_assign(
+        labeled, weights, id_col="cluster_id", seed=seed, out_col=out_col
+    )

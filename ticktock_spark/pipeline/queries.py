@@ -1975,3 +1975,55 @@ def q81(spark, sf_dir):
     return sim.diversity_sample(e, per_bucket=5, nbits=8).withColumn(
         "pick", F.col("pick").cast("int")
     )
+
+
+@register(
+    "q82_leakage_safe_split",
+    "WITH RECURSIVE "
+    + _minhash_cte().replace("\n    WITH ", "")
+    + """
+    , j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ),
+    pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    walk(node, lbl) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node WHERE w.lbl < e.v
+    ),
+    lab AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < '19999999' THEN 'test'
+                WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'train'
+                ELSE 'valid' END AS split
+    FROM labeled
+    """,
+)
+def q82(spark, sf_dir):
+    """Leakage-safe train/valid/test split (80/10/10): near-dup clusters
+    (LSH -> Jaccard >= 0.5 -> components) are assigned atomically by
+    hashing the CLUSTER id through split_assign's md5 ranges, so no
+    near-duplicate ever straddles train and eval
+    (pipeline/cluster.py leakage_safe_split)."""
+    from ticktock_spark.pipeline import cluster as cl
+
+    d = _table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
+    verified = dd.verify_jaccard(d, cand, threshold=0.5)
+    return cl.leakage_safe_split(
+        d, verified.select("id_a", "id_b"),
+        weights={"train": 0.8, "valid": 0.1, "test": 0.1},
+    )
