@@ -657,3 +657,15 @@ def test_diversity_sample(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bpe_pair_counts(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "aab aab ccd"), (2, "aab")],
+        "doc_id long, text string",
+    )
+    # word counts: aab ×3, ccd ×1 → pairs: aa ×3, ab ×3, cc ×1, cd ×1
+    got = {r["pair"]: r["n"] for r in tx.bpe_pair_counts(df, top_k=10).collect()}
+    assert got == {"aa": 3, "ab": 3, "cc": 1, "cd": 1}

@@ -140,3 +140,56 @@ def test_percentile_r6_matches_reference_randomized(spark):
         for i, vals in cases:
             exp = _r6_reference(vals, q)
             assert math.isclose(got[i], exp, rel_tol=1e-12, abs_tol=1e-12), (i, q)
+
+
+def test_text_cleanup_properties_randomized(spark):
+    """Randomized invariants for the round-2 text ops, one Spark round
+    trip for many generated docs:
+    - collapse_repeat_tokens is idempotent and never grows the stream;
+    - cap_to_vocab: n_unk <= n_tokens, capped text has n_tokens tokens;
+    - oov_stats: 0 <= n_oov <= n_tokens and rate = n_oov/n_tokens.
+    """
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.pipeline import text as tx
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "de lta", "x1", "", "!!!", "the"]
+    docs = []
+    for i in range(120):
+        n = rng.randrange(0, 12)
+        docs.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    docs.append((999, None))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    once = tx.collapse_repeat_tokens(df)
+    twice = tx.collapse_repeat_tokens(
+        once.select(F.col("doc_id"), F.col("text_clean").alias("text"))
+    )
+    o = {r["doc_id"]: r for r in once.collect()}
+    t = {r["doc_id"]: r for r in twice.collect()}
+    for i, r in o.items():
+        if r["n_tokens"] is None:
+            assert t[i]["n_tokens"] is None
+            continue
+        assert r["n_kept"] <= r["n_tokens"]
+        assert t[i]["text_clean"] == r["text_clean"]          # idempotent
+        assert t[i]["n_tokens"] == t[i]["n_kept"] == r["n_kept"]
+
+    capped = {r["doc_id"]: r for r in tx.cap_to_vocab(df, vocab_size=3).collect()}
+    for i, r in capped.items():
+        if r["n_tokens"] is None:
+            continue
+        assert 0 <= r["n_unk"] <= r["n_tokens"]
+        n_text = len(r["text_capped"].split()) if r["text_capped"] else 0
+        assert n_text == r["n_tokens"]
+
+    oov = {r["doc_id"]: r for r in tx.oov_stats(df, vocab_size=3).collect()}
+    for i, r in oov.items():
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        if r["n_tokens"] > 0:
+            assert r["oov_rate"] == r["n_oov"] / r["n_tokens"]
+        else:
+            assert r["oov_rate"] is None

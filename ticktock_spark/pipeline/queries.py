@@ -2027,3 +2027,27 @@ def q82(spark, sf_dir):
         d, verified.select("id_a", "id_b"),
         weights={"train": 0.8, "valid": 0.1, "test": 0.1},
     )
+
+
+@register(
+    "q83_bpe_pairs",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS ({_T_SPLIT} FROM nm WHERE length(norm) > 0),
+    w AS (SELECT tok AS w, count(*) AS wc FROM t GROUP BY 1),
+    p AS (
+      SELECT unnest([substr(w, i, 2) for i in generate_series(1, length(w) - 1)])
+               AS pair,
+             wc
+      FROM w WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+    FROM p GROUP BY 1
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q83(spark, sf_dir):
+    """First-round BPE merge statistics: adjacent character-pair counts
+    weighted by word frequency, computed over the DISTINCT-word table so
+    cost is vocabulary-bounded (pipeline/text.py bpe_pair_counts)."""
+    return tx.bpe_pair_counts(_table(spark, sf_dir, "documents"), top_k=20)

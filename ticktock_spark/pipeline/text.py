@@ -662,3 +662,30 @@ def cap_to_vocab(
         .otherwise(F.array_join(capped, " "))
         .alias("text_capped"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, top_k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """First-round BPE merge-pair statistics: adjacent CHARACTER pair
+    frequencies over the corpus (each word's pairs weighted by the
+    word's total occurrence count) — the counts a byte-pair-encoding
+    tokenizer trainer computes to pick its first merge. Top-``top_k``
+    pairs by count, ties by pair string.
+
+    Scale shape: the corpus collapses to (word, count) first — one
+    explode + vocab-sized agg — and the character-pair explosion runs
+    over DISTINCT words only, so the expensive part is bounded by
+    vocabulary size, not corpus size. Integer counts throughout.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    idx = F.sequence(F.lit(1), F.length("w") - 1)
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair"),
+        "wc",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("n"))
+    return counts.orderBy(F.col("n").desc(), "pair").limit(top_k)
