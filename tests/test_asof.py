@@ -192,3 +192,28 @@ def test_asof_matches_naive_on_random_data(spark):
         cand = [(rt, rv) for (rk, rt, rv) in rrows if rk == k and rt <= t]
         exp = max(cand) if cand else None
         assert got[i] == ((exp[1], exp[0]) if exp else (None, None)), (i, k, t)
+
+
+def test_rolling_zscore(spark):
+    """Hand-checked frames: constant series → std 0 → NULL z; a spike
+    after a flat run gets a large positive z; first point NULL
+    (min_points)."""
+    from ticktock_spark.operators.rolling import rolling_zscore
+
+    rows = [
+        ("a", 1, 0, 10.0),
+        ("a", 1, 1000, 10.0),
+        ("a", 1, 2000, 10.0),
+        ("a", 1, 3000, 20.0),   # spike
+        ("b", 9, 0, 5.0),       # lone point
+    ]
+    df = spark.createDataFrame(rows, "et string, uid long, ts long, value double")
+    got = {(r["et"], r["uid"], r["ts"]): r for r in
+           rolling_zscore(df, ["et", "uid"], window_ms=10_000).collect()}
+    assert got[("a", 1, 0)]["zscore"] is None            # single-point frame
+    assert got[("a", 1, 2000)]["zscore"] is None         # zero variance
+    spike = got[("a", 1, 3000)]
+    # frame = [10,10,10,20]: mean 12.5, var 18.75, std ~4.3301, z ~1.7320
+    assert abs(spike["roll_mean"] - 12.5) < 1e-12
+    assert abs(spike["zscore"] - (7.5 / 18.75 ** 0.5)) < 1e-12
+    assert got[("b", 9, 0)]["zscore"] is None

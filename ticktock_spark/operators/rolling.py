@@ -50,3 +50,51 @@ def rolling_agg(
             "roll_avg": s.cast("double") / n.cast("double"),
         }
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    series_cols: list[str],
+    window_ms: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_points: int = 2,
+) -> DataFrame:
+    """Trailing-window z-score per point — the classic streaming-metrics
+    anomaly signal (how many sigmas is this point from its own series'
+    recent behavior). Same single series-sort shuffle as rolling_agg.
+
+    Numerics, engine-exactly: sum and sum-of-squares accumulate in
+    DECIMAL (order-free, no float accumulation drift), then ONE cast to
+    double each; variance = (sumsq - sum²/n)/n (population) computed in
+    IEEE doubles — identical operation order in the SQL twin, so results
+    are bit-identical. Catastrophic-cancellation can leave a tiny
+    negative variance for near-constant frames: clamped with greatest(0)
+    BEFORE sqrt on both sides (sqrt of negative is NaN in Spark but an
+    error in some engines). Frames with fewer than ``min_points`` points
+    (or zero variance) yield NULL z.
+    """
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col)
+        .rangeBetween(-window_ms, Window.currentRow)
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    s = F.sum(dec).over(w).cast("double")
+    ss = F.sum(dec * dec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean = s / n
+    var = F.greatest((ss - s * s / n) / n, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(
+        (F.count(F.lit(1)).over(w) >= min_points) & (std > 0),
+        (F.col(value_col) - mean) / std,
+    )
+    return df.withColumns(
+        {
+            "roll_n": F.count(F.lit(1)).over(w),
+            "roll_mean": mean,
+            "roll_std": std,
+            "zscore": z,
+        }
+    )

@@ -2051,3 +2051,45 @@ def q83(spark, sf_dir):
     weighted by word frequency, computed over the DISTINCT-word table so
     cost is vocabulary-bounded (pipeline/text.py bpe_pair_counts)."""
     return tx.bpe_pair_counts(_table(spark, sf_dir, "documents"), top_k=20)
+
+
+@register(
+    "q84_rolling_zscore",
+    f"""
+    WITH p AS (
+      SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events
+    ),
+    r AS (
+      SELECT event_type, user_id, ts, value,
+             CAST(count(*) OVER w AS BIGINT) AS roll_n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                    OVER w AS DOUBLE) AS ss,
+             CAST(count(*) OVER w AS DOUBLE) AS n
+      FROM p
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
+                   RANGE BETWEEN {_HOUR_MS} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, user_id, ts, value, roll_n,
+           s / n AS roll_mean,
+           sqrt(greatest((ss - s * s / n) / n, 0.0)) AS roll_std,
+           CASE WHEN roll_n >= 2
+                     AND sqrt(greatest((ss - s * s / n) / n, 0.0)) > 0
+                THEN (value - s / n)
+                     / sqrt(greatest((ss - s * s / n) / n, 0.0))
+           END AS zscore
+    FROM r
+    """,
+)
+def q84(spark, sf_dir):
+    """Trailing-1h rolling z-score per (event_type, user) series — the
+    anomaly signal over metric streams (operators/rolling.py
+    rolling_zscore): decimal-exact moments, one IEEE expression chain,
+    clamped variance."""
+    from ticktock_spark.operators.rolling import rolling_zscore
+
+    ev = _table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", "user_id", F.unix_millis("ts").alias("ts"), "value"
+    )
+    return rolling_zscore(pts, ["event_type", "user_id"], window_ms=_HOUR_MS)
