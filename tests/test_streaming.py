@@ -458,3 +458,71 @@ def test_streaming_novelty_screen(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {102}
+
+
+def test_streaming_zscore_matches_batch(spark, tmp_path):
+    """Stateful streaming z-score == batch rolling_zscore on in-order
+    data, including across micro-batch boundaries (two input files)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.operators.rolling import rolling_zscore
+    from ticktock_spark.streaming.anomaly import streaming_zscore
+
+    rows = [
+        {"metric": "m", "ts": t * 1000, "value": float(v), "tags": {"h": "a"}}
+        for t, v in enumerate([10, 10, 10, 20, 12, 12, 50, 12])
+    ] + [
+        {"metric": "m", "ts": t * 1000, "value": float(v), "tags": {"h": "b"}}
+        for t, v in enumerate([5, 6, 7, 8])
+    ]
+    (tmp_path / "in").mkdir()
+    # split across two files → two micro-batches exercise state carry
+    half = len(rows) // 2
+    rows.sort(key=lambda r: r["ts"])
+    (tmp_path / "in" / "b0.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[:half])
+    )
+    (tmp_path / "in" / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[half:])
+    )
+    # the file source orders batches by modification time — pin it so b0
+    # really is the first micro-batch
+    import os
+    import time
+
+    now = time.time()
+    os.utime(tmp_path / "in" / "b0.json", (now - 100, now - 100))
+    os.utime(tmp_path / "in" / "b1.json", (now, now))
+    stream = spark.readStream.schema(
+        "metric string, ts long, value double, tags map<string,string>"
+    ).option("maxFilesPerTrigger", 1).json(str(tmp_path / "in"))
+    out = streaming_zscore(stream, window_ms=3000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("zs_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["ts"]): (r["roll_n"], r["roll_mean"], r["roll_std"], r["zscore"])
+        for r in spark.sql("select * from zs_test").collect()
+    }
+
+    from ticktock_spark.plans.planner import canonical_series_key
+
+    batch = spark.createDataFrame(
+        [(r["metric"], r["ts"], r["value"], r["tags"]) for r in rows],
+        "metric string, ts long, value double, tags map<string,string>",
+    ).select(
+        canonical_series_key(F.col("tags")).alias("series"), "ts", "value"
+    )
+    exp = {
+        (r["series"], r["ts"]): (r["roll_n"], r["roll_mean"], r["roll_std"], r["zscore"])
+        for r in rolling_zscore(batch, ["series"], window_ms=3000).collect()
+    }
+    assert got == exp and len(got) == len(rows)
