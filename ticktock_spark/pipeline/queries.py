@@ -2093,3 +2093,63 @@ def q84(spark, sf_dir):
         "event_type", "user_id", F.unix_millis("ts").alias("ts"), "value"
     )
     return rolling_zscore(pts, ["event_type", "user_id"], window_ms=_HOUR_MS)
+
+
+def _r6_sql(q: float) -> str:
+    """R-6 idx=q*(n+1) percentile over a sorted DuckDB list `vals`
+    (mirror of operators/downsample.py percentile_r6_on_array; same CASE
+    as the q05 oracle)."""
+    return f"""CASE WHEN len(vals) = 1 THEN vals[1]
+           WHEN {q} * (len(vals) + 1) < 1 THEN vals[1]
+           WHEN {q} * (len(vals) + 1) >= len(vals) THEN vals[len(vals)]
+           ELSE vals[CAST(floor({q} * (len(vals) + 1)) AS INT)]
+                + ({q} * (len(vals) + 1) - floor({q} * (len(vals) + 1)))
+                  * (vals[CAST(floor({q} * (len(vals) + 1)) AS INT) + 1]
+                     - vals[CAST(floor({q} * (len(vals) + 1)) AS INT)])
+      END"""
+
+
+_EVQ = (
+    "(SELECT event_type AS metric, epoch_ms(ts) AS ts, value, user_id FROM events)"
+)
+
+
+@register(
+    "q85_percentile_rollup",
+    f"""
+    WITH b AS (
+      SELECT metric, user_id, ts - ts % 3600000 AS ts,
+             list_sort(list(value)) AS vals
+      FROM {_EVQ}
+      GROUP BY 1, 2, 3
+    )
+    SELECT metric, user_id, ts,
+           CAST(len(vals) AS BIGINT) AS cnt,
+           {_r6_sql(0.5)} AS p50,
+           {_r6_sql(0.95)} AS p95,
+           {_r6_sql(0.99)} AS p99
+    FROM b
+    """,
+)
+def q85(spark, sf_dir):
+    """Hourly multi-percentile rollup (p50/p95/p99 + cnt per series) —
+    the latency-dashboard materialization the reference's cnt/min/max/sum
+    rollups can't answer. ONE collect_list agg per bucket; the three R-6
+    interpolations share the sorted array column (a plain projection, so
+    no recompute — contrast per-pair HOF evaluation)."""
+    from ticktock_spark.operators.downsample import bucket_expr, percentile_r6_on_array
+    from ticktock_spark.queries import _dps
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy("metric", "user_id", bucket_expr("ts", 3_600_000).alias("ts")).agg(
+        F.sort_array(F.collect_list("value")).alias("vals")
+    )
+    return b.select(
+        "metric",
+        "user_id",
+        "ts",
+        F.size("vals").cast("long").alias("cnt"),
+        percentile_r6_on_array(F.col("vals"), 50).alias("p50"),
+        percentile_r6_on_array(F.col("vals"), 95).alias("p95"),
+        percentile_r6_on_array(F.col("vals"), 99).alias("p99"),
+    )
