@@ -437,17 +437,34 @@ def test_streaming_novelty_screen(spark, tmp_path):
         [(1, base), (2, "ticktock stores time series data points compactly")],
         "doc_id long, text string",
     )
-    arriving = [
+    novel = "zebras graze quietly on wide open plains today in the warm sun"
+    batch0 = [
         {"doc_id": 100, "text": base},                    # exact dup → drop
         {"doc_id": 101, "text": base + " tonight"},       # near-dup → drop
-        {"doc_id": 102, "text": "zebras graze quietly on wide open plains today"},
+        {"doc_id": 102, "text": novel},
+    ]
+    batch1 = [
+        {"doc_id": 103, "text": novel},                   # exact dup of ACCEPTED 102 → drop
+        {"doc_id": 104, "text": novel + " again"},        # near-dup of ACCEPTED 102 → drop
+        {"doc_id": 105, "text": "completely fresh words about mountain rivers and tall pine trees"},
     ]
     (tmp_path / "in").mkdir()
     (tmp_path / "in" / "b0.json").write_text(
-        "\n".join(json.dumps(r) for r in arriving)
+        "\n".join(json.dumps(r) for r in batch0)
     )
-    stream = spark.readStream.schema("doc_id long, text string").json(
-        str(tmp_path / "in")
+    (tmp_path / "in" / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in batch1)
+    )
+    import os
+    import time
+
+    now = time.time()
+    os.utime(tmp_path / "in" / "b0.json", (now - 100, now - 100))
+    os.utime(tmp_path / "in" / "b1.json", (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
     )
     q = streaming_novelty_screen(
         stream,
@@ -457,7 +474,7 @@ def test_streaming_novelty_screen(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
-    assert got == {102}
+    assert got == {102, 105}
 
 
 def test_streaming_zscore_matches_batch(spark, tmp_path):

@@ -131,26 +131,35 @@ def streaming_novelty_screen(
     ids. Checkpointing makes the whole batch transform effectively-once;
     the parquet append is idempotent per epoch.
 
-    Note the corpus frame is re-used across batches — persist() it (or
-    point it at the parquet digest/band indexes) so each micro-batch
-    pays lookup cost, not recompute cost. Ids must be unique ACROSS the
-    stream and the corpus (the Jaccard verification unions both sides).
+    The screen is fully INCREMENTAL: each batch is also screened against
+    the documents already accepted into ``out_path`` by earlier batches,
+    so two near-identical docs arriving in different micro-batches can't
+    both pass (the second is deduped against the first). The corpus
+    frame is re-used across batches — persist() it (or point it at the
+    parquet digest/band indexes) so each micro-batch pays lookup cost,
+    not recompute cost. Ids must be unique ACROSS the stream and the
+    corpus (the Jaccard verification unions both sides).
 
     Returns the StreamingQuery.
     """
     from ticktock_spark.pipeline.dedup import minhash_lsh_join, verify_jaccard
 
-    corpus_digests = corpus.select(F.md5(F.col(text_col)).alias("digest"))
-
     def screen(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            accepted = spark.read.parquet(out_path).select(id_col, text_col)
+        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist yet
+            accepted = batch.select(id_col, text_col).limit(0)
+        screen_side = corpus.select(id_col, text_col).unionByName(accepted)
+        screen_digests = screen_side.select(
+            F.md5(F.col(text_col)).alias("__digest")
+        )
         fresh = batch.withColumn("__digest", F.md5(F.col(text_col))).join(
-            corpus_digests.withColumnRenamed("digest", "__digest"),
-            "__digest",
-            "left_anti",
+            screen_digests, "__digest", "left_anti"
         )
         cand = minhash_lsh_join(
             fresh,
-            corpus,
+            screen_side,
             text_col=text_col,
             id_col=id_col,
             k=k,
@@ -159,9 +168,7 @@ def streaming_novelty_screen(
         ).select(
             F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b")
         )
-        both = fresh.select(id_col, text_col).unionByName(
-            corpus.select(id_col, text_col)
-        )
+        both = fresh.select(id_col, text_col).unionByName(screen_side)
         flagged = (
             verify_jaccard(
                 both, cand, text_col=text_col, id_col=id_col, k=k,
