@@ -669,3 +669,16 @@ def test_bpe_pair_counts(spark):
     # word counts: aab ×3, ccd ×1 → pairs: aa ×3, ab ×3, cc ×1, cd ×1
     got = {r["pair"]: r["n"] for r in tx.bpe_pair_counts(df, top_k=10).collect()}
     assert got == {"aa": 3, "ab": 3, "cc": 1, "cd": 1}
+
+
+def test_bigram_lm_table(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    # pairs: (a,b)×3, (b,a)×1, (b,c)×1 → p(b|a)=1.0, p(a|b)=0.5, p(c|b)=0.5
+    got = {(r["w1"], r["w2"]): (r["n"], r["cond_p"])
+           for r in tx.bigram_lm_table(df, top_k=10).collect()}
+    assert got == {("a", "b"): (3, 1.0), ("b", "a"): (1, 0.5), ("b", "c"): (1, 0.5)}

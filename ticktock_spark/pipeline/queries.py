@@ -2153,3 +2153,31 @@ def q85(spark, sf_dir):
         percentile_r6_on_array(F.col("vals"), 95).alias("p95"),
         percentile_r6_on_array(F.col("vals"), 99).alias("p99"),
     )
+
+
+@register(
+    "q86_bigram_lm",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, string_split_regex(norm, '\\s+') AS tk
+      FROM nm WHERE length(norm) > 0
+    ),
+    p AS (
+      SELECT unnest([{{'w1': tk[i], 'w2': tk[i+1]}}
+                     for i in generate_series(1, len(tk) - 1)], recursive := true)
+      FROM t WHERE len(tk) >= 2
+    ),
+    c AS (SELECT w1, w2, count(*) AS n FROM p GROUP BY 1, 2),
+    tot AS (SELECT w1, sum(n) AS n_w1 FROM c GROUP BY 1)
+    SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / CAST(tot.n_w1 AS DOUBLE) AS cond_p
+    FROM c JOIN tot ON c.w1 = tot.w1
+    ORDER BY n DESC, c.w1, c.w2 LIMIT 50
+    """,
+)
+def q86(spark, sf_dir):
+    """Bigram LM table: adjacent-token pair counts + conditional
+    p(w2|w1) — the n-gram-LM statistic behind CCNet-style quality
+    filtering (pipeline/text.py bigram_lm_table)."""
+    return tx.bigram_lm_table(_table(spark, sf_dir, "documents"), top_k=50)

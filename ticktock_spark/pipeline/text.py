@@ -689,3 +689,43 @@ def bpe_pair_counts(
     )
     counts = pairs.groupBy("pair").agg(F.sum("wc").alias("n"))
     return counts.orderBy(F.col("n").desc(), "pair").limit(top_k)
+
+
+def bigram_lm_table(
+    df: DataFrame, top_k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model table: adjacent-token pair counts and the
+    conditional probability p(w2|w1) = n(w1,w2)/n(w1,·) — the statistic
+    behind n-gram LM quality filters (CCNet-style) and corpus
+    diagnostics. Top-``top_k`` pairs by count, ties by (w1, w2).
+
+    All integers plus one final division → engine-exact. Scale shape:
+    adjacent pairs explode from each doc's token array (scan-side HOF),
+    then two map-side-combined aggs — pair counts shuffle one row per
+    distinct pair per partition; the left-unigram totals come from a
+    second vocab-sized agg joined back on w1 (broadcast at any realistic
+    vocab size relative to the pair table).
+    """
+    t = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(t, i.cast("int")).alias("w1"),
+            F.element_at(t, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    pairs = (
+        df.filter(F.size(t) >= 2)
+        .select(F.explode(pair).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    out = counts.join(totals, "w1").select(
+        "w1",
+        "w2",
+        "n",
+        (F.col("n").cast("double") / F.col("n_w1").cast("double")).alias("cond_p"),
+    )
+    return out.orderBy(F.col("n").desc(), "w1", "w2").limit(top_k)
