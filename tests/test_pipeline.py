@@ -682,3 +682,35 @@ def test_bigram_lm_table(spark):
     got = {(r["w1"], r["w2"]): (r["n"], r["cond_p"])
            for r in tx.bigram_lm_table(df, top_k=10).collect()}
     assert got == {("a", "b"): (3, 1.0), ("b", "a"): (1, 0.5), ("b", "c"): (1, 0.5)}
+
+
+def test_shard_assign_and_write(spark, tmp_path):
+    """Each shard's token total stays near the budget (a shard only
+    exceeds it by its last doc), assignment is partition-invariant, and
+    write_training_shards lays out partition dirs per (lang, shard)."""
+    from ticktock_spark.pipeline import sample as sp
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", 10 + (i % 7)) for i in range(200)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    got = sp.shard_assign(df, tokens_per_shard=100).collect()
+    totals: dict = {}
+    for r in got:
+        totals.setdefault((r["lang"], r["shard_idx"]), 0)
+        totals[(r["lang"], r["shard_idx"])] += r["n_tokens"]
+    for (lang, shard), tot in totals.items():
+        assert tot < 100 + 17, (lang, shard, tot)   # budget + one max doc
+    assert len(totals) > 2 * 5                      # plenty of shards cut
+    got2 = sp.shard_assign(df.repartition(9), tokens_per_shard=100).collect()
+    assert {(r["doc_id"], r["shard_idx"]) for r in got2} == {
+        (r["doc_id"], r["shard_idx"]) for r in got
+    }
+    out = str(tmp_path / "shards")
+    sp.write_training_shards(df, out, tokens_per_shard=100)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    import pathlib
+
+    dirs = [p.name for p in pathlib.Path(out).iterdir() if p.name.startswith("lang=")]
+    assert sorted(dirs) == ["lang=de", "lang=en"]

@@ -2181,3 +2181,40 @@ def q86(spark, sf_dir):
     p(w2|w1) — the n-gram-LM statistic behind CCNet-style quality
     filtering (pipeline/text.py bigram_lm_table)."""
     return tx.bigram_lm_table(_table(spark, sf_dir, "documents"), top_k=50)
+
+
+@register(
+    "q87_shard_assign",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_TOKS} AS n_tokens,
+             substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2000.0) AS INTEGER)
+             AS shard_idx
+    FROM c
+    """,
+)
+def q87(spark, sf_dir):
+    """Token-balanced shard assignment (~2000 tokens per shard per
+    language, deterministic hash order) — the idempotent layout step
+    before materializing training shards (pipeline/sample.py
+    shard_assign / write_training_shards)."""
+    from ticktock_spark.pipeline import sample as sp
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return sp.shard_assign(d, tokens_per_shard=2000)

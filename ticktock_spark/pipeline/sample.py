@@ -191,3 +191,66 @@ def uniform_rebalance_rates(
         return {}
     mn = min(counts.values())
     return {k: mn / v for k, v in counts.items()}
+
+
+def shard_assign(
+    df: DataFrame,
+    tokens_per_shard: int,
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Assign every doc to a token-balanced output shard: within each
+    stratum, walk docs in deterministic hash order and cut a new shard
+    each time the running token total crosses ``tokens_per_shard``
+    (shard_idx = floor((cum - n) / budget) — the shard a doc STARTS in,
+    so each shard holds ~budget tokens and a doc is never split).
+
+    Integer-exact, deterministic, stable under partitioning — the
+    assignment a distributed writer needs so re-runs produce identical
+    shards (idempotent materialization). Scale: same per-stratum window
+    as token_budget_cap; at extreme per-stratum cardinality swap the
+    window for the classic two-pass prefix sum (per-partition partials +
+    driver-side offsets).
+    """
+    h = hash_hex(F.col(id_col), seed)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return df.withColumns(
+        {
+            "cum_tokens": cum,
+            "shard_idx": F.floor(
+                (cum - F.col(token_col)).cast("double") / F.lit(tokens_per_shard)
+            ).cast("int"),
+        }
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    tokens_per_shard: int,
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> None:
+    """Terminal materialization: shard_assign then write parquet
+    partitioned by (stratum, shard_idx) — the layout a training loader
+    consumes (one directory per ~tokens_per_shard of one language).
+    Deterministic end-to-end: re-running produces byte-identical shard
+    membership, so overwrite-mode re-materialization is safe."""
+    out = shard_assign(
+        df, tokens_per_shard, strata_col=strata_col, token_col=token_col,
+        id_col=id_col, seed=seed,
+    )
+    (
+        out.write.mode("overwrite")
+        .partitionBy(strata_col, "shard_idx")
+        .parquet(path)
+    )
