@@ -2218,3 +2218,49 @@ def q87(spark, sf_dir):
         tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     return sp.shard_assign(d, tokens_per_shard=2000)
+
+
+@register(
+    "q88_dup_degree",
+    _minhash_cte()
+    + f"""
+    , j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ),
+    pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs
+      ) GROUP BY 1
+    ),
+    alln AS (
+      SELECT d.doc_id, coalesce(deg.degree, 0) AS degree
+      FROM documents d LEFT JOIN deg ON deg.node = d.doc_id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
+    FROM alln GROUP BY 1
+    """,
+)
+def q88(spark, sf_dir):
+    """Corpus-duplication health report: per-doc near-dup DEGREE
+    (verified Jaccard >= 0.5 neighbors) histogram — 0-degree docs are
+    unique; a heavy tail means boilerplate floods the corpus. Composes
+    LSH candidates + Jaccard verification + one count-per-node agg."""
+    d = _table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
+    verified = dd.verify_jaccard(d, cand, threshold=0.5).select("id_a", "id_b")
+    nodes = verified.select(F.col("id_a").alias("node")).unionAll(
+        verified.select(F.col("id_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    alln = (
+        d.select("doc_id")
+        .join(deg, d["doc_id"] == deg["node"], "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    return alln.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
