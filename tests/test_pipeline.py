@@ -714,3 +714,27 @@ def test_shard_assign_and_write(spark, tmp_path):
 
     dirs = [p.name for p in pathlib.Path(out).iterdir() if p.name.startswith("lang=")]
     assert sorted(dirs) == ["lang=de", "lang=en"]
+
+
+def test_charset_report(spark):
+    from ticktock_spark.pipeline import text as tx
+
+    rep = "�"
+    df = spark.createDataFrame(
+        [
+            (1, "plain ascii"),
+            (2, "café über"),          # 2 non-ascii letters
+            (3, "bad\x01\x02ctrl"),              # 2 control chars
+            (4, f"moji{rep}{rep}bake"),          # 2 replacement chars
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.charset_report(df).collect()}
+    assert got[1]["n_non_ascii"] == 0 and got[1]["ratio_non_ascii"] == 0.0
+    assert got[2]["n_non_ascii"] == 2
+    assert got[3]["n_control"] == 2
+    assert got[4]["n_replacement"] == 2 and got[4]["n_non_ascii"] == 2
+    assert got[5]["n_chars"] == 0 and got[5]["ratio_non_ascii"] == 0.0
+    assert got[6]["n_chars"] == 0 and got[6]["ratio_non_ascii"] == 0.0

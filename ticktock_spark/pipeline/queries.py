@@ -2264,3 +2264,29 @@ def q88(spark, sf_dir):
         .select(F.coalesce("degree", F.lit(0)).alias("degree"))
     )
     return alln.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "q89_charset_report",
+    r"""
+    SELECT doc_id,
+           CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(len(regexp_extract_all(text, '[^\x00-\x7F]', 0)), 0)
+                AS BIGINT) AS n_non_ascii,
+           CAST(coalesce(len(regexp_extract_all(
+                  text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', 0)), 0)
+                AS BIGINT) AS n_control,
+           CAST(coalesce(len(regexp_extract_all(text, chr(65533), 0)), 0)
+                AS BIGINT) AS n_replacement,
+           CASE WHEN length(text) IS NULL OR length(text) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(text, '[^\x00-\x7F]', 0))
+                          AS DOUBLE) / length(text)
+           END AS ratio_non_ascii
+    FROM documents
+    """,
+)
+def q89(spark, sf_dir):
+    """Encoding-hygiene report: non-ASCII / control / U+FFFD counts and
+    non-ASCII ratio per doc (mojibake detection;
+    pipeline/text.py charset_report)."""
+    return tx.charset_report(_table(spark, sf_dir, "documents"))

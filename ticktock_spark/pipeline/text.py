@@ -729,3 +729,32 @@ def bigram_lm_table(
         (F.col("n").cast("double") / F.col("n_w1").cast("double")).alias("cond_p"),
     )
     return out.orderBy(F.col("n").desc(), "w1", "w2").limit(top_k)
+
+
+def charset_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-hygiene signals per doc: counts of non-ASCII chars,
+    control chars (excluding \\t \\n \\r), and U+FFFD replacement chars
+    (the mojibake tell), plus the non-ASCII ratio. A crawl that was
+    decoded with the wrong charset lights up n_replacement / ratio_non_ascii
+    long before a language model chokes on it.
+
+    Pure scan-side regexp counting (integer + one division) — no
+    shuffle, oracle-exact.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    non_ascii = F.size(F.regexp_extract_all(t, F.lit(r"[^\x00-\x7F]"), 0))
+    control = F.size(F.regexp_extract_all(t, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"), 0))
+    replacement = F.size(F.regexp_extract_all(t, F.lit("�"), 0))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(non_ascii, F.lit(0)).cast("long").alias("n_non_ascii"),
+        F.coalesce(control, F.lit(0)).cast("long").alias("n_control"),
+        F.coalesce(replacement, F.lit(0)).cast("long").alias("n_replacement"),
+        F.when(n.isNull() | (n == 0), F.lit(0.0))
+        .otherwise(non_ascii.cast("double") / n.cast("double"))
+        .alias("ratio_non_ascii"),
+    )
