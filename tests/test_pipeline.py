@@ -738,3 +738,28 @@ def test_charset_report(spark):
     assert got[4]["n_replacement"] == 2 and got[4]["n_non_ascii"] == 2
     assert got[5]["n_chars"] == 0 and got[5]["ratio_non_ascii"] == 0.0
     assert got[6]["n_chars"] == 0 and got[6]["ratio_non_ascii"] == 0.0
+
+
+def test_audio_windows_plumbing(spark):
+    """audio_windows emits ceil(duration/window) truncated windows with
+    deterministic chunks; zero-duration media emit nothing."""
+    from ticktock_spark.pipeline import multimodal as mm
+
+    d = _docs(spark)
+    audio = mm.attach_fake_media(d, modality="audio")
+    out = mm.audio_windows(audio, window_ms=20_000)
+    rows = out.collect()
+    durs = {r.doc_id: r.media_meta.duration_ms for r in audio.collect()}
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, wins in by_doc.items():
+        n = (durs[doc_id] + 20_000 - 1) // 20_000
+        wins.sort(key=lambda r: r.win_idx)
+        assert [w.win_idx for w in wins] == list(range(n))
+        assert wins[-1].end_ms == durs[doc_id]
+        assert all(len(w.chunk) == 16 and 0.0 <= w.rms <= 1.0 for w in wins)
+    image = mm.attach_fake_media(d, modality="image")   # duration 0
+    assert mm.audio_windows(image, window_ms=20_000).count() == 0
+    again = sorted(map(tuple, mm.audio_windows(audio, window_ms=20_000).collect()))
+    assert again == sorted(map(tuple, rows))

@@ -44,7 +44,7 @@ def attach_fake_media(
     payload = F.to_binary(F.repeat(F.md5(F.col(text_col)), 4), F.lit("hex"))
     duration = (
         (F.length(F.col(text_col)) * 100).cast("long")
-        if modality == "video"
+        if modality in ("video", "audio")
         else F.lit(0).cast("long")
     )
     return df.withColumns(
@@ -164,3 +164,68 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             "height", F.lit(height).cast("int")
         ),
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("chunk", T.BinaryType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame, window_ms: int = 1000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio segmentation plumbing: one row per fixed ``window_ms``
+    window over the clip's duration (last window truncated; always ≥ 1
+    window for nonzero duration). The "resample" is a deterministic fake
+    (md5 of payload + window index as the window's PCM chunk, its mean
+    byte / 255 as a stand-in RMS — a real build decodes via
+    `_decode_real` and windows actual samples). Same row-expanding
+    mapInPandas shape as frame_sample: binaries stay in Arrow batches on
+    the executors, output cardinality is duration-dependent.
+    """
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            idxs: list[int] = []
+            starts: list[int] = []
+            ends: list[int] = []
+            chunks: list[bytes] = []
+            rmss: list[float] = []
+            for doc_id, payload, meta in zip(
+                pdf[id_col], pdf["media"], pdf["media_meta"]
+            ):
+                dur = int(meta["duration_ms"])
+                if dur <= 0:
+                    continue
+                n = (dur + window_ms - 1) // window_ms
+                for i in range(n):
+                    chunk = hashlib.md5(
+                        bytes(payload) + i.to_bytes(4, "big")
+                    ).digest()
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(i * window_ms)
+                    ends.append(min((i + 1) * window_ms, dur))
+                    chunks.append(chunk)
+                    rmss.append(sum(chunk) / len(chunk) / 255.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": idxs,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "chunk": chunks,
+                    "rms": rmss,
+                }
+            )
+
+    return df.mapInPandas(_batches, AUDIO_WINDOW_SCHEMA)
