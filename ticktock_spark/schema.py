@@ -53,10 +53,13 @@ TESTDATA_TABLES = (
 )
 
 
-# testdata columns physically stored as TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong they arrive as long ns and are
-# normalized to TimestampType here (µs precision, matching DuckDB's read).
-_NANO_TS_COLS = {
+# testdata timestamp columns have shipped as TIMESTAMP(NANOS) (arrives as
+# long ns under spark.sql.legacy.parquet.nanosAsLong) and as
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ unless
+# inferTimestampNTZ is disabled). Normalize every encoding to TimestampType
+# (µs, session tz UTC) so downstream unix_millis() matches DuckDB's naive
+# read of the same files.
+_TS_COLS = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
     "orders": ("o_orderdate",),
@@ -68,11 +71,16 @@ def load_table(spark, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+    for c in _TS_COLS.get(name, ()):
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             # integer division: `/` would go through double, whose ~2^-53
             # relative error on an int64 ns value (~1.7e18 > 2^53) can
             # truncate to the previous µs and flip a ms at a boundary —
             # DuckDB (the oracle) converts ns → µs exactly.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # session tz is UTC, so this reinterprets the naive value as the
+            # same wall-clock instant DuckDB reads.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

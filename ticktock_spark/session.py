@@ -30,10 +30,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # driver-generated testdata parquet uses TIMESTAMP(NANOS), which the
-        # vectorized reader rejects; read as long (ns) and normalize in
-        # schema.load_table
+        # driver-generated testdata parquet has used TIMESTAMP(NANOS)
+        # (vectorized reader rejects it → read as long ns, normalized in
+        # schema.load_table) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # (would infer as TIMESTAMP_NTZ → read as TIMESTAMP_LTZ instead so
+        # unix_millis & friends apply; session tz UTC keeps the epoch value
+        # identical to DuckDB's naive read)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
