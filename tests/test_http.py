@@ -115,6 +115,17 @@ def test_http_metadata(server):
     assert "host" in _get(server, "/api/suggest?type=tagk&q=h")
     look = _get(server, "/api/search/lookup?m=test.metric")
     assert look["totalResults"] == 2
+    # every series carries a non-empty deterministic tsuid surrogate
+    # (the reference emits a real tsuid per series, query.cpp:1477-1602)
+    from ticktock_spark.schema import series_key, series_tsuid
+
+    tsuids = {r["tsuid"] for r in look["results"]}
+    assert len(tsuids) == 2 and "" not in tsuids
+    for r in look["results"]:
+        assert r["tsuid"] == series_tsuid(series_key(r["metric"], r["tags"]))
+    # stable across calls
+    again = _get(server, "/api/search/lookup?m=test.metric")
+    assert {r["tsuid"] for r in again["results"]} == tsuids
     look = _get(server, "/api/search/lookup?m=test.metric%7Bhost=host1%7D")
     assert look["totalResults"] == 1
     filt = _get(server, "/api/config/filters")

@@ -109,3 +109,44 @@ def test_vocab_topk_no_global_sort(spark):
     plan = _plan(spark, "q61_vocab_topk")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_metadata_served_from_series_dim(spark, tmp_path):
+    """/api/suggest and /api/search/lookup must answer from the cached
+    series dimension (the analogue of the reference's in-memory metric map,
+    tsdb.h:160-164) — never by re-scanning the datapoints fact table."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ticktock_spark.api.http import TsdbStore
+    from ticktock_spark.schema import DATAPOINTS_SCHEMA, series_key, series_tsuid
+
+    rows = [
+        Row(metric="m.a", ts=1704067200000 + i * 1000, value=float(i),
+            tags={"host": f"h{i % 2}", "dc": "east"}, seq=i,
+            dt=dt.date(2024, 1, 1))
+        for i in range(20)
+    ]
+    path = str(tmp_path / "dps")
+    spark.createDataFrame(rows, DATAPOINTS_SCHEMA).write.parquet(path)
+    store = TsdbStore(spark, base=spark.read.parquet(path))
+
+    dim = store.series_dim()
+    got = {r["skey"]: r["tsuid"] for r in dim.collect()}  # materializes cache
+    # canonicalization lockstep: Spark skey/tsuid == Python twin
+    expect = {}
+    for h in ("h0", "h1"):
+        k = series_key("m.a", {"host": h, "dc": "east"})
+        expect[k] = series_tsuid(k)
+    assert got == expect
+
+    # after the one-time index build, metadata plans hit the cache, not the
+    # parquet fact table
+    plan = store.series_dim()._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # the only FileScan allowed is the one recorded INSIDE the cached
+    # relation's description (the index build); the live plan above the
+    # InMemoryRelation boundary must not touch the fact table
+    live = plan.split("InMemoryRelation")[0]
+    assert "FileScan" not in live and "Scan parquet" not in live

@@ -38,7 +38,13 @@ from ticktock_spark.plans.parser import parse_query_json, parse_query_params
 from ticktock_spark.plans.planner import TsdbContext
 from ticktock_spark.plans.shape import resultset_to_dict
 from ticktock_spark.plans.tagfilter import compile_tag_filters
-from ticktock_spark.schema import DATAPOINTS_SCHEMA
+from ticktock_spark.schema import (
+    DATAPOINTS_SCHEMA,
+    SERIES_SCHEMA,
+    series_dim_from,
+    series_key,
+    series_tsuid,
+)
 from ticktock_spark.sources.parsers import (
     parse_influx_line,
     parse_put_json,
@@ -84,6 +90,11 @@ class TsdbStore:
         self._buffer: list[Row] = []
         self._seq = 0
         self._lock = threading.Lock()
+        # series dimension (tsdb.h:160-164): new series discovered at
+        # ingest go here (O(1) per point); the base table's series are
+        # distilled once into a cached dim on first metadata access
+        self._series_buf: dict[str, Row] = {}
+        self._series_base: DataFrame | None = None
 
     def add(self, dps: list[dict]) -> int:
         import datetime as _dt
@@ -91,12 +102,21 @@ class TsdbStore:
         with self._lock:
             for dp in dps:
                 self._seq += 1
+                tags = dp.get("tags") or {}
+                skey = series_key(dp["metric"], tags)
+                if skey not in self._series_buf:
+                    self._series_buf[skey] = Row(
+                        metric=dp["metric"],
+                        tags=tags,
+                        skey=skey,
+                        tsuid=series_tsuid(skey),
+                    )
                 self._buffer.append(
                     Row(
                         metric=dp["metric"],
                         ts=dp["ts"],
                         value=dp["value"],
-                        tags=dp.get("tags") or {},
+                        tags=tags,
                         seq=self._seq,
                         dt=_dt.datetime.utcfromtimestamp(dp["ts"] / 1000).date(),
                     )
@@ -117,6 +137,33 @@ class TsdbStore:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def series_dim(self) -> DataFrame:
+        """One row per unique (metric, tag-set): the query-able twin of the
+        reference's in-memory metric→series map (tsdb.h:160-164).
+
+        The base table's series are distilled ONCE (a distinct scan — the
+        index build the reference performs at restore) and cached; after
+        that, metadata endpoints touch only this O(series) table plus the
+        driver-side series discovered at ingest — never the datapoints
+        fact table. At 100 TB the dim is ~cardinality-of-series rows
+        (millions, not trillions), so suggest/lookup stay interactive."""
+        with self._lock:
+            buf = list(self._series_buf.values())
+        parts = []
+        if self.base is not None:
+            if self._series_base is None:
+                self._series_base = series_dim_from(self.base).cache()
+            parts.append(self._series_base)
+        if buf:
+            parts.append(self.spark.createDataFrame(buf, SERIES_SCHEMA))
+        if not parts:
+            return self.spark.createDataFrame([], SERIES_SCHEMA)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # a series may exist in both the base table and the write buffer
+        return df.dropDuplicates(["skey"]) if len(parts) > 1 else df
 
     def context(self) -> TsdbContext:
         return TsdbContext(self.dataframe(), self.rollup_1h, self.rollup_1d)
@@ -279,11 +326,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, {"error": f"unrecognized cmd: {cmd}"})
 
     # -- metadata endpoints --
+    # both answer from store.series_dim() — O(series), like the reference's
+    # metric map walk (tsdb.cpp:2595-2713, query.cpp:1477-1602) — never the
+    # datapoints fact table (tests/test_plans.py pins this)
     def _suggest(self, params) -> list[str]:
         typ = (params.get("type") or ["metrics"])[0]
         q = (params.get("q") or [""])[0]
         mx = int((params.get("max") or ["25"])[0])
-        df = self.store.dataframe()
+        df = self.store.series_dim()
         if typ == "metrics":
             col = df.select(F.col("metric").alias("v"))
         elif typ == "tagk":
@@ -311,22 +361,22 @@ class _Handler(BaseHTTPRequestHandler):
             from ticktock_spark.plans.parser import _parse_tag_group
 
             tag_filters = _parse_tag_group(m[m.index("{") :])
-        df = self.store.dataframe()
+        df = self.store.series_dim()
         if metric and metric != "*":
             df = df.filter(F.col("metric") == metric)
         if tag_filters:
-            # tag filters compile to Column predicates and run in the scan
-            # (pushdown/codegen) — only the matching, distinct series are
-            # collected; paging stays driver-side (query.cpp:1477-1602)
+            # tag filters compile to Column predicates over the dim table
+            # (pushdown/codegen); paging stays driver-side, as in the
+            # reference (query.cpp:1477-1602)
             df = df.filter(compile_tag_filters(F.col("tags"), tag_filters))
-        series = df.groupBy(
-            "metric", F.map_entries("tags").alias("te")
-        ).count().collect()
+        series = df.select(
+            "metric", F.map_entries("tags").alias("te"), "tsuid"
+        ).collect()
         results = [
             {
                 "metric": r["metric"],
                 "tags": {e["key"]: e["value"] for e in r["te"]},
-                "tsuid": "",
+                "tsuid": r["tsuid"],
             }
             for r in series
         ]

@@ -1189,6 +1189,33 @@ def q21(spark, sf_dir):
     )
 
 
+@register(
+    "q90_series_dim",
+    f"""
+    WITH t AS ({_TAGS_CTE}),
+    s AS (
+      SELECT DISTINCT metric,
+             'host=' || tag_host || ',k=' || tag_k || ',user=' || tag_user AS body
+      FROM t
+    )
+    SELECT metric, metric || ';' || body AS skey,
+           substring(md5(metric || ';' || body), 1, 12) AS tsuid
+    FROM s
+    """,
+)
+def q90(spark, sf_dir):
+    """Series dimension distillation (tsdb.h:160-164): one row per unique
+    (metric, tag-set) with the canonical key and the deterministic tsuid
+    surrogate /api/search/lookup returns (query.cpp:1477-1602). The oracle
+    rebuilds skey/tsuid from sorted tag keys (host,k,user), pinning the
+    Spark-side canonicalization in schema.series_dim_from."""
+    from ticktock_spark.schema import series_dim_from
+
+    return series_dim_from(_tagged_dps(spark, sf_dir)).select(
+        "metric", "skey", "tsuid"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -39,6 +39,68 @@ ROLLUP_SCHEMA = T.StructType(
     ]
 )
 
+# Series dimension: one row per unique (metric, tag-set) — the Spark
+# analogue of the reference's per-metric series map
+# (`include/tsdb.h:160-164`, canonical tag string built in
+# `src/core/tsdb.cpp:679-715`). Metadata endpoints (/api/suggest,
+# /api/search/lookup) answer from this table in O(series) instead of
+# scanning the datapoints fact table. `tsuid` is a deterministic
+# surrogate for the reference's metric+tag-id tsuid emitted by lookup
+# (`src/core/query.cpp:1477-1602`).
+SERIES_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("skey", T.StringType(), False),
+        T.StructField("tsuid", T.StringType(), False),
+    ]
+)
+
+
+def series_key(metric: str, tags: dict | None) -> str:
+    """Canonical series key: ``metric;k1=v1,k2=v2`` with keys sorted —
+    same identity the reference's Mapping keeps (tsdb.cpp:679-715)."""
+    body = ",".join(f"{k}={v}" for k, v in sorted((tags or {}).items()))
+    return f"{metric};{body}"
+
+
+def series_tsuid(skey: str) -> str:
+    """Deterministic 12-hex tsuid surrogate from the canonical key."""
+    import hashlib
+
+    return hashlib.md5(skey.encode()).hexdigest()[:12]
+
+
+def series_dim_from(df):
+    """Distill the series dimension from a datapoints DataFrame: one
+    distinct-by-canonical-key pass (the index build the reference does at
+    restore time). Spark twin of :func:`series_key` / :func:`series_tsuid`
+    — the two must stay in lockstep."""
+    from pyspark.sql import functions as F
+
+    # coalesce: NULL tags must canonicalize like {} ("metric;"), matching
+    # the Python twin — concat_ws would otherwise skip the NULL segment
+    entries = F.array_sort(F.map_entries(F.coalesce("tags", F.expr("map()"))))
+    skey = F.concat_ws(
+        ";",
+        F.col("metric"),
+        F.array_join(
+            F.transform(entries, lambda e: F.concat_ws("=", e["key"], e["value"])),
+            ",",
+        ),
+    )
+    return (
+        df.select("metric", entries.alias("te"), skey.alias("skey"))
+        .dropDuplicates(["skey"])
+        .select(
+            "metric",
+            F.map_from_entries("te").alias("tags"),
+            "skey",
+            F.substring(F.md5("skey"), 1, 12).alias("tsuid"),
+        )
+    )
+
+
 TESTDATA_TABLES = (
     "region",
     "nation",
@@ -70,6 +132,15 @@ def load_table(spark, sf_dir: str, name: str):
     """Load one driver-generated parquet table (TESTDATA.md)."""
     from pyspark.sql import functions as F
 
+    # the timestamp_ntz reinterpretation below is only identity-preserving
+    # when the session renders wall-clock instants in UTC; any other tz
+    # would silently shift epoch values relative to DuckDB's naive read
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"load_table requires spark.sql.session.timeZone=UTC (got {tz!r}); "
+            "build the session with ticktock_spark.session.get_spark"
+        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, ()):
         dtype = dict(df.dtypes).get(c)
