@@ -73,43 +73,99 @@ DECODE_OUT_SCHEMA = T.StructType(
 )
 
 
-def decode_and_featurize(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _pil():
+    """Feature gate: the real image codec, if the deployment has one."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_and_featurize(
+    df: DataFrame, id_col: str = "doc_id", engine: str = "fake"
+) -> DataFrame:
     """mapInPandas decode + feature-extraction plumbing.
 
-    The "decode" is a deterministic fake: features are byte histograms of
-    the payload (a real build would call PIL/ffmpeg here — see
-    `_decode_real`, which raises NotImplementedError).
+    ``engine`` selects the codec:
+      - ``"fake"`` (default, the oracle path): deterministic byte
+        histograms of the payload — stable across runs and engines.
+      - ``"real"``: decode via PIL (`_decode_real`) — width/height/
+        mean/histogram come from actual pixels. Raises
+        ``NotImplementedError`` immediately if PIL is not installed.
+      - ``"auto"``: real when PIL is importable, else fake.
+
+    The Spark-side shape (schema, Arrow batching, partitioning) is
+    identical for all engines, so a build verified on ``fake`` upgrades
+    in place when the deployment ships an imaging library.
     """
+    if engine == "auto":
+        engine = "real" if _pil() is not None else "fake"
+    if engine == "real" and _pil() is None:
+        # fail fast on the driver, not per-task on the executors
+        raise NotImplementedError(
+            "engine='real' requires an imaging library (PIL) not present; "
+            "install Pillow or use engine='fake'/'auto'"
+        )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["media"]
             meta = pdf["media_meta"]
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "width": [m["width"] for m in meta],
-                    "height": [m["height"] for m in meta],
-                    "mean_byte": [
-                        float(sum(b)) / len(b) if len(b) else 0.0 for b in payloads
-                    ],
-                    "feature": [
-                        [float(b.count(bytes([v]))) for v in range(0, 256, 32)]
-                        for b in payloads
-                    ],
-                }
-            )
+            if engine == "real":
+                decoded = [_decode_real(bytes(b)) for b in payloads]
+                out = pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "width": [d[0] for d in decoded],
+                        "height": [d[1] for d in decoded],
+                        "mean_byte": [d[2] for d in decoded],
+                        "feature": [d[3] for d in decoded],
+                    }
+                )
+            else:
+                out = pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "width": [m["width"] for m in meta],
+                        "height": [m["height"] for m in meta],
+                        "mean_byte": [
+                            float(sum(b)) / len(b) if len(b) else 0.0
+                            for b in payloads
+                        ],
+                        "feature": [
+                            [float(b.count(bytes([v]))) for v in range(0, 256, 32)]
+                            for b in payloads
+                        ],
+                    }
+                )
             yield out
 
     return df.mapInPandas(_batches, DECODE_OUT_SCHEMA)
 
 
-def _decode_real(payload: bytes, fmt: str):
-    """Real codec hook — requires PIL/ffmpeg, absent in this container."""
-    raise NotImplementedError(
-        "media decoding requires imaging/audio libraries not present; "
-        "plug PIL.Image.open / av.open here in a full deployment"
-    )
+def _decode_real(payload: bytes) -> tuple[int, int, float, list[float]]:
+    """Real image decode: (width, height, mean grayscale byte, 8-bin
+    grayscale histogram). Executor-side twin of the driver-side gate in
+    decode_and_featurize — imports PIL at call time so only tasks that
+    take the real branch need it."""
+    import io
+
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "media decoding requires imaging/audio libraries not present; "
+            "plug PIL.Image.open / av.open here in a full deployment"
+        )
+    with Image.open(io.BytesIO(payload)) as img:
+        gray = img.convert("L")
+        w, h = gray.size
+        hist256 = gray.histogram()  # 256 bins
+        n = max(1, w * h)
+        mean = sum(i * c for i, c in enumerate(hist256)) / n
+        bins = [float(sum(hist256[i : i + 32])) for i in range(0, 256, 32)]
+        return w, h, mean, bins
 
 
 FRAME_OUT_SCHEMA = T.StructType(
