@@ -659,3 +659,53 @@ def test_streaming_soak_20_batches_state_bounded(spark, tmp_path):
         (r["series"].split("=")[-1], r["ts"]): r["value"] for r in rates
     }
     assert got_rate == exp_rate
+
+
+def test_streaming_ingest_maintains_series_dim(spark, tmp_path):
+    """write_datapoints_stream_with_series appends datapoints AND keeps the
+    series dimension current at ingest: after two micro-batches sharing one
+    series, the dim holds exactly one row per unique (metric, tag-set) with
+    the same skey/tsuid the batch distillation produces."""
+    import os
+
+    from ticktock_spark.schema import series_key, series_tsuid
+    from ticktock_spark.sources.parsers import put_lines_to_datapoints
+    from ticktock_spark.streaming.ingest import (
+        _finalize_datapoints,
+        load_series_dim,
+        write_datapoints_stream_with_series,
+    )
+
+    T = 1_704_067_200_000
+    (tmp_path / "in").mkdir()
+    f0, f1 = tmp_path / "in" / "b0.txt", tmp_path / "in" / "b1.txt"
+    f0.write_text(
+        f"put sys.cpu {T} 1.0 host=a\nput sys.cpu {T + 1000} 2.0 host=b\n"
+    )
+    f1.write_text(
+        f"put sys.cpu {T + 2000} 3.0 host=a\nput sys.mem {T + 2000} 4.0 host=a\n"
+    )
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    q = write_datapoints_stream_with_series(
+        _finalize_datapoints(put_lines_to_datapoints(lines)),
+        out_path=str(tmp_path / "dps"),
+        checkpoint=str(tmp_path / "ckpt"),
+        series_path=str(tmp_path / "series"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(str(tmp_path / "dps")).count() == 4
+    dim = {r["skey"]: r["tsuid"] for r in load_series_dim(spark, str(tmp_path / "series")).collect()}
+    expect = {}
+    for m, tags in [("sys.cpu", {"host": "a"}), ("sys.cpu", {"host": "b"}),
+                    ("sys.mem", {"host": "a"})]:
+        k = series_key(m, tags)
+        expect[k] = series_tsuid(k)
+    assert dim == expect

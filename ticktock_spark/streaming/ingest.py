@@ -117,3 +117,57 @@ def write_datapoints_stream(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def load_series_dim(spark: SparkSession, series_path: str) -> DataFrame:
+    """Read the ingest-maintained series dimension, collapsing the rare
+    duplicate a replayed foreachBatch can append (at-least-once side
+    effects): consumers always see one row per skey."""
+    return spark.read.parquet(series_path).dropDuplicates(["skey"])
+
+
+def write_datapoints_stream_with_series(
+    dps: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    series_path: str,
+    trigger_once: bool = False,
+):
+    """foreachBatch twin of write_datapoints_stream that also maintains the
+    series dimension at ingest time — the streaming analogue of
+    TsdbStore.add discovering new series, mirroring how the reference
+    registers a series in its metric map the first time a point for it
+    arrives (`src/core/tsdb.cpp:401-507`).
+
+    Per batch: append the datapoints, distill the batch's distinct series
+    (O(batch series), map-side), anti-join against the existing dim (the
+    dim is O(total series) — small — so this stays cheap at 100 TB of
+    points), append only the new skeys. Series appends are idempotent
+    under batch replay up to duplicate rows, which load_series_dim
+    collapses.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ticktock_spark.schema import series_dim_from
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").partitionBy("dt").parquet(out_path)
+        new = series_dim_from(batch_df)
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(series_path).select("skey")
+            new = new.join(existing, "skey", "left_anti")
+        except AnalysisException:
+            pass  # first batch: no dim yet
+        new.write.mode("append").parquet(series_path)
+        batch_df.unpersist()
+
+    w = (
+        dps.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
