@@ -825,3 +825,24 @@ def test_decode_engine_real_with_pil(spark):
     assert (row.width, row.height) == (8, 4)
     assert abs(row.mean_byte - 200.0) < 1e-9
     assert sum(row.feature) == 32.0  # 8x4 pixels across the 8 bins
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """Cross-entropy against a hand-computed corpus LM: with docs
+    "a a b" and "a b", p(a|a)=1/3, p(b|a)=2/3, so doc1 scores
+    (log2 3 + log2 1.5)/2 and doc2 scores log2 1.5. Single-token docs
+    have no bigrams and are excluded."""
+    import math
+
+    from ticktock_spark.pipeline.text import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+           for r in bigram_perplexity(df).collect()}
+    assert set(got) == {1, 2}
+    ce1 = (math.log2(3) + math.log2(1.5)) / 2
+    ce2 = math.log2(1.5)
+    assert got[1][0] == 2 and abs(got[1][1] - ce1) < 1e-12
+    assert got[2][0] == 1 and abs(got[2][1] - ce2) < 1e-12

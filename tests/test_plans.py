@@ -150,3 +150,14 @@ def test_metadata_served_from_series_dim(spark, tmp_path):
     # InMemoryRelation boundary must not touch the fact table
     live = plan.split("InMemoryRelation")[0]
     assert "FileScan" not in live and "Scan parquet" not in live
+
+
+def test_bigram_perplexity_single_scan(spark):
+    """The per-doc perplexity scorer must stay a linear plan: ONE corpus
+    scan, window-derived LM totals, no self-joins re-executing the
+    doc-pair subtree."""
+    plan = _plan(spark, "q91_bigram_perplexity")
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -2290,3 +2290,42 @@ def q89(spark, sf_dir):
     non-ASCII ratio per doc (mojibake detection;
     pipeline/text.py charset_report)."""
     return tx.charset_report(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q91_bigram_perplexity",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, string_split_regex(norm, '\\s+') AS tk
+      FROM nm WHERE length(norm) > 0
+    ),
+    p AS (
+      SELECT doc_id, unnest([{{'w1': tk[i], 'w2': tk[i+1]}}
+                             for i in generate_series(1, len(tk) - 1)],
+                            recursive := true)
+      FROM t WHERE len(tk) >= 2
+    ),
+    dp AS (SELECT doc_id, w1, w2, count(*) AS n FROM p GROUP BY 1, 2, 3),
+    c AS (SELECT w1, w2, sum(n) AS n_pair FROM dp GROUP BY 1, 2),
+    tot AS (SELECT w1, sum(n_pair) AS n_w1 FROM c GROUP BY 1),
+    lm AS (
+      SELECT c.w1, c.w2, CAST(c.n_pair AS DOUBLE) / CAST(tot.n_w1 AS DOUBLE)
+               AS cond_p
+      FROM c JOIN tot ON c.w1 = tot.w1
+    )
+    SELECT dp.doc_id, CAST(sum(dp.n) AS BIGINT) AS n_bigrams,
+           {_Q6.format(x='-sum(dp.n * log2(lm.cond_p)) / sum(dp.n)')}
+             AS cross_entropy
+    FROM dp JOIN lm ON dp.w1 = lm.w1 AND dp.w2 = lm.w2
+    GROUP BY dp.doc_id
+    """,
+)
+def q91(spark, sf_dir):
+    """Per-doc cross-entropy under the corpus bigram LM (CCNet-style
+    perplexity filtering; pipeline/text.py bigram_perplexity) — completes
+    q86's LM-table statistic into a usable curation signal."""
+    out = tx.bigram_perplexity(_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_bigrams", q6(F.col("cross_entropy")).alias("cross_entropy")
+    )

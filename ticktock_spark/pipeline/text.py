@@ -701,10 +701,12 @@ def bigram_lm_table(
 
     All integers plus one final division → engine-exact. Scale shape:
     adjacent pairs explode from each doc's token array (scan-side HOF),
-    then two map-side-combined aggs — pair counts shuffle one row per
-    distinct pair per partition; the left-unigram totals come from a
-    second vocab-sized agg joined back on w1 (broadcast at any realistic
-    vocab size relative to the pair table).
+    one map-side-combined agg to pair counts, then the left-unigram
+    totals come from an unordered window over w1 — a LINEAR plan with a
+    single corpus scan. (A totals groupBy joined back on w1 reads
+    cleaner but references the counts subtree twice, and Catalyst
+    re-executes it: measured 3 FileScans of the corpus. The window costs
+    one vocab²-bounded exchange instead.)
     """
     t = tokens(F.col(text_col))
     idx = F.sequence(F.lit(1), F.size(t) - 1)
@@ -720,13 +722,15 @@ def bigram_lm_table(
         .select(F.explode(pair).alias("p"))
         .select("p.w1", "p.w2")
     )
+    from pyspark.sql import Window
+
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
-    totals = counts.groupBy("w1").agg(F.sum("n").alias("n_w1"))
-    out = counts.join(totals, "w1").select(
+    n_w1 = F.sum("n").over(Window.partitionBy("w1"))
+    out = counts.select(
         "w1",
         "w2",
         "n",
-        (F.col("n").cast("double") / F.col("n_w1").cast("double")).alias("cond_p"),
+        (F.col("n").cast("double") / n_w1.cast("double")).alias("cond_p"),
     )
     return out.orderBy(F.col("n").desc(), "w1", "w2").limit(top_k)
 
@@ -757,4 +761,57 @@ def charset_report(
         F.when(n.isNull() | (n == 0), F.lit(0.0))
         .otherwise(non_ascii.cast("double") / n.cast("double"))
         .alias("ratio_non_ascii"),
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own bigram LM — the
+    n-gram perplexity filter of CCNet-style curation: documents whose
+    token transitions are improbable under the corpus distribution
+    (boilerplate, gibberish, wrong-language shards) score high and get
+    dropped/bucketed.
+
+    cross_entropy = -(Σ n(d,w1,w2)·log2 p(w2|w1)) / Σ n(d,w1,w2), with
+    p(w2|w1) = n(w1,w2)/n(w1,·) estimated over the whole input. Docs
+    with < 2 tokens have no bigrams and are excluded (no defined score).
+
+    Scale shape: one scan explodes per-doc bigram COUNTS (group by
+    doc+pair — map-side combined, so a doc's repeated pairs collapse
+    before the shuffle); the LM probabilities attach via two unordered
+    windows over the same frame (pair totals over (w1,w2), left-unigram
+    totals over w1) — a LINEAR plan, single corpus scan, NO self-joins.
+    (Deriving an LM table and joining it back re-executes the doc-pair
+    subtree: measured 3 FileScans of the corpus in that shape.) The
+    window keys are Zipf-skewed; their row volume is bounded by distinct
+    (doc, pair) counts, not corpus text volume.
+    """
+    t = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(t, i.cast("int")).alias("w1"),
+            F.element_at(t, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    from pyspark.sql import Window
+
+    doc_pairs = (
+        df.filter(F.size(t) >= 2)
+        .select(F.col(id_col), F.explode(pair).alias("p"))
+        .groupBy(id_col, "p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_pair = F.sum("n").over(Window.partitionBy("w1", "w2"))
+    n_w1 = F.sum("n").over(Window.partitionBy("w1"))
+    scored = doc_pairs.withColumn(
+        "cond_p", n_pair.cast("double") / n_w1.cast("double")
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        (-F.sum(F.col("n") * F.log2("cond_p")) / F.sum("n")).alias(
+            "cross_entropy"
+        ),
     )
