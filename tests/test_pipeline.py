@@ -846,3 +846,33 @@ def test_bigram_perplexity_hand_computed(spark):
     ce2 = math.log2(1.5)
     assert got[1][0] == 2 and abs(got[1][1] - ce1) < 1e-12
     assert got[2][0] == 1 and abs(got[2][1] - ce2) < 1e-12
+
+
+def test_boilerplate_scrub_multiline(spark):
+    """C4 boilerplate semantics on real multi-line docs: 'cookie notice'
+    appears in 3 distinct docs (twice in doc 1 — distinct-doc counting
+    must not double-count) → flagged and scrubbed; unique lines survive
+    in original order; doc 4 (all boilerplate) drops out; blank lines are
+    never comparison units."""
+    from ticktock_spark.pipeline.text import boilerplate_lines, scrub_boilerplate
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie notice\nalpha text\n\ncookie notice\nbravo text"),
+            (2, "cookie notice\ncharlie text"),
+            (3, "  cookie notice  \ndelta text"),
+            (4, "cookie notice"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r["line"]: r["n_docs"] for r in boilerplate_lines(df, min_docs=3).collect()}
+    assert flagged == {"cookie notice": 4}
+
+    got = {r["doc_id"]: (r["text_clean"], r["n_lines_kept"])
+           for r in scrub_boilerplate(df, min_docs=3).collect()}
+    assert got == {
+        1: ("alpha text\nbravo text", 2),
+        2: ("charlie text", 1),
+        3: ("delta text", 1),
+    }

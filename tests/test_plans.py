@@ -161,3 +161,13 @@ def test_bigram_perplexity_single_scan(spark):
 
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_boilerplate_scrub_single_scan(spark):
+    """scrub_boilerplate must count distinct docs per line via stacked
+    windows — ONE corpus scan, no flagged-line self-join."""
+    import re
+
+    plan = _plan(spark, "q93_boilerplate_scrub")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -2329,3 +2329,54 @@ def q91(spark, sf_dir):
     return out.select(
         "doc_id", "n_bigrams", q6(F.col("cross_entropy")).alias("cross_entropy")
     )
+
+
+_LINES_CTE = """
+    ln AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls
+      FROM documents WHERE text IS NOT NULL
+    ),
+    l AS (
+      SELECT doc_id, unnest([{'idx': i, 'line': trim(ls[i])}
+                             for i in generate_series(1, len(ls))],
+                            recursive := true)
+      FROM ln
+    ),
+    ne AS (SELECT doc_id, idx, line FROM l WHERE length(line) > 0)
+"""
+
+
+@register(
+    "q92_boilerplate_lines",
+    f"""
+    WITH {_LINES_CTE},
+    d AS (SELECT DISTINCT doc_id, line FROM ne)
+    SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY 1 HAVING count(*) >= 3
+    """,
+)
+def q92(spark, sf_dir):
+    """C4-style boilerplate report: trimmed non-empty lines occurring in
+    ≥ 3 distinct documents (pipeline/text.py boilerplate_lines)."""
+    return tx.boilerplate_lines(_table(spark, sf_dir, "documents"), min_docs=3)
+
+
+@register(
+    "q93_boilerplate_scrub",
+    f"""
+    WITH {_LINES_CTE},
+    c AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM ne GROUP BY 1),
+    kept AS (
+      SELECT ne.doc_id, ne.idx, ne.line
+      FROM ne JOIN c USING (line) WHERE c.n_docs < 3
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY 1
+    """,
+)
+def q93(spark, sf_dir):
+    """C4-style boilerplate removal: documents rebuilt from lines that do
+    NOT occur in ≥ 3 distinct documents; fully-boilerplate docs drop out
+    (pipeline/text.py scrub_boilerplate — single-scan window plan)."""
+    return tx.scrub_boilerplate(_table(spark, sf_dir, "documents"), min_docs=3)

@@ -815,3 +815,86 @@ def bigram_perplexity(
             "cross_entropy"
         ),
     )
+
+
+def _doc_lines(df: DataFrame, text_col: str, id_col: str):
+    """(doc, idx, line) rows: newline-split, per-line trim, empties
+    dropped — the C4 comparison unit for boilerplate detection."""
+    lines = F.split(F.col(text_col), "\n")
+    idx = F.sequence(F.lit(1), F.size(lines))
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("idx"),
+            F.trim(F.element_at(lines, i.cast("int"))).alias("line"),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(pair).alias("p"))
+        .select(id_col, "p.idx", "p.line")
+        .filter(F.length("line") > 0)
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus boilerplate report: trimmed non-empty lines that occur in at
+    least ``min_docs`` DISTINCT documents (the C4 rule — repeated lines
+    are navigation chrome, cookie banners, boilerplate headers/footers).
+
+    Scale shape: one scan explodes lines; (doc, line) dedup and the
+    distinct-doc count are two map-side-combined aggs on the line key —
+    no joins, nothing retained per unique document.
+    """
+    return (
+        _doc_lines(df, text_col, id_col)
+        .select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def scrub_boilerplate(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate removal: rebuild each document from the lines
+    that do NOT occur in ≥ ``min_docs`` distinct documents. Documents
+    whose every line is boilerplate (or empty) drop out.
+
+    Scale shape: a LINEAR single-scan plan — the distinct-doc count per
+    line comes from two stacked windows ((line, doc) first-occurrence
+    flag, then a line-partition sum) instead of joining a flagged-line
+    table back to the line stream, which would re-execute the explode
+    subtree (same pitfall measured on the bigram operators: 3 corpus
+    scans). Reassembly is one doc-level agg sorting surviving lines by
+    original position.
+    """
+    from pyspark.sql import Window
+
+    lines = _doc_lines(df, text_col, id_col)
+    rn = F.row_number().over(
+        Window.partitionBy("line", id_col).orderBy("idx")
+    )
+    first = lines.withColumn("is_first", (rn == 1).cast("long"))
+    n_docs = F.sum("is_first").over(Window.partitionBy("line"))
+    kept = first.withColumn("n_docs", n_docs).filter(
+        F.col("n_docs") < min_docs
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("idx", "line"))),
+        lambda s: s["line"],
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, "\n").alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
