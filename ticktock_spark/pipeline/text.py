@@ -898,3 +898,104 @@ def scrub_boilerplate(
         F.array_join(ordered, "\n").alias("text_clean"),
         F.count(F.lit(1)).alias("n_lines_kept"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    engine: str = "pandas",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every k-gram of the normalized text, slide a window of ``w``
+    consecutive gram hashes, keep each window's minimum, emit the
+    distinct selected hashes as (doc, fp) rows.
+
+    Guarantee (the reason winnowing beats naive sampling): any substring
+    match of length ≥ w + k - 1 between two documents is caught by at
+    least one shared fingerprint, while only ~2/(w+1) of all gram hashes
+    are kept. Gram hashes are the first 8 hex chars of md5 — fixed-width
+    hex, so lexicographic MIN equals numeric MIN in every engine.
+
+    ``engine='pandas'`` (default): the per-gram md5 runs in C via an
+    Arrow-batched mapInPandas with a per-partition gram→hash cache —
+    the same hot-loop treatment as MinHash (measured ~20× the
+    expression path on this corpus). Normalization stays JVM-side so the
+    regex semantics can't drift. ``engine='sql'`` is the pure-expression
+    specification the oracle mirrors: transform/slice/array_min HOFs.
+    There the gram-hash array MUST be materialized behind an exchange
+    before the window-minima pass — projected in one stage, Catalyst
+    inlines the whole hash-array expression into every window lambda,
+    O(len²) md5 evaluations per document (measured as a multi-minute
+    hang on 50 docs); the repartition is the same CollapseProject
+    barrier the MinHash scan uses. Downstream overlap detection groups
+    the (fp) column — the same bucket-join shape as LSH candidates.
+    """
+    norm = normalize_text(F.col(text_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if engine == "pandas":
+        nm = (
+            df.filter(F.length(norm) > 0)
+            .select(F.col(id_col), norm.alias("norm"))
+            .repartition(par)
+        )
+        id_type = dict(nm.dtypes)[id_col]
+
+        def _batches(pdfs):
+            import hashlib
+
+            md5 = hashlib.md5
+            cache: dict[str, str] = {}
+
+            def h(g: str) -> str:
+                v = cache.get(g)
+                if v is None:
+                    v = md5(g.encode()).hexdigest()[:8]
+                    if len(cache) > 2_000_000:
+                        cache.clear()
+                    cache[g] = v
+                return v
+
+            import pandas as pd
+
+            for pdf in pdfs:
+                ids: list = []
+                fps: list[str] = []
+                for doc_id, nrm in zip(pdf[id_col], pdf["norm"]):
+                    hs = [
+                        h(nrm[i : i + k])
+                        for i in range(max(len(nrm) - k + 1, 1))
+                    ]
+                    sel = {
+                        min(hs[j : j + w])
+                        for j in range(max(len(hs) - w + 1, 1))
+                    }
+                    ids.extend([doc_id] * len(sel))
+                    fps.extend(sel)
+                yield pd.DataFrame({id_col: ids, "fp": fps})
+
+        return nm.mapInPandas(_batches, schema=f"{id_col} {id_type}, fp string")
+
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(
+            F.md5(F.substr(norm, i, F.lit(k))), 1, 8
+        ),
+    )
+    grams = (
+        df.filter(F.length(norm) > 0)
+        .select(F.col(id_col), hashes.alias("hs"))
+        .repartition(par)
+    )
+    hs = F.col("hs")
+    n_windows = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hs, j, w)),
+    )
+    return grams.select(
+        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
+    )
