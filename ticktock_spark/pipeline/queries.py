@@ -2406,3 +2406,35 @@ def q94(spark, sf_dir):
     5-gram hashes, window w=4 (pipeline/text.py winnowing_fingerprints).
     Any shared substring of length ≥ 8 chars yields a shared fp."""
     return tx.winnowing_fingerprints(_table(spark, sf_dir, "documents"), k=5, w=4)
+
+
+@register(
+    "q95_winnowing_overlap",
+    f"""
+    WITH nm AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ),
+    gs AS (
+      SELECT doc_id,
+             [substr(md5(substr(norm, i, 5)), 1, 8)
+              for i in generate_series(1, greatest(length(norm) - 4, 1))] AS hs
+      FROM nm WHERE length(norm) > 0
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [list_min(hs[j:j+3])
+                for j in generate_series(1, greatest(len(hs) - 3, 1))])) AS f
+      FROM gs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q95(spark, sf_dir):
+    """MOSS-style overlap candidates: doc pairs sharing ≥ 2 winnowing
+    fingerprints, counted via the bounded bucket-enumeration plan
+    (pipeline/text.py winnowing_overlap_pairs)."""
+    return tx.winnowing_overlap_pairs(_table(spark, sf_dir, "documents"), min_shared=2)

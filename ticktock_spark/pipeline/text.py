@@ -999,3 +999,46 @@ def winnowing_fingerprints(
     return grams.select(
         F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
     )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    MOSS-style overlap detection (plagiarism / near-verbatim reuse): two
+    docs sharing any ≥ (w+k-1)-char normalized substring are guaranteed
+    candidates; the shared-fp count ranks overlap strength.
+
+    Scale shape: identical to the MinHash LSH candidate plan — scan-side
+    fingerprints, ONE shuffle on the fp key, bucket enumeration through
+    the block-split work units (`dedup._bucket_blocks`) so an fp shared
+    by thousands of docs (boilerplate) costs bounded work per task, then
+    a pair-count aggregation. Never an all-pairs join.
+    """
+    from ticktock_spark.pipeline.dedup import _bucket_blocks, _pairs_pandas
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    fps = winnowing_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, engine="pandas"
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    id_type = dict(df.select(id_col).dtypes)[id_col]
+    pairs = (
+        _bucket_blocks(buckets)
+        .repartition(par)
+        .mapInPandas(_pairs_pandas(), schema=f"id_a {id_type}, id_b {id_type}")
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
