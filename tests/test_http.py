@@ -213,3 +213,36 @@ def test_http_response_too_large_413(spark):
         assert _get(srv, "/api/query?start=1&end=2&m=avg:big.metric") == []
     finally:
         srv.stop()
+
+
+def test_store_flush_persists_buffer(spark, tmp_path):
+    """TsdbStore.flush: buffered puts land in the dt-partitioned parquet
+    table (the reference's page-flush analogue), the buffer drains, query
+    results and the series dim are identical before and after, and tsuids
+    stay stable across the flush."""
+    from ticktock_spark.api.http import TsdbStore
+
+    store = TsdbStore(spark, table_path=str(tmp_path / "dps"))
+    store.add(
+        [
+            {"metric": "m", "ts": 1704067200000, "value": 1.0, "tags": {"h": "a"}},
+            {"metric": "m", "ts": 1704153600000, "value": 2.0, "tags": {"h": "b"}},
+        ]
+    )
+    before_dim = {(r["skey"], r["tsuid"]) for r in store.series_dim().collect()}
+    assert store.flush() == 2
+    assert store.flush() == 0  # drained
+    assert len(store._buffer) == 0
+    disk = spark.read.parquet(str(tmp_path / "dps"))
+    assert disk.count() == 2
+    assert {str(r["dt"]) for r in disk.select("dt").collect()} == {
+        "2024-01-01", "2024-01-02",
+    }
+    df = store.dataframe()
+    assert df.count() == 2 and {r["value"] for r in df.collect()} == {1.0, 2.0}
+    after_dim = {(r["skey"], r["tsuid"]) for r in store.series_dim().collect()}
+    assert after_dim == before_dim
+    # new puts after a flush keep working against the re-read base
+    store.add([{"metric": "m", "ts": 1704067260000, "value": 3.0, "tags": {"h": "a"}}])
+    assert store.dataframe().count() == 3
+    assert store.flush() == 1

@@ -165,6 +165,39 @@ class TsdbStore:
         # a series may exist in both the base table and the write buffer
         return df.dropDuplicates(["skey"]) if len(parts) > 1 else df
 
+    def flush(self) -> int:
+        """Persist the in-driver write buffer into the dt-partitioned
+        parquet table backing ``base`` — the batch analogue of the
+        reference flushing its in-memory page buffers to disk files
+        (`src/core/ts.cpp` page flush; WAL truncation). Requires a
+        ``table_path``-backed store. Buffered rows append to their day
+        partitions, ``base`` re-reads the table, and the buffer clears;
+        discovered series stay registered in the dim overlay (their
+        skeys now also distill from the base on the next rebuild).
+        Returns the number of rows flushed."""
+        if self.table_path is None:
+            raise ValueError("flush requires a table_path-backed store")
+        with self._lock:
+            buf = list(self._buffer)
+        if not buf:
+            return 0
+        (
+            self.spark.createDataFrame(buf, DATAPOINTS_SCHEMA)
+            .write.mode("append")
+            .partitionBy("dt")
+            .parquet(self.table_path)
+        )
+        with self._lock:
+            # only drop what was written; puts that raced in stay buffered
+            self._buffer = self._buffer[len(buf):]
+        self.base = self.spark.read.parquet(self.table_path)
+        # the cached base-series dim predates the flushed rows; the buffer
+        # overlay still covers those series, so rebuild lazily next time
+        if self._series_base is not None:
+            self._series_base.unpersist()
+            self._series_base = None
+        return len(buf)
+
     def context(self) -> TsdbContext:
         return TsdbContext(self.dataframe(), self.rollup_1h, self.rollup_1d)
 
