@@ -97,6 +97,15 @@ def main():
         ).count(),
     )
     timed("oov_stats", lambda: tx.oov_stats(docs, vocab_size=50).count())
+    timed("bigram_perplexity", lambda: tx.bigram_perplexity(docs).count())
+    timed(
+        "winnowing_fingerprints",
+        lambda: tx.winnowing_fingerprints(docs).count(),
+    )
+    timed(
+        "scrub_boilerplate",
+        lambda: tx.scrub_boilerplate(docs, min_docs=3).count(),
+    )
     timed(
         "token_budget_cap",
         lambda: sp.token_budget_cap(
