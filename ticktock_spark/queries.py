@@ -1190,6 +1190,91 @@ def q21(spark, sf_dir):
 
 
 @register(
+    "q96_missing_buckets",
+    f"""
+    WITH p AS (
+      SELECT metric, user_id, count(DISTINCT ts - ts % {HOUR_MS}) AS present
+      FROM {_EV}
+      WHERE metric = 'view' AND ts >= {T0} AND ts < {T0 + 7 * DAY_MS}
+      GROUP BY 1, 2
+    )
+    SELECT metric, user_id, CAST(present AS BIGINT) AS present,
+           CAST({7 * 24} - present AS BIGINT) AS missing
+    FROM p
+    """,
+)
+def q96(spark, sf_dir):
+    """Series-completeness (gap) report: per series, how many of the 168
+    hourly buckets in the first week actually contain data and how many
+    are missing — the observability twin of fill (operators/fill.py
+    synthesizes the empty buckets; this query COUNTS them). Single
+    scan + one agg; the distinct folds into the same hash aggregation."""
+    d = _dps(spark, sf_dir).filter(
+        (F.col("metric") == "view")
+        & (F.col("ts") >= T0)
+        & (F.col("ts") < T0 + 7 * DAY_MS)
+    )
+    expected = 7 * 24
+    return (
+        d.groupBy("metric", "user_id")
+        .agg(
+            F.countDistinct(
+                F.col("ts") - F.col("ts") % F.lit(HOUR_MS)
+            ).alias("present")
+        )
+        .select(
+            "metric",
+            "user_id",
+            F.col("present").cast("long").alias("present"),
+            (F.lit(expected) - F.col("present")).cast("long").alias("missing"),
+        )
+    )
+
+
+@register(
+    "q97_error_ratio_1h",
+    f"""
+    WITH b AS (
+      SELECT ts - ts % {HOUR_MS} AS ts,
+             count(*) FILTER (metric = 'error') AS n_error,
+             count(*) AS n_total
+      FROM {_EV}
+      WHERE ts BETWEEN {T0} AND {T0 + 7 * DAY_MS - 1}
+      GROUP BY 1
+    )
+    SELECT ts, CAST(n_error AS BIGINT) AS n_error,
+           CAST(n_total AS BIGINT) AS n_total,
+           {_Q6.format(x='CAST(n_error AS DOUBLE) / n_total')} AS error_ratio
+    FROM b
+    """,
+)
+def q97(spark, sf_dir):
+    """Hourly error burn-rate: errors / all events per 1h bucket over the
+    first week — the SLO-style ratio-of-rates a metrics user derives from
+    two sub-queries (rate of error over rate of total); computed here as
+    one conditional aggregation in a single scan + single shuffle."""
+    d = _dps(spark, sf_dir).filter(
+        F.col("ts").between(T0, T0 + 7 * DAY_MS - 1)
+    )
+    bucket = (F.col("ts") - F.col("ts") % F.lit(HOUR_MS)).alias("ts")
+    return (
+        d.groupBy(bucket)
+        .agg(
+            F.count(F.when(F.col("metric") == "error", 1)).alias("n_error"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "ts",
+            F.col("n_error").cast("long").alias("n_error"),
+            F.col("n_total").cast("long").alias("n_total"),
+            q6(
+                F.col("n_error").cast("double") / F.col("n_total")
+            ).alias("error_ratio"),
+        )
+    )
+
+
+@register(
     "q90_series_dim",
     f"""
     WITH t AS ({_TAGS_CTE}),
