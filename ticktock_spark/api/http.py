@@ -187,10 +187,13 @@ class TsdbStore:
             .partitionBy("dt")
             .parquet(self.table_path)
         )
+        # swap base in BEFORE draining the buffer: a concurrent reader
+        # then sees the flushed rows twice (collapsed by the query-time
+        # last-wins dedup — same seq, same value) rather than not at all
+        self.base = self.spark.read.parquet(self.table_path)
         with self._lock:
             # only drop what was written; puts that raced in stay buffered
             self._buffer = self._buffer[len(buf):]
-        self.base = self.spark.read.parquet(self.table_path)
         # the cached base-series dim predates the flushed rows; the buffer
         # overlay still covers those series, so rebuild lazily next time
         if self._series_base is not None:
