@@ -171,3 +171,45 @@ def test_boilerplate_scrub_single_scan(spark):
     plan = _plan(spark, "q93_boilerplate_scrub")
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_series_key_lockstep_randomized(spark):
+    """schema.series_key/series_tsuid (Python) and series_dim_from
+    (Spark expressions) must canonicalize identically for any
+    OpenTSDB-legal metric/tag charset — 300 seeded-random series incl.
+    empty tag sets, single tags, and sort-order-sensitive key sets."""
+    import random
+
+    from pyspark.sql import Row
+
+    from ticktock_spark.schema import (
+        SERIES_SCHEMA,
+        series_dim_from,
+        series_key,
+        series_tsuid,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789._-/"
+
+    def word():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10)))
+
+    rows = []
+    for i in range(300):
+        metric = word()
+        tags = {word(): word() for _ in range(rng.randint(0, 5))}
+        rows.append(
+            Row(metric=metric, ts=1704067200000 + i, value=1.0, tags=tags,
+                seq=i, dt=None)
+        )
+    from ticktock_spark.schema import DATAPOINTS_SCHEMA
+
+    df = spark.createDataFrame(rows, DATAPOINTS_SCHEMA)
+    got = {r["skey"]: (r["metric"], r["tsuid"])
+           for r in series_dim_from(df).collect()}
+    expect = {}
+    for r in rows:
+        k = series_key(r.metric, r.tags)
+        expect[k] = (r.metric, series_tsuid(k))
+    assert got == expect
