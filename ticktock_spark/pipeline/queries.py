@@ -2254,8 +2254,10 @@ def q88(spark, sf_dir):
     d = _table(spark, sf_dir, "documents")
     cand = dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
     verified = dd.verify_jaccard(d, cand, threshold=0.5).select("id_a", "id_b")
-    nodes = verified.select(F.col("id_a").alias("node")).unionAll(
-        verified.select(F.col("id_b").alias("node"))
+    # explode, not a 2-branch union: a union would reference (and
+    # re-execute) the whole LSH+verify subtree once per branch
+    nodes = verified.select(
+        F.explode(F.array("id_a", "id_b")).alias("node")
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     alln = (

@@ -97,28 +97,36 @@ def funnel_stages(
     purchase analysis). Users missing a stage get NULL there and for all
     later stages; ``stage`` is the deepest stage index reached (1-based).
 
-    Scale shape: one filtered aggregation per stage, each shuffling on
-    the user key — after the first agg the per-user frames co-partition,
-    and each stage's event filter pushes down to the scan. All integer
-    timestamp comparisons; no windows over the full event stream.
+    Scale shape: ONE scan and ONE shuffle regardless of stage count —
+    per user, each stage's event times aggregate into a sorted array
+    (one row per user, arrays bounded by that user's event count), then
+    the strictly-after chain resolves as successive array_min-over-
+    filter expressions on those attributes. (The natural per-stage
+    join-accumulator shape re-executes the growing accumulated plan at
+    every stage: measured 13 parquet scans for this 4-stage funnel.)
     """
     t0 = F.col(ts_col)
     out = (
-        events.filter(F.col(type_col) == stages[0])
+        events.filter(F.col(type_col).isin(stages))
         .groupBy(user_col)
-        .agg(F.min(t0).alias(f"t_{stages[0]}"))
+        .agg(
+            *[
+                F.collect_list(F.when(F.col(type_col) == s, t0)).alias(f"a_{s}")
+                for s in stages
+            ]
+        )
+        .filter(F.size(f"a_{stages[0]}") > 0)
     )
+    out = out.withColumn(f"t_{stages[0]}", F.array_min(f"a_{stages[0]}"))
     prev = f"t_{stages[0]}"
     for s in stages[1:]:
-        nxt = (
-            events.filter(F.col(type_col) == s)
-            .join(out.select(user_col, prev), user_col)
-            .filter(t0 > F.col(prev))
-            .groupBy(user_col)
-            .agg(F.min(t0).alias(f"t_{s}"))
-        )
-        out = out.join(nxt, user_col, "left")
+        # prev is a projected attribute, so the lambda reference is a
+        # cheap row-value read, not a re-evaluated subtree; array_min of
+        # the empty filter result is NULL (stage not reached)
+        after = F.filter(F.col(f"a_{s}"), lambda x: x > F.col(prev))
+        out = out.withColumn(f"t_{s}", F.array_min(after))
         prev = f"t_{s}"
+    out = out.drop(*[f"a_{s}" for s in stages])
     stage = None
     for i, s in enumerate(reversed(stages)):
         cond = F.col(f"t_{s}").isNotNull()
