@@ -590,10 +590,16 @@ def dedup_pipeline(
         .join(clusters, "canonical_id")
         .select(id_col, "cluster_id")
     )
-    sizes = mapped.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_total"))
-    return mapped.join(sizes, "cluster_id").select(
+    # cluster sizes via an unordered window, NOT a groupBy joined back:
+    # `mapped` is the whole pipeline, and a self-join would re-execute
+    # it once per branch (measured as a doubled scan/LSH cost in the
+    # plan audit)
+    from pyspark.sql import Window
+
+    n_total = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return mapped.select(
         id_col,
         "cluster_id",
-        "n_total",
+        n_total.alias("n_total"),
         (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
     )
