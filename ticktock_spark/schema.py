@@ -128,17 +128,38 @@ _TS_COLS = {
 }
 
 
+def _is_utc_zone(tz: str) -> bool:
+    """True when ``tz`` denotes a fixed zero UTC offset (checked at a
+    winter and a summer instant so DST zones can't sneak through)."""
+    if tz in ("UTC", "Z", "GMT", "+00:00", "Etc/UTC", "Etc/GMT"):
+        return True
+    import datetime as dt
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        return z.utcoffset(dt.datetime(2024, 1, 1)) == dt.timedelta(0) and (
+            z.utcoffset(dt.datetime(2024, 7, 1)) == dt.timedelta(0)
+        )
+    except Exception:  # noqa: BLE001 — unknown spelling: treat as not UTC
+        return False
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Load one driver-generated parquet table (TESTDATA.md)."""
     from pyspark.sql import functions as F
 
     # the timestamp_ntz reinterpretation below is only identity-preserving
-    # when the session renders wall-clock instants in UTC; any other tz
-    # would silently shift epoch values relative to DuckDB's naive read
+    # when the session renders wall-clock instants at UTC+0; any other tz
+    # would silently shift epoch values relative to DuckDB's naive read.
+    # Accept any zero-offset spelling ("UTC", "Etc/UTC", "GMT", "+00:00"
+    # — a bare session on a UTC host reports "Etc/UTC"), reject the rest
+    # loudly.
     tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
+    if not _is_utc_zone(tz):
         raise RuntimeError(
-            f"load_table requires spark.sql.session.timeZone=UTC (got {tz!r}); "
+            f"load_table requires a UTC session timezone (got {tz!r}); "
             "build the session with ticktock_spark.session.get_spark"
         )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
