@@ -213,3 +213,25 @@ def test_series_key_lockstep_randomized(spark):
         k = series_key(r.metric, r.tags)
         expect[k] = (r.metric, series_tsuid(k))
     assert got == expect
+
+
+def test_load_table_timezone_guard(spark):
+    """load_table accepts any zero-offset session tz spelling (a bare
+    session on a UTC host reports Etc/UTC) and fails loudly on a real
+    offset zone, where the NTZ reinterpretation would silently shift
+    epochs."""
+    import pytest
+
+    from ticktock_spark.schema import load_table
+
+    key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(key)
+    try:
+        for ok in ("UTC", "Etc/UTC", "GMT"):
+            spark.conf.set(key, ok)
+            assert load_table(spark, "/root/testdata/sf0.001", "events") is not None
+        spark.conf.set(key, "America/New_York")
+        with pytest.raises(RuntimeError, match="UTC session timezone"):
+            load_table(spark, "/root/testdata/sf0.001", "events")
+    finally:
+        spark.conf.set(key, orig)
