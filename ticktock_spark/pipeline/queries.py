@@ -2440,3 +2440,48 @@ def q95(spark, sf_dir):
     fingerprints, counted via the bounded bucket-enumeration plan
     (pipeline/text.py winnowing_overlap_pairs)."""
     return tx.winnowing_overlap_pairs(_table(spark, sf_dir, "documents"), min_shared=2)
+
+
+@register(
+    "q98_vocab_drift",
+    f"""
+    WITH ta AS (
+      SELECT unnest(string_split_regex({_NORM}, '\\s+')) AS tok
+      FROM documents WHERE length({_NORM}) > 0
+    ),
+    tb AS (
+      SELECT unnest(string_split_regex({_NORM}, '\\s+')) AS tok
+      FROM documents
+      WHERE source IN ('src0','src1','src2','src3','src4')
+        AND length({_NORM}) > 0
+    ),
+    va AS (SELECT tok, count(*) AS n_a, sum(count(*)) OVER () AS tot_a
+           FROM ta GROUP BY 1),
+    vb AS (SELECT tok, count(*) AS n_b, sum(count(*)) OVER () AS tot_b
+           FROM tb GROUP BY 1),
+    j AS (
+      SELECT va.tok, n_a, n_b,
+             (CAST(n_b AS DOUBLE) / tot_b)
+               * log2((CAST(n_b AS DOUBLE) / tot_b)
+                      / (CAST(n_a AS DOUBLE) / tot_a)) AS kl
+      FROM va JOIN vb ON va.tok = vb.tok
+    )
+    SELECT tok, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           {_Q6.format(x='kl')} AS kl_contrib
+    FROM j
+    ORDER BY abs(kl) DESC, tok LIMIT 20
+    """,
+)
+def q98(spark, sf_dir):
+    """Vocabulary drift monitor: top-20 shared tokens by |contribution|
+    to KL(snapshot‖corpus), snapshot = sources src0–src4 — the "did this
+    ingest batch shift the corpus?" report (pipeline/text.py
+    vocab_drift)."""
+    docs = _table(spark, sf_dir, "documents")
+    snap = docs.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    out = tx.vocab_drift(docs, snap, top_k=20)
+    return out.select(
+        "tok", "n_a", "n_b", q6(F.col("kl_contrib")).alias("kl_contrib")
+    )

@@ -1057,3 +1057,59 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots: for each
+    token in BOTH vocabularies, its probability under A and B and its
+    signed contribution p_b·log2(p_b/p_a) to KL(B‖A) — the standard
+    monitor for "did this ingest batch shift the corpus?" (new spam
+    vocabulary, a source going dark, language mix drifting). Top-|k|
+    tokens by absolute contribution, ties by token.
+
+    Probabilities are over each snapshot's full token count (including
+    tokens unique to that snapshot), so the shared-vocab contributions
+    are exact; tokens absent from one side are excluded from the report
+    (their KL term is unbounded — screen them with oov_stats instead).
+
+    Scale shape: one scan + one vocab-sized agg per snapshot, an
+    equi-join on token (vocab-sized, not corpus-sized), and a
+    TakeOrdered top-k. Totals attach via a scalar count aggregated
+    from the vocab frame itself — no second corpus scan.
+    """
+    def vocab(df):
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    from pyspark.sql import Window
+
+    # total token counts attach via a global window over the VOCAB-sized
+    # count table (not a scalar-agg cross join, which would re-execute
+    # the corpus scan subtree per branch) — the corpus is scanned exactly
+    # once per snapshot
+    glob = Window.partitionBy(F.lit(1))
+    va = vocab(df_a).select(
+        "tok", F.col("n").alias("n_a"), F.sum("n").over(glob).alias("tot_a")
+    )
+    vb = vocab(df_b).select(
+        "tok", F.col("n").alias("n_b"), F.sum("n").over(glob).alias("tot_b")
+    )
+    joined = va.join(vb, "tok")
+    p_a = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
+    p_b = F.col("n_b").cast("double") / F.col("tot_b").cast("double")
+    contrib = p_b * F.log2(p_b / p_a)
+    out = joined.select(
+        "tok",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        contrib.alias("kl_contrib"),
+    )
+    return out.orderBy(F.abs(F.col("kl_contrib")).desc(), "tok").limit(top_k)
