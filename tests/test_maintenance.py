@@ -56,3 +56,32 @@ def test_compact_partition(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 9
     assert got.filter("dt = '2024-01-02'").count() == 3
+
+
+def test_compact_partition_clusters_by_series(spark, tmp_path):
+    """Clustered compaction rewrites the day partition sorted by
+    (canonical series key, ts) — per-series contiguous, time-ordered, the
+    Parquet twin of the reference's defragmented page layout."""
+    path = str(tmp_path / "t")
+    rows = []
+    # interleave two series out of time order across appended files
+    for b in range(3):
+        for h in ("b", "a"):
+            rows.append((f"put m {T0 + (5 - b) * 1000} {float(b)} host={h}",))
+    for i in range(0, len(rows), 2):
+        lines = spark.createDataFrame(rows[i : i + 2], "value string")
+        dps = put_lines_to_datapoints(lines).withColumn(
+            "dt", F.to_date(F.timestamp_millis(F.col("ts")))
+        )
+        dps.write.mode("append").partitionBy("dt").parquet(path)
+
+    n = compact_partition(spark, path, "2024-01-01")
+    assert n == 6
+    got = spark.read.parquet(f"{path}/dt=2024-01-01").select(
+        "metric", F.col("tags")["host"].alias("h"), "ts"
+    )
+    # file order (no sort in the read) must already be series-then-ts
+    ordered = [tuple(r) for r in got.collect()]
+    assert ordered == sorted(ordered), ordered
+    # and the table still answers queries identically
+    assert spark.read.parquet(path).filter("dt = '2024-01-01'").count() == 6

@@ -60,15 +60,27 @@ def retention_purge(table_path: str, keep_days: int, today: _dt.date | None = No
 
 
 def compact_partition(
-    spark: SparkSession, table_path: str, dt_val: str, target_files: int = 1
+    spark: SparkSession, table_path: str, dt_val: str, target_files: int = 1,
+    cluster: bool = True,
 ) -> int:
     """Rewrite one day partition into ``target_files`` files
     (tsdb.cpp:3431-3658). Returns the row count rewritten.
 
     Streaming ingest appends a file per micro-batch; compaction folds
     them so later scans open O(1) files per partition. The rewrite is
-    scoped to the single partition directory (read → coalesce →
+    scoped to the single partition directory (read → rewrite →
     atomic-ish swap), so cost is proportional to one day of data.
+
+    With ``cluster`` (default), rows are range-partitioned and sorted by
+    (canonical series key, ts) — the Parquet analogue of the reference's
+    defragmentation, which rewrites each series' pages contiguously and
+    time-ordered (`src/core/tsdb.cpp:3431-3658` walking per-series pages;
+    in-order page layout `include/ts.h:91-94`). Clustering is what makes
+    the layout scale-ready: row-group min/max stats on `metric`/`ts`
+    become effective scan-skipping predicates, a series' points land in
+    few row groups instead of every micro-batch file, and sorted
+    metric/tag columns dictionary+RLE compress far better. ``cluster=False``
+    keeps the plain coalesce for non-datapoints tables.
     """
     part_dir = Path(table_path) / f"dt={dt_val}"
     old = part_dir.with_name(part_dir.name + ".compact-old")
@@ -80,8 +92,19 @@ def compact_partition(
         raise FileNotFoundError(part_dir)
     df = spark.read.parquet(str(part_dir))
     n = df.count()
+    if cluster and {"metric", "tags", "ts"} <= set(df.columns):
+        from ticktock_spark.schema import series_skey_col
+
+        df = (
+            df.withColumn("__skey", series_skey_col())
+            .repartitionByRange(target_files, "__skey", "ts")
+            .sortWithinPartitions("__skey", "ts")
+            .drop("__skey")
+        )
+    else:
+        df = df.coalesce(target_files)
     tmp = part_dir.with_name(part_dir.name + ".compact-tmp")
-    df.coalesce(target_files).write.mode("overwrite").parquet(str(tmp))
+    df.write.mode("overwrite").parquet(str(tmp))
     # drop _SUCCESS etc. markers; keep only parquet parts
     for extra in tmp.iterdir():
         if not extra.name.endswith(".parquet") and extra.name != "_SUCCESS":

@@ -71,17 +71,24 @@ def series_tsuid(skey: str) -> str:
     return hashlib.md5(skey.encode()).hexdigest()[:12]
 
 
-def series_dim_from(df):
-    """Distill the series dimension from a datapoints DataFrame: one
-    distinct-by-canonical-key pass (the index build the reference does at
-    restore time). Spark twin of :func:`series_key` / :func:`series_tsuid`
-    — the two must stay in lockstep."""
+def series_entries_col():
+    """Sorted ``map_entries(tags)`` with NULL tags canonicalized like ``{}``
+    (matching the Python twin — concat_ws would otherwise skip the NULL
+    segment)."""
     from pyspark.sql import functions as F
 
-    # coalesce: NULL tags must canonicalize like {} ("metric;"), matching
-    # the Python twin — concat_ws would otherwise skip the NULL segment
-    entries = F.array_sort(F.map_entries(F.coalesce("tags", F.expr("map()"))))
-    skey = F.concat_ws(
+    return F.array_sort(F.map_entries(F.coalesce("tags", F.expr("map()"))))
+
+
+def series_skey_col(entries=None):
+    """Spark expression for the canonical series key (`metric;k=v,...`),
+    lockstep with :func:`series_key` (pinned by the randomized test in
+    tests/test_plans.py::test_series_key_lockstep_randomized)."""
+    from pyspark.sql import functions as F
+
+    if entries is None:
+        entries = series_entries_col()
+    return F.concat_ws(
         ";",
         F.col("metric"),
         F.array_join(
@@ -89,6 +96,17 @@ def series_dim_from(df):
             ",",
         ),
     )
+
+
+def series_dim_from(df):
+    """Distill the series dimension from a datapoints DataFrame: one
+    distinct-by-canonical-key pass (the index build the reference does at
+    restore time). Spark twin of :func:`series_key` / :func:`series_tsuid`
+    — the two must stay in lockstep."""
+    from pyspark.sql import functions as F
+
+    entries = series_entries_col()
+    skey = series_skey_col(entries)
     return (
         df.select("metric", entries.alias("te"), skey.alias("skey"))
         .dropDuplicates(["skey"])
