@@ -709,3 +709,57 @@ def test_streaming_ingest_maintains_series_dim(spark, tmp_path):
         k = series_key(m, tags)
         expect[k] = series_tsuid(k)
     assert dim == expect
+
+
+def test_streaming_restart_recovers_state_from_checkpoint(spark, tmp_path):
+    """Crash-recovery twin of the reference's WAL replay
+    (`src/utils/append.cpp`, restore at `src/agg/rollup.cpp:110-131`):
+    stop a stateful stream, add data, restart against the SAME checkpoint.
+    The restarted query must (a) not re-emit already-committed batches and
+    (b) resume the per-series state persisted before the stop — the first
+    post-restart rate needs the pre-restart last point from the state
+    store, not from reprocessing."""
+    import os
+
+    from ticktock_spark.sources.parsers import put_lines_to_datapoints
+    from ticktock_spark.streaming.rate import streaming_rate
+
+    T = 1_704_067_200_000
+    (tmp_path / "in").mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        lines = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(tmp_path / "in"))
+        )
+        rates = streaming_rate(put_lines_to_datapoints(lines))
+        q = (
+            rates.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        got = {r["ts"] - T: r["value"] for r in rows}
+        assert len(rows) == len(got), "duplicate emissions across restart"
+        return got
+
+    f0 = tmp_path / "in" / "b0.txt"
+    f0.write_text(
+        f"put sys.cpu {T + 1000} 10.0 host=a\nput sys.cpu {T + 3000} 16.0 host=a\n"
+    )
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    assert run() == {3000: 3.0}
+
+    f1 = tmp_path / "in" / "b1.txt"
+    f1.write_text(f"put sys.cpu {T + 5000} 17.0 host=a\n")
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+    # exactly-once across the stop: b0's rate appears ONCE, and
+    # (17-16)/2s = 0.5 proves the state-store point survived the restart
+    assert run() == {3000: 3.0, 5000: 0.5}
