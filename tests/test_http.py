@@ -246,3 +246,51 @@ def test_store_flush_persists_buffer(spark, tmp_path):
     store.add([{"metric": "m", "ts": 1704067260000, "value": 3.0, "tags": {"h": "a"}}])
     assert store.dataframe().count() == 3
     assert store.flush() == 1
+
+
+def test_http_full_lifecycle(spark, tmp_path):
+    """Day-in-the-life composition on one table_path-backed store: HTTP
+    puts (with a duplicate timestamp) → flush to the dt-partitioned table
+    → clustered admin compact → rollup materialize + routed query →
+    retention purge. Each transition must leave query results correct —
+    in particular last-wins dedup must survive flush + the clustered
+    rewrite (dup rows share (skey, ts); only `seq` disambiguates)."""
+    import datetime as dt
+
+    from ticktock_spark.maintenance import retention_purge
+
+    path = str(tmp_path / "dps")
+    srv = TsdbHttpServer(spark, table_path=path).start()
+    T = 1_704_067_200  # 2024-01-01 sec epoch
+    try:
+        lines = [
+            f"put cpu {T + d * 86400 + h * 3600} {float(h)} host=a"
+            for d in range(2)
+            for h in range(4)
+        ]
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == 8
+        # duplicate timestamp, later ingest — must win everywhere below
+        assert _post(srv, "/api/put", f"put cpu {T} 99 host=a")["success"] == 1
+
+        assert srv.store.flush() == 9
+        r = _post(srv, "/api/admin?cmd=compact&dt=2024-01-01", "")
+        assert r["compacted"] == {"2024-01-01": 5}  # 4 points + 1 dup row
+
+        res = _get(srv, f"/api/query?start={T}&end={T + 2 * 86400}&m=none:cpu")
+        dps = res[0]["dps"]
+        assert dps[str(T)] == 99.0  # last-wins survived flush + clustered rewrite
+        assert len(dps) == 8
+
+        _post(srv, "/api/admin?cmd=rollup", "")
+        res = _get(srv, f"/api/query?start={T + 7200}&end={T + 14400}&m=none:2h-avg:cpu")
+        assert res[0]["dps"] == {str(T + 7200): 2.5}  # avg(2,3) from the rollup
+
+        purged = retention_purge(path, keep_days=1, today=dt.date(2024, 1, 3), spark=spark)
+        assert purged == ["2024-01-01"]
+        srv.store.base = spark.read.parquet(path)  # re-point past the dropped files
+        srv.store.materialize_rollups()
+        res = _get(srv, f"/api/query?start={T}&end={T + 2 * 86400}&m=none:cpu")
+        remaining = res[0]["dps"]
+        assert len(remaining) == 4 and str(T) not in remaining
+    finally:
+        srv.stop()

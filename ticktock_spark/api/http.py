@@ -355,6 +355,12 @@ class _Handler(BaseHTTPRequestHandler):
                 d: compact_partition(self.store.spark, self.store.table_path, d)
                 for d in dts
             }
+            # the swap replaced files behind Spark's memoized listing for
+            # this path; refresh it and re-point base or the next query
+            # action dies on the vanished pre-compact file names
+            self.store.spark.catalog.refreshByPath(self.store.table_path)
+            if self.store.base is not None:
+                self.store.base = self.store.spark.read.parquet(self.store.table_path)
             self._send(200, {"compacted": rows})
         elif cmd in ("append", "cp", "gc", "log", "stop"):
             self._send(400, {"error": f"cmd {cmd} not applicable to the Spark runtime"})

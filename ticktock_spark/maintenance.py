@@ -42,12 +42,23 @@ def list_day_partitions(table_path: str) -> list[str]:
     )
 
 
-def retention_purge(table_path: str, keep_days: int, today: _dt.date | None = None) -> list[str]:
+def retention_purge(
+    table_path: str,
+    keep_days: int,
+    today: _dt.date | None = None,
+    spark: SparkSession | None = None,
+) -> list[str]:
     """Remove day partitions older than ``keep_days`` (tsdb.cpp:3389-3429).
 
     Returns the purged partition values. Purely a partition-directory
     delete — no data scan, exactly like the reference removing whole Tsdb
     day directories.
+
+    Pass ``spark`` to invalidate its cached file index for ``table_path``
+    after the delete: Spark memoizes parquet file listings per path, so a
+    DataFrame created before the purge would otherwise fail with
+    FileNotFoundException (or silently resurrect the dropped days from
+    cache) on its next action.
     """
     today = today or _dt.date.today()
     cutoff = today - _dt.timedelta(days=keep_days)
@@ -56,6 +67,8 @@ def retention_purge(table_path: str, keep_days: int, today: _dt.date | None = No
         if _dt.date.fromisoformat(dt_val) < cutoff:
             shutil.rmtree(Path(table_path) / f"dt={dt_val}")
             purged.append(dt_val)
+    if purged and spark is not None:
+        spark.catalog.refreshByPath(table_path)
     return purged
 
 
@@ -112,4 +125,8 @@ def compact_partition(
     part_dir.rename(old)
     tmp.rename(part_dir)
     shutil.rmtree(old)
+    # the swap invalidated Spark's memoized file listing for the table;
+    # without this, DataFrames created before the compact fail on the
+    # vanished pre-compact file names at their next action
+    spark.catalog.refreshByPath(table_path)
     return n
