@@ -763,3 +763,30 @@ def test_streaming_restart_recovers_state_from_checkpoint(spark, tmp_path):
     # exactly-once across the stop: b0's rate appears ONCE, and
     # (17-16)/2s = 0.5 proves the state-store point survived the restart
     assert run() == {3000: 3.0, 5000: 0.5}
+
+
+def test_adopt_streaming_table_enables_compaction(spark, put_dir):
+    """A stream-written table carries a `_spark_metadata` sink log that
+    pins the file listing; adopt_streaming_table drops it (after a clean
+    stop) so compaction + purge become safe — streaming-ingest → batch
+    maintenance handoff."""
+    from pathlib import Path
+
+    from ticktock_spark.maintenance import adopt_streaming_table, compact_partition
+
+    out, ckpt = str(put_dir / "out"), str(put_dir / "ckpt")
+    dps = stream_put_lines(spark, path=str(put_dir / "in"))
+    q = write_datapoints_stream(dps, out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    assert Path(out, "_spark_metadata").is_dir()
+    assert spark.read.parquet(out).count() == 20
+
+    assert adopt_streaming_table(spark, out) is True
+    assert adopt_streaming_table(spark, out) is False  # idempotent
+    assert not Path(out, "_spark_metadata").is_dir()
+
+    n = compact_partition(spark, out, "1970-01-01")
+    assert n == 20
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert len(list(Path(out, "dt=1970-01-01").glob("*.parquet"))) == 1

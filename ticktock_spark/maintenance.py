@@ -17,10 +17,10 @@ the whole table.
 Caveat: a directory written by a Structured Streaming file sink carries a
 `_spark_metadata` transaction log that pins the file listing — deleting
 or rewriting files behind it breaks batch reads. Purge/compact such a
-table only after migrating it to batch management (drop the sink log and
-repoint the stream at a fresh directory), or use a table format with
-transactional DELETE/OPTIMIZE (Delta/Iceberg) where these two operations
-are built in.
+table only after migrating it to batch management
+(:func:`adopt_streaming_table`, after a clean stream stop), or use a
+table format with transactional DELETE/OPTIMIZE (Delta/Iceberg) where
+these two operations are built in.
 """
 
 from __future__ import annotations
@@ -130,3 +130,26 @@ def compact_partition(
     # vanished pre-compact file names at their next action
     spark.catalog.refreshByPath(table_path)
     return n
+
+
+def adopt_streaming_table(spark: SparkSession, table_path: str) -> bool:
+    """Migrate a Structured-Streaming file-sink table to batch management
+    by dropping the sink's ``_spark_metadata`` transaction log, so the
+    file listing comes from the directory again and
+    :func:`retention_purge` / :func:`compact_partition` become safe.
+
+    One-way, and only valid after the writing stream has STOPPED cleanly:
+    while the log exists, batch reads trust it and ignore files from
+    uncommitted batches — dropping it makes every file in the directory
+    visible, so an unclean stop could resurrect a half-written batch
+    (restart the stream once more with availableNow to drain + commit
+    before adopting). A restarted stream must write to a fresh directory;
+    this table is batch-owned from here on. Returns whether a sink log
+    was present.
+    """
+    md = Path(table_path) / "_spark_metadata"
+    existed = md.is_dir()
+    if existed:
+        shutil.rmtree(md)
+        spark.catalog.refreshByPath(table_path)
+    return existed
