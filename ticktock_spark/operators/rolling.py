@@ -73,6 +73,12 @@ def rolling_zscore(
     BEFORE sqrt on both sides (sqrt of negative is NaN in Spark but an
     error in some engines). Frames with fewer than ``min_points`` points
     (or zero variance) yield NULL z.
+
+    Cross-engine bit-identity holds while the scaled sum of squares stays
+    inside double's exact-integer range (2^53): |value| up to ~3e4 with 2
+    decimals. Beyond that the DECIMAL→double cast itself rounds, engines
+    may differ by an ulp, and the E[x²]−E[x]² cancellation amplifies that
+    ulp into the std (found by tools/fuzz_testdata.py at |value|≈1e9).
     """
     w = (
         Window.partitionBy(*series_cols)

@@ -1743,7 +1743,8 @@ def q74(spark, sf_dir):
            CASE WHEN text IS NULL THEN NULL ELSE CAST(len(kept) AS BIGINT) END
              AS n_kept,
            CASE WHEN text IS NULL THEN NULL
-                ELSE array_to_string(kept, ' ') END AS text_clean
+                -- duckdb array_to_string([]) is NULL; empty doc must stay ''
+                ELSE COALESCE(array_to_string(kept, ' '), '') END AS text_clean
     FROM k
     """,
 )
@@ -1785,7 +1786,8 @@ def q75(spark, sf_dir):
                 ELSE CAST(len([x for x in capped if x = '<unk>']) AS BIGINT)
            END AS n_unk,
            CASE WHEN text IS NULL THEN NULL
-                ELSE array_to_string(capped, ' ') END AS text_capped
+                -- duckdb array_to_string([]) is NULL; empty doc must stay ''
+                ELSE COALESCE(array_to_string(capped, ' '), '') END AS text_capped
     FROM c
     """,
 )
@@ -2063,7 +2065,10 @@ def q83(spark, sf_dir):
       SELECT event_type, user_id, ts, value,
              CAST(count(*) OVER w AS BIGINT) AS roll_n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
-             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+             -- DECIMAL(19,2) operands: duckdb multiplies 18,2 operands in
+             -- int64 and overflows at |value| ~ 1e9; 19,2 forces int128
+             -- (Spark auto-widens the same product to DECIMAL(38,4))
+             CAST(sum(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2)))
                     OVER w AS DOUBLE) AS ss,
              CAST(count(*) OVER w AS DOUBLE) AS n
       FROM p
