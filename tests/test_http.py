@@ -294,3 +294,30 @@ def test_http_full_lifecycle(spark, tmp_path):
         assert len(remaining) == 4 and str(T) not in remaining
     finally:
         srv.stop()
+
+
+def test_nan_inf_values_roundtrip(spark):
+    """The reference accepts NaN/Inf datapoint values at ingest
+    (ts.cpp:276-328 diverts them to the OOO page) and serializes them as
+    the strings "NaN"/"Inf" in query responses (query.cpp:1782-1787).
+    Pin the same end-to-end: telnet put → /api/query → string markers."""
+    srv = TsdbHttpServer(spark).start()
+    T = 1_704_067_200
+    try:
+        r = _post(
+            srv,
+            "/api/put",
+            f"put odd.metric {T} NaN host=a\n"
+            f"put odd.metric {T + 60} Inf host=a\n"
+            f"put odd.metric {T + 120} -Inf host=a\n"
+            f"put odd.metric {T + 180} 1.5 host=a\n",
+        )
+        assert r["success"] == 4
+        res = _get(srv, f"/api/query?start={T}&end={T + 300}&m=none:odd.metric")
+        dps = res[0]["dps"]
+        assert dps[str(T)] == "NaN"
+        assert dps[str(T + 60)] == "Inf"
+        assert dps[str(T + 120)] == "-Inf"
+        assert dps[str(T + 180)] == 1.5
+    finally:
+        srv.stop()
