@@ -321,3 +321,51 @@ def test_nan_inf_values_roundtrip(spark):
         assert dps[str(T + 180)] == 1.5
     finally:
         srv.stop()
+
+
+def test_http_concurrent_puts_and_queries(spark):
+    """The reference serves puts and queries from concurrent listener
+    threads (http.cpp ThreadingHTTPServer analogue here). Hammer the
+    façade with parallel writers and readers: every put must land
+    exactly once (seq assignment under the store lock) and no request
+    may 500."""
+    import threading
+    import urllib.request
+
+    srv = TsdbHttpServer(spark).start()
+    T = 1_704_067_200
+    errors = []
+
+    def put_worker(w):
+        try:
+            body = "\n".join(
+                f"put conc.metric {T + w * 1000 + i} {w}.{i:02d} host=h{w}"
+                for i in range(25)
+            )
+            r = _post(srv, "/api/put", body)
+            assert r["success"] == 25
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(("put", w, e))
+
+    def query_worker(q):
+        try:
+            for _ in range(5):
+                _get(srv, f"/api/query?start={T}&end={T + 20000}&m=none:conc.metric")
+        except Exception as e:  # pragma: no cover
+            errors.append(("query", q, e))
+
+    try:
+        threads = [threading.Thread(target=put_worker, args=(w,)) for w in range(8)]
+        threads += [threading.Thread(target=query_worker, args=(q,)) for q in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors[:3]
+        res = _get(srv, f"/api/query?start={T}&end={T + 20000}&m=none:conc.metric")
+        total = sum(len(series["dps"]) for series in res)
+        assert total == 8 * 25
+        # seqs unique: dedup can't have collapsed distinct points
+        assert len({r["seq"] for r in srv.store.dataframe().collect()}) == 200
+    finally:
+        srv.stop()
