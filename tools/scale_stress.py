@@ -49,6 +49,11 @@ def replicate(spark, n: int) -> tuple[str, str]:
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skip_raw = "--skip-raw" in sys.argv
+    # --linear-only: additionally skip the exact cosine kernel — both
+    # O(n^2)-by-definition paths — to measure the linear operators alone
+    # at high N
+    linear_only = "--linear-only" in sys.argv
+    skip_raw = skip_raw or linear_only
     n = int(args[0]) if args else 20
     spark = get_spark()
     dp, vp = replicate(spark, n)
@@ -79,10 +84,11 @@ def main():
             "connected_components",
             lambda: cl.connected_components(strong.limit(2_000_000)).count(),
         )
-    timed(
-        "cosine_neardup_pairs",
-        lambda: sim.cosine_neardup_pairs(vecs, threshold=0.35).count(),
-    )
+    if not linear_only:
+        timed(
+            "cosine_neardup_pairs",
+            lambda: sim.cosine_neardup_pairs(vecs, threshold=0.35).count(),
+        )
     timed("dedup_pipeline", lambda: dd.dedup_pipeline(docs).count())
     timed(
         "dedup_pipeline_canon_candidates",
