@@ -10,8 +10,9 @@ testdata never exercises:
     python tools/diff_sf.py /tmp/fuzz
 
 Deterministic per seed. Values keep the driver's 2-decimal contract
-(queries rely on DECIMAL(18,2)-exact sums); timestamps stay inside the
-q01-q29 harness's Jan-2024 window so time-predicates select data.
+(queries rely on DECIMAL(18,2)-exact sums); event timestamps start at
+the q01-q29 harness's Jan-2024 window and span two calendar-month
+boundaries (monthly-rollup and day-partition edges).
 """
 
 from __future__ import annotations
@@ -49,11 +50,17 @@ def gen_events(rng, n=600):
         rows["value"].append(val)
         rows["props"].append(json.dumps({"k": int(rng.integers(0, 100))}))
 
-    month_us = 30 * 86400 * US
+    # span two calendar-month boundaries (Jan→Feb→Mar 2024): monthly
+    # rollups and dt-partition edges see real month transitions
+    span_us = 65 * 86400 * US
     for _ in range(n - 60):
-        ts = T0 + int(rng.integers(0, month_us))
+        ts = T0 + int(rng.integers(0, span_us))
         val = round(float(rng.normal(50, 40)), 2)
         add(ts, int(rng.integers(0, 8)), types[rng.integers(0, 5)], val)
+    # rows exactly at the Jan/Feb boundary, both sides
+    feb = T0 + 31 * 86400 * US
+    for j, ts in enumerate((feb - 1, feb, feb + 1)):
+        add(ts, 5, "view", round(7.77 + j, 2))
     # bucket-boundary points: exactly on minute/hour/day edges
     for i in range(20):
         unit = [60, 3600, 86400][i % 3] * US
@@ -74,7 +81,7 @@ def gen_events(rng, n=600):
     # — beyond that the two engines' decimal→double roundings diverge at
     # the ulp and the E[x²]−E[x]² cancellation amplifies it.
     for v in (0.0, -0.01, 29_999.99, -29_999.99, 0.01):
-        add(T0 + int(rng.integers(0, month_us)), 9, "error", v)
+        add(T0 + int(rng.integers(0, span_us)), 9, "error", v)
     return pa.table(
         {
             "event_id": pa.array(rows["event_id"], pa.int64()),
