@@ -257,8 +257,6 @@ def test_http_full_lifecycle(spark, tmp_path):
     rewrite (dup rows share (skey, ts); only `seq` disambiguates)."""
     import datetime as dt
 
-    from ticktock_spark.maintenance import retention_purge
-
     path = str(tmp_path / "dps")
     srv = TsdbHttpServer(spark, table_path=path).start()
     T = 1_704_067_200  # 2024-01-01 sec epoch
@@ -285,10 +283,11 @@ def test_http_full_lifecycle(spark, tmp_path):
         res = _get(srv, f"/api/query?start={T + 7200}&end={T + 14400}&m=none:2h-avg:cpu")
         assert res[0]["dps"] == {str(T + 7200): 2.5}  # avg(2,3) from the rollup
 
-        purged = retention_purge(path, keep_days=1, today=dt.date(2024, 1, 3), spark=spark)
+        # store.purge keeps base / series dim / rollups consistent with
+        # the surviving files (a bare retention_purge would leave the
+        # store's uncached base bound to the deleted file names)
+        purged = srv.store.purge(keep_days=1, today=dt.date(2024, 1, 3))
         assert purged == ["2024-01-01"]
-        srv.store.base = spark.read.parquet(path)  # re-point past the dropped files
-        srv.store.materialize_rollups()
         res = _get(srv, f"/api/query?start={T}&end={T + 2 * 86400}&m=none:cpu")
         remaining = res[0]["dps"]
         assert len(remaining) == 4 and str(T) not in remaining

@@ -85,3 +85,19 @@ def test_compact_partition_clusters_by_series(spark, tmp_path):
     assert ordered == sorted(ordered), ordered
     # and the table still answers queries identically
     assert spark.read.parquet(path).filter("dt = '2024-01-01'").count() == 6
+
+
+def test_compact_partition_recovers_from_post_swap_crash(spark, tmp_path):
+    """Crash window after the swap completed but before cleanup: a stale
+    .compact-old next to a valid partition must be dropped, not wedge
+    every later compaction with ENOTEMPTY."""
+    import shutil
+
+    path = _write_table(spark, tmp_path)
+    part = tmp_path / "t" / "dt=2024-01-02"
+    # simulate the interrupted run: completed swap, leftover old copy
+    shutil.copytree(part, part.with_name(part.name + ".compact-old"))
+    n = compact_partition(spark, path, "2024-01-02")
+    assert n == 3
+    assert not part.with_name(part.name + ".compact-old").exists()
+    assert spark.read.parquet(path).filter("dt = '2024-01-02'").count() == 3

@@ -201,6 +201,30 @@ class TsdbStore:
             self._series_base = None
         return len(buf)
 
+    def purge(self, keep_days: int, today=None) -> list:
+        """Retention purge over the backing table with the store's own
+        DataFrames kept consistent: drops day partitions older than
+        ``keep_days``, re-points ``base`` at the surviving files (an
+        uncached pre-purge DataFrame would otherwise fail on the deleted
+        file names — refreshByPath alone cannot fix it), and invalidates
+        the cached series dim + rollups built from the purged data.
+        Returns the purged partition values."""
+        from ticktock_spark.maintenance import retention_purge
+
+        if self.table_path is None:
+            raise ValueError("purge requires a table_path-backed store")
+        purged = retention_purge(
+            self.table_path, keep_days, today=today, spark=self.spark
+        )
+        if purged:
+            self.base = self.spark.read.parquet(self.table_path)
+            if self._series_base is not None:
+                self._series_base.unpersist()
+                self._series_base = None
+            if self.rollup_1h is not None or self.rollup_1d is not None:
+                self.materialize_rollups()
+        return purged
+
     def context(self) -> TsdbContext:
         return TsdbContext(self.dataframe(), self.rollup_1h, self.rollup_1d)
 
@@ -351,16 +375,21 @@ class _Handler(BaseHTTPRequestHandler):
             from ticktock_spark.maintenance import compact_partition, list_day_partitions
 
             dts = [dt] if dt else list_day_partitions(self.store.table_path)
-            rows = {
-                d: compact_partition(self.store.spark, self.store.table_path, d)
-                for d in dts
-            }
-            # the swap replaced files behind Spark's memoized listing for
-            # this path; refresh it and re-point base or the next query
-            # action dies on the vanished pre-compact file names
-            self.store.spark.catalog.refreshByPath(self.store.table_path)
-            if self.store.base is not None:
-                self.store.base = self.store.spark.read.parquet(self.store.table_path)
+            rows = {}
+            try:
+                for d in dts:
+                    rows[d] = compact_partition(
+                        self.store.spark, self.store.table_path, d
+                    )
+            finally:
+                # re-point base even if a later partition failed: any
+                # already-swapped partition invalidated the file names the
+                # old (uncached) base DataFrame binds — refreshByPath alone
+                # does not fix an uncached plan
+                if rows and self.store.base is not None:
+                    self.store.base = self.store.spark.read.parquet(
+                        self.store.table_path
+                    )
             self._send(200, {"compacted": rows})
         elif cmd in ("append", "cp", "gc", "log", "stop"):
             self._send(400, {"error": f"cmd {cmd} not applicable to the Spark runtime"})

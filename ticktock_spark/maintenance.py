@@ -54,11 +54,12 @@ def retention_purge(
     delete — no data scan, exactly like the reference removing whole Tsdb
     day directories.
 
-    Pass ``spark`` to invalidate its cached file index for ``table_path``
-    after the delete: Spark memoizes parquet file listings per path, so a
-    DataFrame created before the purge would otherwise fail with
-    FileNotFoundException (or silently resurrect the dropped days from
-    cache) on its next action.
+    Pass ``spark`` to invalidate cached plans/listings for ``table_path``
+    after the delete. Note the limit: refreshByPath refreshes *cached*
+    plans only — an uncached DataFrame created before the purge still
+    binds the old file listing and fails on its next action. Re-create
+    such DataFrames after purging (TsdbStore.purge does this for the
+    HTTP store's base).
     """
     today = today or _dt.date.today()
     cutoff = today - _dt.timedelta(days=keep_days)
@@ -97,10 +98,16 @@ def compact_partition(
     """
     part_dir = Path(table_path) / f"dt={dt_val}"
     old = part_dir.with_name(part_dir.name + ".compact-old")
-    # crash recovery: a previous run died between the two renames — the
-    # data is intact in .compact-old; restore it before proceeding
-    if old.is_dir() and not part_dir.is_dir():
-        old.rename(part_dir)
+    if old.is_dir():
+        if not part_dir.is_dir():
+            # crash between the two renames — the data is intact in
+            # .compact-old; restore it before proceeding
+            old.rename(part_dir)
+        else:
+            # crash after the swap completed but before cleanup: part_dir
+            # holds the full compacted copy, .compact-old is the stale
+            # original — drop it or the rename below hits ENOTEMPTY
+            shutil.rmtree(old)
     if not part_dir.is_dir():
         raise FileNotFoundError(part_dir)
     df = spark.read.parquet(str(part_dir))
@@ -125,9 +132,9 @@ def compact_partition(
     part_dir.rename(old)
     tmp.rename(part_dir)
     shutil.rmtree(old)
-    # the swap invalidated Spark's memoized file listing for the table;
-    # without this, DataFrames created before the compact fail on the
-    # vanished pre-compact file names at their next action
+    # invalidate cached plans/listings for the table. Cached-only: a
+    # pre-existing UNCACHED DataFrame still binds the vanished file names
+    # and must be re-created by its owner (the HTTP store re-points base)
     spark.catalog.refreshByPath(table_path)
     return n
 

@@ -27,7 +27,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 US = 1_000_000
-T0 = int(dt.datetime(2024, 1, 1).timestamp()) * US  # epoch µs
+def _utc_us(*ymd) -> int:
+    """Epoch µs of a UTC wall time — naive datetime.timestamp() would
+    shift every boundary row by the host's UTC offset and break the
+    advertised edge coverage on non-UTC machines."""
+    return int(dt.datetime(*ymd, tzinfo=dt.timezone.utc).timestamp()) * US
+
+
+T0 = _utc_us(2024, 1, 1)  # epoch µs
 
 
 def _ts_array(vals_us):
@@ -187,9 +194,9 @@ def gen_tpch(rng):
     )
     no = 150
     # orderdate edges: exactly on q21's [1997-01-01, 1999-01-01) bounds
-    od = [int(dt.datetime(1995 + int(rng.integers(0, 5)), int(rng.integers(1, 13)), int(rng.integers(1, 28))).timestamp()) * US
+    od = [_utc_us(1995 + int(rng.integers(0, 5)), int(rng.integers(1, 13)), int(rng.integers(1, 28)))
           for _ in range(no - 4)]
-    od += [int(dt.datetime(y, m, d).timestamp()) * US
+    od += [_utc_us(y, m, d)
            for (y, m, d) in [(1997, 1, 1), (1998, 12, 31), (1999, 1, 1), (1996, 12, 31)]]
     orders = pa.table(
         {"o_orderkey": pa.array(range(no), pa.int64()),
@@ -202,10 +209,9 @@ def gen_tpch(rng):
     )
     nl = 600
     # shipdate edges: exactly on q20's <= 1999-06-30 boundary (inclusive)
-    sd = [int(dt.datetime(1995 + int(rng.integers(0, 5)), int(rng.integers(1, 13)), int(rng.integers(1, 28))).timestamp()) * US
+    sd = [_utc_us(1995 + int(rng.integers(0, 5)), int(rng.integers(1, 13)), int(rng.integers(1, 28)))
           for _ in range(nl - 3)]
-    sd += [int(dt.datetime(*ymd).timestamp()) * US
-           for ymd in [(1999, 6, 30), (1999, 7, 1), (1999, 6, 29)]]
+    sd += [_utc_us(*ymd) for ymd in [(1999, 6, 30), (1999, 7, 1), (1999, 6, 29)]]
     lineitem = pa.table(
         {"l_orderkey": pa.array([int(rng.integers(0, no)) for _ in range(nl)], pa.int64()),
          "l_partkey": pa.array([int(rng.integers(0, npart)) for _ in range(nl)], pa.int64()),
