@@ -899,7 +899,10 @@ def test_winnowing_guarantee(spark):
     for r in winnowing_fingerprints(df, k=5, w=4).collect():
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[1] & fps[2]          # shared substring → shared fingerprint
-    assert not (fps[1] & fps[3] and fps[2] & fps[3]) or True
+    # unrelated doc: no collision with either (was a tautology before —
+    # `assert X or True` — so this property had zero coverage)
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
     # density: winnowing keeps far fewer fps than grams
     n_grams_1 = len("intro words common boilerplate sentence here tail one") - 4
     assert len(fps[1]) < n_grams_1 / 2

@@ -88,8 +88,14 @@ class TsdbStore:
         self.rollup_1h: DataFrame | None = None
         self.rollup_1d: DataFrame | None = None
         self._buffer: list[Row] = []
+        # seed the ingest sequence past any seq already persisted in base:
+        # a restarted store starting at 0 would hand NEW puts lower seqs
+        # than old flushed rows, silently inverting last-write-wins dedup
         self._seq = 0
+        if base is not None and "seq" in base.columns:
+            self._seq = (base.agg({"seq": "max"}).first()[0] or 0)
         self._lock = threading.Lock()
+        self._flush_lock = threading.Lock()
         # series dimension (tsdb.h:160-164): new series discovered at
         # ingest go here (O(1) per point); the base table's series are
         # distilled once into a cached dim on first metadata access
@@ -152,8 +158,16 @@ class TsdbStore:
             buf = list(self._series_buf.values())
         parts = []
         if self.base is not None:
+            # double-checked under the lock: two concurrent first metadata
+            # requests would otherwise both build + cache a dim and leak
+            # the loser's cached DataFrame for the session's lifetime
             if self._series_base is None:
-                self._series_base = series_dim_from(self.base).cache()
+                dim = series_dim_from(self.base).cache()
+                with self._lock:
+                    if self._series_base is None:
+                        self._series_base = dim
+                    else:
+                        dim.unpersist()
             parts.append(self._series_base)
         if buf:
             parts.append(self.spark.createDataFrame(buf, SERIES_SCHEMA))
@@ -177,29 +191,33 @@ class TsdbStore:
         Returns the number of rows flushed."""
         if self.table_path is None:
             raise ValueError("flush requires a table_path-backed store")
-        with self._lock:
-            buf = list(self._buffer)
-        if not buf:
-            return 0
-        (
-            self.spark.createDataFrame(buf, DATAPOINTS_SCHEMA)
-            .write.mode("append")
-            .partitionBy("dt")
-            .parquet(self.table_path)
-        )
-        # swap base in BEFORE draining the buffer: a concurrent reader
-        # then sees the flushed rows twice (collapsed by the query-time
-        # last-wins dedup — same seq, same value) rather than not at all
-        self.base = self.spark.read.parquet(self.table_path)
-        with self._lock:
-            # only drop what was written; puts that raced in stay buffered
-            self._buffer = self._buffer[len(buf):]
-        # the cached base-series dim predates the flushed rows; the buffer
-        # overlay still covers those series, so rebuild lazily next time
-        if self._series_base is not None:
-            self._series_base.unpersist()
-            self._series_base = None
-        return len(buf)
+        # one flush at a time: two concurrent flushes would double-append
+        # the same buffer prefix and the second trim would silently drop
+        # rows that raced in between them
+        with self._flush_lock:
+            with self._lock:
+                buf = list(self._buffer)
+            if not buf:
+                return 0
+            (
+                self.spark.createDataFrame(buf, DATAPOINTS_SCHEMA)
+                .write.mode("append")
+                .partitionBy("dt")
+                .parquet(self.table_path)
+            )
+            # swap base in BEFORE draining the buffer: a concurrent reader
+            # then sees the flushed rows twice (collapsed by the query-time
+            # last-wins dedup — same seq, same value) rather than not at all
+            self.base = self.spark.read.parquet(self.table_path)
+            with self._lock:
+                # only drop what was written; puts that raced in stay buffered
+                self._buffer = self._buffer[len(buf):]
+            # the cached base-series dim predates the flushed rows; the
+            # buffer overlay still covers those series, so rebuild lazily
+            if self._series_base is not None:
+                self._series_base.unpersist()
+                self._series_base = None
+            return len(buf)
 
     def purge(self, keep_days: int, today=None) -> list:
         """Retention purge over the backing table with the store's own
@@ -385,11 +403,16 @@ class _Handler(BaseHTTPRequestHandler):
                 # re-point base even if a later partition failed: any
                 # already-swapped partition invalidated the file names the
                 # old (uncached) base DataFrame binds — refreshByPath alone
-                # does not fix an uncached plan
+                # does not fix an uncached plan. The cached series dim's
+                # plan binds the same dead files (its blocks can be
+                # evicted and recomputed later) — rebuild it lazily too.
                 if rows and self.store.base is not None:
                     self.store.base = self.store.spark.read.parquet(
                         self.store.table_path
                     )
+                    if self.store._series_base is not None:
+                        self.store._series_base.unpersist()
+                        self.store._series_base = None
             self._send(200, {"compacted": rows})
         elif cmd in ("append", "cp", "gc", "log", "stop"):
             self._send(400, {"error": f"cmd {cmd} not applicable to the Spark runtime"})

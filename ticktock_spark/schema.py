@@ -151,6 +151,12 @@ def _is_utc_zone(tz: str) -> bool:
     winter and a summer instant so DST zones can't sneak through)."""
     if tz in ("UTC", "Z", "GMT", "+00:00", "Etc/UTC", "Etc/GMT"):
         return True
+    # fixed zero-offset spellings Spark/Java accept but ZoneInfo can't
+    # parse: GMT+00:00, UTC+0, +0000, GMT0, UT±00, ...
+    import re
+
+    if re.fullmatch(r"(?:UTC|GMT|UT)0|(?:UTC|GMT|UT)?[+-]0{1,2}(?::?0{2}(?::?0{2})?)?", tz):
+        return True
     import datetime as dt
 
     try:

@@ -152,16 +152,21 @@ def write_datapoints_stream_with_series(
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
-        batch_df.write.mode("append").partitionBy("dt").parquet(out_path)
-        new = series_dim_from(batch_df)
-        spark = batch_df.sparkSession
+        # unpersist in finally: a failed write raises out of foreachBatch
+        # and Structured Streaming retries with a FRESH batch_df — without
+        # this, every failed attempt's cached blocks stay resident
         try:
-            existing = spark.read.parquet(series_path).select("skey")
-            new = new.join(existing, "skey", "left_anti")
-        except AnalysisException:
-            pass  # first batch: no dim yet
-        new.write.mode("append").parquet(series_path)
-        batch_df.unpersist()
+            batch_df.write.mode("append").partitionBy("dt").parquet(out_path)
+            new = series_dim_from(batch_df)
+            spark = batch_df.sparkSession
+            try:
+                existing = spark.read.parquet(series_path).select("skey")
+                new = new.join(existing, "skey", "left_anti")
+            except AnalysisException:
+                pass  # first batch: no dim yet
+            new.write.mode("append").parquet(series_path)
+        finally:
+            batch_df.unpersist()
 
     w = (
         dps.writeStream.foreachBatch(_batch)

@@ -8,7 +8,7 @@ conversion (copy-count scales points, series count stays fixed) and times
 both paths — the dim latency should stay flat in N while the raw scan
 grows linearly.
 
-Usage: python tools/metadata_stress.py [N]   (default 8)
+Usage: python tools/metadata_stress.py [N]   (default 16)
 """
 
 from __future__ import annotations
