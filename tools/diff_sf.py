@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -48,9 +49,12 @@ def main():
     names = [n for n in sorted(QUERIES) if not pats or any(p in n for p in pats)]
     bad = []
     for name in names:
+        t0 = time.monotonic()
         try:
             got = QUERIES[name](spark, sf_dir).toPandas()
+            t_spark = time.monotonic() - t0
             exp = con.sql(ORACLES[name]).df()
+            t_oracle = time.monotonic() - t0 - t_spark
             if sorted(got.columns) != sorted(exp.columns):
                 bad.append(name)
                 print(f"MISMATCH {name}: cols {sorted(got.columns)} != {sorted(exp.columns)}")
@@ -65,7 +69,10 @@ def main():
                 bad.append(name)
                 print(f"MISMATCH {name}: {len(diff)} differing rows; first: {diff[:2]}")
             else:
-                print(f"OK {name} ({len(cg)} rows)")
+                print(
+                    f"OK {name} ({len(cg)} rows, "
+                    f"spark {t_spark:.1f}s / oracle {t_oracle:.1f}s)"
+                )
         except Exception as e:  # noqa: BLE001
             bad.append(name)
             print(f"ERROR {name}: {type(e).__name__}: {e}")
