@@ -30,6 +30,89 @@ def test_minhash_engine_parity(spark):
     assert a, "fabricated dups must produce at least one candidate pair"
 
 
+def test_minhash_xxh64_engine(spark):
+    """The JVM-native xxhash64 engine is a different hash family, so
+    exact candidate sets may differ on borderline pairs — but exact
+    duplicates share every band key under ANY hash function, the
+    unrelated doc must not pair, and the VERIFIED output (true Jaccard
+    on candidates) must match the md5 engines on this corpus."""
+    d = _docs(spark)
+    cand = dd.minhash_lsh_candidates(d, engine="xxh64")
+    pairs = {(r["id_a"], r["id_b"]): r["n_bands"] for r in cand.collect()}
+    assert pairs[(1, 4)] == 4  # exact dup agrees on every band
+    assert not any(3 in p for p in pairs)
+    ver_x = {
+        (r["id_a"], r["id_b"])
+        for r in dd.verify_jaccard(d, cand, threshold=0.5).collect()
+    }
+    ver_m = {
+        (r["id_a"], r["id_b"])
+        for r in dd.verify_jaccard(
+            d, dd.minhash_lsh_candidates(d, engine="pandas"), threshold=0.5
+        ).collect()
+    }
+    assert ver_x == ver_m
+
+
+def test_minhash_null_text_expression_engines(spark):
+    """TWO null docs must not pair with each other: shingles(NULL) is
+    [NULL], and null-skipping hashes (md5-concat via least, xxhash64
+    natively) would give every null doc the SAME signature — one fake
+    bucket pairing all null docs. The single-null parity test missed
+    this because the size>1 bucket filter hid a lone null doc; the
+    expression engines now drop null docs at the shingle stage like the
+    pandas engine always did."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, None),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    for engine in ("sql", "xxh64", "pandas"):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["n_bands"])
+            for r in dd.minhash_lsh_candidates(df, engine=engine).collect()
+        )
+        assert got == [(1, 2, 4)], engine
+
+
+def test_dedup_pipeline_xxh64_matches_md5(spark):
+    """End-to-end dedup_pipeline under the xxh64 engine must produce the
+    same final clusters as the md5 engine on a corpus whose duplicate
+    pairs are unambiguous (high-Jaccard dups, low-Jaccard non-dups):
+    candidates differ only on borderline pairs, and Jaccard-verify
+    removes any engine-specific extras."""
+    d = _docs(spark)
+    md5 = {
+        (r["doc_id"], r["cluster_id"], r["is_kept"])
+        for r in dd.dedup_pipeline(d).collect()
+    }
+    xxh = {
+        (r["doc_id"], r["cluster_id"], r["is_kept"])
+        for r in dd.dedup_pipeline(d, engine="xxh64").collect()
+    }
+    assert xxh == md5
+
+
+def test_minhash_lsh_join_xxh64(spark):
+    """Cross-corpus LSH under xxh64: the exact-duplicate cross pair must
+    surface (structural 100% recall), unrelated docs must not."""
+    left = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(10 + i, t) for i, t in DOCS[2:]], "doc_id long, text string"
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in dd.minhash_lsh_join(left, right, engine="xxh64").collect()
+    }
+    assert (1, 14) in got  # doc 14 is DOCS id 4's text = exact dup of 1
+    assert (3, 13) in got  # doc 13 repeats left doc 3's text verbatim
+    assert not any(r == 15 for _, r in got)  # unrelated right-side doc
+
+
 def test_minhash_finds_near_dups(spark):
     cand = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_candidates(_docs(spark)).collect()}
     assert (1, 4) in cand  # exact dup agrees on every band
@@ -906,6 +989,40 @@ def test_winnowing_guarantee(spark):
     # density: winnowing keeps far fewer fps than grams
     n_grams_1 = len("intro words common boilerplate sentence here tail one") - 4
     assert len(fps[1]) < n_grams_1 / 2
+
+
+def test_winnowing_xxh64_guarantee(spark):
+    """The xxh64 engine selects different window minima (different hash
+    family → different fp sets than md5), but the winnowing guarantee is
+    hash-independent: docs sharing a ≥ w+k-1 substring share ≥ 1
+    fingerprint, unrelated docs share none, and overlap-pair detection
+    finds the same overlapping pair."""
+    from ticktock_spark.pipeline.text import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    shared = "common boilerplate sentence here"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing alike in this document at all zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df, k=5, w=4, engine="xxh64").collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert isinstance(next(iter(fps[1])), int)  # BIGINT fps, not hex
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnowing_overlap_pairs(df, min_shared=1, engine="xxh64").collect()
+    }
+    assert pairs == {(1, 2)}
 
 
 def test_winnowing_engines_agree(spark):

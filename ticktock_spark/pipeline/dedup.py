@@ -82,6 +82,53 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
     )
 
 
+def minhash_signature_xxh64(shingle_col: Column, num_hashes: int = 8) -> Column:
+    """Array of min-over-shingles 64-bit xxhash64 values — the JVM-native
+    scale twin of ``minhash_signature``.
+
+    h_j(doc) = min over shingles of xxhash64(j, shingle): the j-th "random
+    permutation" is seeded by hashing the position literal into the
+    stream. Same fold shape as the md5 spec (one pass over the shingle
+    array keeping running minima), but each hash is a single native
+    XXH64 round instead of an md5 digest + hex substring — roughly an
+    order of magnitude less hash work per shingle, entirely JVM-side.
+    Not portable to engines without xxhash64 (DuckDB has none), so the
+    md5 scheme stays the cross-engine specification. Exact duplicates
+    bucket together under ANY hash function (equal shingle sets → equal
+    signatures); for near-dups the r/b collision curve holds in
+    expectation per hash family, but with a FIXED set of 8 functions the
+    per-corpus candidate count can differ between families — agreement
+    events correlate across pairs sharing template text, so one family
+    can systematically over/under-shoot on low-jaccard junk pairs.
+    Measured on the sf0.1 documents corpus (SCALE.md): both families
+    recover 100% of true ≥0.5-jaccard pairs; the md5 family emits 3.5×
+    more j≈0.1–0.3 junk candidates that Jaccard-verify then discards.
+    """
+    positions = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingle_col,
+        F.array_repeat(F.lit(9223372036854775807).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(positions, lambda j: F.xxhash64(j, s)),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+
+
+def band_keys_xxh64(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding over a long-array signature: one xxhash64 per band,
+    seeded by the band index, folding the band's r signature values."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.element_at(sig, b * rows + i + 1) for i in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
     """LSH banding: md5 over each contiguous r-slice of the signature."""
     keys = [
@@ -280,7 +327,15 @@ def minhash_lsh_candidates(
     ``engine``: 'pandas' (default) hashes signatures via Arrow-batched
     hashlib; 'sql' uses the pure-expression path (same md5 inputs, same
     output — kept for engines without Python workers and as the
-    parity-tested specification of the hash scheme).
+    parity-tested specification of the hash scheme); 'xxh64' swaps the
+    md5 permutation family for JVM-native xxhash64 — a different hash
+    family, so candidate sets differ on low-jaccard junk pairs while
+    exact-duplicate recall is structurally 100% and measured true-pair
+    recall / verified output match the md5 engines (SCALE.md). It
+    removes ALL Python from the signature hot loop — on a diverse
+    (cache-hostile) corpus it measures 2–3.8× faster than the hashlib
+    engine — at 100 TB the scan-side hash work is the dominant dedup
+    cost and this path keeps it native with no Arrow text transfer.
     """
     rows = num_hashes // bands
     par = parallelism or df.sparkSession.sparkContext.defaultParallelism
@@ -309,18 +364,42 @@ def minhash_lsh_candidates(
                 F.col(id_col), shingles(F.col(text_col), k).alias("sh")
             )
         )
-        sig = sh.repartition(par, id_col).select(
-            F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
-        )
-        banded = sig.select(
-            id_col, F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key")
-        )
+        # Drop NULL-text docs here: shingles(NULL) is [NULL], and every
+        # null-skipping hash (md5-concat via least, xxhash64 natively)
+        # then gives ALL null docs the SAME signature — one fake bucket
+        # pairing every null doc per band. Matches the pandas engine's
+        # emit-nothing for null docs.
+        sh = sh.filter(F.element_at(F.col("sh"), 1).isNotNull())
+        # the repartition between signature and banding is a deliberate
+        # CollapseProject barrier: without it the (HOF, un-CSE'd)
+        # signature expression is inlined into every band key and
+        # evaluated `bands` times per row (SCALE.md, interpreted-HOF
+        # duplication)
+        if engine == "xxh64":
+            sig = sh.repartition(par, id_col).select(
+                F.col(id_col),
+                minhash_signature_xxh64(F.col("sh"), num_hashes).alias("sig"),
+            )
+            banded = sig.select(
+                id_col,
+                F.posexplode(band_keys_xxh64(F.col("sig"), bands, rows)).alias(
+                    "band", "key"
+                ),
+            )
+        else:
+            sig = sh.repartition(par, id_col).select(
+                F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
+            )
+            banded = sig.select(
+                id_col,
+                F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key"),
+            )
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if engine == "pandas":
+    if engine in ("pandas", "xxh64"):
         id_type = dict(df.select(id_col).dtypes)[id_col]
         pairs = _bucket_blocks(buckets).repartition(par).mapInPandas(
             _pairs_pandas(), schema=f"id_a {id_type}, id_b {id_type}"
@@ -498,6 +577,7 @@ def minhash_lsh_join(
     num_hashes: int = 8,
     bands: int = 4,
     parallelism: int | None = None,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Cross-corpus LSH: near-duplicate CANDIDATE pairs between two
     corpora (e.g. a new crawl vs the standing training set) without ever
@@ -521,6 +601,21 @@ def minhash_lsh_join(
     par = parallelism or left.sparkSession.sparkContext.defaultParallelism
 
     def banded(df: DataFrame, out_id: str) -> DataFrame:
+        if engine == "xxh64":
+            sh = df.repartition(par).select(
+                F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+            ).filter(F.element_at(F.col("sh"), 1).isNotNull())
+            sig = sh.repartition(par, id_col).select(
+                F.col(id_col),
+                minhash_signature_xxh64(F.col("sh"), num_hashes).alias("sig"),
+            )
+            b = sig.select(
+                id_col,
+                F.posexplode(band_keys_xxh64(F.col("sig"), bands, rows)).alias(
+                    "band", "key"
+                ),
+            )
+            return b.withColumnRenamed(id_col, out_id)
         id_type = dict(df.select(id_col).dtypes)[id_col]
         nm = df.repartition(par).select(
             F.col(id_col), normalize_text(F.col(text_col)).alias("norm")
@@ -547,6 +642,7 @@ def dedup_pipeline(
     jaccard_threshold: float = 0.5,
     num_hashes: int = 8,
     bands: int = 4,
+    engine: str = "pandas",
 ) -> DataFrame:
     """The end-to-end dedup composition a production corpus actually
     runs: EXACT dedup first (md5 groups → canonical min-id), then
@@ -577,7 +673,12 @@ def dedup_pipeline(
         groups.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
     )
     cand = minhash_lsh_candidates(
-        canon, text_col=text_col, id_col=id_col, num_hashes=num_hashes, bands=bands
+        canon,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        engine=engine,
     )
     verified = verify_jaccard(
         canon, cand, threshold=jaccard_threshold, text_col=text_col, id_col=id_col

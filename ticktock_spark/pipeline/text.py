@@ -947,9 +947,35 @@ def winnowing_fingerprints(
     hang on 50 docs); the repartition is the same CollapseProject
     barrier the MinHash scan uses. Downstream overlap detection groups
     the (fp) column — the same bucket-join shape as LSH candidates.
+    ``engine='xxh64'`` swaps the gram hash for JVM-native xxhash64
+    (fp column becomes BIGINT): a different hash family selects
+    different window minima, so fp SETS differ from the md5 engines,
+    but the ≥ (w+k-1)-substring guarantee holds under any hash — pinned
+    by test. The 100 TB path: all-native hashing, no Python workers,
+    no Arrow text transfer.
     """
     norm = normalize_text(F.col(text_col))
     par = df.sparkSession.sparkContext.defaultParallelism
+    if engine == "xxh64":
+        n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(F.substr(norm, i, F.lit(k))),
+        )
+        grams = (
+            df.filter(F.length(norm) > 0)
+            .select(F.col(id_col), hashes.alias("hs"))
+            .repartition(par)  # CollapseProject barrier, as for 'sql'
+        )
+        hs = F.col("hs")
+        n_windows = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+        minima = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+        return grams.select(
+            F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
+        )
     if engine == "pandas":
         nm = (
             df.filter(F.length(norm) > 0)
@@ -1023,6 +1049,7 @@ def winnowing_overlap_pairs(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     MOSS-style overlap detection (plagiarism / near-verbatim reuse): two
@@ -1039,7 +1066,7 @@ def winnowing_overlap_pairs(
 
     par = df.sparkSession.sparkContext.defaultParallelism
     fps = winnowing_fingerprints(
-        df, k=k, w=w, text_col=text_col, id_col=id_col, engine="pandas"
+        df, k=k, w=w, text_col=text_col, id_col=id_col, engine=engine
     )
     buckets = (
         fps.groupBy("fp")
