@@ -173,6 +173,36 @@ def test_boilerplate_scrub_single_scan(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_minhash_xxh64_scan_side_is_native(spark):
+    """The xxh64 engine's selling point: NO Python stage before the
+    band-key shuffle. Text is hashed by JVM xxhash64 expressions on the
+    scan side; the only Python node is the id-only pair enumeration
+    AFTER the bucket aggregation (its input schema carries chunked id
+    arrays, never text/shingles)."""
+    from ticktock_spark.schema import load_table
+    from ticktock_spark.pipeline.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, SF, "documents")
+    df = minhash_lsh_candidates(docs, engine="xxh64")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "xxhash64" in plan
+    # exactly one Arrow/Python stage (the pair enumerator)
+    import re
+
+    py_nodes = re.findall(r"^\((\d+)\) (MapInPandas|ArrowEvalPython)", plan, re.M)
+    assert len(py_nodes) == 1, py_nodes
+    # the Python stage consumes chunk arrays (ca/cb), not document text:
+    # read the node's DETAIL block (numbered header + Input/Arguments)
+    num, kind = py_nodes[0]
+    detail = plan.split(f"({num}) {kind}")[-1]
+    detail = detail[: detail.index("\n\n")] if "\n\n" in detail else detail
+    assert "ca#" in detail and "cb#" in detail, detail
+    assert "text#" not in detail and "norm#" not in detail and "sh#" not in detail
+
+
 def test_series_key_lockstep_randomized(spark):
     """schema.series_key/series_tsuid (Python) and series_dim_from
     (Spark expressions) must canonicalize identically for any
