@@ -869,6 +869,97 @@ def test_decode_engine_gate(spark):
         assert auto == fake
 
 
+def _media_df(spark, payload: bytes, fmt: str = "ppm"):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(1)
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("media", F.lit(payload))
+        .withColumn(
+            "media_meta",
+            F.struct(
+                F.lit("image").alias("modality"),
+                F.lit(fmt).alias("format"),
+                F.lit(0).cast("int").alias("width"),
+                F.lit(0).cast("int").alias("height"),
+                F.lit(0).cast("long").alias("duration_ms"),
+                F.lit(len(payload)).cast("long").alias("n_bytes"),
+            ),
+        )
+    )
+
+
+def test_decode_netpbm_stdlib_real_branch(spark):
+    """engine='netpbm' is a REAL pixel decode with no external imaging
+    library: binary P6 (RGB → ITU-R 601-2 integer luma) and P5 (gray)
+    payloads produce exact width/height/mean/histogram — so the real
+    branch of the multimodal plumbing is exercised even in environments
+    without Pillow. Header comments are parsed; engine='real' routes
+    netpbm payloads through the same stdlib parser."""
+    from ticktock_spark.pipeline import multimodal as mm
+
+    # P6 2x2: red, green, blue, white; luma 76/149/29/255
+    p6 = b"P6\n# a comment\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    row = mm.decode_and_featurize(_media_df(spark, p6), engine="netpbm").collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    assert row["mean_byte"] == (76 + 149 + 29 + 255) / 4
+    bins = row["feature"]
+    assert bins[76 // 32] == 1.0 and bins[149 // 32] == 1.0
+    assert bins[29 // 32] == 1.0 and bins[255 // 32] == 1.0
+    assert sum(bins) == 4.0
+
+    # P5 3x1 grays 0, 128, 255
+    p5 = b"P5 3 1 255\n" + bytes([0, 128, 255])
+    row = mm.decode_and_featurize(_media_df(spark, p5), engine="netpbm").collect()[0]
+    assert (row["width"], row["height"]) == (3, 1)
+    assert row["mean_byte"] == (0 + 128 + 255) / 3
+    assert row["feature"][0] == 1.0 and row["feature"][4] == 1.0
+    assert row["feature"][7] == 1.0
+
+    # non-netpbm payload: strict engine fails the task with ValueError
+    import pytest
+
+    with pytest.raises(Exception, match="netpbm"):
+        mm.decode_and_featurize(
+            _media_df(spark, b"\x89PNG fake"), engine="netpbm"
+        ).collect()
+    # truncated raster is rejected, not silently mis-decoded
+    with pytest.raises(Exception, match="netpbm"):
+        mm.decode_and_featurize(
+            _media_df(spark, b"P5 4 4 255\n" + bytes(3)), engine="netpbm"
+        ).collect()
+
+
+def test_netpbm_matches_pil():
+    """Where Pillow exists: the stdlib netpbm decode is bit-identical to
+    the PIL branch on the same payload (same luma formula, histogram,
+    bins)."""
+    import pytest
+
+    from ticktock_spark.pipeline import multimodal as mm
+
+    Image = mm._pil()
+    if Image is None:
+        pytest.skip("Pillow not installed in this container")
+    import io
+
+    p6 = b"P6 3 2 255\n" + bytes(
+        [10, 200, 30, 255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7, 250, 128, 3]
+    )
+    got = mm._decode_netpbm(p6)
+    with Image.open(io.BytesIO(p6)) as img:
+        gray = img.convert("L")
+        w, h = gray.size
+        hist = gray.histogram()
+    n = max(1, w * h)
+    assert got[0] == w and got[1] == h
+    assert got[2] == sum(i * c for i, c in enumerate(hist)) / n
+    assert got[3] == [float(sum(hist[i : i + 32])) for i in range(0, 256, 32)]
+
+
 def test_decode_engine_real_with_pil(spark):
     """Real-codec branch (runs only where Pillow is installed): encode a
     tiny PNG, decode it through the same mapInPandas plumbing, and check

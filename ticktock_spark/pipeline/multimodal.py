@@ -4,9 +4,12 @@ Design: media (image/audio/video) travels as a `binary` column with a
 `media_meta` struct (modality, format, width/height/duration, byte size).
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 Pandas UDFs via mapInPandas — the Spark-side plumbing (schema,
-partitioning, batch shape) is real and tested; the actual codec call is
-stubbed behind `NotImplementedError` or a deterministic fake because the
-media libraries are not in this container.
+partitioning, batch shape) is real and tested. Codecs: binary netpbm
+(P5/P6) decodes for real via a stdlib parser (no external library, so
+that branch is tested in this container); other formats decode via PIL
+when installed (feature-gated at call time) and otherwise raise
+`NotImplementedError`; the deterministic fake engine remains the
+oracle path.
 
 At 100 TB: binaries stay columnar in parquet (never hit the driver),
 maxPartitionBytes bounds batch memory, and mapInPandas streams
@@ -91,9 +94,16 @@ def decode_and_featurize(
     ``engine`` selects the codec:
       - ``"fake"`` (default, the oracle path): deterministic byte
         histograms of the payload — stable across runs and engines.
-      - ``"real"``: decode via PIL (`_decode_real`) — width/height/
-        mean/histogram come from actual pixels. Raises
-        ``NotImplementedError`` immediately if PIL is not installed.
+      - ``"real"``: decode actual pixels — binary netpbm payloads
+        (P5/P6) via the stdlib parser, everything else via PIL
+        (`_decode_real`). Raises ``NotImplementedError`` immediately if
+        PIL is not installed.
+      - ``"netpbm"``: stdlib-only real decode for binary netpbm (P5
+        gray / P6 RGB) payloads — no external imaging library needed,
+        so this REAL branch is exercisable in any environment; raises
+        ``ValueError`` per non-netpbm payload. Bit-identical to PIL's
+        ``convert("L")`` on the same payload (ITU-R 601-2 integer luma),
+        pinned by test where Pillow exists.
       - ``"auto"``: real when PIL is importable, else fake.
 
     The Spark-side shape (schema, Arrow batching, partitioning) is
@@ -106,15 +116,17 @@ def decode_and_featurize(
         # fail fast on the driver, not per-task on the executors
         raise NotImplementedError(
             "engine='real' requires an imaging library (PIL) not present; "
-            "install Pillow or use engine='fake'/'auto'"
+            "install Pillow or use engine='fake'/'auto' "
+            "(or engine='netpbm' for P5/P6 payloads)"
         )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["media"]
             meta = pdf["media_meta"]
-            if engine == "real":
-                decoded = [_decode_real(bytes(b)) for b in payloads]
+            if engine in ("real", "netpbm"):
+                dec = _decode_real if engine == "real" else _decode_netpbm_strict
+                decoded = [dec(bytes(b)) for b in payloads]
                 out = pd.DataFrame(
                     {
                         "doc_id": pdf[id_col],
@@ -145,13 +157,78 @@ def decode_and_featurize(
     return df.mapInPandas(_batches, DECODE_OUT_SCHEMA)
 
 
+def _decode_netpbm(payload: bytes) -> tuple[int, int, float, list[float]] | None:
+    """stdlib decoder for BINARY netpbm images (P5 grayscale, P6 RGB,
+    maxval ≤ 255): (width, height, mean gray, 8-bin gray histogram), or
+    None if the payload is not binary netpbm. RGB collapses to gray with
+    the same ITU-R 601-2 integer luma PIL's convert("L") uses
+    (L = (299R + 587G + 114B) // 1000), so results are bit-identical to
+    the PIL branch on the same payload."""
+    if not payload.startswith((b"P5", b"P6")):
+        return None
+    # header: magic, then 3 ASCII ints (width height maxval) separated by
+    # whitespace; '#' starts a comment running to end-of-line
+    pos, toks = 2, []
+    n = len(payload)
+    while len(toks) < 3 and pos < n:
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            while pos < n and payload[pos] not in b"\r\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < n and payload[pos] not in b" \t\r\n":
+                pos += 1
+            toks.append(int(payload[start:pos]))
+    if len(toks) < 3 or pos >= n:
+        return None
+    w, h, maxval = toks
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None  # 16-bit samples / bad header: not ours, let PIL try
+    pos += 1  # single whitespace byte after maxval precedes raster
+    ch = 3 if payload.startswith(b"P6") else 1
+    raster = payload[pos : pos + w * h * ch]
+    if len(raster) < w * h * ch:
+        return None
+    if ch == 1:
+        gray = raster
+    else:
+        gray = bytes(
+            (raster[i] * 299 + raster[i + 1] * 587 + raster[i + 2] * 114) // 1000
+            for i in range(0, len(raster), 3)
+        )
+    hist256 = [0] * 256
+    for b in gray:
+        hist256[b] += 1
+    npix = max(1, w * h)
+    mean = sum(i * c for i, c in enumerate(hist256)) / npix
+    bins = [float(sum(hist256[i : i + 32])) for i in range(0, 256, 32)]
+    return w, h, mean, bins
+
+
+def _decode_netpbm_strict(payload: bytes) -> tuple[int, int, float, list[float]]:
+    out = _decode_netpbm(payload)
+    if out is None:
+        raise ValueError(
+            "engine='netpbm' requires binary netpbm (P5/P6, maxval<=255) payloads"
+        )
+    return out
+
+
 def _decode_real(payload: bytes) -> tuple[int, int, float, list[float]]:
     """Real image decode: (width, height, mean grayscale byte, 8-bin
-    grayscale histogram). Executor-side twin of the driver-side gate in
-    decode_and_featurize — imports PIL at call time so only tasks that
-    take the real branch need it."""
+    grayscale histogram). netpbm payloads decode via the stdlib parser
+    (identical output to PIL); everything else goes through PIL.
+    Executor-side twin of the driver-side gate in decode_and_featurize —
+    imports PIL at call time so only tasks that take the real branch
+    need it."""
     import io
 
+    nb = _decode_netpbm(payload)
+    if nb is not None:
+        return nb
     Image = _pil()
     if Image is None:
         raise NotImplementedError(
