@@ -54,6 +54,33 @@ def test_minhash_xxh64_engine(spark):
     assert ver_x == ver_m
 
 
+def test_banded_keys_xxh64_fused_matches_two_step(spark):
+    """The fused aggregate (sign in the fold, band in the finish lambda)
+    must emit exactly the keys of the two-step
+    minhash_signature_xxh64 → band_keys_xxh64 composition."""
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.pipeline.dedup import (
+        band_keys_xxh64,
+        banded_keys_xxh64,
+        minhash_signature_xxh64,
+        shingles,
+    )
+
+    d = _docs(spark).select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    got = d.select(
+        "doc_id",
+        banded_keys_xxh64(F.col("sh"), 8, 4).alias("fused"),
+        band_keys_xxh64(
+            minhash_signature_xxh64(F.col("sh"), 8), 4, 2
+        ).alias("two_step"),
+    ).collect()
+    assert all(r["fused"] == r["two_step"] for r in got)
+    assert len({tuple(r["fused"]) for r in got}) > 1  # keys vary by doc
+
+
 def test_minhash_null_text_expression_engines(spark):
     """TWO null docs must not pair with each other: shingles(NULL) is
     [NULL], and null-skipping hashes (md5-concat via least, xxhash64

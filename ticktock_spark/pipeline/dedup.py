@@ -129,6 +129,36 @@ def band_keys_xxh64(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def banded_keys_xxh64(shingle_col: Column, num_hashes: int, bands: int) -> Column:
+    """Band-key array in ONE expression: the aggregate's merge lambda
+    keeps the running minima (= ``minhash_signature_xxh64``) and its
+    finish lambda hashes each band slice (= ``band_keys_xxh64``). The
+    signature is evaluated exactly once per row inside the fold, so —
+    unlike the two-projection md5 path — no CollapseProject exchange
+    barrier is needed between signing and banding. Equality with the
+    two-step composition is pinned by test."""
+    rows = num_hashes // bands
+    positions = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingle_col,
+        F.array_repeat(F.lit(9223372036854775807).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(positions, lambda j: F.xxhash64(j, s)),
+            lambda a, h: F.least(a, h),
+        ),
+        lambda acc: F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.element_at(acc, b * rows + i + 1) for i in range(rows)],
+                )
+                for b in range(bands)
+            ]
+        ),
+    )
+
+
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
     """LSH banding: md5 over each contiguous r-slice of the signature."""
     keys = [
@@ -370,23 +400,22 @@ def minhash_lsh_candidates(
         # pairing every null doc per band. Matches the pandas engine's
         # emit-nothing for null docs.
         sh = sh.filter(F.element_at(F.col("sh"), 1).isNotNull())
-        # the repartition between signature and banding is a deliberate
-        # CollapseProject barrier: without it the (HOF, un-CSE'd)
-        # signature expression is inlined into every band key and
-        # evaluated `bands` times per row (SCALE.md, interpreted-HOF
-        # duplication)
         if engine == "xxh64":
-            sig = sh.repartition(par, id_col).select(
-                F.col(id_col),
-                minhash_signature_xxh64(F.col("sh"), num_hashes).alias("sig"),
-            )
-            banded = sig.select(
+            # signature + banding fused into one aggregate (finish
+            # lambda), so the signature can't be re-inlined per band key
+            # and no exchange barrier is needed
+            banded = sh.select(
                 id_col,
-                F.posexplode(band_keys_xxh64(F.col("sig"), bands, rows)).alias(
-                    "band", "key"
-                ),
+                F.posexplode(
+                    banded_keys_xxh64(F.col("sh"), num_hashes, bands)
+                ).alias("band", "key"),
             )
         else:
+            # the repartition between signature and banding is a
+            # deliberate CollapseProject barrier: without it the (HOF,
+            # un-CSE'd) signature expression is inlined into every band
+            # key and evaluated `bands` times per row (SCALE.md,
+            # interpreted-HOF duplication)
             sig = sh.repartition(par, id_col).select(
                 F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
             )
@@ -605,15 +634,11 @@ def minhash_lsh_join(
             sh = df.repartition(par).select(
                 F.col(id_col), shingles(F.col(text_col), k).alias("sh")
             ).filter(F.element_at(F.col("sh"), 1).isNotNull())
-            sig = sh.repartition(par, id_col).select(
-                F.col(id_col),
-                minhash_signature_xxh64(F.col("sh"), num_hashes).alias("sig"),
-            )
-            b = sig.select(
+            b = sh.select(
                 id_col,
-                F.posexplode(band_keys_xxh64(F.col("sig"), bands, rows)).alias(
-                    "band", "key"
-                ),
+                F.posexplode(
+                    banded_keys_xxh64(F.col("sh"), num_hashes, bands)
+                ).alias("band", "key"),
             )
             return b.withColumnRenamed(id_col, out_id)
         id_type = dict(df.select(id_col).dtypes)[id_col]
