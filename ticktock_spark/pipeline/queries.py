@@ -2490,3 +2490,39 @@ def q98(spark, sf_dir):
     return out.select(
         "tok", "n_a", "n_b", q6(F.col("kl_contrib")).alias("kl_contrib")
     )
+
+
+@register(
+    "q99_minhash_xxh64_exact",
+    f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents
+    ),
+    n AS (
+      SELECT doc_id, {_NORM} AS norm FROM src WHERE text IS NOT NULL
+    ),
+    sh AS (SELECT doc_id, list_sort({_SHINGLES}) AS sh FROM n),
+    d AS (SELECT doc_id, md5(array_to_string(sh, chr(31))) AS dig FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM d a JOIN d b ON a.dig = b.dig AND a.doc_id < b.doc_id
+    """,
+)
+def q99(spark, sf_dir):
+    """The all-native xxh64 LSH path under a sound exact oracle: union
+    the corpus with an id-offset copy of itself (so every doc has at
+    least one exact twin at every scale factor), run MinHash+LSH with
+    engine='xxh64' (JVM xxhash64 signatures/band keys, no Python in the
+    scan — pipeline/dedup.py), Jaccard-verify, and keep only
+    jaccard = 1.0 pairs. Equal shingle sets ⇒ equal signatures ⇒ all
+    bands agree, under ANY hash family — so LSH recall is STRUCTURALLY
+    100% for these pairs on any corpus, and the DuckDB oracle
+    (shingle-set-equality pairs, no LSH mirror needed — DuckDB has no
+    xxhash64) matches exactly. The looser-threshold twin is q35 on the
+    md5 engine, whose oracle mirrors the hash scheme."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    cand = dd.minhash_lsh_candidates(src, engine="xxh64")
+    out = dd.verify_jaccard(src, cand, threshold=1.0)
+    return out.select("id_a", "id_b")
