@@ -193,3 +193,64 @@ def test_text_cleanup_properties_randomized(spark):
             assert r["oov_rate"] == r["n_oov"] / r["n_tokens"]
         else:
             assert r["oov_rate"] is None
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=9),
+    rgb=st.booleans(),
+    comment=st.booleans(),
+    sep=st.sampled_from([b" ", b"\n", b"\t", b"\r\n"]),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_netpbm_parser_matches_reference(w, h, rgb, comment, sep, data):
+    """The stdlib netpbm decoder agrees with an independent pure-Python
+    reference on random rasters, header whitespace variants, and header
+    comments; trailing garbage after the raster is ignored (netpbm
+    rasters are length-delimited by the header)."""
+    from ticktock_spark.pipeline.multimodal import _decode_netpbm
+
+    ch = 3 if rgb else 1
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    magic = b"P6" if rgb else b"P5"
+    cmt = b"# a comment line\n" if comment else b""
+    payload = (
+        magic + sep + cmt + str(w).encode() + sep + str(h).encode()
+        + sep + b"255\n" + raster + b"trailing-ignored"
+    )
+    got = _decode_netpbm(payload)
+    assert got is not None
+    # independent reference: per-pixel integer luma, then stats
+    if rgb:
+        gray = [
+            (raster[i] * 299 + raster[i + 1] * 587 + raster[i + 2] * 114) // 1000
+            for i in range(0, len(raster), 3)
+        ]
+    else:
+        gray = list(raster)
+    exp_mean = sum(gray) / (w * h)
+    exp_bins = [0.0] * 8
+    for g in gray:
+        exp_bins[g // 32] += 1.0
+    assert got[0] == w and got[1] == h
+    assert math.isclose(got[2], exp_mean, rel_tol=0, abs_tol=1e-9)
+    assert got[3] == exp_bins
+
+
+@given(data=st.binary(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_netpbm_parser_never_crashes_on_garbage(data):
+    """Arbitrary bytes (including truncated P5/P6 prefixes) either parse
+    or return None — never raise."""
+    from ticktock_spark.pipeline.multimodal import _decode_netpbm
+
+    for prefix in (b"", b"P5", b"P6", b"P5 ", b"P6\n#"):
+        out = _decode_netpbm(prefix + data)
+        assert out is None or (len(out) == 4 and out[0] > 0 and out[1] > 0)

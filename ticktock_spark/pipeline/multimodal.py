@@ -181,7 +181,10 @@ def _decode_netpbm(payload: bytes) -> tuple[int, int, float, list[float]] | None
             start = pos
             while pos < n and payload[pos] not in b" \t\r\n":
                 pos += 1
-            toks.append(int(payload[start:pos]))
+            tok = payload[start:pos]
+            if not tok.isdigit():
+                return None  # malformed header (non-numeric token)
+            toks.append(int(tok))
     if len(toks) < 3 or pos >= n:
         return None
     w, h, maxval = toks
