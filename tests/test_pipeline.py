@@ -30,6 +30,46 @@ def test_minhash_engine_parity(spark):
     assert a, "fabricated dups must produce at least one candidate pair"
 
 
+def test_exact_dedup_members_cap(spark):
+    """members_cap bounds the per-group members array (first cap ids in
+    sort order) while n_copies still counts every copy, digests and
+    canonicals are unchanged, and the capped plan still has exactly ONE
+    exchange (the window's hash partitioning is reused by the final
+    aggregation)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "same text " + ("A" if i < 40 else f"uniq{i}")) for i in range(50)],
+        "doc_id long, text string",
+    )
+    full = {r["digest"]: r for r in dd.exact_dedup(df).collect()}
+    capped_df = dd.exact_dedup(df, members_cap=5)
+    capped = {r["digest"]: r for r in capped_df.collect()}
+    assert set(full) == set(capped)
+    for dig, r in capped.items():
+        f = full[dig]
+        assert (r["canonical_id"], r["n_copies"]) == (
+            f["canonical_id"],
+            f["n_copies"],
+        )
+        assert r["members"] == f["members"][:5]
+    big = capped[
+        next(d for d, r in full.items() if r["n_copies"] == 40)
+    ]
+    assert big["n_copies"] == 40 and len(big["members"]) == 5
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = capped_df._jdf.queryExecution().explainString(mode)
+    # count exchanges in the AQE FINAL plan only (the formatted output
+    # also lists the pre-AQE initial plan, where the planner still
+    # inserts a second agg exchange that partitioning reuse removes)
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bExchange\b", final)) == 1, final
+
+
 def test_minhash_xxh64_engine(spark):
     """The JVM-native xxhash64 engine is a different hash family, so
     exact candidate sets may differ on borderline pairs — but exact

@@ -302,12 +302,43 @@ def _pairs_pandas():
     return stage
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    members_cap: int | None = None,
+) -> DataFrame:
     """Group identical texts by md5 digest; keep min id as canonical.
 
     Output: digest, canonical_id, n_copies, member ids.
+
+    ``members_cap`` bounds the members array per group: uncapped,
+    ``collect_list`` materializes EVERY copy's id in one agg buffer — a
+    viral doc with millions of copies is a single-reducer OOM at crawl
+    scale. The capped plan ranks ids per digest with a window (same hash
+    partitioning the final aggregation needs, so still ONE exchange —
+    pinned by plan test) and collects only ranks ≤ cap, while n_copies
+    still counts everything. Pipelines that don't need members at all
+    (``dedup_pipeline``) skip this operator's collect entirely.
     """
     h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    if members_cap is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.partitionBy("digest").orderBy(id_col))
+        return (
+            h.withColumn("__rn", rn)
+            .groupBy("digest")
+            .agg(
+                F.min(id_col).alias("canonical_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rn") <= members_cap, F.col(id_col))
+                    )
+                ).alias("members"),
+            )
+        )
     return h.groupBy("digest").agg(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_copies"),
