@@ -70,6 +70,39 @@ def test_exact_dedup_members_cap(spark):
     assert len(re.findall(r"\bExchange\b", final)) == 1, final
 
 
+def test_minhash_bucket_cap(spark):
+    """bucket_cap truncates degenerate band-key buckets to their first
+    cap ids: a 30-copy exact group capped at 5 yields only pairs among
+    its 5 lowest ids (C(5,2)=10 per every band → n_bands=4), normal
+    buckets are untouched, and the capped plan adds NO extra exchange
+    (window partitioning reused by the bucket aggregation)."""
+    import re
+
+    docs = [(i, "viral template text repeated verbatim everywhere") for i in range(30)]
+    docs += [(100, "a completely unrelated document about query planning"),
+             (101, "a completely unrelated document about query planning")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = dd.minhash_lsh_candidates(df, engine="xxh64", bucket_cap=5)
+    got = {(r["id_a"], r["id_b"]): r["n_bands"] for r in capped.collect()}
+    viral = {(a, b) for (a, b) in got if a < 100}
+    assert viral == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert all(got[p] == 4 for p in viral)  # exact dups agree on all bands
+    assert (100, 101) in got  # small bucket unaffected
+    uncapped = dd.minhash_lsh_candidates(df, engine="xxh64")
+    assert sum(1 for (a, b) in
+               {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+               if a < 100) == 30 * 29 // 2
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    def n_exchanges(q):
+        plan = q._jdf.queryExecution().explainString(mode)
+        return len(re.findall(r"\bExchange\b", plan.split("== Initial Plan ==")[0]))
+
+    assert n_exchanges(capped) == n_exchanges(uncapped)
+
+
 def test_minhash_xxh64_engine(spark):
     """The JVM-native xxhash64 engine is a different hash family, so
     exact candidate sets may differ on borderline pairs — but exact

@@ -244,6 +244,42 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
 PAIR_BLOCK = 256
 
 
+def _collect_buckets(
+    banded: DataFrame, id_col: str, bucket_cap: int | None = None
+) -> DataFrame:
+    """(id, band, key) rows → (band, key, sorted ids) buckets.
+
+    Uncapped, ``collect_list`` materializes EVERY member of a bucket in
+    one agg buffer; ``_bucket_blocks`` bounds the downstream PAIR work,
+    but the ids array itself is unbounded — a viral template key shared
+    by millions of docs is a single-reducer OOM before any splitting can
+    happen. ``bucket_cap`` bounds it BEFORE the collect: rank members
+    per (band, key) with a window (the sort spills to disk instead of
+    buffering) and keep only ranks ≤ cap, so a degenerate bucket
+    contributes its first ``cap`` ids (by id order, deterministic) and
+    at most cap²/2 candidate pairs. The window's hash partitioning is
+    reused by the aggregation — still ONE exchange. Recall is affected
+    only for buckets larger than the cap, which in a crawl corpus are
+    exact-duplicate families the exact-first ``dedup_pipeline`` ordering
+    removes before LSH; the cap is the backstop for near-dup template
+    floods that survive it. Default None (exact, oracle-compatible).
+    """
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("band", "key").orderBy(id_col)
+        )
+        banded = banded.withColumn("__rn", rn).filter(
+            F.col("__rn") <= bucket_cap
+        )
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
 def _bucket_blocks(buckets: DataFrame, block: int = PAIR_BLOCK) -> DataFrame:
     """Split each bucket's sorted id-array into block-pair work units.
 
@@ -376,6 +412,7 @@ def minhash_lsh_candidates(
     parallelism: int | None = None,
     shingles_df: DataFrame | None = None,
     engine: str = "pandas",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -397,6 +434,9 @@ def minhash_lsh_candidates(
     (cache-hostile) corpus it measures 2–3.8× faster than the hashlib
     engine — at 100 TB the scan-side hash work is the dominant dedup
     cost and this path keeps it native with no Arrow text transfer.
+    ``bucket_cap`` bounds degenerate band-key buckets BEFORE the
+    bucket collect (see ``_collect_buckets``) — the 100 TB backstop
+    against viral template keys.
     """
     rows = num_hashes // bands
     par = parallelism or df.sparkSession.sparkContext.defaultParallelism
@@ -454,11 +494,7 @@ def minhash_lsh_candidates(
                 id_col,
                 F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key"),
             )
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    buckets = _collect_buckets(banded, id_col, bucket_cap)
     if engine in ("pandas", "xxh64"):
         id_type = dict(df.select(id_col).dtypes)[id_col]
         pairs = _bucket_blocks(buckets).repartition(par).mapInPandas(
@@ -699,6 +735,7 @@ def dedup_pipeline(
     num_hashes: int = 8,
     bands: int = 4,
     engine: str = "pandas",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """The end-to-end dedup composition a production corpus actually
     runs: EXACT dedup first (md5 groups → canonical min-id), then
@@ -735,6 +772,7 @@ def dedup_pipeline(
         num_hashes=num_hashes,
         bands=bands,
         engine=engine,
+        bucket_cap=bucket_cap,
     )
     verified = verify_jaccard(
         canon, cand, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
