@@ -1216,6 +1216,29 @@ def test_winnowing_xxh64_guarantee(spark):
     assert pairs == {(1, 2)}
 
 
+def test_winnowing_overlap_bucket_cap(spark):
+    """bucket_cap on the winnowing overlap screen: a boilerplate text
+    shared by 20 docs capped at 4 pairs only the 4 lowest ids; default
+    (uncapped) output is unchanged and pairs all of them."""
+    from ticktock_spark.pipeline.text import winnowing_overlap_pairs
+
+    df = spark.createDataFrame(
+        [(i, "identical boilerplate footer text appears here") for i in range(20)]
+        + [(100, "totally unrelated words zzz qqq xxx yyy www")],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnowing_overlap_pairs(df, min_shared=1, bucket_cap=4).collect()
+    }
+    assert capped == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in winnowing_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert len(full) == 20 * 19 // 2 and not any(100 in p for p in full)
+
+
 def test_winnowing_engines_agree(spark):
     """The hashlib pandas engine and the pure-expression spec must emit
     identical (doc, fp) sets."""

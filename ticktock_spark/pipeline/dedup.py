@@ -245,9 +245,12 @@ PAIR_BLOCK = 256
 
 
 def _collect_buckets(
-    banded: DataFrame, id_col: str, bucket_cap: int | None = None
+    banded: DataFrame,
+    id_col: str,
+    bucket_cap: int | None = None,
+    key_cols: tuple[str, ...] = ("band", "key"),
 ) -> DataFrame:
-    """(id, band, key) rows → (band, key, sorted ids) buckets.
+    """(id, *key_cols) rows → (*key_cols, sorted ids) buckets.
 
     Uncapped, ``collect_list`` materializes EVERY member of a bucket in
     one agg buffer; ``_bucket_blocks`` bounds the downstream PAIR work,
@@ -268,13 +271,13 @@ def _collect_buckets(
         from pyspark.sql import Window
 
         rn = F.row_number().over(
-            Window.partitionBy("band", "key").orderBy(id_col)
+            Window.partitionBy(*key_cols).orderBy(id_col)
         )
         banded = banded.withColumn("__rn", rn).filter(
             F.col("__rn") <= bucket_cap
         )
     return (
-        banded.groupBy("band", "key")
+        banded.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )

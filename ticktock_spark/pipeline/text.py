@@ -1050,6 +1050,7 @@ def winnowing_overlap_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     engine: str = "pandas",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     MOSS-style overlap detection (plagiarism / near-verbatim reuse): two
@@ -1060,19 +1061,24 @@ def winnowing_overlap_pairs(
     fingerprints, ONE shuffle on the fp key, bucket enumeration through
     the block-split work units (`dedup._bucket_blocks`) so an fp shared
     by thousands of docs (boilerplate) costs bounded work per task, then
-    a pair-count aggregation. Never an all-pairs join.
+    a pair-count aggregation. Never an all-pairs join. ``bucket_cap``
+    additionally bounds the per-fp member COLLECT itself (see
+    `dedup._collect_buckets`) — the backstop for a boilerplate
+    fingerprint shared by millions of docs; capped-out members lose
+    that fp's candidacy and truncated buckets undercount ``n_shared``,
+    which is the intended degenerate-bucket behavior for a screen.
     """
-    from ticktock_spark.pipeline.dedup import _bucket_blocks, _pairs_pandas
+    from ticktock_spark.pipeline.dedup import (
+        _bucket_blocks,
+        _collect_buckets,
+        _pairs_pandas,
+    )
 
     par = df.sparkSession.sparkContext.defaultParallelism
     fps = winnowing_fingerprints(
         df, k=k, w=w, text_col=text_col, id_col=id_col, engine=engine
     )
-    buckets = (
-        fps.groupBy("fp")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    buckets = _collect_buckets(fps, id_col, bucket_cap, key_cols=("fp",))
     id_type = dict(df.select(id_col).dtypes)[id_col]
     pairs = (
         _bucket_blocks(buckets)
