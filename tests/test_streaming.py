@@ -359,6 +359,126 @@ def test_streaming_asof_state_across_batches(spark, tmp_path):
     assert got[5] == (1.0, 100)         # ts 250 < 300: event-time order holds
 
 
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """In-timestamp-order stream across two micro-batches reproduces the
+    batch funnel exactly: per-user stage times and deepest stage from
+    the LATEST update row per user equal pipeline.sessions.funnel_stages
+    on the full event set — with O(stages) state per user instead of the
+    batch operator's per-user event arrays."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.pipeline import sessions as ssn
+    from ticktock_spark.schema import load_table
+    from ticktock_spark.streaming.funnel import streaming_funnel
+
+    stages = ["signup", "view", "click", "purchase"]
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .filter(F.col("event_type").isin(stages))
+    )
+    rows = sorted(ev.collect(), key=lambda r: r["us"])
+    half = len(rows) // 2
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for bi, chunk in enumerate((rows[:half], rows[half:])):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text(
+            "\n".join(f"{r['user_id']} {r['us']} {r['event_type']}" for r in chunk)
+        )
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).cast("long").alias("user_id"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(2).alias("event_type"),
+    )
+    q = (
+        streaming_funnel(stream, stages)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest update per user = current funnel position (memory sink
+    # appends update rows in batch order)
+    got: dict = {}
+    for r in spark.sql("select * from funnel_out").collect():
+        got[r["user_id"]] = tuple(
+            [r[f"t_{s}"] for s in stages] + [r["stage"]]
+        )
+    exp = {
+        r["user_id"]: tuple([r[f"t_{s}"] for s in stages] + [r["stage"]])
+        for r in ssn.funnel_stages(ev, stages).collect()
+    }
+    assert len(exp) >= 10
+    assert got == exp
+
+
+def test_streaming_funnel_forward_only_semantics(spark, tmp_path):
+    """Targeted chain semantics: strictly-after requirement (equal-ts
+    stage events don't advance), stage events before their predecessor
+    are no-ops, and a late out-of-order straggler can't rewrite a set
+    slot."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.funnel import streaming_funnel
+
+    (tmp_path / "in").mkdir(exist_ok=True)
+    f0 = tmp_path / "in" / "b0.txt"
+    f1 = tmp_path / "in" / "b1.txt"
+    # user 1: signup@100, view@100 (equal ts -> not after), view@200
+    # user 2: view@50 before any signup (no-op), signup@60, view@70
+    f0.write_text("1 100 signup\n1 100 view\n1 200 view\n2 50 view\n2 60 signup\n2 70 view\n")
+    # user 1 late straggler view@150 arrives after view@200 already set
+    f1.write_text("1 150 view\n1 300 click\n")
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_001, 1_000_000_001))
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).cast("long").alias("user_id"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(2).alias("event_type"),
+    )
+    q = (
+        streaming_funnel(stream, ["signup", "view", "click", "purchase"])
+        .writeStream.format("memory")
+        .queryName("funnel_sem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("select * from funnel_sem").collect():
+        got[r["user_id"]] = (
+            r["t_signup"], r["t_view"], r["t_click"], r["t_purchase"], r["stage"]
+        )
+    # user 1: view@100 rejected (not strictly after), view@200 set;
+    # straggler view@150 ignored; click@300 > 200 advances
+    assert got[1] == (100, 200, 300, None, 3)
+    # user 2: view@50 was a no-op, chain starts at signup@60
+    assert got[2] == (60, 70, None, None, 2)
+
+
 def test_streaming_lsh_screen_matches_batch(spark, tmp_path):
     """Stream-static LSH screen parity: the distinct (doc, corpus) pairs
     emitted by the stream equal minhash_lsh_join's batch pairs, and the
