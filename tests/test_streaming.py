@@ -829,6 +829,61 @@ def test_streaming_soak_20_batches_state_bounded(spark, tmp_path):
     }
     assert got_rate == exp_rate
 
+    # funnel twin through the same 24 batches: reinterpret each point as
+    # a user event (user = series index, stage cycles with the batch
+    # counter) and assert the per-user funnel matches the batch operator
+    # over the same kept events, with update rows strictly monotone in
+    # stage depth (state only moves forward)
+    from ticktock_spark.pipeline import sessions as ssn
+    from ticktock_spark.streaming.funnel import streaming_funnel
+
+    stages = ["signup", "view", "click", "purchase"]
+    fstream = stream.select(
+        (F.ascii(F.element_at(F.map_values("tags"), 1)) - 97)
+        .cast("long")
+        .alias("user_id"),
+        F.col("ts").alias("us"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in stages]),
+            ((F.col("ts") / F.lit(1000)).cast("long") % 4 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    qf = (
+        streaming_funnel(fstream, stages)
+        .writeStream.format("memory")
+        .queryName("soak_funnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qf.awaitTermination(240)
+    updates = spark.sql("select * from soak_funnel").collect()
+    # forward-only: per user, stage depth never decreases across updates
+    # (memory sink preserves batch order)
+    seen: dict = {}
+    for r in updates:
+        assert r["stage"] >= seen.get(r["user_id"], 0)
+        seen[r["user_id"]] = r["stage"]
+    # final state parity with the batch funnel over ALL points (kept and
+    # late alike: the funnel keys stages off ts%4, and the late 999-value
+    # injections replay ts values whose slots are already set, so they
+    # are no-ops for the chain — same result either way)
+    ev = spark.createDataFrame(
+        [(ord(h) - 97, ts, stages[(ts // 1000) % 4]) for h, ts, v in kept],
+        "user_id long, us long, event_type string",
+    )
+    exp_f = {
+        r["user_id"]: tuple([r[f"t_{s}"] for s in stages] + [r["stage"]])
+        for r in ssn.funnel_stages(ev, stages).collect()
+    }
+    got_f = {}
+    for r in updates:
+        got_f[r["user_id"]] = tuple(
+            [r[f"t_{s}"] for s in stages] + [r["stage"]]
+        )
+    assert got_f == exp_f and len(got_f) == 3
+
 
 def test_streaming_ingest_maintains_series_dim(spark, tmp_path):
     """write_datapoints_stream_with_series appends datapoints AND keeps the
