@@ -2524,5 +2524,8 @@ def q99(spark, sf_dir):
     d = _table(spark, sf_dir, "documents").select("doc_id", "text")
     src = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000_000))
     cand = dd.minhash_lsh_candidates(src, engine="xxh64")
-    out = dd.verify_jaccard(src, cand, threshold=1.0)
+    # jaccard = 1.0 ⇒ equal signatures ⇒ ALL bands agree, so restricting
+    # verification to full-agreement candidates is lossless and skips
+    # the exact-Jaccard join for the (far larger) partial-agreement set
+    out = dd.verify_jaccard(src, cand.filter(F.col("n_bands") == 4), threshold=1.0)
     return out.select("id_a", "id_b")
