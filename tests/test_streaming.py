@@ -479,6 +479,72 @@ def test_streaming_funnel_forward_only_semantics(spark, tmp_path):
     assert got[2] == (60, 70, None, None, 2)
 
 
+def test_streaming_funnel_randomized_differential(spark, tmp_path):
+    """Seeded-random streams (duplicate timestamps, interleaved users,
+    noise event types, arbitrary 3-way in-order batch splits) always
+    reproduce the batch funnel: the strictly-after chain keys off VALUES
+    not processing order, so equal-ts ties and cross-batch boundaries
+    cannot diverge."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.pipeline import sessions as ssn
+    from ticktock_spark.streaming.funnel import streaming_funnel
+
+    rng = random.Random(41)
+    stages = ["signup", "view", "click", "purchase"]
+    types = stages + ["error"]
+    rows = sorted(
+        (rng.randrange(60), rng.randrange(25), types[rng.randrange(5)])
+        for _ in range(400)
+    )  # (us, user, type) — small ts range forces plenty of equal-ts ties
+    cuts = sorted(rng.sample(range(1, len(rows)), 2))
+    batches = [rows[: cuts[0]], rows[cuts[0] : cuts[1]], rows[cuts[1] :]]
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for bi, chunk in enumerate(batches):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{u} {us} {t}" for us, u, t in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).cast("long").alias("user_id"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(2).alias("event_type"),
+    )
+    q = (
+        streaming_funnel(stream, stages)
+        .writeStream.format("memory")
+        .queryName("funnel_rand")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("select * from funnel_rand").collect():
+        got[r["user_id"]] = tuple(
+            [r[f"t_{s}"] for s in stages] + [r["stage"]]
+        )
+    ev = spark.createDataFrame(
+        [(u, t, us) for us, u, t in rows],
+        "user_id long, event_type string, us long",
+    )
+    exp = {
+        r["user_id"]: tuple([r[f"t_{s}"] for s in stages] + [r["stage"]])
+        for r in ssn.funnel_stages(ev, stages).collect()
+    }
+    assert len(exp) >= 15  # ties and noise still leave most users in
+    assert got == exp
+
+
 def test_streaming_lsh_screen_matches_batch(spark, tmp_path):
     """Stream-static LSH screen parity: the distinct (doc, corpus) pairs
     emitted by the stream equal minhash_lsh_join's batch pairs, and the
