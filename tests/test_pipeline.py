@@ -1011,6 +1011,12 @@ def test_decode_netpbm_stdlib_real_branch(spark):
     assert bins[29 // 32] == 1.0 and bins[255 // 32] == 1.0
     assert sum(bins) == 4.0
 
+    # PIL-exact fixed-point luma on a boundary pixel, no Pillow needed:
+    # RGB(100,0,150) → (100*19595 + 150*7471) >> 16 = 46 (the decimal
+    # (299R+587G+114B)//1000 approximation would give 47)
+    boundary = mm._decode_netpbm(b"P6 1 1 255\n" + bytes([100, 0, 150]))
+    assert boundary[2] == 46.0
+
     # P5 3x1 grays 0, 128, 255
     p5 = b"P5 3 1 255\n" + bytes([0, 128, 255])
     row = mm.decode_and_featurize(_media_df(spark, p5), engine="netpbm").collect()[0]
@@ -1046,8 +1052,11 @@ def test_netpbm_matches_pil():
         pytest.skip("Pillow not installed in this container")
     import io
 
+    # includes boundary pixels where the decimal (299R+587G+114B)//1000
+    # approximation diverges from PIL's >>16 fixed point, e.g.
+    # RGB(100,0,150): PIL gives 46, the decimal formula gives 47
     p6 = b"P6 3 2 255\n" + bytes(
-        [10, 200, 30, 255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7, 250, 128, 3]
+        [10, 200, 30, 255, 0, 0, 100, 0, 150, 0, 255, 0, 7, 7, 7, 250, 128, 3]
     )
     got = mm._decode_netpbm(p6)
     with Image.open(io.BytesIO(p6)) as img:

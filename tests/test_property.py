@@ -229,8 +229,10 @@ def test_netpbm_parser_matches_reference(w, h, rgb, comment, sep, data):
     assert got is not None
     # independent reference: per-pixel integer luma, then stats
     if rgb:
+        # PIL convert("L")'s exact fixed-point ITU-R 601-2 luma
         gray = [
-            (raster[i] * 299 + raster[i + 1] * 587 + raster[i + 2] * 114) // 1000
+            (raster[i] * 19595 + raster[i + 1] * 38470 + raster[i + 2] * 7471)
+            >> 16
             for i in range(0, len(raster), 3)
         ]
     else:

@@ -545,6 +545,44 @@ def test_streaming_funnel_randomized_differential(spark, tmp_path):
     assert got == exp
 
 
+def test_funnel_fn_multi_chunk_global_order():
+    """A user whose micro-batch spans multiple Arrow chunks must be
+    processed in GLOBAL event-time order, not per-chunk order: here the
+    purchase-before-click chunk arrives first, and only the
+    concatenate-then-sort path reaches stage 3. Drives _make_funnel_fn
+    directly with a multi-chunk iterator (the cluster delivers one ~10k
+    rows at default maxRecordsPerBatch)."""
+    import pandas as pd
+
+    from ticktock_spark.streaming.funnel import _make_funnel_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    fn = _make_funnel_fn(3, ["signup", "click", "purchase"])
+    # chunk 1 holds the LATER events (purchase@40, click@30); chunk 2
+    # holds the earlier ones (signup@10). Per-chunk sorting would see
+    # purchase before click's slot exists and before signup, setting
+    # nothing from chunk 1 except... actually purchase/click both fail
+    # (stage-0 empty), then signup sets t0 only → stage 1. Global order
+    # signup→click→purchase reaches stage 3.
+    chunk1 = pd.DataFrame({"us": [40, 30], "si": [2, 1]})
+    chunk2 = pd.DataFrame({"us": [10], "si": [0]})
+    state = FakeState()
+    out = list(fn((7,), iter([chunk1, pd.DataFrame({"us": [], "si": []}), chunk2]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["t_signup"], row["t_click"], row["t_purchase"]) == (10, 30, 40)
+    assert row["stage"] == 3
+
+
 def test_streaming_lsh_screen_matches_batch(spark, tmp_path):
     """Stream-static LSH screen parity: the distinct (doc, corpus) pairs
     emitted by the stream equal minhash_lsh_join's batch pairs, and the

@@ -161,9 +161,11 @@ def _decode_netpbm(payload: bytes) -> tuple[int, int, float, list[float]] | None
     """stdlib decoder for BINARY netpbm images (P5 grayscale, P6 RGB,
     maxval ≤ 255): (width, height, mean gray, 8-bin gray histogram), or
     None if the payload is not binary netpbm. RGB collapses to gray with
-    the same ITU-R 601-2 integer luma PIL's convert("L") uses
-    (L = (299R + 587G + 114B) // 1000), so results are bit-identical to
-    the PIL branch on the same payload."""
+    PIL's exact fixed-point ITU-R 601-2 luma from convert("L")
+    (L = (19595*R + 38470*G + 7471*B) >> 16 — NOT the decimal
+    (299R+587G+114B)//1000 approximation, which diverges by 1 on
+    boundary pixels like RGB(100,0,150)), so results are bit-identical
+    to the PIL branch on the same payload."""
     if not payload.startswith((b"P5", b"P6")):
         return None
     # header: magic, then 3 ASCII ints (width height maxval) separated by
@@ -199,7 +201,8 @@ def _decode_netpbm(payload: bytes) -> tuple[int, int, float, list[float]] | None
         gray = raster
     else:
         gray = bytes(
-            (raster[i] * 299 + raster[i + 1] * 587 + raster[i + 2] * 114) // 1000
+            (raster[i] * 19595 + raster[i + 1] * 38470 + raster[i + 2] * 7471)
+            >> 16
             for i in range(0, len(raster), 3)
         )
     hist256 = [0] * 256

@@ -2521,11 +2521,16 @@ def q99(spark, sf_dir):
     (shingle-set-equality pairs, no LSH mirror needed — DuckDB has no
     xxhash64) matches exactly. The looser-threshold twin is q35 on the
     md5 engine, whose oracle mirrors the hash scheme."""
+    BANDS = 4  # passed to LSH AND used in the full-agreement filter —
+    # a single definition so the filter can't silently drop jaccard=1.0
+    # pairs if the operator's default band count ever changes
     d = _table(spark, sf_dir, "documents").select("doc_id", "text")
     src = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000_000))
-    cand = dd.minhash_lsh_candidates(src, engine="xxh64")
+    cand = dd.minhash_lsh_candidates(src, engine="xxh64", bands=BANDS)
     # jaccard = 1.0 ⇒ equal signatures ⇒ ALL bands agree, so restricting
     # verification to full-agreement candidates is lossless and skips
     # the exact-Jaccard join for the (far larger) partial-agreement set
-    out = dd.verify_jaccard(src, cand.filter(F.col("n_bands") == 4), threshold=1.0)
+    out = dd.verify_jaccard(
+        src, cand.filter(F.col("n_bands") == BANDS), threshold=1.0
+    )
     return out.select("id_a", "id_b")

@@ -957,10 +957,22 @@ def winnowing_fingerprints(
     norm = normalize_text(F.col(text_col))
     par = df.sparkSession.sparkContext.defaultParallelism
     if engine == "xxh64":
-        n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-        hashes = F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.xxhash64(F.substr(norm, i, F.lit(k))),
+        # Bind the (regex-heavy) normalization through a single-element
+        # array, as shingles() does: referenced directly inside the
+        # per-gram lambda it would be re-interpreted once per gram
+        # position (HOF lambdas get no CSE) — O(chars²) regex work per
+        # doc, defeating this engine's all-native 100 TB purpose.
+        hashes = F.flatten(
+            F.transform(
+                F.array(norm),
+                lambda nm: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length(nm) - F.lit(k - 1), F.lit(1)),
+                    ),
+                    lambda i: F.xxhash64(nm.substr(i, F.lit(k))),
+                ),
+            )
         )
         grams = (
             df.filter(F.length(norm) > 0)

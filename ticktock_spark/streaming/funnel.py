@@ -55,7 +55,15 @@ def _make_funnel_fn(n_stages: int, stage_names: list[str]):
         (user,) = key
         slots: list = list(state.get) if state.exists else [None] * n_stages
         changed = False
-        for pdf in pdfs:
+        # Concatenate ALL Arrow chunks before sorting: a user whose
+        # micro-batch spans multiple chunks (>~10k rows at default
+        # maxRecordsPerBatch) must still be processed in global
+        # event-time order or the forward-only slot logic could set a
+        # later timestamp / skip a stage. Memory is bounded by that
+        # user's per-micro-batch volume; state stays O(stages).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values("us")
             for us, si in zip(pdf["us"], pdf["si"]):
                 si = int(si)
