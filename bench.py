@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q77_dedup_pipeline",         # exact→LSH→verify→components end-to-end
     "q82_leakage_safe_split",     # cluster-atomic train/test split
     "q85_percentile_rollup",      # hourly multi-percentile rollup
+    # round-5 additions
+    "q34x_minhash_xxh64",         # q34 under the production scale profile
 ]
 
 

@@ -197,6 +197,34 @@ def test_dedup_pipeline_xxh64_matches_md5(spark):
     assert xxh == md5
 
 
+def test_dedup_pipeline_scale_profile(spark):
+    """profile='scale' (the blind-100 TB preset: xxh64 engine + finite
+    bucket_cap) produces the same final clusters as the oracle-exact
+    default on an unambiguous corpus; explicitly passed knobs win over
+    the profile; unknown profiles fail loudly."""
+    import pytest
+
+    d = _docs(spark)
+    default = {
+        (r["doc_id"], r["cluster_id"], r["is_kept"])
+        for r in dd.dedup_pipeline(d).collect()
+    }
+    scale = {
+        (r["doc_id"], r["cluster_id"], r["is_kept"])
+        for r in dd.dedup_pipeline(d, profile="scale").collect()
+    }
+    assert scale == default
+    # explicit engine overrides the profile's engine (bucket_cap still
+    # filled in): same clusters either way on this corpus
+    mixed = {
+        (r["doc_id"], r["cluster_id"], r["is_kept"])
+        for r in dd.dedup_pipeline(d, profile="scale", engine="pandas").collect()
+    }
+    assert mixed == default
+    with pytest.raises(ValueError, match="unknown dedup profile"):
+        dd.dedup_pipeline(d, profile="turbo")
+
+
 def test_minhash_lsh_join_xxh64(spark):
     """Cross-corpus LSH under xxh64: the exact-duplicate cross pair must
     surface (structural 100% recall), unrelated docs must not."""

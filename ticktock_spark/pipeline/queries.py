@@ -203,6 +203,26 @@ def q34(spark, sf_dir):
     return dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
 
 
+@register("q34x_minhash_xxh64")
+def q34x(spark, sf_dir):
+    """q34 under the production SCALE_PROFILE knobs (engine='xxh64',
+    bucket_cap=256): all-JVM xxhash64 signatures — no Python workers, no
+    Arrow text transfer — plus the viral-bucket backstop. Same workload
+    as q34 for a direct bench comparison of the two engines. No SQL
+    oracle: the candidate SET is hash-family-specific and DuckDB has no
+    xxhash64 — correctness of this exact operator+engine is pinned by
+    q99's structural oracle (jaccard=1.0 recall is 100% under any hash)
+    and test_dedup_pipeline_xxh64_matches_md5's verified-output parity;
+    the driver's rows-only check still pins determinism here."""
+    from ticktock_spark.pipeline.dedup import SCALE_PROFILE
+
+    d = _table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(
+        d, num_hashes=8, bands=4, engine=SCALE_PROFILE["engine"],
+        bucket_cap=SCALE_PROFILE["bucket_cap"],
+    )
+
+
 @register(
     "q35_ngram_jaccard",
     _minhash_cte()
