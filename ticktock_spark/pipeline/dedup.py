@@ -461,19 +461,24 @@ def minhash_lsh_candidates(
             schema=f"{id_col} {id_type}, band int, key string",
         )
     else:
-        sh = (
-            shingles_df
-            if shingles_df is not None
-            else df.repartition(par).select(
-                F.col(id_col), shingles(F.col(text_col), k).alias("sh")
-            )
-        )
-        # Drop NULL-text docs here: shingles(NULL) is [NULL], and every
+        # Drop NULL-text docs: shingles(NULL) is [NULL], and every
         # null-skipping hash (md5-concat via least, xxhash64 natively)
         # then gives ALL null docs the SAME signature — one fake bucket
         # pairing every null doc per band. Matches the pandas engine's
-        # emit-nothing for null docs.
-        sh = sh.filter(F.element_at(F.col("sh"), 1).isNotNull())
+        # emit-nothing for null docs. Filter the TEXT column before the
+        # shingle projection (equivalent: normalize/substr are
+        # null-preserving, so sh=[NULL] iff text IS NULL) — filtering on
+        # element_at(sh, 1) after it re-inlines the whole shingle
+        # expression into the predicate (interpreted HOF, no CSE) and
+        # was measured at 4.8× the entire banded-keys stage at sf0.1.
+        if shingles_df is not None:
+            sh = shingles_df.filter(F.element_at(F.col("sh"), 1).isNotNull())
+        else:
+            sh = (
+                df.filter(F.col(text_col).isNotNull())
+                .repartition(par)
+                .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+            )
         if engine == "xxh64":
             # signature + banding fused into one aggregate (finish
             # lambda), so the signature can't be re-inlined per band key
@@ -701,9 +706,12 @@ def minhash_lsh_join(
 
     def banded(df: DataFrame, out_id: str) -> DataFrame:
         if engine == "xxh64":
-            sh = df.repartition(par).select(
+            # text-column null filter BEFORE the shingle projection (not
+            # element_at(sh,1) after — that re-inlines the shingle
+            # expression into the predicate; see minhash_lsh_candidates)
+            sh = df.filter(F.col(text_col).isNotNull()).repartition(par).select(
                 F.col(id_col), shingles(F.col(text_col), k).alias("sh")
-            ).filter(F.element_at(F.col("sh"), 1).isNotNull())
+            )
             b = sh.select(
                 id_col,
                 F.posexplode(

@@ -47,9 +47,12 @@ def _banded(
     if engine == "xxh64":
         # the fused sign+band aggregate: per-batch cost all-native, no
         # Python workers in the screen path (see pipeline.dedup)
-        sh = df.select(
+        # text-column null filter BEFORE the shingle projection (not
+        # element_at(sh,1) after — that re-inlines the shingle expression
+        # into the predicate; see pipeline.dedup.minhash_lsh_candidates)
+        sh = df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col), shingles(F.col(text_col), k).alias("sh")
-        ).filter(F.element_at(F.col("sh"), 1).isNotNull())
+        )
         return sh.select(
             id_col,
             F.posexplode(banded_keys_xxh64(F.col("sh"), num_hashes, bands)).alias(
