@@ -791,6 +791,43 @@ def test_cap_to_vocab(spark):
     assert got[3]["text_capped"] is None and got[3]["n_unk"] is None
 
 
+def test_cap_to_vocab_join_path_parity_and_plan(spark):
+    """Above VOCAB_JOIN_THRESHOLD, cap_to_vocab switches to the
+    broadcast-join plan (a 50k-entry create_map would be a
+    megabyte-scale expression tree with linear-scan lookups). The join
+    path must produce byte-identical output to the map-literal path —
+    including null-text, empty-text, and all-unk docs — and its plan
+    must contain a broadcast hash join and no map literal."""
+    from ticktock_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the dog sat"),
+            (2, "THE Cat! zzz"),
+            (3, None),
+            (4, ""),           # zero tokens, non-null text
+            (5, "qqq www"),    # every token OOV at vocab_size=2
+        ],
+        "doc_id long, text string",
+    )
+    lit = {
+        tuple(r) for r in tx.cap_to_vocab(df, vocab_size=2).collect()
+    }
+    join = {
+        tuple(r)
+        for r in tx._cap_to_vocab_join(df, 2, "<unk>", "text", "doc_id").collect()
+    }
+    assert join == lit
+    # vocab_size over the threshold routes to the join plan
+    big = tx.cap_to_vocab(df, vocab_size=50_000)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "map(" not in plan.lower().replace("map_", "")
+    assert {tuple(r) for r in big.collect()} == {
+        tuple(r) for r in tx.cap_to_vocab(df, vocab_size=10_000).collect()
+    }
+
+
 def test_dedup_pipeline_semantics(spark):
     """Exact copies and near-dups land in one cluster; the kept doc is
     the min id; per-cluster exactly one is_kept."""

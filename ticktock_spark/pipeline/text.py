@@ -628,6 +628,58 @@ def collapse_repeat_tokens(
     )
 
 
+#: Above this vocab size, cap_to_vocab switches from the driver-collected
+#: map literal to the broadcast-join plan: a 100k-entry create_map is a
+#: megabyte-scale expression tree (2N literal nodes serialized into every
+#: task binary) and GetMapValue linearly scans it PER TOKEN.
+VOCAB_JOIN_THRESHOLD = 10_000
+
+
+def _cap_to_vocab_join(
+    df: DataFrame, vocab_size: int, unk: str, text_col: str, id_col: str
+) -> DataFrame:
+    """Large-vocab path: posexplode tokens → broadcast hash join against
+    the vocab (vocab_size rows, far under the broadcast threshold) →
+    per-doc reassembly ordered by token position. The join is O(1) per
+    token (hash relation), the reassembly shuffle carries the token
+    stream once keyed by doc id, and the output contract is identical to
+    the map-literal path."""
+    vocab = vocab_top_k(df, k=vocab_size, text_col=text_col, id_col=id_col).select(
+        "tok", F.lit(True).alias("in_vocab")
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    capped = F.when(F.col("in_vocab").isNotNull(), F.col("tok")).otherwise(
+        F.lit(unk)
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("__unk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), capped.alias("t")))),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("__txt"),
+    )
+    null_text = F.col(text_col).isNull()
+    return df.select(id_col, text_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.when(null_text, F.lit(None).cast("long"))
+        .otherwise(F.coalesce(F.col("__n"), F.lit(0)))
+        .alias("n_tokens"),
+        F.when(null_text, F.lit(None).cast("long"))
+        .otherwise(F.coalesce(F.col("__unk"), F.lit(0)))
+        .alias("n_unk"),
+        F.when(null_text, F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("__txt"), F.lit("")))
+        .alias("text_capped"),
+    )
+
+
 def cap_to_vocab(
     df: DataFrame,
     vocab_size: int = 100,
@@ -639,15 +691,22 @@ def cap_to_vocab(
     vocabulary with ``unk`` (LM-style vocabulary capping). The vocab is
     the same deterministic vocab_top_k head oov_stats uses.
 
-    The vocab is collected to the driver (``vocab_size`` rows — the same
-    tiny-aggregate-then-literal pattern as uniform_rebalance_rates) and
-    embedded as a map literal, so the replacement is a pure scan-side
-    expression: no join, no shuffle, composes with column pruning. The
-    normalized token stream never contains '<' so ``unk`` cannot
-    collide with a real token.
+    For vocabs up to ``VOCAB_JOIN_THRESHOLD`` the vocab is collected to
+    the driver (``vocab_size`` rows — the same tiny-aggregate-then-
+    literal pattern as uniform_rebalance_rates) and embedded as a map
+    literal, so the replacement is a pure scan-side expression: no join,
+    no shuffle, composes with column pruning. Above the threshold the
+    map literal stops being "tiny" — a 100k-entry create_map is a
+    megabyte-scale expression tree and its lookups are linear scans —
+    so the plan switches to a broadcast join with positional reassembly
+    (``_cap_to_vocab_join``), same output contract. The normalized
+    token stream never contains '<' so ``unk`` cannot collide with a
+    real token.
 
     Output: (id, n_tokens, n_unk, text_capped).
     """
+    if vocab_size > VOCAB_JOIN_THRESHOLD:
+        return _cap_to_vocab_join(df, vocab_size, unk, text_col, id_col)
     vocab = [
         r["tok"]
         for r in vocab_top_k(df, k=vocab_size, text_col=text_col, id_col=id_col)
