@@ -425,3 +425,66 @@ def test_store_concurrent_flushes_no_loss_no_dup(spark, tmp_path):
     assert disk.count() == total
     assert disk.select("seq").distinct().count() == total
     assert disk.select("ts").distinct().count() == total
+
+
+def test_self_metrics_loop(spark):
+    """The reference feeds its own `ticktock.*` metrics back into the
+    store so dashboards can chart the engine (stats.cpp:230-430, query
+    counters query.cpp:1338-1341). After traffic + an emit, /api/query
+    must chart ticktock.query.latency.ms and friends; interval counters
+    drain to zero on emit (the reference's exchange(0) semantics)."""
+    srv = TsdbHttpServer(spark).start()
+    T = 1_704_067_200
+    try:
+        r = _post(
+            srv,
+            "/api/put",
+            "\n".join(f"put self.m {T + i} {i} host=h1" for i in range(5)),
+        )
+        assert r["success"] == 5
+        for _ in range(3):
+            _get(srv, f"/api/query?start={T}&end={T + 100}&m=none:self.m")
+        stats = _get(srv, "/api/stats")
+        assert stats["queries"] == 3
+        assert stats["ingested_dps"] == 5
+        assert stats["query_latency_ms"] > 0
+        assert stats["http_requests"] >= 5
+
+        emitted = srv.store.emit_self_metrics(now_ms=(T + 60) * 1000)
+        names = {d["metric"] for d in emitted}
+        assert {
+            "ticktock.query.count",
+            "ticktock.query.latency.ms",
+            "ticktock.ingest.dps.count",
+            "ticktock.http.request.count",
+            "ticktock.time_series.count",
+        } <= names
+
+        # the self-metrics are ordinary series, queryable via /api/query
+        res = _get(
+            srv,
+            f"/api/query?start={T}&end={T + 120}&m=none:ticktock.query.latency.ms",
+        )
+        assert len(res) == 1
+        assert res[0]["metric"] == "ticktock.query.latency.ms"
+        (val,) = res[0]["dps"].values()
+        assert val > 0
+        res = _get(
+            srv, f"/api/query?start={T}&end={T + 120}&m=none:ticktock.query.count"
+        )
+        assert list(res[0]["dps"].values()) == [3.0]
+        # series count gauge: self.m's 1 series (host=h1), measured
+        # before the emit added the ticktock.* series themselves
+        res = _get(
+            srv,
+            f"/api/query?start={T}&end={T + 120}&m=none:ticktock.time_series.count",
+        )
+        assert list(res[0]["dps"].values()) == [1.0]
+
+        # counters drained: a second emit reports 0 for the interval
+        # counts (queries since last emit), and the new query traffic
+        # from the assertions above lands in it
+        stats2 = _get(srv, "/api/stats")
+        assert stats2["ingested_dps"] == 0  # drained by the first emit
+    finally:
+        srv.stop()

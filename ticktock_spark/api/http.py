@@ -101,6 +101,69 @@ class TsdbStore:
         # distilled once into a cached dim on first metadata access
         self._series_buf: dict[str, Row] = {}
         self._series_base: DataFrame | None = None
+        # self-meter counters (stats.cpp:47,230-430 / query.cpp:1338-1341):
+        # per-interval counts drained to zero at each emit, exactly the
+        # reference's exchange(0) semantics
+        self._meter_lock = threading.Lock()
+        self._meter = {
+            "http_requests": 0,
+            "queries": 0,
+            "query_latency_ms": 0.0,
+            "ingested_dps": 0,
+        }
+
+    # -- self-metrics loop (src/utils/stats.cpp:230-430) --
+
+    def note_http_request(self) -> None:
+        with self._meter_lock:
+            self._meter["http_requests"] += 1
+
+    def note_query(self, latency_ms: float) -> None:
+        with self._meter_lock:
+            self._meter["queries"] += 1
+            self._meter["query_latency_ms"] += latency_ms
+
+    def note_ingest(self, n: int) -> None:
+        with self._meter_lock:
+            self._meter["ingested_dps"] += n
+
+    def emit_self_metrics(self, now_ms: int | None = None) -> list[dict]:
+        """Inject ``ticktock.*`` self-metrics as ordinary datapoints so
+        ``/api/query`` can chart the engine's own behavior — the
+        reference's self-meter loop (`src/utils/stats.cpp:230-430`,
+        query counters `src/core/query.cpp:1338-1341`), with the
+        storage-engine gauges (mmap/page/compaction) replaced by the
+        Spark-relevant set. Interval counters drain to zero on emit
+        (the reference's ``exchange(0)``); gauges are point-in-time.
+        Tagged ``host=<hostname>`` like the reference
+        (`HOST_TAG_NAME`). Returns the emitted datapoints."""
+        import socket
+        import time as _t
+
+        now = int(now_ms if now_ms is not None else _t.time() * 1000)
+        host = socket.gethostname()
+        with self._meter_lock:
+            drained = dict(self._meter)
+            for k in self._meter:
+                self._meter[k] = type(self._meter[k])(0)
+        # O(series), not O(datapoints): the cached series dim
+        n_series = self.series_dim().count()
+        dps = [
+            {"metric": "ticktock.http.request.count", "ts": now,
+             "value": float(drained["http_requests"]), "tags": {"host": host}},
+            {"metric": "ticktock.query.count", "ts": now,
+             "value": float(drained["queries"]), "tags": {"host": host}},
+            {"metric": "ticktock.query.latency.ms", "ts": now,
+             "value": float(drained["query_latency_ms"]), "tags": {"host": host}},
+            {"metric": "ticktock.ingest.dps.count", "ts": now,
+             "value": float(drained["ingested_dps"]), "tags": {"host": host}},
+            {"metric": "ticktock.time_series.count", "ts": now,
+             "value": float(n_series), "tags": {"host": host}},
+            {"metric": "ticktock.buffer.dps.count", "ts": now,
+             "value": float(len(self._buffer)), "tags": {"host": host}},
+        ]
+        self.add(dps)
+        return dps
 
     def add(self, dps: list[dict]) -> int:
         import datetime as _dt
@@ -283,6 +346,7 @@ class _Handler(BaseHTTPRequestHandler):
     # -- GET --
     def do_GET(self):
         try:
+            self.store.note_http_request()
             parsed = urllib.parse.urlparse(self.path)
             params = urllib.parse.parse_qs(parsed.query)
             route = parsed.path
@@ -296,14 +360,22 @@ class _Handler(BaseHTTPRequestHandler):
                 conf = dict(self.store.spark.sparkContext.getConf().getAll())
                 self._send(200, {k: v for k, v in conf.items() if k.startswith("spark.sql")})
             elif route == "/api/stats":
-                self._send(200, {"buffered_points": len(self.store._buffer)})
+                with self.store._meter_lock:
+                    meter = dict(self.store._meter)
+                self._send(
+                    200, {"buffered_points": len(self.store._buffer), **meter}
+                )
             elif route == "/api/suggest":
                 self._send(200, self._suggest(params))
             elif route == "/api/search/lookup":
                 self._send(200, self._lookup(params))
             elif route == "/api/query":
+                import time as _t
+
+                t0 = _t.perf_counter()
                 top = parse_query_params(params)
                 results = self.store.context().execute(top)
+                self.store.note_query((_t.perf_counter() - t0) * 1000.0)
                 self._send_query_results(results)
             else:
                 self._send(404, {"error": f"no route {route}"})
@@ -327,6 +399,7 @@ class _Handler(BaseHTTPRequestHandler):
     # -- POST --
     def do_POST(self):
         try:
+            self.store.note_http_request()
             parsed = urllib.parse.urlparse(self.path)
             route = parsed.path
             params = urllib.parse.parse_qs(parsed.query)
@@ -338,6 +411,7 @@ class _Handler(BaseHTTPRequestHandler):
                 else:
                     dps = [d for d in (parse_put_line(l) for l in text.splitlines()) if d]
                 n = self.store.add(dps)
+                self.store.note_ingest(n)
                 self._send(200, {"success": n, "failed": 0})
             elif route == "/api/write":
                 import time as _t
@@ -350,10 +424,15 @@ class _Handler(BaseHTTPRequestHandler):
                             dp["ts"] = now
                         dps.append(dp)
                 n = self.store.add(dps)
+                self.store.note_ingest(n)
                 self._send(200, {"success": n, "failed": 0})
             elif route == "/api/query":
+                import time as _t
+
+                t0 = _t.perf_counter()
                 top = parse_query_json(json.loads(body or b"{}"))
                 results = self.store.context().execute(top)
+                self.store.note_query((_t.perf_counter() - t0) * 1000.0)
                 self._send_query_results(results)
             elif route == "/api/admin":
                 self._admin(params)
@@ -496,6 +575,7 @@ class TsdbHttpServer:
         port: int = 0,
         table_path: str | None = None,
         max_response_bytes: int | None = None,
+        self_meter_interval_sec: float | None = None,
     ):
         self.store = TsdbStore(
             spark, base, table_path=table_path, max_response_bytes=max_response_bytes
@@ -504,12 +584,31 @@ class TsdbHttpServer:
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
+        # self-meter timer task (the reference's Stats timer; off by
+        # default like CFG_TSDB_SELF_METER_ENABLED). Tests usually call
+        # store.emit_self_metrics() directly for determinism.
+        self._meter_interval = self_meter_interval_sec
+        self._meter_stop = threading.Event()
+        self._meter_thread: threading.Thread | None = None
+
+    def _meter_loop(self) -> None:
+        while not self._meter_stop.wait(self._meter_interval):
+            try:
+                self.store.emit_self_metrics()
+            except Exception:  # noqa: BLE001 — the meter must never kill serving
+                pass
 
     def start(self) -> "TsdbHttpServer":
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
+        if self._meter_interval:
+            self._meter_thread = threading.Thread(target=self._meter_loop, daemon=True)
+            self._meter_thread.start()
         return self
 
     def stop(self) -> None:
+        self._meter_stop.set()
+        if self._meter_thread is not None:
+            self._meter_thread.join(timeout=5)
         self.httpd.shutdown()
         self.httpd.server_close()
