@@ -129,3 +129,47 @@ def test_time_parse():
     assert parse_interval_ms("5m") == 300_000
     assert parse_interval_ms("100ms") == 100
     assert parse_interval_ms("0all") == 0
+
+
+def test_mqtt_bridge_routing(spark):
+    """tools/mqtt_bridge.py replicates the reference MQTT source's
+    on_message semantics (mqtt.cpp:276-321): quote/size guards, exact-
+    topic format lookup, line→write vs put routing — and every routed
+    payload must parse through the SAME Kafka ingest mapping the
+    streaming path uses (kafka_records_to_datapoints)."""
+    from tools.mqtt_bridge import (
+        MAX_PAYLOAD_BYTES,
+        kafka_topic_for,
+        parse_settings,
+        route_message,
+    )
+
+    settings = parse_settings(
+        '[{"broker": "dock", "port": 1883, "topics": ['
+        '{"topic": "telegraf/test", "format": "line"},'
+        '{"topic": "sensors/put", "format": "put"},'
+        '{"topic": "bad"},'
+        '{"topic": "weird", "format": "xml"}]},'
+        '{"broker": "", "topics": [{"topic": "t", "format": "line"}]}]'
+    )
+    assert len(settings) == 1  # empty-broker client ignored (mqtt.cpp:205)
+    topics = settings[0]["topics"]
+    assert topics == {"telegraf/test": "line", "sensors/put": "put"}
+
+    line = b"env,room=a temp=21.5,hum=40 1704067200000000000"
+    putl = b"put test.metric 1704067200 10 host=h1"
+    assert route_message(topics, "telegraf/test", line) == ("influx", line)
+    assert route_message(topics, "sensors/put", putl) == ("put", putl)
+    # reference guards: quoted payloads, oversize, unknown topic
+    assert route_message(topics, "telegraf/test", b'x,t="s" v=1') is None
+    assert route_message(topics, "telegraf/test", b"x" * MAX_PAYLOAD_BYTES) is None
+    assert route_message(topics, "unknown/topic", line) is None
+    assert kafka_topic_for("influx") == "ticktock-influx"
+
+    # the routed payloads are valid input for the Kafka ingest mapping
+    from ticktock_spark.streaming.ingest import kafka_records_to_datapoints
+
+    for fmt, payload, metric in (("influx", line, "env"), ("put", putl, "test.metric")):
+        records = spark.createDataFrame([(payload,)], "value binary")
+        rows = kafka_records_to_datapoints(records, fmt=fmt).collect()
+        assert rows and all(r["metric"].startswith(metric) for r in rows)
