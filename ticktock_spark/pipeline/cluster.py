@@ -73,6 +73,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b) undirected pairs → (node, cluster_id) with
     cluster_id = min node id in the component. Only nodes appearing in
@@ -91,6 +92,10 @@ def connected_components(
     references its input twice, so without truncation the plan tree
     grows exponentially; plain persist() only caches the physical scan,
     the logical tree still explodes).
+
+    ``stats``: optional dict filled with {"rounds": k, "final_edges": n}
+    — round-count evidence for the O(log n) claim (tools/scale_stress
+    reports it per run).
     """
 
     def _sig(df: DataFrame) -> tuple:
@@ -106,7 +111,7 @@ def connected_components(
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
     ).localCheckpoint(eager=False)
     prev_sig = _sig(edges)  # materializes the checkpoint
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         edges = _canon(_small_star(_large_star(edges))).localCheckpoint(eager=False)
         sig = _sig(edges)
         if sig == prev_sig:
@@ -114,6 +119,9 @@ def connected_components(
         prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["final_edges"] = prev_sig[0]
     # stars: u > v = center. members = u side; centers label themselves.
     members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
     centers = edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")).distinct()

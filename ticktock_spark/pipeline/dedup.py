@@ -307,20 +307,43 @@ def _bucket_blocks(buckets: DataFrame, block: int = PAIR_BLOCK) -> DataFrame:
     )
 
 
+#: Max rows per pandas frame yielded by _pairs_pandas. EVERY yielded
+#: frame becomes ONE Arrow record batch on the Python→JVM side
+#: (maxRecordsPerBatch slices only JVM→Python input), so an unbounded
+#: yield turns a mega-bucket input batch (10k chunk-pair rows × up to
+#: 256² pairs each) into a ~20M-row / 300 MB single Arrow allocation —
+#: 32 concurrent tasks then exhaust the netty direct-memory pool
+#: (reproduced at N=16 replication: OutOfDirectMemoryError at 8 GiB).
+#: 2²¹ rows × 16 B ≈ 32 MB keeps per-task Arrow buffers bounded.
+PAIR_YIELD_ROWS = 1 << 21
+
+
 def _pairs_pandas():
     """mapInPandas stage: (ca, cb, same) chunk pairs → (id_a, id_b) rows.
 
     np.triu_indices within a chunk (same=True), full cross product across
     chunks — C-speed pair generation instead of the interpreted HOF path,
-    which evaluates (and slices) per element.
+    which evaluates (and slices) per element. Output is flushed every
+    ``PAIR_YIELD_ROWS`` pairs so no single Arrow batch is unbounded (see
+    the constant's rationale).
     """
     import numpy as np
     import pandas as pd
 
     def stage(pdfs):
+        outs_a: list = []
+        outs_b: list = []
+        pending = 0
+
+        def flush():
+            nonlocal outs_a, outs_b, pending
+            frame = pd.DataFrame(
+                {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+            )
+            outs_a, outs_b, pending = [], [], 0
+            return frame
+
         for pdf in pdfs:
-            outs_a: list = []
-            outs_b: list = []
             for ca, cb, same in zip(pdf["ca"], pdf["cb"], pdf["same"]):
                 a = np.asarray(ca)
                 if same:
@@ -329,14 +352,16 @@ def _pairs_pandas():
                     ia, ib = np.triu_indices(len(a), k=1)
                     outs_a.append(a[ia])
                     outs_b.append(a[ib])
+                    pending += len(ia)
                 else:
                     b = np.asarray(cb)
                     outs_a.append(np.repeat(a, len(b)))
                     outs_b.append(np.tile(b, len(a)))
-            if outs_a:
-                yield pd.DataFrame(
-                    {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
-                )
+                    pending += len(a) * len(b)
+                if pending >= PAIR_YIELD_ROWS:
+                    yield flush()
+        if pending:
+            yield flush()
 
     return stage
 

@@ -46,8 +46,39 @@ def replicate(spark, n: int) -> tuple[str, str]:
     return dp, vp
 
 
+def cc_stress(spark, n_pairs: int) -> dict:
+    """Dedicated connected-components stress on a synthetic worst-case
+    graph of ``n_pairs`` edges: 80% chain edges (depth-1024 paths — the
+    O(log n)-rounds adversary; random clusters converge in 2-4) and 20%
+    star edges (mega-cluster hash-agg pressure). Reports wall, rounds,
+    and label count."""
+    chain_pairs = int(n_pairs * 0.8)
+    star_pairs = n_pairs - chain_pairs
+    chain = spark.range(chain_pairs).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).filter((F.col("id_b") % 1024) != 0)  # break into length-1024 paths
+    base = 10_000_000_000
+    star = spark.range(star_pairs).select(
+        (F.lit(base) + (F.col("id") % 64) * 1_000_000).alias("id_a"),
+        (F.lit(base) + (F.col("id") % 64) * 1_000_000 + 1 + F.col("id")).alias("id_b"),
+    )
+    pairs = chain.union(star).repartition(32)
+    stats: dict = {}
+    t0 = time.monotonic()
+    labels = cl.connected_components(pairs, stats=stats).count()
+    wall = round(time.monotonic() - t0, 2)
+    out = {"n_pairs": n_pairs, "wall_s": wall, "labels": labels, **stats}
+    print(f"cc_stress: {json.dumps(out)}", flush=True)
+    return out
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for a in sys.argv[1:]:
+        if a.startswith("--cc-pairs="):
+            spark = get_spark()
+            cc_stress(spark, int(a.split("=")[1]))
+            return
     skip_raw = "--skip-raw" in sys.argv
     # --linear-only: additionally skip the exact cosine kernel — both
     # O(n^2)-by-definition paths — to measure the linear operators alone
@@ -90,6 +121,10 @@ def main():
             lambda: sim.cosine_neardup_pairs(vecs, threshold=0.35).count(),
         )
     timed("dedup_pipeline", lambda: dd.dedup_pipeline(docs).count())
+    timed(
+        "dedup_pipeline_scale",
+        lambda: dd.dedup_pipeline(docs, profile="scale").count(),
+    )
     timed(
         "dedup_pipeline_canon_candidates",
         lambda: dd.minhash_lsh_candidates(
