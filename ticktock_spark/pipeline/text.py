@@ -719,7 +719,7 @@ def cap_to_vocab(
     m = F.create_map(*pairs) if pairs else F.create_map().cast("map<string,boolean>")
     toks = tokens(F.col(text_col))
     capped = F.transform(
-        toks, lambda x: F.when(m.getItem(x).isNotNull(), x).otherwise(F.lit(unk))
+        toks, lambda x: F.when(F.element_at(m, x).isNotNull(), x).otherwise(F.lit(unk))
     )
     null_text = F.col(text_col).isNull()
     return df.select(
