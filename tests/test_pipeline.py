@@ -907,6 +907,61 @@ def test_diversity_sample(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_per_source_cap(spark):
+    """Caps hold per source, pick order is deterministic under
+    repartitioning, source_total is the UNCAPPED size, and the rank<=k
+    filter runs as a partial WindowGroupLimit (the mega-domain tail
+    never crosses the shuffle)."""
+    from ticktock_spark.pipeline import sample as sp
+    from ticktock_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    totals = {r["source"]: r["cnt"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    got = sp.per_source_cap(docs, cap=7).collect()
+    per: dict = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+        assert 1 <= r["pick"] <= 7
+        assert r["source_total"] == totals[r["source"]]
+    assert per and max(per.values()) <= 7
+    for s, n in totals.items():
+        assert per.get(s, 0) == min(n, 7)
+    got2 = sp.per_source_cap(docs.repartition(13), cap=7).collect()
+    assert {tuple(r) for r in got2} == {tuple(r) for r in got}
+    plan = (
+        sp.per_source_cap(docs, cap=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup composition: every vector labeled, exactly one canonical
+    per cluster, canonical = min id, and within-bucket high-cosine pairs
+    share a cluster. On clusters fully contained in one SRP bucket the
+    result equals the exact all-pairs closure (q50 twin)."""
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = sim.semantic_dedup(vecs, threshold=0.6).collect()
+    assert len(out) == vecs.count()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert min(m["vec_id"] for m in members) == cid
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["vec_id"] == cid
+        assert all(m["cluster_size"] == len(members) for m in members)
+    # pairs the bucketed kernel emits must be co-clustered
+    pairs = sim.cosine_neardup_bucketed(vecs, 0.6).collect()
+    label = {r["vec_id"]: r["cluster_id"] for r in out}
+    for p in pairs:
+        assert label[p["id_a"]] == label[p["id_b"]]
+
+
 def test_bpe_pair_counts(spark):
     from ticktock_spark.pipeline import text as tx
 

@@ -2554,3 +2554,81 @@ def q99(spark, sf_dir):
         src, cand.filter(F.col("n_bands") == BANDS), threshold=1.0
     )
     return out.select("id_a", "id_b")
+
+
+@register(
+    "q100_semantic_dedup",
+    f"""
+    WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings),
+    proj AS (
+      SELECT vec_id, b,
+             list_sum([{_SRP_PLANE} * CAST(embedding[i] AS DOUBLE)
+                       for i in generate_series(1, len(embedding))]) AS p
+      FROM e0, generate_series(0, 7) t(b)
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1
+    ),
+    pairs AS (
+      SELECT sa.vec_id AS id_a, sb.vec_id AS id_b
+      FROM sig sa JOIN sig sb
+        ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+      JOIN embeddings a ON a.vec_id = sa.vec_id
+      JOIN embeddings b ON b.vec_id = sb.vec_id
+      WHERE {_Q6.format(x=_COS_AB)} >= 0.6
+    ),
+    g AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    walk(node, lbl) AS (
+      SELECT u, u FROM g
+      UNION
+      SELECT g.v, w.lbl FROM walk w JOIN g ON g.u = w.node WHERE w.lbl < g.v
+    ),
+    lab AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    labeled AS (
+      SELECT v.vec_id, coalesce(l.cluster_id, v.vec_id) AS cluster_id
+      FROM e0 v LEFT JOIN lab l ON l.node = v.vec_id
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM labeled GROUP BY cluster_id)
+    SELECT vec_id, labeled.cluster_id, cluster_size,
+           vec_id = labeled.cluster_id AS is_canonical
+    FROM labeled JOIN sizes USING (cluster_id)
+    """,
+)
+def q100(spark, sf_dir):
+    """SemDeDup-style semantic dedup at scale (pipeline/similarity.py
+    semantic_dedup, after Abbas et al. arXiv:2303.09540): SRP buckets
+    partition the embedding space, within-bucket cosine >= 0.6 pairs
+    close into clusters, one canonical vector kept per cluster. The
+    exact all-pairs twin is q50 — same closure, unbucketed kernel;
+    this is the sub-quadratic composition a 100 TB corpus runs."""
+    return sim.semantic_dedup(_table(spark, sf_dir, "embeddings"), threshold=0.6)
+
+
+@register(
+    "q101_source_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id
+             ) AS pick,
+             count(*) OVER (PARTITION BY source) AS source_total
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(pick AS INT) AS pick,
+           CAST(source_total AS BIGINT) AS source_total
+    FROM ranked WHERE pick <= 40
+    """,
+)
+def q101(spark, sf_dir):
+    """Per-source document caps (the crawl-pipeline 'domain cap':
+    bound every source's contribution so link farms / mega-domains
+    can't dominate the mix) — deterministic md5 pick order, kept rank +
+    source total reported (pipeline/sample.py per_source_cap)."""
+    return sp.per_source_cap(_table(spark, sf_dir, "documents"), cap=40)

@@ -72,6 +72,40 @@ def stratified_sample(
     return df.filter(hash_hex(F.col(id_col), seed) < thr)
 
 
+def per_source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Per-source document caps — the crawl-pipeline "domain cap"
+    (CommonCrawl-derived corpora cap pages per domain so link farms and
+    mega-sites can't dominate the training mix): keep at most ``cap``
+    docs per source, chosen by deterministic md5 order (ties by id), and
+    report each kept doc's rank plus its source's total size so the
+    caller can audit what the cap actually cut.
+
+    Fully deterministic → SQL-oracle-checkable. Scale shape: the cap is
+    one window whose rank ≤ k filter Catalyst turns into
+    WindowGroupLimit — each map task forwards at most ``cap`` rows per
+    source, so the window shuffle never carries a mega-domain's tail.
+    ``source_total`` deliberately comes from a SEPARATE map-side-combined
+    count agg joined back (sources are few, the agg side broadcasts):
+    computing it as a second window over the same partition would force
+    the full partition through the shuffle and defeat the group limit.
+    """
+    h = hash_hex(F.col(id_col), seed)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    totals = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("source_total"))
+    return (
+        df.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= cap)
+        .join(F.broadcast(totals), source_col)
+        .select(id_col, source_col, "pick", "source_total")
+    )
+
+
 def split_assign(
     df: DataFrame,
     weights: dict[str, float],

@@ -710,6 +710,42 @@ def cosine_neardup_bucketed(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.6,
+    nbits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 8192,
+) -> DataFrame:
+    """SemDeDup-style end-to-end semantic deduplication (Abbas et al.,
+    arXiv:2303.09540: cluster the embedding space, drop near-identical
+    pairs WITHIN clusters only): SRP buckets stand in for the k-means
+    clusters (deterministic, oracle-checkable — same scheme as
+    ``cosine_neardup_bucketed``/q78), within-bucket cosine ≥ threshold
+    pairs close into components, one canonical vector is kept per
+    semantic group.
+
+    Output matches ``dedup_clusters``: (id, cluster_id, cluster_size,
+    is_canonical) for EVERY corpus vector — downstream dedup is
+    ``filter(is_canonical)``. The exact all-pairs twin is q50 (same
+    closure over the unblocked kernel); this is the composition that
+    survives 100 TB: pair work is Σ_b O(n_b²) with every task bounded by
+    the block machinery, and the closure is the O(log n)-round
+    connected-components operator.
+    """
+    from ticktock_spark.pipeline.cluster import dedup_clusters
+
+    pairs = cosine_neardup_bucketed(
+        corpus, threshold, nbits=nbits, seed=seed,
+        id_col=id_col, vec_col=vec_col, block_rows=block_rows,
+    )
+    return dedup_clusters(
+        corpus.select(id_col), pairs.select("id_a", "id_b"), id_col=id_col
+    )
+
+
 def diversity_sample(
     corpus: DataFrame,
     per_bucket: int,
