@@ -1377,3 +1377,57 @@ def test_winnowing_engines_agree(spark):
     a = sorted(map(tuple, winnowing_fingerprints(d, engine="pandas").collect()))
     b = sorted(map(tuple, winnowing_fingerprints(d, engine="sql").collect()))
     assert a == b and len(a) > 0
+
+
+def test_image_dhash_and_neardup_pairs(spark):
+    """Perceptual image near-dup: dHash is invariant under monotone
+    brightness shifts and nearest-neighbor upscaling (the transforms a
+    crawl's recompressed copies exhibit), distinct structures hash far
+    apart, and the 4-band Hamming join finds exactly the close pairs —
+    recall is structural for hamming <= 3 (pigeonhole over 16-bit
+    bands). Runs the REAL stdlib pixel path end-to-end through Spark."""
+    import pytest
+
+    from ticktock_spark.pipeline.multimodal import (
+        _dhash64,
+        _netpbm_gray,
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    def p5(w, h, pix):
+        return f"P5 {w} {h} 255\n".encode() + bytes(pix)
+
+    # structured 18x16 image: vertical step pattern
+    base = [(255 if (x // 3) % 2 else 10) for y in range(16) for x in range(18)]
+    img_a = p5(18, 16, base)
+    # brightness-shifted copy (monotone: +30 clamped) → same dhash
+    img_b = p5(18, 16, [min(255, v + 30) for v in base])
+    # nearest-neighbor 2x upscale → same dhash (grid sampling aligns)
+    up = [base[(y // 2) * 18 + (x // 2)] for y in range(32) for x in range(36)]
+    img_c = p5(36, 32, up)
+    # different structure: horizontal stripes
+    img_d = p5(18, 16, [(255 if (y // 2) % 2 else 10) for y in range(16) for x in range(18)])
+
+    hs = []
+    for img in (img_a, img_b, img_c, img_d):
+        w, h, g = _netpbm_gray(img)
+        hs.append(_dhash64(g, w, h))
+    assert hs[0] == hs[1] == hs[2]
+    assert bin(hs[0] ^ hs[3]).count("1") > 3
+
+    df = spark.createDataFrame(
+        [(1, img_a), (2, img_b), (3, img_c), (4, img_d), (5, b"\x89PNG junk")],
+        "doc_id long, media binary",
+    )
+    hashes = image_dhash(df, media_col="media")
+    got = {r["doc_id"]: r for r in hashes.collect()}
+    assert set(got) == {1, 2, 3, 4}  # junk payload dropped, not fatal
+    assert got[3]["width"] == 36 and got[3]["height"] == 32
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dhash_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
+    with pytest.raises(ValueError, match="bands"):
+        dhash_neardup_pairs(hashes, max_hamming=8)

@@ -157,11 +157,11 @@ def decode_and_featurize(
     return df.mapInPandas(_batches, DECODE_OUT_SCHEMA)
 
 
-def _decode_netpbm(payload: bytes) -> tuple[int, int, float, list[float]] | None:
-    """stdlib decoder for BINARY netpbm images (P5 grayscale, P6 RGB,
-    maxval ≤ 255): (width, height, mean gray, 8-bin gray histogram), or
-    None if the payload is not binary netpbm. RGB collapses to gray with
-    PIL's exact fixed-point ITU-R 601-2 luma from convert("L")
+def _netpbm_gray(payload: bytes) -> tuple[int, int, bytes] | None:
+    """stdlib parse of BINARY netpbm (P5 grayscale, P6 RGB, maxval ≤
+    255) → (width, height, gray pixel bytes row-major), or None if the
+    payload is not binary netpbm. RGB collapses to gray with PIL's
+    exact fixed-point ITU-R 601-2 luma from convert("L")
     (L = (19595*R + 38470*G + 7471*B) >> 16 — NOT the decimal
     (299R+587G+114B)//1000 approximation, which diverges by 1 on
     boundary pixels like RGB(100,0,150)), so results are bit-identical
@@ -198,13 +198,23 @@ def _decode_netpbm(payload: bytes) -> tuple[int, int, float, list[float]] | None
     if len(raster) < w * h * ch:
         return None
     if ch == 1:
-        gray = raster
+        gray = bytes(raster)
     else:
         gray = bytes(
             (raster[i] * 19595 + raster[i + 1] * 38470 + raster[i + 2] * 7471)
             >> 16
             for i in range(0, len(raster), 3)
         )
+    return w, h, gray
+
+
+def _decode_netpbm(payload: bytes) -> tuple[int, int, float, list[float]] | None:
+    """(width, height, mean gray, 8-bin gray histogram) via the stdlib
+    netpbm parser, or None if the payload is not binary netpbm."""
+    g = _netpbm_gray(payload)
+    if g is None:
+        return None
+    w, h, gray = g
     hist256 = [0] * 256
     for b in gray:
         hist256[b] += 1
@@ -368,3 +378,102 @@ def audio_windows(
             )
 
     return df.mapInPandas(_batches, AUDIO_WINDOW_SCHEMA)
+
+
+def _dhash64(gray: bytes, w: int, h: int) -> int:
+    """64-bit difference hash (dHash) of a grayscale image: sample a
+    9×8 grid by nearest-neighbor, emit one bit per horizontally adjacent
+    sample pair (left > right). The standard perceptual hash for
+    image near-dup — stable under resize, recompression, and small
+    brightness shifts (monotone pixel transforms preserve every
+    comparison). Returned as a SIGNED 64-bit value so it round-trips
+    through a Spark/parquet BIGINT column."""
+    bits = 0
+    for r in range(8):
+        y = (r * h) // 8
+        row = [gray[y * w + (c * w) // 9] for c in range(9)]
+        for c in range(8):
+            bits = (bits << 1) | (1 if row[c] > row[c + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """(id, binary netpbm payload) → (id, width, height, dhash BIGINT)
+    via the stdlib decoder — real pixel math, no imaging library.
+    Non-netpbm / undecodable payloads are dropped (the strict-engine
+    ValueError contract belongs to decode_and_featurize; a dedup sweep
+    over a mixed corpus must not die on one junk blob)."""
+    id_type = dict(df.select(id_col).dtypes)[id_col]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                g = _netpbm_gray(bytes(payload))
+                if g is None:
+                    continue
+                w, h, gray = g
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                hashes.append(_dhash64(gray, w, h))
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "dhash": hashes}
+            )
+
+    return df.mapInPandas(
+        _batches, f"{id_col} {id_type}, width int, height int, dhash long"
+    )
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Image near-dup pairs by dHash Hamming distance ≤ ``max_hamming``,
+    WITHOUT the all-pairs join: the 64-bit hash splits into four 16-bit
+    bands; by pigeonhole, any pair within Hamming distance < 4 agrees on
+    at least one whole band, so a band-key equi-join (the same
+    hash-agg-bucket shape as MinHash LSH) has 100% recall for
+    ``max_hamming`` ≤ 3 — raise the band count for looser thresholds.
+    Candidates are then exact-filtered with bit_count(xor). Output:
+    (id_a < id_b, hamming)."""
+    if max_hamming >= 4:
+        raise ValueError(
+            "4 bands guarantee recall only for max_hamming <= 3; "
+            "use more bands for looser thresholds"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(hash_col), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    b = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(bands).alias("bk")
+    ).select(id_col, hash_col, "bk.band", "bk.key")
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "key"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
