@@ -37,6 +37,8 @@ SUBSET = [
     "q92_boilerplate_lines",   # shared boilerplate cluster
     "q20_pricing_summary",     # shipdate exactly on the <= boundary
     "q21_revenue_by_nation",   # orderdate on [start, end) bounds + orphan FK
+    "q100_semantic_dedup",     # duplicate/tiny-norm vectors through CC closure
+    "q101_source_cap",         # cap vs sources smaller than the cap
 ]
 
 
