@@ -488,3 +488,24 @@ def test_self_metrics_loop(spark):
         assert stats2["ingested_dps"] == 0  # drained by the first emit
     finally:
         srv.stop()
+
+
+def test_self_metrics_timer_thread(spark):
+    """The optional self-meter interval timer (the reference's Stats
+    timer task) emits without any explicit call and dies with stop()."""
+    import time
+
+    srv = TsdbHttpServer(spark, self_meter_interval_sec=0.3).start()
+    T = 1_704_067_200
+    try:
+        _post(srv, "/api/put", f"put timer.m {T} 1 host=h1")
+        deadline = time.time() + 30
+        names = set()
+        while time.time() < deadline and "ticktock.query.count" not in names:
+            time.sleep(0.3)
+            names = {r["metric"] for r in srv.store.dataframe().collect()}
+        assert "ticktock.query.count" in names
+        assert "ticktock.ingest.dps.count" in names
+    finally:
+        srv.stop()
+    assert srv._meter_thread is not None and not srv._meter_thread.is_alive()
