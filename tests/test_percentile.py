@@ -57,3 +57,41 @@ def test_percentile_skips_nan_inf(spark):
     out = aggregate_across_series(df, ["metric"], "p50")
     # n=2 finite values [1,3]; idx=0.5*3=1.5 → 1 + 0.5*(3-1) = 2.0
     assert out.collect()[0]["value"] == 2.0
+
+
+def test_percentile_r6_distributed_matches_array(spark):
+    """The mega-bucket-safe distributed-selection percentile must be
+    value-equal to the collect_list path for every quantile shape
+    (interp, idx<1 clamp, idx>=n clamp, single value, all-non-finite
+    group -> NaN) on randomized groups, for both bucketed and 0all."""
+    import math
+    import random
+
+    from ticktock_spark.operators.downsample import (
+        downsample,
+        percentile_r6_distributed,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for s in range(6):
+        for _ in range(rng.randint(1, 300)):
+            rows.append((f"m{s}", rng.randrange(0, 3_600_000), rng.uniform(-50, 150)))
+    rows.append(("tiny", 1, 42.0))            # n == 1
+    rows.append(("allnan", 5, float("nan")))  # all-non-finite group
+    rows.append(("allnan", 6, float("inf")))
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+
+    def canon(rows_):
+        return {
+            (m, t, "NaN" if (v is not None and math.isnan(v)) else v)
+            for m, t, v in (tuple(r) for r in rows_)
+        }
+
+    for func, q in (("p95", 95.0), ("p50", 50.0), ("p999", 99.9)):
+        for interval in (0, 600_000):
+            a = canon(downsample(df, ["metric"], interval, func).collect())
+            b = canon(
+                percentile_r6_distributed(df, ["metric"], q, interval).collect()
+            )
+            assert a == b, (func, interval)

@@ -130,3 +130,102 @@ def downsample(
         return df.groupBy(*series_cols).agg(F.min(ts_col).alias(ts_col), agg)
     bucket = bucket_expr(ts_col, interval_ms).alias(ts_col)
     return df.groupBy(*series_cols, bucket).agg(agg)
+
+
+def percentile_r6_distributed(
+    df: DataFrame,
+    group_cols: list[str],
+    quantile: float,
+    interval_ms: int = 0,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    out_col: str = "value",
+) -> DataFrame:
+    """The mega-bucket-safe twin of the ``collect_list`` percentile
+    path: identical R-6 semantics (`aggregate.cpp:341-387`), but the
+    group's values are never materialized in one aggregation buffer.
+
+    The array path is the right default — one hash aggregation, and the
+    values per (series, bucket) are small for real downsample
+    intervals. It stops being viable when a single group holds tens of
+    millions of points (``0all`` over years of 1 s data: a
+    multi-hundred-MB array in ONE agg buffer). Here the group is SORTED
+    instead (window row_number — Spark's sort spills to disk), the R-6
+    index is computed from the group count, and only the one or two
+    rank-matched rows per group survive to a final tiny aggregation.
+    Memory per task is bounded by the sort's spill budget regardless of
+    group size.
+
+    Output schema, ts conventions (bucket start / min-ts for 0all), and
+    float arithmetic are expression-for-expression the same as
+    ``downsample(func='pNN')`` — pinned by an equivalence test and by
+    q102 sharing q05's oracle. All-non-finite groups yield NaN, as the
+    array path does.
+    """
+    from pyspark.sql import Window
+
+    if interval_ms == 0:
+        base = df.select(
+            *group_cols, F.col(ts_col), _finite(F.col(value_col)).alias("__v")
+        )
+        spine = base.groupBy(*group_cols).agg(
+            F.min(ts_col).alias(ts_col), F.count("__v").alias("__n")
+        )
+        rank_keys = list(group_cols)
+        out_cols = [*group_cols, ts_col]
+    else:
+        base = df.select(
+            *group_cols,
+            bucket_expr(ts_col, interval_ms).alias(ts_col),
+            _finite(F.col(value_col)).alias("__v"),
+        )
+        spine = base.groupBy(*group_cols, ts_col).agg(F.count("__v").alias("__n"))
+        rank_keys = [*group_cols, ts_col]
+        out_cols = rank_keys
+
+    p = quantile / 100.0
+
+    def r6_idx(n_col):
+        if p <= 0.0:
+            return F.lit(0.0)
+        if p >= 1.0:
+            return n_col
+        return F.lit(p) * (n_col + F.lit(1.0))
+
+    n = F.col("__n").cast("double")
+    idx = r6_idx(n)
+    lo = (
+        F.when(F.col("__n") <= 1, F.lit(1))
+        .when(idx < 1.0, F.lit(1))
+        .when(idx >= n, F.col("__n"))
+        .otherwise(F.floor(idx).cast("int"))
+    )
+    hi = (
+        F.when(F.col("__n") <= 1, F.lit(1))
+        .when(idx < 1.0, F.lit(1))
+        .when(idx >= n, F.col("__n"))
+        .otherwise(F.floor(idx).cast("int") + F.lit(1))
+    )
+    targets = spine.withColumns({"__lo": lo, "__hi": hi})
+
+    w = Window.partitionBy(*rank_keys).orderBy(F.col("__v").asc())
+    ranked = base.filter(F.col("__v").isNotNull()).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    sel = ranked.join(
+        targets.select(*rank_keys, "__lo", "__hi"), rank_keys
+    ).filter((F.col("__rn") == F.col("__lo")) | (F.col("__rn") == F.col("__hi")))
+    picked = sel.groupBy(*rank_keys).agg(
+        F.min(F.when(F.col("__rn") == F.col("__lo"), F.col("__v"))).alias("__vlo"),
+        F.min(F.when(F.col("__rn") == F.col("__hi"), F.col("__v"))).alias("__vhi"),
+    )
+    out = targets.join(picked, rank_keys, "left")
+    interp = F.col("__vlo") + (idx - F.floor(idx)) * (F.col("__vhi") - F.col("__vlo"))
+    result = (
+        F.when(F.col("__n") == 0, F.lit(float("nan")))
+        .when(F.col("__n") == 1, F.col("__vlo"))
+        .when(idx < 1.0, F.col("__vlo"))
+        .when(idx >= n, F.col("__vlo"))
+        .otherwise(interp)
+    )
+    return out.select(*out_cols, result.alias(out_col))

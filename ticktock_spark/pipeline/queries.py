@@ -2632,3 +2632,39 @@ def q101(spark, sf_dir):
     can't dominate the mix) — deterministic md5 pick order, kept rank +
     source total reported (pipeline/sample.py per_source_cap)."""
     return sp.per_source_cap(_table(spark, sf_dir, "documents"), cap=40)
+
+
+@register(
+    "q102_percentile_distributed",
+    """
+    WITH b AS (
+      SELECT event_type AS metric, user_id, epoch_ms(ts) - epoch_ms(ts) % 600000 AS ts,
+             list_sort(list(value)) AS vals
+      FROM events WHERE event_type = 'view'
+      GROUP BY 1, 2, 3
+    )
+    SELECT metric, user_id, ts,
+      CASE WHEN len(vals) = 1 THEN vals[1]
+           WHEN 0.95 * (len(vals) + 1) < 1 THEN vals[1]
+           WHEN 0.95 * (len(vals) + 1) >= len(vals) THEN vals[len(vals)]
+           ELSE vals[CAST(floor(0.95 * (len(vals) + 1)) AS INT)]
+                + (0.95 * (len(vals) + 1) - floor(0.95 * (len(vals) + 1)))
+                  * (vals[CAST(floor(0.95 * (len(vals) + 1)) AS INT) + 1]
+                     - vals[CAST(floor(0.95 * (len(vals) + 1)) AS INT)])
+      END AS p95_value
+    FROM b
+    """,
+)
+def q102(spark, sf_dir):
+    """q05's 10m-p95 downsample answered by the MEGA-BUCKET-SAFE
+    distributed-selection percentile (operators/downsample.py:
+    percentile_r6_distributed): the group is sorted with a spillable
+    window instead of collected into one agg buffer, so a group of any
+    size survives. Same oracle as q05 — the two implementations are
+    value-equal by construction and by this differential."""
+    from ticktock_spark.operators.downsample import percentile_r6_distributed
+    from ticktock_spark.queries import _dps
+
+    d = _dps(spark, sf_dir).filter(F.col("metric") == "view")
+    ds = percentile_r6_distributed(d, ["metric", "user_id"], 95.0, 600_000)
+    return ds.select("metric", "user_id", "ts", F.col("value").alias("p95_value"))
