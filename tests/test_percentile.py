@@ -95,3 +95,28 @@ def test_percentile_r6_distributed_matches_array(spark):
                 percentile_r6_distributed(df, ["metric"], q, interval).collect()
             )
             assert a == b, (func, interval)
+
+
+def test_percentile_approx_downsample_bound(spark):
+    """The GK-sketch tier returns an actual data value whose rank is
+    within n/accuracy of the target — on data with distinct values that
+    pins it between the exact neighbors of the R-6 index."""
+    import random
+
+    from ticktock_spark.operators.downsample import (
+        downsample,
+        percentile_approx_downsample,
+    )
+
+    rng = random.Random(3)
+    rows = [("m", rng.randrange(0, 600_000), rng.uniform(0, 1000)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    exact = downsample(df, ["metric"], 0, "p95").collect()[0]["value"]
+    approx = percentile_approx_downsample(df, ["metric"], 95.0).collect()[0]["value"]
+    vals = sorted(v for _, _, v in rows)
+    n = len(vals)
+    # high accuracy -> rank error <= ~1; allow a small window around p95
+    k = int(0.95 * (n + 1))
+    window = vals[k - 5 : k + 5]
+    assert min(window) <= approx <= max(window)
+    assert abs(approx - exact) <= (max(window) - min(window)) + 1e-9

@@ -1431,3 +1431,19 @@ def test_image_dhash_and_neardup_pairs(spark):
     assert pairs == {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
     with pytest.raises(ValueError, match="bands"):
         dhash_neardup_pairs(hashes, max_hamming=8)
+
+
+def test_vocab_size_stats_sketch_bound(spark):
+    """The HLL++ path must land within a few relative standard
+    deviations of the exact distinct count, and n_tokens (a plain count)
+    must be identical."""
+    from ticktock_spark.pipeline import text as tx
+    from ticktock_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = tx.vocab_size_stats(docs).collect()[0]
+    approx = tx.vocab_size_stats(docs, exact=False, rsd=0.02).collect()[0]
+    assert approx["n_tokens"] == exact["n_tokens"]
+    assert exact["n_distinct"] > 0
+    rel = abs(approx["n_distinct"] - exact["n_distinct"]) / exact["n_distinct"]
+    assert rel <= 0.10  # 5 sigma at rsd=0.02 — deterministic sketch, not flaky

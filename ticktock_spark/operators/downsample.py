@@ -229,3 +229,32 @@ def percentile_r6_distributed(
         .otherwise(interp)
     )
     return out.select(*out_cols, result.alias(out_col))
+
+
+def percentile_approx_downsample(
+    df: DataFrame,
+    group_cols: list[str],
+    quantile: float,
+    interval_ms: int = 0,
+    accuracy: int = 10_000,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    out_col: str = "value",
+) -> DataFrame:
+    """Third tier of the percentile story: a Greenwald-Khanna sketch
+    (`percentile_approx`, built-in partial+final aggregation) for
+    exploratory sweeps where the exact paths are overkill — constant
+    memory per group (O(accuracy)), one hash aggregation, rank error
+    bounded by n/accuracy. NOT R-6: a sketch returns an actual data
+    value at a rank within the error bound, never interpolates, so its
+    result differs from the exact paths by at most the local value gap
+    around the target rank (asserted by test). Use
+    ``percentile_r6_on_array`` (default) or
+    ``percentile_r6_distributed`` (mega-buckets) when answers must
+    match the reference bit-for-bit."""
+    agg = F.percentile_approx(
+        _finite(F.col(value_col)), F.lit(quantile / 100.0), F.lit(accuracy)
+    ).alias(out_col)
+    if interval_ms == 0:
+        return df.groupBy(*group_cols).agg(F.min(ts_col).alias(ts_col), agg)
+    return df.groupBy(*group_cols, bucket_expr(ts_col, interval_ms).alias(ts_col)).agg(agg)

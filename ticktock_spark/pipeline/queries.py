@@ -2668,3 +2668,24 @@ def q102(spark, sf_dir):
     d = _dps(spark, sf_dir).filter(F.col("metric") == "view")
     ds = percentile_r6_distributed(d, ["metric", "user_id"], 95.0, 600_000)
     return ds.select("metric", "user_id", "ts", F.col("value").alias("p95_value"))
+
+
+@register(
+    "q103_vocab_size",
+    f"""
+    WITH nm AS (SELECT {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT unnest(string_split_regex(norm, '\\s+')) AS tok
+      FROM nm WHERE length(norm) > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+    FROM t
+    """,
+)
+def q103(spark, sf_dir):
+    """Tokenizer-sizing stats: total and DISTINCT token counts over the
+    corpus (pipeline/text.py vocab_size_stats). The exact path is the
+    oracle-checked default; exact=False swaps in HyperLogLog++ for the
+    one-pass constant-memory sketch at 100 TB (error-bound test)."""
+    return tx.vocab_size_stats(_table(spark, sf_dir, "documents"))

@@ -1217,3 +1217,29 @@ def vocab_drift(
         contrib.alias("kl_contrib"),
     )
     return out.orderBy(F.abs(F.col("kl_contrib")).desc(), "tok").limit(top_k)
+
+
+def vocab_size_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Corpus vocabulary size + total/distinct token counts — the
+    tokenizer-sizing numbers a pipeline reads before choosing a vocab
+    budget. ``exact=True`` (default, oracle-checkable) pays one distinct
+    aggregation over the token stream. ``exact=False`` swaps in
+    HyperLogLog++ (``approx_count_distinct``, relative sd ``rsd``) —
+    constant memory per partition, one pass, no distinct shuffle: at
+    100 TB the distinct agg shuffles every unique token once, while the
+    sketch ships one small buffer per partition. Error bound asserted
+    by test."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    distinct = (
+        F.count_distinct(F.col("tok")) if exact
+        else F.approx_count_distinct(F.col("tok"), rsd)
+    )
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        distinct.cast("long").alias("n_distinct"),
+    )
