@@ -459,7 +459,7 @@ def minhash_lsh_candidates(
     exact-duplicate recall is structurally 100% and measured true-pair
     recall / verified output match the md5 engines (SCALE.md). It
     removes ALL Python from the signature hot loop — on a diverse
-    (cache-hostile) corpus it measures 2–3.8× faster than the hashlib
+    (cache-hostile) corpus it measures 5.4× faster than the hashlib
     engine — at 100 TB the scan-side hash work is the dominant dedup
     cost and this path keeps it native with no Arrow text transfer.
     ``bucket_cap`` bounds degenerate band-key buckets BEFORE the
@@ -764,7 +764,7 @@ def minhash_lsh_join(
 
 
 #: The ``profile='scale'`` defaults: all-JVM xxhash64 signatures (no
-#: Python workers, no Arrow text transfer — measured 2–3.8× the hashlib
+#: Python workers, no Arrow text transfer — measured 5.4× the hashlib
 #: engine on a cache-hostile corpus, SCALE.md) and a finite viral-bucket
 #: cap (256 = the SCALE.md-measured value: 30× faster / 350× less pair
 #: volume on a template-flood corpus, with bucket truncation as the
