@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "q85_percentile_rollup",      # hourly multi-percentile rollup
     # round-5 additions
     "q34x_minhash_xxh64",         # q34 under the production scale profile
+    "q100_semantic_dedup",        # SRP-bucketed cosine pairs → CC closure
+    "q101_source_cap",            # per-source caps (WindowGroupLimit)
+    "q102_percentile_distributed",  # mega-bucket-safe R-6 percentile
 ]
 
 
