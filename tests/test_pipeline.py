@@ -1447,3 +1447,62 @@ def test_vocab_size_stats_sketch_bound(spark):
     assert exact["n_distinct"] > 0
     rel = abs(approx["n_distinct"] - exact["n_distinct"]) / exact["n_distinct"]
     assert rel <= 0.10  # 5 sigma at rsd=0.02 — deterministic sketch, not flaky
+
+
+def test_mixture_plan_composes_with_stratified_sample(spark):
+    """The plan's rates realize the mixture: strata under their target
+    keep everything (rate 1, shortfall > 0 reported), oversupplied
+    strata sample down toward the target share, and unweighted strata
+    get rate 0."""
+    from ticktock_spark.pipeline import sample as sp
+    from ticktock_spark.pipeline import text as tx
+    from ticktock_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "n_tokens", tx.token_count(F.col("text")).cast("long")
+    )
+    weights = {"en": 0.8, "de": 0.2}
+    plan = {r["lang"]: r for r in sp.mixture_plan(docs, weights, 5_000).collect()}
+    assert set(plan) == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    for lang, row in plan.items():
+        if lang not in weights:
+            assert row["rate"] == 0.0 and row["target_tokens"] == 0.0
+        elif row["available_tokens"] <= row["target_tokens"]:
+            assert row["rate"] == 1.0 and row["shortfall"] > 0
+        else:
+            assert 0 < row["rate"] < 1 and row["shortfall"] == 0.0
+    rates = {k: r["rate"] for k, r in plan.items()}
+    kept = sp.stratified_sample(docs, rates).groupBy("lang").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    got = {r["lang"]: r["tok"] for r in kept.collect()}
+    for lang in weights:
+        target = plan[lang]["target_tokens"]
+        avail = plan[lang]["available_tokens"]
+        expect = min(avail, target)
+        # hash sampling is approximate: within 35% of the target share
+        assert abs(got.get(lang, 0) - expect) / max(expect, 1) < 0.35
+
+
+def test_corpus_diff_statuses(spark):
+    """added/removed/changed/unchanged labels are exact, including the
+    NULL-text cases (NULL→NULL unchanged, NULL→text changed)."""
+    from ticktock_spark.pipeline import dedup as dd
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, None), (5, "now"), (6, "new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in dd.corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "changed",
+        6: "added",
+    }

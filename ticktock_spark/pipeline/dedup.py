@@ -863,3 +863,45 @@ def dedup_pipeline(
         n_total.alias("n_total"),
         (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-version diff by content digest: every doc id in either
+    snapshot labeled ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` — the audit a corpus release pipeline runs between
+    versions (what moved, what must be re-tokenized, what downstream
+    caches stay valid).
+
+    Shuffle carries only (id, digest) — never text — so the diff costs
+    one md5 scan per side plus a join on the id, exactly like
+    ``exact_dedup``'s shuffle discipline. NULL text hashes to NULL;
+    NULL-vs-NULL counts as unchanged (both absent of content), matching
+    md5's null propagation in any engine.
+    """
+    # membership comes from explicit presence flags, NOT digest
+    # nullness — a present doc can legitimately have NULL text
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__old"), F.lit(True).alias("__in_old")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__new"), F.lit(True).alias("__in_new")
+    )
+    j = o.join(n, id_col, "full_outer")
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    status = (
+        F.when(in_old & ~in_new, F.lit("removed"))
+        .when(~in_old & in_new, F.lit("added"))
+        .when(
+            F.coalesce(F.col("__old"), F.lit("\x00"))
+            == F.coalesce(F.col("__new"), F.lit("\x00")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))

@@ -2689,3 +2689,93 @@ def q103(spark, sf_dir):
     oracle-checked default; exact=False swaps in HyperLogLog++ for the
     one-pass constant-memory sketch at 100 TB (error-bound test)."""
     return tx.vocab_size_stats(_table(spark, sf_dir, "documents"))
+
+
+_MIX_W = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+_MIX_BUDGET = 100_000
+
+
+@register(
+    "q104_mixture_plan",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 OR text IS NULL THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                  AS BIGINT) AS available_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT lang, available_tokens,
+           {_Q6.format(x=f'''CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                     WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1 ELSE 0.0 END
+             * {float(_MIX_BUDGET)}''')} AS target_tokens,
+           {_Q6.format(x=f'''least(1.0, (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                                 WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1 ELSE 0.0 END
+                       * {float(_MIX_BUDGET)}) / CAST(available_tokens AS DOUBLE))''')}
+             AS rate,
+           {_Q6.format(x=f'''greatest(0.0, (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                                    WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1 ELSE 0.0 END
+                          * {float(_MIX_BUDGET)}) - CAST(available_tokens AS DOUBLE))''')}
+             AS shortfall
+    FROM per
+    """,
+)
+def q104(spark, sf_dir):
+    """Training-mixture planner: per-language available tokens vs the
+    target share of a 100k-token budget, with the deterministic
+    sampling rate (capped at 1) that realizes it and the shortfall the
+    cap forfeits (pipeline/sample.py mixture_plan). The rates feed
+    stratified_sample's scan-side hash filter directly. q6
+    canonicalization absorbs the one-ULP difference between Spark's
+    normalized-weight product and the oracle's literal shares."""
+    d = _table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.token_count(F.col("text")).cast("long")
+    )
+    plan = sp.mixture_plan(d, _MIX_W, _MIX_BUDGET)
+    return plan.select(
+        "lang",
+        "available_tokens",
+        q6(F.col("target_tokens")).alias("target_tokens"),
+        q6(F.col("rate")).alias("rate"),
+        q6(F.col("shortfall")).alias("shortfall"),
+    )
+
+
+@register(
+    "q105_corpus_diff",
+    """
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old.doc_id IS NULL THEN 'added'
+                WHEN coalesce(old.h, chr(1)) = coalesce(new.h, chr(1))
+                  THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def q105(spark, sf_dir):
+    """Dataset-version diff by content digest (pipeline/dedup.py
+    corpus_diff): the v2 snapshot drops every 7th doc, rewrites every
+    5th, and appends an id-offset copy of every 11th — the operator
+    labels every id added/removed/changed/unchanged, shuffling only
+    (id, digest)."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    return dd.corpus_diff(d, new)

@@ -288,3 +288,47 @@ def write_training_shards(
         .partitionBy(strata_col, "shard_idx")
         .parquet(path)
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Training-mixture planner: given target mixture ``weights`` per
+    stratum and a total ``token_budget``, compute each stratum's
+    available tokens, its target share, and the deterministic sampling
+    rate that realizes it (capped at 1 — a stratum can't contribute
+    more than it has; the report's ``shortfall`` column says how many
+    target tokens the cap forfeits, so the caller can re-weight or
+    lower the budget).
+
+    The output's ``rate`` feeds ``stratified_sample`` directly: plan →
+    rates → one scan-side hash filter, so planning the mixture costs
+    one tiny aggregation (rows = strata) and sampling stays
+    shuffle-free. Strata absent from ``weights`` get target 0 (rate 0).
+    All arithmetic is sums + one division, exact across engines.
+    """
+    total_w = sum(weights.values())
+    tgt: Column = F.lit(0.0)
+    for value, w in sorted(weights.items()):
+        tgt = F.when(F.col(strata_col) == value, F.lit(w / total_w)).otherwise(tgt)
+    per = df.groupBy(strata_col).agg(F.sum(token_col).alias("available_tokens"))
+    target = (tgt * F.lit(float(token_budget))).alias("target_tokens")
+    return per.select(
+        strata_col,
+        "available_tokens",
+        target,
+        F.least(
+            F.lit(1.0),
+            F.col("target_tokens") / F.col("available_tokens").cast("double"),
+        ).alias("rate"),
+        F.greatest(
+            F.lit(0.0),
+            F.col("target_tokens") - F.col("available_tokens").cast("double"),
+        ).alias("shortfall"),
+    ).select(
+        strata_col, "available_tokens", "target_tokens", "rate", "shortfall"
+    )
