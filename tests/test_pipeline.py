@@ -1506,3 +1506,35 @@ def test_corpus_diff_statuses(spark):
         5: "changed",
         6: "added",
     }
+
+
+def test_embedding_quantization_roundtrip(spark):
+    """int8 quantize/dequantize: per-dimension error <= scale/2, cosine
+    with the original stays ~1, zero vectors round-trip to zeros, and
+    the code range never exceeds [-127, 127]."""
+    import math
+
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    zero = spark.createDataFrame(
+        [(99_999, [0.0] * 8, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    src = vecs.unionByName(zero)
+    q = sim.quantize_embeddings(src)
+    deq = sim.dequantize_embeddings(q)
+    orig = {r["vec_id"]: r["embedding"] for r in src.collect()}
+    scales = {r["vec_id"]: r["scale"] for r in q.collect()}
+    codes = {r["vec_id"]: r["qvec"] for r in q.collect()}
+    assert all(all(-127 <= c <= 127 for c in cs) for cs in codes.values())
+    assert list(codes[99_999]) == [0] * 8 and scales[99_999] == 0.0
+    for r in deq.collect():
+        vid, xhat = r["vec_id"], r["embedding"]
+        x, s = orig[vid], scales[vid]
+        assert all(abs(a - b) <= s / 2 + 1e-6 for a, b in zip(x, xhat))
+        na = math.sqrt(sum(a * a for a in x))
+        nb = math.sqrt(sum(b * b for b in xhat))
+        if na > 0 and nb > 0:
+            cos = sum(a * b for a, b in zip(x, xhat)) / (na * nb)
+            assert cos > 0.999

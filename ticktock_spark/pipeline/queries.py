@@ -2779,3 +2779,32 @@ def q105(spark, sf_dir):
         )
     )
     return dd.corpus_diff(d, new)
+
+
+@register(
+    "q106_embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_max([abs(CAST(embedding[i] AS DOUBLE))
+                       for i in generate_series(1, len(embedding))]) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           [CASE WHEN scale = 0 THEN CAST(0 AS TINYINT)
+                 ELSE CAST(greatest(-127, least(127,
+                        CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5)
+                             AS INTEGER))) AS TINYINT) END
+            for i in generate_series(1, len(embedding))] AS qvec
+    FROM s
+    """,
+)
+def q106(spark, sf_dir):
+    """Per-vector symmetric int8 embedding quantization — the 4×
+    storage path an embedding store ships at 100 TB
+    (pipeline/similarity.py quantize_embeddings). Explicit floor(+0.5)
+    rounding makes the code bytes engine-reproducible; the oracle
+    mirrors the formula literally."""
+    return sim.quantize_embeddings(_table(spark, sf_dir, "embeddings"))

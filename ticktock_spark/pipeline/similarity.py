@@ -781,3 +781,53 @@ def diversity_sample(
         .filter(F.col("pick") <= per_bucket)
         .select(id_col, "bucket", "pick")
     )
+
+
+def quantize_embeddings(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) clamped to [-127, 127] — 4× smaller
+    embedding storage (tinyint vs float) with bounded error
+    |x − q·scale| ≤ scale/2 per dimension, which is what a 100 TB
+    embedding store actually ships to ANN probes. The explicit
+    floor(+0.5) rounding (instead of an engine round()) makes the bytes
+    reproducible in any engine — the q106 oracle mirrors it literally.
+    All-zero vectors get scale 0 and an all-zero code (guarded
+    division). Output: (id, scale, qvec array<tinyint>)."""
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    # scale is materialized as a projected column FIRST so the per-
+    # element quantize lambda references an attribute, not the whole
+    # array_max subtree (interpreted HOFs re-evaluate embedded
+    # expressions per element — the repo-wide no-CSE rule)
+    staged = corpus.select(
+        F.col(id_col), (absmax / F.lit(127.0)).alias("scale"), v.alias("__v")
+    )
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0).cast("tinyint")).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
+                ),
+            ).cast("tinyint")
+        ),
+    )
+    return staged.select(id_col, "scale", q.alias("qvec"))
+
+
+def dequantize_embeddings(
+    quantized: DataFrame, id_col: str = "vec_id", out_col: str = "embedding"
+) -> DataFrame:
+    """(id, scale, qvec) → (id, float array): x̂_i = q_i · scale. The
+    reconstruction error bound is |x − x̂| ≤ scale/2 per dimension
+    (pinned by test, along with cosine(original, x̂) ≈ 1)."""
+    return quantized.select(
+        F.col(id_col),
+        F.transform(
+            F.col("qvec"), lambda q: (q.cast("double") * F.col("scale")).cast("float")
+        ).alias(out_col),
+    )
