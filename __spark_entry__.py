@@ -20,13 +20,16 @@ def _registry():
     return q
 
 
-def _last_verified() -> set[str]:
-    """Entry names covered by the most recent round's driver verification
-    (CORRECTNESS_r{N}.json). The driver verifies a 50-entry window of the
-    registry in iteration order; fronting the entries NOT in the last
-    round's window rotates coverage so consecutive rounds re-prove both
-    halves of the registry. The rotated-out half stays pinned locally by
-    tests/test_oracle.py, which runs ALL entries against DuckDB."""
+def _verified_history() -> tuple[set[str], set[str]]:
+    """(names in the LATEST round's driver verification, names EVER
+    verified in any round) from CORRECTNESS_r{N}.json. The driver
+    verifies a 50-entry window of the registry in iteration order, so
+    ordering is coverage policy: never-verified entries go absolutely
+    first (they have no driver-green evidence at all), then entries
+    missing from the latest round (rotation: consecutive rounds re-prove
+    both halves), then the recently-proven rest. Everything rotated out
+    stays pinned locally by tests/test_oracle.py, which runs ALL entries
+    against DuckDB."""
     import glob
     import json
     import os
@@ -35,20 +38,26 @@ def _last_verified() -> set[str]:
         glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "CORRECTNESS_r*.json"))
     )
-    if not files:
-        return set()
-    try:
-        with open(files[-1]) as f:
-            return set(json.load(f))
-    except (OSError, ValueError):
-        return set()
+    latest: set[str] = set()
+    ever: set[str] = set()
+    for i, path in enumerate(files):
+        try:
+            with open(path) as f:
+                names = set(json.load(f))
+        except (OSError, ValueError):
+            continue
+        ever |= names
+        if i == len(files) - 1:
+            latest = names
+    return latest, ever
 
 
 def _reorder(mapping: dict) -> dict:
-    seen = _last_verified()
-    fronted = {k: v for k, v in mapping.items() if k not in seen}
-    rest = {k: v for k, v in mapping.items() if k in seen}
-    return {**fronted, **rest}
+    latest, ever = _verified_history()
+    never = {k: v for k, v in mapping.items() if k not in ever}
+    rotated = {k: v for k, v in mapping.items() if k in ever and k not in latest}
+    rest = {k: v for k, v in mapping.items() if k in latest}
+    return {**never, **rotated, **rest}
 
 
 def entry(spark: SparkSession) -> DataFrame:
