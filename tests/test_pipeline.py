@@ -1538,3 +1538,35 @@ def test_embedding_quantization_roundtrip(spark):
         if na > 0 and nb > 0:
             cos = sum(a * b for a, b in zip(x, xhat)) / (na * nb)
             assert cos > 0.999
+
+
+def test_knn_quantized_recall(spark):
+    """int8-code kNN must recover nearly the same neighbors as the
+    float brute-force path — scales cancel in cosine, so the only
+    divergence is quantization noise. Asserts recall@10 >= 0.9 averaged
+    over 5 query vectors on the real embeddings table."""
+    from pyspark.sql import functions as SF
+
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = (
+        vecs.orderBy("vec_id").limit(5)
+        .select(SF.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = sim.brute_force_knn(vecs, queries, k=10)
+    qc = sim.quantize_embeddings(vecs)
+    qq = sim.quantize_embeddings(
+        queries.select(SF.col("query_id").alias("vec_id"), "embedding")
+    ).select(SF.col("vec_id").alias("query_id"), "scale", "qvec")
+    got = sim.knn_quantized(qc, qq, k=10)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    g = {}
+    for r in got.collect():
+        g.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(e) == set(g)
+    recalls = [len(e[q] & g[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

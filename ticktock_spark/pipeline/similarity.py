@@ -831,3 +831,64 @@ def dequantize_embeddings(
             F.col("qvec"), lambda q: (q.cast("double") * F.col("scale")).cast("float")
         ).alias(out_col),
     )
+
+
+def knn_quantized(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Cosine top-k directly over int8 codes (both sides output of
+    ``quantize_embeddings``): per-vector scales CANCEL in cosine
+    (cos(s_a·qa, s_b·qb) = cos(qa, qb)), so the kernel never
+    dequantizes — int8 codes stream through an Arrow batch into an
+    int32 numpy product, 4× less scan/shuffle volume than float vectors
+    at identical plan shape to ``brute_force_knn`` (broadcast query
+    codes, per-partition scoring, WindowGroupLimit top-k). Ranking
+    error vs the float path comes only from quantization noise
+    (recall@k pinned by test). Zero-scale (all-zero) vectors score
+    cosine 0 against everything, matching the float path's guarded
+    division convention of excluding them from meaningful ranks."""
+    import numpy as np
+    import pandas as pd
+
+    qid_type = dict(queries_q.dtypes)[query_id_col]
+    id_type = dict(corpus_q.dtypes)[id_col]
+    qpdf = queries_q.select(query_id_col, "qvec").toPandas()
+    q_ids = qpdf[query_id_col].to_numpy()
+    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.int32)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0] = 1.0  # zero-code queries: cosine 0 everywhere
+    bc = corpus_q.sparkSession.sparkContext.broadcast((q_ids, Q, qn))
+
+    def block(batches):
+        b_qids, b_Q, b_qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf["qvec"].to_numpy()).astype(np.int32)
+            cn = np.sqrt((C * C).sum(axis=1))
+            cn[cn == 0] = 1.0
+            cos = (C @ b_Q.T) / (cn[:, None] * b_qn[None, :])
+            keep = c_ids[:, None] != b_qids[None, :]
+            ci, qj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qj],
+                    "vec_id": c_ids[ci],
+                    "cosine": cos[ci, qj],
+                }
+            )
+
+    scored = corpus_q.select(id_col, "qvec").mapInPandas(
+        block, schema=f"query_id {qid_type}, vec_id {id_type}, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
