@@ -1526,7 +1526,7 @@ def test_embedding_quantization_roundtrip(spark):
     deq = sim.dequantize_embeddings(q)
     orig = {r["vec_id"]: r["embedding"] for r in src.collect()}
     scales = {r["vec_id"]: r["scale"] for r in q.collect()}
-    codes = {r["vec_id"]: r["qvec"] for r in q.collect()}
+    codes = {r["vec_id"]: r["q"] for r in q.collect()}
     assert all(all(-127 <= c <= 127 for c in cs) for cs in codes.values())
     assert list(codes[99_999]) == [0] * 8 and scales[99_999] == 0.0
     for r in deq.collect():
@@ -1559,7 +1559,7 @@ def test_knn_quantized_recall(spark):
     qc = sim.quantize_embeddings(vecs)
     qq = sim.quantize_embeddings(
         queries.select(SF.col("query_id").alias("vec_id"), "embedding")
-    ).select(SF.col("vec_id").alias("query_id"), "scale", "qvec")
+    ).select(SF.col("vec_id").alias("query_id"), "scale", "q")
     got = sim.knn_quantized(qc, qq, k=10)
     e = {}
     for r in exact.collect():

@@ -2782,29 +2782,31 @@ def q105(spark, sf_dir):
 
 
 @register(
-    "q106_embedding_quantize",
+    "q106_embedding_dequantize",
     """
-    WITH s AS (
-      SELECT vec_id,
-             list_max([abs(CAST(embedding[i] AS DOUBLE))
-                       for i in generate_series(1, len(embedding))]) / 127.0
-               AS scale,
-             embedding
+    WITH b AS (
+      SELECT vec_id, embedding AS x,
+             list_max([abs(CAST(e AS DOUBLE)) for e in embedding]) AS m
       FROM embeddings
+    ),
+    qq AS (
+      SELECT vec_id, m / 127.0 AS scale,
+             CASE WHEN m = 0
+                  THEN [CAST(0 AS BIGINT) for e in x]
+                  ELSE [CAST(floor(CAST(e AS DOUBLE) / (m / 127.0) + 0.5) AS BIGINT)
+                        for e in x] END AS q
+      FROM b
     )
-    SELECT vec_id, scale,
-           [CASE WHEN scale = 0 THEN CAST(0 AS TINYINT)
-                 ELSE CAST(greatest(-127, least(127,
-                        CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5)
-                             AS INTEGER))) AS TINYINT) END
-            for i in generate_series(1, len(embedding))] AS qvec
-    FROM s
+    SELECT vec_id,
+           [CAST(CAST(qv AS DOUBLE) * scale AS REAL) for qv in q] AS embedding
+    FROM qq
     """,
 )
 def q106(spark, sf_dir):
-    """Per-vector symmetric int8 embedding quantization — the 4×
-    storage path an embedding store ships at 100 TB
-    (pipeline/similarity.py quantize_embeddings). Explicit floor(+0.5)
-    rounding makes the code bytes engine-reproducible; the oracle
-    mirrors the formula literally."""
-    return sim.quantize_embeddings(_table(spark, sf_dir, "embeddings"))
+    """Quantize → dequantize round trip (pipeline/similarity.py
+    dequantize_embeddings over q58's quantizer): the reconstructed
+    float vectors an int8 embedding store serves, x̂_i = q_i · scale
+    with |x − x̂| ≤ scale/2 per dimension. The oracle recomputes the
+    identical codes and products in SQL."""
+    e = _table(spark, sf_dir, "embeddings")
+    return sim.dequantize_embeddings(sim.quantize_embeddings(e))

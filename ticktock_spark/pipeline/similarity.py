@@ -783,52 +783,17 @@ def diversity_sample(
     )
 
 
-def quantize_embeddings(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
-    q_i = floor(x_i / scale + 0.5) clamped to [-127, 127] — 4× smaller
-    embedding storage (tinyint vs float) with bounded error
-    |x − q·scale| ≤ scale/2 per dimension, which is what a 100 TB
-    embedding store actually ships to ANN probes. The explicit
-    floor(+0.5) rounding (instead of an engine round()) makes the bytes
-    reproducible in any engine — the q106 oracle mirrors it literally.
-    All-zero vectors get scale 0 and an all-zero code (guarded
-    division). Output: (id, scale, qvec array<tinyint>)."""
-    v = F.col(vec_col)
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    # scale is materialized as a projected column FIRST so the per-
-    # element quantize lambda references an attribute, not the whole
-    # array_max subtree (interpreted HOFs re-evaluate embedded
-    # expressions per element — the repo-wide no-CSE rule)
-    staged = corpus.select(
-        F.col(id_col), (absmax / F.lit(127.0)).alias("scale"), v.alias("__v")
-    )
-    q = F.transform(
-        F.col("__v"),
-        lambda x: F.when(F.col("scale") == 0.0, F.lit(0).cast("tinyint")).otherwise(
-            F.greatest(
-                F.lit(-127),
-                F.least(
-                    F.lit(127),
-                    F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
-                ),
-            ).cast("tinyint")
-        ),
-    )
-    return staged.select(id_col, "scale", q.alias("qvec"))
-
-
 def dequantize_embeddings(
     quantized: DataFrame, id_col: str = "vec_id", out_col: str = "embedding"
 ) -> DataFrame:
-    """(id, scale, qvec) → (id, float array): x̂_i = q_i · scale. The
-    reconstruction error bound is |x − x̂| ≤ scale/2 per dimension
-    (pinned by test, along with cosine(original, x̂) ≈ 1)."""
+    """(id, scale, q) — quantize_embeddings' output — → (id, float
+    array): x̂_i = q_i · scale. The reconstruction error bound is
+    |x − x̂| ≤ scale/2 per dimension (pinned by test, along with
+    cosine(original, x̂) ≈ 1)."""
     return quantized.select(
         F.col(id_col),
         F.transform(
-            F.col("qvec"), lambda q: (q.cast("double") * F.col("scale")).cast("float")
+            F.col("q"), lambda qv: (qv.cast("double") * F.col("scale")).cast("float")
         ).alias(out_col),
     )
 
@@ -856,9 +821,9 @@ def knn_quantized(
 
     qid_type = dict(queries_q.dtypes)[query_id_col]
     id_type = dict(corpus_q.dtypes)[id_col]
-    qpdf = queries_q.select(query_id_col, "qvec").toPandas()
+    qpdf = queries_q.select(query_id_col, "q").toPandas()
     q_ids = qpdf[query_id_col].to_numpy()
-    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.int32)
+    Q = np.stack(qpdf["q"].to_numpy()).astype(np.int32)
     qn = np.sqrt((Q * Q).sum(axis=1))
     qn[qn == 0] = 1.0  # zero-code queries: cosine 0 everywhere
     bc = corpus_q.sparkSession.sparkContext.broadcast((q_ids, Q, qn))
@@ -869,7 +834,7 @@ def knn_quantized(
             if not len(pdf):
                 continue
             c_ids = pdf[id_col].to_numpy()
-            C = np.stack(pdf["qvec"].to_numpy()).astype(np.int32)
+            C = np.stack(pdf["q"].to_numpy()).astype(np.int32)
             cn = np.sqrt((C * C).sum(axis=1))
             cn[cn == 0] = 1.0
             cos = (C @ b_Q.T) / (cn[:, None] * b_qn[None, :])
@@ -883,7 +848,7 @@ def knn_quantized(
                 }
             )
 
-    scored = corpus_q.select(id_col, "qvec").mapInPandas(
+    scored = corpus_q.select(id_col, "q").mapInPandas(
         block, schema=f"query_id {qid_type}, vec_id {id_type}, cosine double"
     )
     w = Window.partitionBy(query_id_col).orderBy(
