@@ -194,32 +194,39 @@ def percentile_r6_distributed(
 
     n = F.col("__n").cast("double")
     idx = r6_idx(n)
-    lo = (
-        F.when(F.col("__n") <= 1, F.lit(1))
-        .when(idx < 1.0, F.lit(1))
-        .when(idx >= n, F.col("__n"))
-        .otherwise(F.floor(idx).cast("int"))
-    )
-    hi = (
-        F.when(F.col("__n") <= 1, F.lit(1))
-        .when(idx < 1.0, F.lit(1))
-        .when(idx >= n, F.col("__n"))
-        .otherwise(F.floor(idx).cast("int") + F.lit(1))
-    )
-    targets = spine.withColumns({"__lo": lo, "__hi": hi})
 
+    # rank targets come from a COUNT WINDOW over the same partitioning
+    # as the rank window — one exchange, one sort, no spine join on the
+    # big side (a spine join here was a second full scan of the input;
+    # the spine re-enters only for the final group-sized left join so
+    # all-non-finite groups still emit NaN)
     w = Window.partitionBy(*rank_keys).orderBy(F.col("__v").asc())
-    ranked = base.filter(F.col("__v").isNotNull()).withColumn(
-        "__rn", F.row_number().over(w)
+    wn = Window.partitionBy(*rank_keys)
+    ranked = base.filter(F.col("__v").isNotNull()).withColumns(
+        {"__rn": F.row_number().over(w), "__nf": F.count(F.lit(1)).over(wn)}
     )
-    sel = ranked.join(
-        targets.select(*rank_keys, "__lo", "__hi"), rank_keys
-    ).filter((F.col("__rn") == F.col("__lo")) | (F.col("__rn") == F.col("__hi")))
+    nf = F.col("__nf").cast("double")
+    idxr = r6_idx(nf)
+    lo_r = (
+        F.when(F.col("__nf") <= 1, F.lit(1))
+        .when(idxr < 1.0, F.lit(1))
+        .when(idxr >= nf, F.col("__nf"))
+        .otherwise(F.floor(idxr).cast("int"))
+    )
+    hi_r = (
+        F.when(F.col("__nf") <= 1, F.lit(1))
+        .when(idxr < 1.0, F.lit(1))
+        .when(idxr >= nf, F.col("__nf"))
+        .otherwise(F.floor(idxr).cast("int") + F.lit(1))
+    )
+    sel = ranked.filter(
+        (F.col("__rn") == lo_r) | (F.col("__rn") == hi_r)
+    ).withColumns({"__lo": lo_r, "__hi": hi_r})
     picked = sel.groupBy(*rank_keys).agg(
         F.min(F.when(F.col("__rn") == F.col("__lo"), F.col("__v"))).alias("__vlo"),
         F.min(F.when(F.col("__rn") == F.col("__hi"), F.col("__v"))).alias("__vhi"),
     )
-    out = targets.join(picked, rank_keys, "left")
+    out = spine.join(picked, rank_keys, "left")
     interp = F.col("__vlo") + (idx - F.floor(idx)) * (F.col("__vhi") - F.col("__vlo"))
     result = (
         F.when(F.col("__n") == 0, F.lit(float("nan")))
