@@ -113,6 +113,22 @@ def test_http_metadata(server):
     sugg = _get(server, "/api/suggest?type=metrics&q=test&max=10")
     assert sugg == ["test.metric"]
     assert "host" in _get(server, "/api/suggest?type=tagk&q=h")
+    # reference semantics (tsdb.cpp:2596-2713): q='*' on metrics matches
+    # everything; missing type/q and unknown type are 400s
+    import urllib.error
+
+    star = _get(server, "/api/suggest?type=metrics&q=*")
+    assert "test.metric" in star and "env" in star
+    for bad in (
+        "/api/suggest?q=x",
+        "/api/suggest?type=metrics",
+        "/api/suggest?type=bogus&q=x",
+    ):
+        try:
+            _get(server, bad)
+            raise AssertionError(f"{bad} should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     look = _get(server, "/api/search/lookup?m=test.metric")
     assert look["totalResults"] == 2
     # every series carries a non-empty deterministic tsuid surrogate

@@ -323,6 +323,11 @@ class TsdbStore:
         self.rollup_1d = ctx.rollup_1d.cache()
 
 
+class _BadRequest(Exception):
+    """Maps to an HTTP 400 with an empty plain body — the reference's
+    response.init(400, PLAIN) convention for malformed requests."""
+
+
 class _Handler(BaseHTTPRequestHandler):
     store: TsdbStore = None  # set by server factory
     protocol_version = "HTTP/1.1"
@@ -379,6 +384,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_query_results(results)
             else:
                 self._send(404, {"error": f"no route {route}"})
+        except _BadRequest:
+            # tsdb.cpp:2603-2617: malformed request → 400, plain body
+            self._send(400, b"", content_type="text/plain")
         except MemoryError:
             # query.cpp:1630-1632: ENOMEM → 503, empty plain body
             self._send(503, b"", content_type="text/plain")
@@ -438,6 +446,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._admin(params)
             else:
                 self._send(404, {"error": f"no route {route}"})
+        except _BadRequest:
+            self._send(400, b"", content_type="text/plain")
         except MemoryError:
             self._send(503, b"", content_type="text/plain")
         except Exception as e:  # noqa: BLE001
@@ -503,9 +513,17 @@ class _Handler(BaseHTTPRequestHandler):
     # metric map walk (tsdb.cpp:2595-2713, query.cpp:1477-1602) — never the
     # datapoints fact table (tests/test_plans.py pins this)
     def _suggest(self, params) -> list[str]:
-        typ = (params.get("type") or ["metrics"])[0]
-        q = (params.get("q") or [""])[0]
-        mx = int((params.get("max") or ["25"])[0])
+        """tsdb.cpp:2596-2713 semantics: `type` and `q` are REQUIRED
+        (missing → 400), unrecognized type → 400, `max` defaults to
+        1000, and a metrics prefix of exactly `*` matches every
+        metric."""
+        if "type" not in params:
+            raise _BadRequest("suggest requires type")
+        if "q" not in params:
+            raise _BadRequest("suggest requires q")
+        typ = params["type"][0]
+        q = params["q"][0]
+        mx = int((params.get("max") or ["1000"])[0])
         df = self.store.series_dim()
         if typ == "metrics":
             col = df.select(F.col("metric").alias("v"))
@@ -514,14 +532,10 @@ class _Handler(BaseHTTPRequestHandler):
         elif typ == "tagv":
             col = df.select(F.explode(F.map_values("tags")).alias("v"))
         else:
-            return []
-        out = (
-            col.filter(F.col("v").startswith(q))
-            .distinct()
-            .orderBy("v")
-            .limit(mx)
-            .collect()
-        )
+            raise _BadRequest(f"Unrecognized suggest type: {typ}")
+        if not (typ == "metrics" and q == "*"):
+            col = col.filter(F.col("v").startswith(q))
+        out = col.distinct().orderBy("v").limit(mx).collect()
         return [r["v"] for r in out]
 
     def _lookup(self, params) -> dict:
