@@ -180,6 +180,39 @@ def test_0all_emits_query_start(spark):
     assert rs[0].dps == {30_000: 7.0}
 
 
+def test_0all_percentile_routes_distributed(spark):
+    """0all + pNN is the one HTTP shape whose group holds the whole
+    range per series; the planner must answer it via the
+    distributed-selection percentile (no CollectList in the plan) with
+    R-6-exact values, dup-dedup applied first, and the 0all query-start
+    ts convention — and group ONLY the last-wins winners."""
+    rows = []
+    seq = 0
+    for i, v in enumerate([5.0, 1.0, 9.0, 3.0, 7.0]):
+        rows.append(("m", 60_000 + i * 1000, v, {"h": "a"}, seq))
+        seq += 1
+    # duplicate timestamp: last write (value 100) wins and replaces 5.0
+    rows.append(("m", 60_000, 100.0, {"h": "a"}, seq))
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, seq long"
+    )
+    ctx = TsdbContext(df)
+    top = TopLevelQuery(30_000, 200_000, True, None, [parse_m_expr("none:0all-p50:m")])
+    rs = ctx.execute(top)
+    assert len(rs) == 1
+    # values after dedup: [100,1,9,3,7] sorted [1,3,7,9,100]; R-6 p50:
+    # idx=0.5*6=3 -> v[3]=7.0 exactly (no interpolation, idx integral)
+    assert rs[0].dps == {30_000: 7.0}
+    # plan shape: no collect_list aggregation in the 0all-percentile path
+    from ticktock_spark.plans.parser import QuerySpec
+
+    spec = top.subqueries[0]
+    ds, _ = ctx._downsampled_series(spec, 30_000, 200_000, [])
+    plan = ds._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan.lower()
+    assert "Window" in plan
+
+
 def test_rollup_routing_matches_raw(spark):
     # hourly data across 3 days; rollup-routed 1d-avg must equal raw-path
     rows = []

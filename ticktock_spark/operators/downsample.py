@@ -140,6 +140,7 @@ def percentile_r6_distributed(
     value_col: str = "value",
     ts_col: str = "ts",
     out_col: str = "value",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """The mega-bucket-safe twin of the ``collect_list`` percentile
     path: identical R-6 semantics (`aggregate.cpp:341-387`), but the
@@ -150,26 +151,28 @@ def percentile_r6_distributed(
     intervals. It stops being viable when a single group holds tens of
     millions of points (``0all`` over years of 1 s data: a
     multi-hundred-MB array in ONE agg buffer). Here the group is SORTED
-    instead (window row_number — Spark's sort spills to disk), the R-6
-    index is computed from the group count, and only the one or two
-    rank-matched rows per group survive to a final tiny aggregation.
-    Memory per task is bounded by the sort's spill budget regardless of
-    group size.
+    instead — ONE window pass (non-finite values rank LAST so no
+    pre-filter splits the lineage; Spark's sort spills to disk), the
+    R-6 index comes from a count window sharing the same exchange, and
+    only the one or two rank-matched rows per group (plus one sentinel
+    row for all-non-finite groups, which must still emit NaN) survive
+    to a final tiny aggregation. Memory per task is bounded by the
+    sort's spill budget regardless of group size, and the input is
+    scanned exactly once.
 
-    Output schema, ts conventions (bucket start / min-ts for 0all), and
-    float arithmetic are expression-for-expression the same as
-    ``downsample(func='pNN')`` — pinned by an equivalence test and by
-    q102 sharing q05's oracle. All-non-finite groups yield NaN, as the
-    array path does.
+    ``carry_cols`` ride through to the output via first-per-group (the
+    planner passes the series tag map so result assembly needs no
+    second scan). Output schema, ts conventions (bucket start / min-ts
+    for 0all), and float arithmetic are expression-for-expression the
+    same as ``downsample(func='pNN')`` — pinned by an equivalence test
+    and by q102 sharing q05's oracle.
     """
     from pyspark.sql import Window
 
+    carry = carry_cols or []
     if interval_ms == 0:
         base = df.select(
-            *group_cols, F.col(ts_col), _finite(F.col(value_col)).alias("__v")
-        )
-        spine = base.groupBy(*group_cols).agg(
-            F.min(ts_col).alias(ts_col), F.count("__v").alias("__n")
+            *group_cols, F.col(ts_col), _finite(F.col(value_col)).alias("__v"), *carry
         )
         rank_keys = list(group_cols)
         out_cols = [*group_cols, ts_col]
@@ -178,8 +181,8 @@ def percentile_r6_distributed(
             *group_cols,
             bucket_expr(ts_col, interval_ms).alias(ts_col),
             _finite(F.col(value_col)).alias("__v"),
+            *carry,
         )
-        spine = base.groupBy(*group_cols, ts_col).agg(F.count("__v").alias("__n"))
         rank_keys = [*group_cols, ts_col]
         out_cols = rank_keys
 
@@ -192,50 +195,53 @@ def percentile_r6_distributed(
             return n_col
         return F.lit(p) * (n_col + F.lit(1.0))
 
-    n = F.col("__n").cast("double")
-    idx = r6_idx(n)
-
-    # rank targets come from a COUNT WINDOW over the same partitioning
-    # as the rank window — one exchange, one sort, no spine join on the
-    # big side (a spine join here was a second full scan of the input;
-    # the spine re-enters only for the final group-sized left join so
-    # all-non-finite groups still emit NaN)
-    w = Window.partitionBy(*rank_keys).orderBy(F.col("__v").asc())
+    w = Window.partitionBy(*rank_keys).orderBy(F.col("__v").asc_nulls_last())
     wn = Window.partitionBy(*rank_keys)
-    ranked = base.filter(F.col("__v").isNotNull()).withColumns(
-        {"__rn": F.row_number().over(w), "__nf": F.count(F.lit(1)).over(wn)}
-    )
+    extra = {"__rn": F.row_number().over(w), "__nf": F.count("__v").over(wn)}
+    if interval_ms == 0:
+        extra["__mints"] = F.min(ts_col).over(wn)
+    ranked = base.withColumns(extra)
+
     nf = F.col("__nf").cast("double")
-    idxr = r6_idx(nf)
-    lo_r = (
+    idx = r6_idx(nf)
+    lo = (
         F.when(F.col("__nf") <= 1, F.lit(1))
-        .when(idxr < 1.0, F.lit(1))
-        .when(idxr >= nf, F.col("__nf"))
-        .otherwise(F.floor(idxr).cast("int"))
+        .when(idx < 1.0, F.lit(1))
+        .when(idx >= nf, F.col("__nf"))
+        .otherwise(F.floor(idx).cast("int"))
     )
-    hi_r = (
+    hi = (
         F.when(F.col("__nf") <= 1, F.lit(1))
-        .when(idxr < 1.0, F.lit(1))
-        .when(idxr >= nf, F.col("__nf"))
-        .otherwise(F.floor(idxr).cast("int") + F.lit(1))
+        .when(idx < 1.0, F.lit(1))
+        .when(idx >= nf, F.col("__nf"))
+        .otherwise(F.floor(idx).cast("int") + F.lit(1))
     )
     sel = ranked.filter(
-        (F.col("__rn") == lo_r) | (F.col("__rn") == hi_r)
-    ).withColumns({"__lo": lo_r, "__hi": hi_r})
-    picked = sel.groupBy(*rank_keys).agg(
+        ((F.col("__nf") == 0) & (F.col("__rn") == 1))
+        | (F.col("__rn") == lo)
+        | (F.col("__rn") == hi)
+    ).withColumns({"__lo": lo, "__hi": hi})
+    aggs = [
         F.min(F.when(F.col("__rn") == F.col("__lo"), F.col("__v"))).alias("__vlo"),
         F.min(F.when(F.col("__rn") == F.col("__hi"), F.col("__v"))).alias("__vhi"),
-    )
-    out = spine.join(picked, rank_keys, "left")
-    interp = F.col("__vlo") + (idx - F.floor(idx)) * (F.col("__vhi") - F.col("__vlo"))
+        F.first("__nf").alias("__n"),
+        *[F.first(c).alias(c) for c in carry],
+    ]
+    if interval_ms == 0:
+        aggs.append(F.first("__mints").alias(ts_col))
+    out = sel.groupBy(*rank_keys).agg(*aggs)
+
+    n = F.col("__n").cast("double")
+    idx2 = r6_idx(n)
+    interp = F.col("__vlo") + (idx2 - F.floor(idx2)) * (F.col("__vhi") - F.col("__vlo"))
     result = (
         F.when(F.col("__n") == 0, F.lit(float("nan")))
         .when(F.col("__n") == 1, F.col("__vlo"))
-        .when(idx < 1.0, F.col("__vlo"))
-        .when(idx >= n, F.col("__vlo"))
+        .when(idx2 < 1.0, F.col("__vlo"))
+        .when(idx2 >= n, F.col("__vlo"))
         .otherwise(interp)
     )
-    return out.select(*out_cols, result.alias(out_col))
+    return out.select(*out_cols, result.alias(out_col), *carry)
 
 
 def percentile_approx_downsample(

@@ -261,10 +261,28 @@ class TsdbContext:
         if interval_ms == 0:
             # 0all emits ONE bucket at the ORIGINAL query start:
             # step_down is m_start for m_all (down.cpp:51,245)
-            out = base.groupBy(*keys).agg(
-                downsample_agg_expr(func).alias("value"),
-                F.first("tags").alias("__tags"),
-            ).withColumn("ts", F.lit(start_ms))
+            from ticktock_spark.operators.downsample import (
+                parse_quantile,
+                percentile_r6_distributed,
+            )
+
+            q = parse_quantile(func)
+            if q is not None:
+                # 0all is the one HTTP query shape whose group holds the
+                # ENTIRE range per series — the collect_list percentile
+                # would buffer it all in one agg; route to the
+                # distributed-selection twin (single scan, spillable
+                # sort, identical R-6 values — equivalence-pinned)
+                out = percentile_r6_distributed(
+                    base, keys, q, 0, carry_cols=["tags"]
+                ).select(
+                    *keys, "value", F.col("tags").alias("__tags")
+                ).withColumn("ts", F.lit(start_ms))
+            else:
+                out = base.groupBy(*keys).agg(
+                    downsample_agg_expr(func).alias("value"),
+                    F.first("tags").alias("__tags"),
+                ).withColumn("ts", F.lit(start_ms))
         else:
             out = base.groupBy(*keys, bucket_expr("ts", interval_ms).alias("ts")).agg(
                 downsample_agg_expr(func).alias("value"),
