@@ -1118,3 +1118,47 @@ def test_adopt_streaming_table_enables_compaction(spark, put_dir):
     got = spark.read.parquet(out)
     assert got.count() == 20
     assert len(list(Path(out, "dt=1970-01-01").glob("*.parquet"))) == 1
+
+
+def test_udp_spool_ingest(spark, tmp_path):
+    """UDP datagrams → spool files → file streaming source → parquet.
+
+    Pins the udp.cpp contract: one datagram = one telnet-put line,
+    oversized datagrams dropped (never truncated), multi-listener
+    receive, shutdown flushes partial batches."""
+    import socket
+    import time
+
+    from ticktock_spark.streaming.udp import UdpSpool, stream_udp_lines
+
+    (tmp_path / "spool").mkdir(exist_ok=True)
+    spool = UdpSpool(str(tmp_path / "spool"), batch_lines=4)
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        T = 1_704_067_200_000
+        for i in range(10):
+            tx.sendto(
+                f"put sys.udp {T + i * 1000} {float(i)} host=u".encode(),
+                ("127.0.0.1", spool.port),
+            )
+        tx.sendto(b"x" * 300, ("127.0.0.1", spool.port))  # > max_line: drop
+        deadline = time.time() + 10
+        while time.time() < deadline and not (
+            spool.received == 10 and spool.dropped == 1
+        ):
+            time.sleep(0.05)
+        assert spool.received == 10 and spool.dropped == 1
+        tx.close()
+    finally:
+        spool.stop()  # flushes the partial (10 % 4) batches
+
+    dps = stream_udp_lines(spark, str(tmp_path / "spool"))
+    q = write_datapoints_stream(
+        dps, str(tmp_path / "out"), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 10
+    row = got.filter(f"ts = {T}").collect()[0]
+    assert row["metric"] == "sys.udp" and row["value"] == 0.0
+    assert row["tags"]["host"] == "u"
