@@ -1570,3 +1570,46 @@ def test_knn_quantized_recall(spark):
     assert set(e) == set(g)
     recalls = [len(e[q] & g[q]) / len(e[q]) for q in e]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_chunk_dedup_semantics(spark):
+    """Aligned-tile ExactSubstr semantics: chunk 'a b c' (3-word tiles)
+    duplicated across docs keeps only its (lowest doc, lowest position)
+    occurrence; a within-doc repeat is removed too; a doc that is all
+    repeats survives with empty text and n_kept=0; reassembly preserves
+    original chunk order."""
+    from ticktock_spark.pipeline.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z a b c"),       # tiles: 'a b c','x y z','a b c'
+            (2, "a b c q r s"),             # 'a b c' repeat + unique tile
+            (3, "x y z"),                   # all-repeat doc
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_removed"])
+        for r in chunk_dedup(df, chunk_words=3).collect()
+    }
+    assert got == {
+        1: ("a b c x y z", 2, 1),
+        2: ("q r s", 1, 1),
+        3: ("", 0, 1),
+    }
+
+
+def test_chunk_dedup_hash_key_parity(spark):
+    """The production hash_key=True preset (xxhash64 shuffle key) must
+    produce the identical result as the string-keyed oracle path."""
+    from ticktock_spark.pipeline.dedup import chunk_dedup
+    from ticktock_spark.schema import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    a = chunk_dedup(d, chunk_words=20, hash_key=False).orderBy("doc_id").collect()
+    b = chunk_dedup(d, chunk_words=20, hash_key=True).orderBy("doc_id").collect()
+    assert a == b
+    assert sum(r["n_removed"] for r in a) > 0  # the corpus has tile dups

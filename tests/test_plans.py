@@ -265,3 +265,14 @@ def test_load_table_timezone_guard(spark):
             load_table(spark, "/root/testdata/sf0.001", "events")
     finally:
         spark.conf.set(key, orig)
+
+
+def test_chunk_dedup_single_scan(spark):
+    """chunk_dedup must stay a linear plan: ONE corpus scan, tile
+    explode, a first-occurrence window, a reassembly agg — no
+    flagged-chunk self-join re-executing the explode subtree."""
+    import re
+
+    plan = _plan(spark, "q107_chunk_dedup")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -2810,3 +2810,36 @@ def q106(spark, sf_dir):
     identical codes and products in SQL."""
     e = _table(spark, sf_dir, "embeddings")
     return sim.dequantize_embeddings(sim.quantize_embeddings(e))
+
+
+@register(
+    "q107_chunk_dedup",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL
+    ), chunks AS (
+      SELECT doc_id, u.gs AS cidx,
+             array_to_string(w[(u.gs-1)*20+1 : u.gs*20], ' ') AS chunk
+      FROM words,
+           LATERAL unnest(range(1, CAST(ceil(len(w)/20.0) AS BIGINT) + 1)) u(gs)
+    ), ranked AS (
+      SELECT doc_id, cidx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+      FROM chunks WHERE length(chunk) > 0
+    )
+    SELECT doc_id,
+           coalesce(string_agg(chunk, ' ' ORDER BY cidx)
+                    FILTER (WHERE rn = 1), '') AS text_dedup,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           count(*) FILTER (WHERE rn > 1) AS n_removed
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q107(spark, sf_dir):
+    """Sub-document exact-substring dedup (pipeline/dedup.py
+    chunk_dedup): 20-word aligned tiles, corpus-wide first occurrence
+    wins, documents reassembled from surviving chunks — the passage-
+    level dedup class doc-level exact/MinHash dedup cannot express."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.chunk_dedup(d, chunk_words=20)
