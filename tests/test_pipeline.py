@@ -1613,3 +1613,28 @@ def test_chunk_dedup_hash_key_parity(spark):
     b = chunk_dedup(d, chunk_words=20, hash_key=True).orderBy("doc_id").collect()
     assert a == b
     assert sum(r["n_removed"] for r in a) > 0  # the corpus has tile dups
+
+
+def test_heavy_hitters_exact_under_collisions(spark):
+    """CMS screen + exact recount must equal the all-exact answer even
+    with a tiny sketch (width=4 → heavy collisions → many false
+    candidates): CMS never undercounts, so the recount's HAVING filter
+    restores exactness for any geometry."""
+    from ticktock_spark.pipeline.text import heavy_hitters, tokens
+    from pyspark.sql import functions as F
+
+    rows = [(i, "alpha beta " * 5 + f"rare{i} gamma") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    expected = {
+        ("alpha", 200), ("beta", 200), ("gamma", 40),
+    }
+    for width, depth in [(4, 2), (4096, 4)]:
+        got = {
+            (r["tok"], r["n_occ"])
+            for r in heavy_hitters(df, min_count=40, width=width, depth=depth).collect()
+        }
+        assert got == expected, (width, depth)
+
+    # threshold above every count → empty, never an error
+    assert heavy_hitters(df, min_count=10_000).count() == 0

@@ -2843,3 +2843,26 @@ def q107(spark, sf_dir):
     level dedup class doc-level exact/MinHash dedup cannot express."""
     d = _table(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.chunk_dedup(d, chunk_words=20)
+
+
+@register(
+    "q108_heavy_hitters",
+    f"""
+    WITH nm AS (SELECT {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT unnest(string_split_regex(norm, '\\s+')) AS tok
+      FROM nm WHERE length(norm) > 0
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_occ
+    FROM t GROUP BY tok HAVING count(*) >= 200
+    """,
+)
+def q108(spark, sf_dir):
+    """Heavy hitters via Count-Min screen + exact recount
+    (pipeline/text.py heavy_hitters): tokens with >= 200 corpus
+    occurrences. CMS never undercounts, so the screened-then-recounted
+    output equals the oracle's plain GROUP BY ... HAVING exactly for
+    any sketch geometry."""
+    return tx.heavy_hitters(
+        _table(spark, sf_dir, "documents"), min_count=200
+    )

@@ -1243,3 +1243,69 @@ def vocab_size_stats(
         F.count(F.lit(1)).alias("n_tokens"),
         distinct.cast("long").alias("n_distinct"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    min_count: int,
+    text_col: str = "text",
+    width: int = 4096,
+    depth: int = 4,
+) -> DataFrame:
+    """Tokens occurring at least ``min_count`` times corpus-wide, found
+    via a Count-Min sketch screen + exact recount — the heavy-hitter
+    tier of the sketch family (GK percentile:
+    `operators/downsample.py:percentile_approx_downsample`, HLL
+    distinct: `vocab_size_stats(exact=False)`).
+
+    Why not plain groupBy(token): over an unbounded key domain (URLs,
+    hostnames, n-grams) the exact agg's hash map holds the FULL vocab —
+    per-partition spill and a shuffle row per distinct key at 100 TB.
+    Here pass 1 builds the sketch as ``depth`` bounded-cardinality
+    aggregations (cell key = xxhash64(seed, tok) mod width): map-side
+    combine caps each partition's output at depth x width rows no
+    matter how many distinct tokens it saw, and the collected sketch is
+    <= depth x width cells (driver state ~256 KB — NOT row-scale).
+    Pass 2 re-scans, keeps only occurrences whose sketch estimate
+    (min over rows of the cell counts, embedded as ARRAY LITERALS so
+    the screen is pure JVM expressions — at the default 4x4096 ints
+    the expression tree is ~100 KB; widen via more depth, not width,
+    if that ever matters) reaches ``min_count``, and exactly counts
+    the survivors — the partial-agg map now holds only
+    candidate tokens. CMS never undercounts, so candidates are a
+    guaranteed SUPERSET of the true heavy hitters and the final
+    HAVING-style filter makes the output EXACTLY equal to the
+    all-exact answer (the oracle) for every sketch width/depth.
+
+    Output: (tok, n_occ) with n_occ >= min_count.
+    """
+    tok_stream = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+
+    def _cell(d: int) -> Column:
+        return F.pmod(F.xxhash64(F.lit(d), F.col("tok")), F.lit(width))
+
+    cells = tok_stream.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), _cell(d).alias("w"))
+                for d in range(depth)
+            ])
+        ).alias("c")
+    )
+    sketch_rows = (
+        cells.groupBy("c.d", "c.w").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    sketch = [[0] * width for _ in range(depth)]
+    for r in sketch_rows:
+        sketch[r["d"]][r["w"]] = r["n"]
+
+    est = F.least(*[
+        F.element_at(F.lit(sketch[d]), _cell(d).cast("int") + 1)
+        for d in range(depth)
+    ])
+    return (
+        tok_stream.filter(est >= min_count)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+    )
