@@ -1638,3 +1638,82 @@ def test_heavy_hitters_exact_under_collisions(spark):
 
     # threshold above every count → empty, never an error
     assert heavy_hitters(df, min_count=10_000).count() == 0
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    """pq_encode's literal-expression argmin must agree with a direct
+    numpy PQ encoder (same bucket-mean codebooks) on every vector, and
+    break distance ties toward the lowest code."""
+    import numpy as np
+
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = sim.pq_codebooks(e, m=4)
+    m, dsub, cbd = sim._pq_collect(cb)
+    got = {
+        r["vec_id"]: list(r["codes"]) for r in sim.pq_encode(e, cb).collect()
+    }
+
+    pdf = e.select("vec_id", "embedding").toPandas()
+    for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+        v = np.asarray(list(vec), dtype=np.float64)
+        want = []
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            d2 = [(code, float(((sub - np.asarray(c)) ** 2).sum())) for code, c in cbd[j]]
+            want.append(min(d2, key=lambda t: (t[1], t[0]))[0])
+        assert got[vid] == want, vid
+
+    # tie-break: two identical codewords → lowest code wins
+    tie = spark.createDataFrame(
+        [(0, [1.0, 1.0], 7), (1, [1.0, 1.0], 3), (2, [0.0, 0.0], 5)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    tcb = sim.pq_codebooks(tie, m=1)
+    codes = {r["vec_id"]: list(r["codes"]) for r in sim.pq_encode(tie, tcb).collect()}
+    assert codes[0] == [3] and codes[1] == [3]  # codes 3 and 7 equidistant
+
+
+def test_pq_knn_shape_and_recall(spark):
+    """pq_knn returns a full dense top-k per query with nondecreasing
+    ADC distance (bucket-codebook oracle path), and the PRODUCTION
+    kmeans-trained codebooks (m=16, k=16) recover a usable share of
+    the exact cosine top-10 — on this near-random synthetic corpus the
+    intrinsic PQ ceiling is ~50% recall@10; real clustered embeddings
+    quantize far better."""
+    from pyspark.sql import Window, functions as F
+
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.pq_knn(e, q, k=10, m=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        d = [r["adc_d2"] for r in rows]
+        assert d == sorted(d)
+
+    exact = sim.cosine_scores(e, q)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    top = exact.withColumn("rank", F.row_number().over(w)).filter("rank <= 10").collect()
+    exact_sets = {}
+    for r in top:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    cb = sim.pq_codebooks_kmeans(e, m=16, k=16)
+    trained = sim.pq_knn(e, q, k=10, m=16, codebooks=cb).collect()
+    t_sets = {}
+    for r in trained:
+        t_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    overlap = sum(len(exact_sets[qid] & t_sets[qid]) for qid in range(5))
+    assert overlap >= 12  # measured 23/50; floor leaves partial-sum-drift margin

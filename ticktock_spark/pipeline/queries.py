@@ -2866,3 +2866,80 @@ def q108(spark, sf_dir):
     return tx.heavy_hitters(
         _table(spark, sf_dir, "documents"), min_count=200
     )
+
+
+@register(
+    "q109_pq_knn",
+    f"""
+    WITH nv AS (
+      SELECT vec_id, label,
+             [CAST(x AS DOUBLE) /
+              greatest(sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                                      for y in embedding])), 1e-30)
+              for x in embedding] AS v
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, unnest(generate_series(1, len(v))) AS i,
+             unnest(v) AS x
+      FROM nv
+    ),
+    cm AS (
+      SELECT label, CAST(floor((i-1)/16) AS INT) AS j, i,
+             avg(CAST(x AS DOUBLE)) AS c
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    cb AS (
+      SELECT CAST(label AS INT) AS code, j, list(c ORDER BY i) AS cent
+      FROM cm GROUP BY 1, 2
+    ),
+    enc1 AS (
+      SELECT e.vec_id, cb.j, cb.code,
+             list_sum([(e.v[cb.j*16 + s] - cent[s])
+                       * (e.v[cb.j*16 + s] - cent[s])
+                       for s in generate_series(1, 16)]) AS d2
+      FROM nv e, cb
+    ),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, code) AS rn
+        FROM enc1
+      ) WHERE rn = 1
+    ),
+    qt AS (
+      SELECT q.vec_id AS query_id, cb.j, cb.code,
+             list_sum([(q.v[cb.j*16 + s] - cent[s])
+                       * (q.v[cb.j*16 + s] - cent[s])
+                       for s in generate_series(1, 16)]) AS qd
+      FROM nv q, cb WHERE q.vec_id < 5
+    ),
+    sc AS (
+      SELECT qt.query_id, c.vec_id,
+             {_Q6.format(x='sum(qt.qd)')} AS adc_d2
+      FROM codes c JOIN qt ON qt.j = c.j AND qt.code = c.code
+      WHERE c.vec_id <> qt.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_d2, rank FROM (
+      SELECT query_id, vec_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS rank
+      FROM sc
+    ) WHERE rank <= 10
+    """,
+)
+def q109(spark, sf_dir):
+    """PQ-ADC approximate top-10 for 5 query vectors
+    (pipeline/similarity.py pq_knn): dim-64 vectors quantized to m=4
+    codes against bucket-mean codebooks; candidates scored by m table
+    lookups on the code side only — the codes-not-vectors scan that
+    makes PQ the 100 TB ANN tier. Ranking on the 6-decimal-quantized
+    ADC distance with id tiebreak; the oracle replicates codebooks,
+    encoding, and tables in SQL."""
+    e = _table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.pq_knn(e, q, k=10, m=4)

@@ -563,10 +563,14 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "km",
+    metric: str = "cos",
 ):
     """Deterministic Lloyd k-means for the IVF coarse quantizer (the
     "few Lloyd iterations with the same groupBy-average" promised by
     ivf_centroids, for corpora without a usable bucket column).
+    ``metric='l2'`` switches to plain Euclidean Lloyd (min-L2
+    assignment, unnormalized mean centroids) — the subspace-quantizer
+    flavor PQ codebook training needs.
 
     Scale shape — the model is tiny, the data is huge, so:
     - centroids (k × dim floats) live on the DRIVER and ship to tasks in
@@ -596,11 +600,21 @@ def kmeans_lloyd(
     )
     if len(seeds) < k:
         raise ValueError(f"corpus has fewer than k={k} rows")
+    if metric not in ("cos", "l2"):
+        raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
+    spherical = metric == "cos"
     C = np.array([list(r[vec_col]) for r in seeds], dtype=np.float64)
-    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    if spherical:
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
 
     def _norm_rows(M):
         return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+
+    def _assign_rows(X, Cn):
+        if spherical:
+            return (_norm_rows(X) @ Cn.T).argmax(axis=1)
+        # argmin ||x-c||^2 = argmin -2x.c + ||c||^2 (ties -> lowest index)
+        return (-2.0 * (X @ Cn.T) + (Cn * Cn).sum(axis=1)).argmin(axis=1)
 
     def _partials(Cn):
         def fn(pdfs):
@@ -610,7 +624,7 @@ def kmeans_lloyd(
                 if not len(pdf):
                     continue
                 X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                a = (_norm_rows(X) @ Cn.T).argmax(axis=1)
+                a = _assign_rows(X, Cn)
                 for j in range(len(Cn)):
                     m = a == j
                     if m.any():
@@ -635,7 +649,7 @@ def kmeans_lloyd(
         newC = C.copy()
         nz = n > 0
         newC[nz] = S[nz] / n[nz, None]
-        C = _norm_rows(newC)
+        C = _norm_rows(newC) if spherical else newC
 
     Cn = C
 
@@ -644,7 +658,7 @@ def kmeans_lloyd(
             if not len(pdf):
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            a = (_norm_rows(X) @ Cn.T).argmax(axis=1)
+            a = _assign_rows(X, Cn)
             yield pd.DataFrame({id_col: pdf[id_col], "bucket": a.astype("int32")})
 
     id_type = dict(corpus.dtypes)[id_col]
@@ -857,3 +871,237 @@ def knn_quantized(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _unit_vec(vec: Column) -> Column:
+    """Unit-normalize an array<double> column. Pass a MATERIALIZED
+    column (not a computed expression): both the norm fold and the
+    per-element division reference it, and interpreted HOFs re-inline
+    argument expressions per element (the shingles() no-CSE rule). The
+    norm scalar itself is bound through a one-element array so it
+    evaluates once per row, not once per dimension."""
+    n2 = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    n = F.greatest(F.sqrt(n2), F.lit(1e-30))
+    return F.element_at(
+        F.transform(F.array(n), lambda nn: F.transform(vec, lambda x: x / nn)), 1
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    bucket_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks derived from a bucket column: the
+    vector is split into ``m`` equal subspaces and each bucket's mean
+    subvector becomes one codeword — (j, code, centroid) rows, code =
+    bucket value. Deterministic and SQL-replicable (the same
+    per-(bucket, dim) average trick as ivf_centroids); for corpora
+    without a usable bucket column, train per-subspace codebooks with
+    kmeans_lloyd over the sliced subvectors instead (parity-tested, not
+    an oracle path).
+
+    Vectors are unit-normalized first (squared L2 on unit vectors is
+    2 - 2cos, so downstream ADC ranking approximates COSINE order —
+    the metric every other tier here ranks by).
+
+    Scale shape: one explode scan, two map-side-combined aggs keyed by
+    (bucket, dim) — output is m x k tiny rows; the corpus is never
+    collected.
+    """
+    sized = corpus.select(
+        bucket_col, F.col(vec_col).cast("array<double>").alias("_v0")
+    ).select(bucket_col, _unit_vec(F.col("_v0")).alias("v"))
+    dim = sized.select(F.size("v")).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ex = sized.select(bucket_col, F.posexplode("v").alias("i", "x"))
+    return (
+        ex.groupBy(bucket_col, (F.col("i") / dsub).cast("int").alias("j"), F.col("i"))
+        .agg(F.avg("x").alias("c"))
+        .groupBy(F.col(bucket_col).cast("int").alias("code"), "j")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("j", "code", F.transform("ic", lambda s: s["c"]).alias("centroid"))
+    )
+
+
+def _pq_collect(codebooks: DataFrame) -> tuple[int, int, dict]:
+    """codebooks DF -> (m, dsub, {j: [(code, centroid), ...] code-asc})."""
+    rows = codebooks.collect()
+    cb: dict[int, list] = {}
+    for r in rows:
+        cb.setdefault(r["j"], []).append((r["code"], list(r["centroid"])))
+    for j in cb:
+        cb[j].sort()
+    m = len(cb)
+    dsub = len(cb[0][0][1])
+    return m, dsub, cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each UNIT-NORMALIZED vector as ``m`` small codes: per
+    subspace, the codeword minimizing squared L2 distance (ties to the
+    lowest code) — on unit vectors ADC then approximates cosine order.
+    Output (id, codes array<int>) — at dim=64/m=4 that is 64 floats →
+    4 bytes per vector, the ~64x index shrink PQ exists for.
+
+    Scale shape: the collected codebook (m x k x dsub doubles — model
+    state, not data) is embedded as literal expressions, so encoding is
+    ONE corpus scan of pure JVM expressions: no shuffle, no Python, no
+    join. Subvectors are materialized as columns first (the
+    interpreted-HOF no-CSE rule), costing m x k fused
+    zip_with/aggregate folds per row.
+    """
+    m, dsub, cb = _pq_collect(codebooks)
+    subs = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v0"))
+        .select(F.col(id_col), _unit_vec(F.col("_v0")).alias("_vn"))
+        .select(
+            F.col(id_col),
+            *[F.slice("_vn", j * dsub + 1, dsub).alias(f"_s{j}") for j in range(m)],
+        )
+    )
+
+    def d2(j: int, cent: list) -> Column:
+        diff = F.zip_with(F.col(f"_s{j}"), F.lit(cent), lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    codes = [
+        F.array_min(
+            F.array(*[
+                F.struct(d2(j, cent).alias("d"), F.lit(code).cast("int").alias("code"))
+                for code, cent in cb[j]
+            ])
+        )["code"]
+        for j in range(m)
+    ]
+    return subs.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): corpus vectors
+    are replaced by their PQ codes; each query precomputes an m x k
+    table of squared subspace distances to every codeword (driver-side
+    numpy — the query set is small) and scores a candidate as the sum
+    of m table lookups. Completes the ANN tier list (brute force → SRP
+    / IVF → int8 → PQ): at 100 TB the scored side carries CODES (a few
+    bytes/vector), not embeddings — the scan is a table-lookup fold,
+    no float vector math per candidate.
+
+    Deterministic: codebooks are bucket-mean-derived (pq_codebooks),
+    distances ranked on the 6-decimal-quantized ADC with id tiebreak —
+    the DuckDB oracle reproduces the output exactly. Output:
+    (query_id, vec_id, adc_d2, rank).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cbdf = codebooks if codebooks is not None else pq_codebooks(corpus, m=m, bucket_col=bucket_col, vec_col=vec_col)
+    mm, dsub, cb = _pq_collect(cbdf)
+    codes = pq_encode(corpus, cbdf, id_col=id_col, vec_col=vec_col)
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    probe_rows = []
+    for qid, vec in zip(qpdf[query_id_col], qpdf[vec_col]):
+        q = np.asarray(list(vec), dtype=np.float64)
+        q = q / max(float(np.linalg.norm(q)), 1e-30)  # match _unit_vec
+        tbl = []
+        for j in range(mm):
+            sub = q[j * dsub : (j + 1) * dsub]
+            tbl.append([
+                float(((sub - np.asarray(cent)) ** 2).sum()) for _, cent in cb[j]
+            ])
+        probe_rows.append((int(qid), tbl))
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, tbl array<array<double>>"
+    )
+
+    # code value -> position in the code-asc table row
+    code_pos = {code: i + 1 for i, (code, _) in enumerate(cb[0])}
+    pos = F.transform(
+        F.col("codes"),
+        lambda c: F.element_at(
+            F.map_from_arrays(
+                F.lit([int(c0) for c0 in code_pos]),
+                F.lit([int(p) for p in code_pos.values()]),
+            ),
+            c,
+        ),
+    )
+    cand = codes.withColumn("_pos", pos).crossJoin(F.broadcast(probes)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(mm)),
+            F.col("_pos"),
+            lambda j, p: F.element_at(F.element_at(F.col("tbl"), j), p),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(query_id_col, id_col, _q6col(adc).alias("adc_d2"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_d2").asc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "pq",
+) -> DataFrame:
+    """Production PQ codebooks: per-subspace Euclidean Lloyd k-means
+    over the unit-normalized subvectors (kmeans_lloyd metric='l2' —
+    zero-shuffle partial-sum iterations, k x dsub driver state per
+    subspace). Output shape matches pq_codebooks, so pq_encode/pq_knn
+    take either.
+
+    Scale note: codebook training does not need the full corpus — at
+    100 TB pass a hash_sample'd slice (a few million vectors) as
+    ``corpus``; encode/score then run over everything with the trained
+    book. m sequential trainings re-scan the (sampled) input; each
+    iteration is one scan with no shuffle.
+    """
+    spark = corpus.sparkSession
+    sliced = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v0"))
+        .select(F.col(id_col), _unit_vec(F.col("_v0")).alias("_vn"))
+    )
+    dim = sliced.select(F.size("_vn")).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rows = []
+    for j in range(m):
+        sub = sliced.select(
+            F.col(id_col), F.slice("_vn", j * dsub + 1, dsub).alias("sub")
+        )
+        _, cents = kmeans_lloyd(
+            sub, k=k, iters=iters, id_col=id_col, vec_col="sub",
+            seed=f"{seed}{j}", metric="l2",
+        )
+        rows += [
+            (j, code, [float(x) for x in cent]) for code, cent in enumerate(cents)
+        ]
+    return spark.createDataFrame(rows, "j int, code int, centroid array<double>")

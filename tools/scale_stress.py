@@ -147,6 +147,17 @@ def main():
         "scrub_boilerplate",
         lambda: tx.scrub_boilerplate(docs, min_docs=3).count(),
     )
+    # exact replication is chunk_dedup's worst case: every tile becomes
+    # an N-member duplicate group, so the first-occurrence window sees
+    # maximal fan-in per key
+    timed(
+        "chunk_dedup",
+        lambda: dd.chunk_dedup(docs, hash_key=True).count(),
+    )
+    timed(
+        "heavy_hitters",
+        lambda: tx.heavy_hitters(docs, min_count=200 * n).count(),
+    )
     timed(
         "token_budget_cap",
         lambda: sp.token_budget_cap(
