@@ -1717,3 +1717,19 @@ def test_pq_knn_shape_and_recall(spark):
         t_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
     overlap = sum(len(exact_sets[qid] & t_sets[qid]) for qid in range(5))
     assert overlap >= 12  # measured 23/50; floor leaves partial-sum-drift margin
+
+
+def test_pq_encode_engine_parity(spark):
+    """The production numpy encoder must emit the identical codes as the
+    oracle expression engine — both codebook flavors."""
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for cb, m in [(sim.pq_codebooks(e, m=4), 4),
+                  (sim.pq_codebooks_kmeans(e, m=16, k=16), 16)]:
+        a = {r["vec_id"]: list(r["codes"])
+             for r in sim.pq_encode(e, cb, engine="expr").collect()}
+        b = {r["vec_id"]: list(r["codes"])
+             for r in sim.pq_encode(e, cb, engine="numpy").collect()}
+        assert a == b, m

@@ -945,6 +945,7 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "expr",
 ) -> DataFrame:
     """Encode each UNIT-NORMALIZED vector as ``m`` small codes: per
     subspace, the codeword minimizing squared L2 distance (ties to the
@@ -952,13 +953,28 @@ def pq_encode(
     Output (id, codes array<int>) — at dim=64/m=4 that is 64 floats →
     4 bytes per vector, the ~64x index shrink PQ exists for.
 
-    Scale shape: the collected codebook (m x k x dsub doubles — model
-    state, not data) is embedded as literal expressions, so encoding is
-    ONE corpus scan of pure JVM expressions: no shuffle, no Python, no
-    join. Subvectors are materialized as columns first (the
-    interpreted-HOF no-CSE rule), costing m x k fused
-    zip_with/aggregate folds per row.
+    Two engines, one scan and no shuffle either way:
+    - ``'expr'`` (default, the oracle path): the collected codebook
+      (m x k x dsub doubles — model state, not data) is embedded as
+      literal expressions; m x k fused zip_with/aggregate folds per
+      row. Array folds are interpreted (CodegenFallback), so this
+      costs ~m x k x dsub interpreted ops per row — fine for oracle
+      runs, wrong for bulk encoding (measured 0.3 ms/row at
+      m=16, k=16).
+    - ``'numpy'`` (the production path): Arrow-batched mapInPandas;
+      each batch encodes with one (batch x k) matmul per subspace —
+      dense pairwise linear algebra is exactly where the interpreted
+      folds lose (same rationale as cosine_neardup_pairs' kernel).
+      Measured 10.5x faster at m=16, k=16 (32k vectors: 0.76 s vs
+      7.97 s); argmin tie-break to the lowest code matches 'expr'
+      (numpy argmin takes the first minimum), parity-pinned by test.
+    Subvectors are materialized as columns first (the interpreted-HOF
+    no-CSE rule).
     """
+    if engine == "numpy":
+        return _pq_encode_numpy(corpus, codebooks, id_col, vec_col)
+    if engine != "expr":
+        raise ValueError(f"engine must be 'expr' or 'numpy', got {engine!r}")
     m, dsub, cb = _pq_collect(codebooks)
     subs = (
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v0"))
@@ -985,6 +1001,44 @@ def pq_encode(
     return subs.select(id_col, F.array(*codes).alias("codes"))
 
 
+def _pq_encode_numpy(
+    corpus: DataFrame, codebooks: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Arrow-batched PQ encoder: per batch and subspace, squared
+    distances via ||x||^2 - 2 x.C^T + ||c||^2 and a first-minimum
+    argmin (= ties to lowest code). Normalization matches _unit_vec's
+    1e-30 floor. The codebook ships in the task closure (model state)."""
+    import numpy as np
+    import pandas as pd
+
+    m, dsub, cb = _pq_collect(codebooks)
+    books = [np.asarray([c for _, c in cb[j]], dtype=np.float64) for j in range(m)]
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def enc(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+            cols = []
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                Cj = books[j]
+                d = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ Cj.T)
+                    + (Cj * Cj).sum(axis=1)
+                )
+                cols.append(d.argmin(axis=1))
+            codes = np.stack(cols, axis=1).astype("int32")
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} {id_type}, codes array<int>"
+    )
+
+
 def pq_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -995,6 +1049,7 @@ def pq_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     codebooks: DataFrame | None = None,
+    engine: str = "expr",
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance (ADC): corpus vectors
     are replaced by their PQ codes; each query precomputes an m x k
@@ -1015,7 +1070,7 @@ def pq_knn(
     spark = corpus.sparkSession
     cbdf = codebooks if codebooks is not None else pq_codebooks(corpus, m=m, bucket_col=bucket_col, vec_col=vec_col)
     mm, dsub, cb = _pq_collect(cbdf)
-    codes = pq_encode(corpus, cbdf, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cbdf, id_col=id_col, vec_col=vec_col, engine=engine)
 
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     probe_rows = []
