@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q100_semantic_dedup",        # SRP-bucketed cosine pairs → CC closure
     "q101_source_cap",            # per-source caps (WindowGroupLimit)
     "q102_percentile_distributed",  # mega-bucket-safe R-6 percentile
+    "q107_chunk_dedup",           # sub-document tile dedup (window + reassembly)
 ]
 
 

@@ -1733,3 +1733,78 @@ def test_pq_encode_engine_parity(spark):
         b = {r["vec_id"]: list(r["codes"])
              for r in sim.pq_encode(e, cb, engine="numpy").collect()}
         assert a == b, m
+
+
+def test_ivfpq_index_pruning_and_parity(spark, tmp_path):
+    """write_ivfpq_index lays PQ codes out partitioned by the coarse
+    bucket; ivfpq_index_knn's probe becomes a literal partition filter
+    on the codes scan, and its ranking equals ADC-scoring the probed
+    buckets' codes directly (structural parity)."""
+    from ticktock_spark.pipeline import similarity as sim
+    from ticktock_spark.schema import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = corpus.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(corpus, path, nlist=8, m=4, kc=16)
+
+    got = sim.ivfpq_index_knn(spark, path, queries, k=5, nprobe=2)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for g in by_q.values():
+        g.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in g] == list(range(1, 6))
+        d = [r["adc_d2"] for r in g]
+        assert d == sorted(d)
+
+    # pruning proof: bucket IN (...) lands in the codes scan's
+    # PartitionFilters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    part_filters = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "bucket" in ln
+    ]
+    assert part_filters and all("IN" in ln.upper() for ln in part_filters), plan[:2000]
+
+    # structural parity: manually ADC-score the probed buckets
+    cbdf = spark.read.parquet(f"{path}/codes")
+    cent = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    mm, dsub, cb = sim._pq_collect(books)
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            F.col("query_id"), "bucket",
+            sim.cosine(F.col("embedding"), F.col("centroid")).alias("cs"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("bucket"))
+    pb = {
+        (r["query_id"], r["bucket"])
+        for r in probes.withColumn("r", F.row_number().over(w))
+        .filter("r <= 2").collect()
+    }
+    tbls = dict(sim._pq_query_rows(queries, cb, mm, dsub, "query_id", "embedding"))
+    code_rows = cbdf.collect()
+    pos = {code: i for i, (code, _) in enumerate(cb[0])}
+    want = {}
+    for qid in (0, 1, 2):
+        cands = []
+        for r in code_rows:
+            if (qid, r["bucket"]) not in pb or r["vec_id"] == qid:
+                continue
+            d = sum(tbls[qid][j][pos[c]] for j, c in enumerate(r["codes"]))
+            d = __import__("math").floor(d * 1e6 + 0.5) / 1e6
+            cands.append((d, r["vec_id"]))
+        cands.sort()
+        want[qid] = [v for _, v in cands[:5]]
+    got_ids = {qid: [r["vec_id"] for r in sorted(g, key=lambda r: r["rank"])]
+               for qid, g in by_q.items()}
+    assert got_ids == want

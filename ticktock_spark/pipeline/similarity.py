@@ -1039,6 +1039,55 @@ def _pq_encode_numpy(
     )
 
 
+def _pq_query_rows(
+    queries: DataFrame, cb: dict, m: int, dsub: int,
+    query_id_col: str, vec_col: str,
+) -> list:
+    """Driver-side ADC tables: per query, an m x k matrix of squared
+    subspace distances to every codeword (query unit-normalized to
+    match _unit_vec). The query set is small by contract."""
+    import numpy as np
+
+    rows = []
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    for qid, vec in zip(qpdf[query_id_col], qpdf[vec_col]):
+        q = np.asarray(list(vec), dtype=np.float64)
+        q = q / max(float(np.linalg.norm(q)), 1e-30)
+        tbl = []
+        for j in range(m):
+            sub = q[j * dsub : (j + 1) * dsub]
+            tbl.append([
+                float(((sub - np.asarray(cent)) ** 2).sum()) for _, cent in cb[j]
+            ])
+        rows.append((int(qid), tbl))
+    return rows
+
+
+def _pq_pos_col(cb: dict) -> Column:
+    """codes array -> 1-based positions into the code-asc ADC table row
+    (codes need not be dense/zero-based — bucket values work)."""
+    code_pos = {code: i + 1 for i, (code, _) in enumerate(cb[0])}
+    pos_map = F.map_from_arrays(
+        F.lit([int(c0) for c0 in code_pos]),
+        F.lit([int(p) for p in code_pos.values()]),
+    )
+    return F.transform(F.col("codes"), lambda c: F.element_at(pos_map, c))
+
+
+def _pq_adc_col(m: int) -> Column:
+    """Sum of m ADC table lookups (expects `_pos` and `tbl` columns);
+    ordered fold, so the double sum is bit-stable across engines."""
+    return F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.col("_pos"),
+            lambda j, p: F.element_at(F.element_at(F.col("tbl"), j), p),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1072,47 +1121,14 @@ def pq_knn(
     mm, dsub, cb = _pq_collect(cbdf)
     codes = pq_encode(corpus, cbdf, id_col=id_col, vec_col=vec_col, engine=engine)
 
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
-    probe_rows = []
-    for qid, vec in zip(qpdf[query_id_col], qpdf[vec_col]):
-        q = np.asarray(list(vec), dtype=np.float64)
-        q = q / max(float(np.linalg.norm(q)), 1e-30)  # match _unit_vec
-        tbl = []
-        for j in range(mm):
-            sub = q[j * dsub : (j + 1) * dsub]
-            tbl.append([
-                float(((sub - np.asarray(cent)) ** 2).sum()) for _, cent in cb[j]
-            ])
-        probe_rows.append((int(qid), tbl))
     probes = spark.createDataFrame(
-        probe_rows, f"{query_id_col} long, tbl array<array<double>>"
+        _pq_query_rows(queries, cb, mm, dsub, query_id_col, vec_col),
+        f"{query_id_col} long, tbl array<array<double>>",
     )
-
-    # code value -> position in the code-asc table row
-    code_pos = {code: i + 1 for i, (code, _) in enumerate(cb[0])}
-    pos = F.transform(
-        F.col("codes"),
-        lambda c: F.element_at(
-            F.map_from_arrays(
-                F.lit([int(c0) for c0 in code_pos]),
-                F.lit([int(p) for p in code_pos.values()]),
-            ),
-            c,
-        ),
-    )
-    cand = codes.withColumn("_pos", pos).crossJoin(F.broadcast(probes)).filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
-    adc = F.aggregate(
-        F.zip_with(
-            F.sequence(F.lit(1), F.lit(mm)),
-            F.col("_pos"),
-            lambda j, p: F.element_at(F.element_at(F.col("tbl"), j), p),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = cand.select(query_id_col, id_col, _q6col(adc).alias("adc_d2"))
+    cand = codes.withColumn("_pos", _pq_pos_col(cb)).crossJoin(
+        F.broadcast(probes)
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.select(query_id_col, id_col, _q6col(_pq_adc_col(mm)).alias("adc_d2"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("adc_d2").asc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -1160,3 +1176,98 @@ def pq_codebooks_kmeans(
             (j, code, [float(x) for x in cent]) for code, cent in enumerate(cents)
         ]
     return spark.createDataFrame(rows, "j int, code int, centroid array<double>")
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 8,
+    m: int = 4,
+    kc: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    engine: str = "numpy",
+    train: DataFrame | None = None,
+) -> None:
+    """Materialize an IVF+PQ (IVFADC) index — the standard huge-corpus
+    ANN layout: a coarse k-means quantizer (``nlist`` spherical-Lloyd
+    buckets) partitions the PQ CODES on storage; per-subspace codebooks
+    and coarse centroids sit alongside. A probed query then reads
+    nprobe/nlist of a codes table that is itself ~dim·4/m bytes-per-
+    vector smaller than the embeddings — the two reductions compose
+    (e.g. nprobe=2/nlist=8 over 64-float vectors at m=4: ~1/250th of
+    the raw scan bytes).
+
+    Codes quantize the RAW unit vector, not the FAISS residual
+    (x − centroid): residual codebooks can't be replicated in plain SQL
+    and the raw variant keeps pq_encode/pq_knn's oracle-tested kernels;
+    the cost is somewhat coarser quantization per bucket. ``train``
+    (default: the corpus) lets both trainings run on a hash-sample at
+    100 TB; model state is nlist×dim + m×kc×dsub driver floats.
+    """
+    tr = train if train is not None else corpus
+    assignments, cents = kmeans_lloyd(
+        corpus, k=nlist, iters=iters, id_col=id_col, vec_col=vec_col, seed="ivfpq"
+    )
+    cb = pq_codebooks_kmeans(tr, m=m, k=kc, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col, engine=engine)
+    spark = corpus.sparkSession
+    codes.join(assignments, id_col).write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "bucket int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_index_knn(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k against a written IVFADC index: probe selection on the tiny
+    centroid table (max cosine, kmeans_lloyd's assignment metric), the
+    probed bucket ids inlined as a literal predicate that lands in the
+    codes scan's PartitionFilters (same static-pruning trade as
+    ivf_index_knn), then ADC scoring of ONLY the probed buckets' codes
+    against per-query distance tables. Output (query_id, vec_id,
+    adc_d2, rank) — same ranking contract as pq_knn.
+    """
+    cent = spark.read.parquet(f"{path}/centroids")
+    cbdf = spark.read.parquet(f"{path}/codebooks")
+    mm, dsub, cb = _pq_collect(cbdf)
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    pscore = q.crossJoin(F.broadcast(cent)).select(
+        query_id_col, "bucket",
+        cosine(F.col("__qvec"), F.col("centroid")).alias("cs"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cs").desc(), F.col("bucket"))
+    probes = pscore.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= nprobe
+    ).select(query_id_col, "bucket")
+    bucket_ids = sorted({r["bucket"] for r in probes.distinct().collect()})
+
+    tbls = spark.createDataFrame(
+        _pq_query_rows(queries, cb, mm, dsub, query_id_col, vec_col),
+        f"{query_id_col} long, tbl array<array<double>>",
+    )
+    probe_tbls = probes.join(tbls, query_id_col)  # tiny x tiny
+
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("bucket").isin(bucket_ids)
+    )
+    cand = codes.withColumn("_pos", _pq_pos_col(cb)).join(
+        F.broadcast(probe_tbls), "bucket"
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.select(query_id_col, id_col, _q6col(_pq_adc_col(mm)).alias("adc_d2"))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("adc_d2").asc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
