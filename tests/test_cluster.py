@@ -278,3 +278,47 @@ def test_funnel_matches_naive_on_random_events(spark):
         r = got[u]
         for s in stages:
             assert r[f"t_{s}"] == expected[s], (u, s, dict(r.asDict()), expected)
+
+
+def test_prepare_corpus_composition(spark):
+    """Pins the release composition: failing-quality docs never reach
+    dedup; an exact-dup group collapses to its min id with the copy
+    count BEFORE the source cap (a mega-duplicated page consumes one
+    cap slot, not n); the cap drops the per-source overflow; every
+    surviving doc gets exactly one split."""
+    from ticktock_spark.pipeline.sample import prepare_corpus
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and runs far"] * 6
+    )  # 66 words, stopword-rich, all-alpha
+    other = " ".join(
+        ["his big cat sat on that warm mat and then slept well"] * 6
+    )
+    third = " ".join(
+        ["we saw the old ship sail out into the open bay today"] * 6
+    )
+    rows = [
+        (1, good, "en", "s1"),
+        (2, good, "en", "s1"),    # exact dup of 1
+        (3, good, "en", "s1"),    # exact dup of 1
+        (4, other, "en", "s1"),
+        (5, third, "en", "s1"),
+        (6, "too short", "en", "s1"),          # fails word count
+        (7, "x " * 60, "en", "s2"),            # fails stopwords/alpha ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    out = {r["doc_id"]: r for r in prepare_corpus(df, source_cap=2).collect()}
+    # quality failures gone entirely
+    assert 6 not in out and 7 not in out
+    # dup group -> canonical id 1 with 3 copies; ids 2,3 gone
+    assert 2 not in out and 3 not in out
+    # s1 has 3 canonical survivors (1, 4, 5) but cap=2 keeps exactly 2
+    assert len(out) == 2 and all(r["source"] == "s1" for r in out.values())
+    kept = sorted(out)
+    for did in kept:
+        r = out[did]
+        assert r["source_total"] == 3 and r["pick"] in (1, 2)
+        assert r["split"] in ("train", "valid", "test")
+    if 1 in out:
+        assert out[1]["n_copies"] == 3

@@ -2943,3 +2943,74 @@ def q109(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.pq_knn(e, q, k=10, m=4)
+
+
+@register(
+    "q110_prepare_corpus",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_RAWTOKS}) AS n_words,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_chars,
+             len(regexp_extract_all(text, '#|\\.\\.\\.', 0)) AS n_sym,
+             len({_LINES}) AS n_lines,
+             len([l for l in {_LINES} if regexp_matches(ltrim(l), '^[-*•]')])
+               AS n_bullet,
+             len([l for l in {_LINES} if regexp_matches(rtrim(l), '\\.\\.\\.$')])
+               AS n_ellipsis,
+             len([t for t in {_RAWTOKS} if regexp_matches(t, '[A-Za-z]')])
+               AS n_alpha,
+             {_SW['en']} AS sw
+      FROM documents
+    ),
+    keepers AS (
+      SELECT doc_id, n_words FROM s
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND n_words > 0 AND CAST(n_chars AS DOUBLE) / n_words >= 3.0
+                        AND CAST(n_chars AS DOUBLE) / n_words <= 10.0
+        AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+        AND CAST(n_bullet AS DOUBLE) / n_lines < 0.9
+        AND CAST(n_ellipsis AS DOUBLE) / n_lines < 0.3
+        AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+        AND sw >= 2
+    ),
+    k AS (
+      SELECT d.doc_id, d.lang, d.source, md5(d.text) AS digest, keepers.n_words
+      FROM documents d JOIN keepers USING (doc_id)
+    ),
+    dd AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY digest) AS n_copies
+      FROM k
+    ),
+    sv AS (SELECT doc_id, lang, source, n_words, n_copies FROM dd WHERE rn = 1),
+    capped AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id
+             ) AS pick,
+             count(*) OVER (PARTITION BY source) AS source_total
+      FROM sv
+    )
+    SELECT doc_id, lang, source, CAST(n_words AS INT) AS n_words,
+           CAST(n_copies AS BIGINT) AS n_copies, CAST(pick AS INT) AS pick,
+           CAST(source_total AS BIGINT) AS source_total,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '19999999' THEN 'test'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'train'
+                ELSE 'valid' END AS split
+    FROM capped WHERE pick <= 40
+    """,
+)
+def q110(spark, sf_dir):
+    """End-to-end corpus release (pipeline/sample.py prepare_corpus):
+    Gopher filter → exact dedup (min-id canonical, copy counts) →
+    per-source cap (40) → deterministic 80/10/10 split — the staged
+    composition pinned as one oracle query, text dropped before the
+    first shuffle."""
+    d = _table(spark, sf_dir, "documents")
+    return sp.prepare_corpus(d, source_cap=40)

@@ -332,3 +332,57 @@ def mixture_plan(
     ).select(
         strata_col, "available_tokens", "target_tokens", "rate", "shortfall"
     )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    source_cap: int = 40,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end corpus release: the composition a training-data
+    pipeline actually ships — Gopher quality filter → exact dedup
+    (min-id canonical survives, copies counted) → per-source cap →
+    deterministic train/valid/test split. One call, one auditable
+    metadata table out: (id, lang, source, n_words, n_copies, pick,
+    source_total, split).
+
+    Every stage is the already-oracle-pinned operator (q66, q33, q101,
+    q45); this entry pins the COMPOSITION — stage order (filter before
+    dedup: don't pay digest shuffles for docs quality will drop; dedup
+    before cap: a mega-duplicated page mustn't consume its source's
+    cap) and the column handoffs between stages.
+
+    Scale shape: text is read once (quality scan + digest) and dropped
+    before the first shuffle — the dedup window, cap window, and split
+    hash carry metadata-width rows only. The cap keeps
+    per_source_cap's WindowGroupLimit property (rank filter directly
+    over the window).
+    """
+    from ticktock_spark.pipeline.text import gopher_quality_flags
+
+    keep = gopher_quality_flags(docs, text_col=text_col, id_col=id_col).filter(
+        "keep"
+    ).select(id_col, "n_words")
+    base = (
+        docs.select(
+            F.col(id_col), "lang", "source", F.md5(F.col(text_col)).alias("_digest")
+        )
+        .join(keep, id_col)
+    )
+    wd = Window.partitionBy("_digest")
+    dd = base.withColumns(
+        {
+            "_rn": F.row_number().over(wd.orderBy(F.col(id_col).asc())),
+            "n_copies": F.count(F.lit(1)).over(wd),
+        }
+    ).filter(F.col("_rn") == 1)
+    capped = per_source_cap(dd, cap=source_cap, id_col=id_col).select(
+        id_col, "pick", "source_total"
+    )
+    out = dd.select(id_col, "lang", "source", "n_words", "n_copies").join(
+        capped, id_col
+    )
+    return split_assign(out, weights or {"train": 0.8, "valid": 0.1, "test": 0.1},
+                        id_col=id_col)
