@@ -1808,3 +1808,35 @@ def test_ivfpq_index_pruning_and_parity(spark, tmp_path):
     got_ids = {qid: [r["vec_id"] for r in sorted(g, key=lambda r: r["rank"])]
                for qid, g in by_q.items()}
     assert got_ids == want
+
+
+def test_chunk_dedup_incremental_semantics(spark):
+    """Incremental tile dedup: tiles in the standing index are dropped
+    even as a batch's first occurrence; within-batch repeats follow
+    chunk_dedup's first-occurrence rule; an empty index reduces to
+    plain chunk_dedup."""
+    from ticktock_spark.pipeline.dedup import (
+        chunk_dedup, chunk_dedup_incremental, chunk_index,
+    )
+
+    old = spark.createDataFrame(
+        [(100, "a b c x y z")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "a b c q r s"),    # 'a b c' indexed → dropped
+            (2, "q r s t u v"),    # 'q r s' = batch repeat of doc 1's tile
+        ],
+        "doc_id long, text string",
+    )
+    idx = chunk_index(old, chunk_words=3)
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_removed"])
+        for r in chunk_dedup_incremental(batch, idx, chunk_words=3).collect()
+    }
+    assert got == {1: ("q r s", 1, 1), 2: ("t u v", 1, 1)}
+
+    empty_idx = chunk_index(old.filter("doc_id < 0"), chunk_words=3)
+    a = chunk_dedup_incremental(batch, empty_idx, chunk_words=3).orderBy("doc_id").collect()
+    b = chunk_dedup(batch, chunk_words=3).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

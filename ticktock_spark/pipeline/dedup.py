@@ -978,3 +978,98 @@ def chunk_dedup(
         F.sum(F.col("_keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
     )
+
+
+def chunk_index(
+    df: DataFrame,
+    chunk_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Standing tile index for incremental sub-document dedup: the
+    DISTINCT xxhash64 of every ``chunk_words``-word tile in the corpus
+    (one BIGINT per unique tile — the compact index a growing-corpus
+    pipeline persists and appends to after each batch, exactly like
+    incremental_exact_dedup's digest index but at tile granularity)."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.split(F.col(text_col), " ").alias("_w"))
+    )
+    nch = F.ceil(F.size("_w") / F.lit(float(chunk_words))).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(1), nch),
+        lambda i: F.array_join(
+            F.slice("_w", (i - 1) * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    return (
+        toks.select(F.explode(tiles).alias("chunk"))
+        .filter(F.length("chunk") > 0)
+        .select(F.xxhash64("chunk").alias("chunk_hash"))
+        .distinct()
+    )
+
+
+def chunk_dedup_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    chunk_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental sub-document dedup: tile the NEW batch, drop every
+    tile already in the standing ``index`` (chunk_hash column from
+    chunk_index) OR already emitted earlier in this batch (first
+    occurrence by id, then position — chunk_dedup's rule), and
+    reassemble. Same output shape as chunk_dedup; the standing corpus
+    text is never rescanned.
+
+    Scale shape: one batch scan; the seen-screen is a left anti-style
+    join keyed on the BIGINT tile hash (AQE broadcasts the smaller
+    side; in steady state that is the batch's tile list, so the
+    billion-row index is not shuffled), then the within-batch
+    first-occurrence window runs on the index-surviving remainder only.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        batch.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    )
+    nch = F.ceil(F.size("_w") / F.lit(float(chunk_words))).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(1), nch),
+        lambda i: F.struct(
+            i.cast("int").alias("cidx"),
+            F.array_join(
+                F.slice("_w", (i - 1) * chunk_words + 1, chunk_words), " "
+            ).alias("chunk"),
+        ),
+    )
+    chunks = (
+        toks.select(id_col, F.explode(tiles).alias("c"))
+        .select(id_col, "c.cidx", "c.chunk")
+        .filter(F.length("chunk") > 0)
+        .withColumn("chunk_hash", F.xxhash64("chunk"))
+    )
+    seen = index.select(F.col("chunk_hash")).distinct()
+    flagged = chunks.join(
+        seen.withColumn("_seen", F.lit(True)), "chunk_hash", "left"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_hash").orderBy(id_col, "cidx")
+    )
+    flagged = flagged.withColumn(
+        "_keep", F.col("_seen").isNull() & (rn == 1)
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.when(F.col("_keep"), F.struct("cidx", "chunk")))
+        ),
+        lambda s: s["chunk"],
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(ordered, " ").alias("text_dedup"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+    )

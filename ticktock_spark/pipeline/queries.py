@@ -3014,3 +3014,50 @@ def q110(spark, sf_dir):
     first shuffle."""
     d = _table(spark, sf_dir, "documents")
     return sp.prepare_corpus(d, source_cap=40)
+
+
+@register(
+    "q111_chunk_dedup_incremental",
+    """
+    WITH words_old AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id < 250 AND text IS NOT NULL
+    ), seen AS (
+      SELECT DISTINCT array_to_string(w[(u.gs-1)*20+1 : u.gs*20], ' ') AS chunk
+      FROM words_old,
+           LATERAL unnest(range(1, CAST(ceil(len(w)/20.0) AS BIGINT) + 1)) u(gs)
+    ), words_new AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id >= 250 AND text IS NOT NULL
+    ), chunks AS (
+      SELECT doc_id, u.gs AS cidx,
+             array_to_string(w[(u.gs-1)*20+1 : u.gs*20], ' ') AS chunk
+      FROM words_new,
+           LATERAL unnest(range(1, CAST(ceil(len(w)/20.0) AS BIGINT) + 1)) u(gs)
+    ), ranked AS (
+      SELECT c.doc_id, c.cidx, c.chunk,
+             row_number() OVER (PARTITION BY c.chunk
+                                ORDER BY c.doc_id, c.cidx) AS rn,
+             (seen.chunk IS NOT NULL) AS in_index
+      FROM chunks c LEFT JOIN seen ON c.chunk = seen.chunk
+      WHERE length(c.chunk) > 0
+    )
+    SELECT doc_id,
+           coalesce(string_agg(chunk, ' ' ORDER BY cidx)
+                    FILTER (WHERE rn = 1 AND NOT in_index), '') AS text_dedup,
+           count(*) FILTER (WHERE rn = 1 AND NOT in_index) AS n_kept,
+           count(*) FILTER (WHERE rn > 1 OR in_index) AS n_removed
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q111(spark, sf_dir):
+    """Incremental sub-document dedup (pipeline/dedup.py
+    chunk_dedup_incremental): the standing tile index is built from the
+    first half of the corpus (doc_id < 250), the second half arrives as
+    the new batch — tiles already indexed or repeated within the batch
+    are dropped, survivors reassemble. The Spark side screens on BIGINT
+    xxhash64 tile keys; the oracle joins on tile text (identical
+    output absent a 64-bit collision)."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = dd.chunk_index(d.filter(F.col("doc_id") < 250))
+    return dd.chunk_dedup_incremental(d.filter(F.col("doc_id") >= 250), idx)
