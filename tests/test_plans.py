@@ -276,3 +276,16 @@ def test_chunk_dedup_single_scan(spark):
     plan = _plan(spark, "q107_chunk_dedup")
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_prepare_corpus_single_scan(spark):
+    """prepare_corpus must evaluate quality, digest, dedup, cap, and
+    split off ONE text scan — quality rides the projection (gopher
+    _struct), the cap's rank and totals share one source partitioning;
+    no joined-back flags frame, no totals branch re-executing the
+    upstream."""
+    import re
+
+    plan = _plan(spark, "q110_prepare_corpus")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -1162,3 +1162,54 @@ def test_udp_spool_ingest(spark, tmp_path):
     row = got.filter(f"ts = {T}").collect()[0]
     assert row["metric"] == "sys.udp" and row["value"] == 0.0
     assert row["tags"]["host"] == "u"
+
+
+def test_streaming_chunk_dedup_matches_batch(spark, tmp_path):
+    """Cross-batch tile novelty: a passage accepted in micro-batch 0 is
+    stripped from batch 1's docs; with ids arriving in order the
+    two-batch streaming result equals batch chunk_dedup over the union."""
+    import json
+    import os
+
+    from ticktock_spark.pipeline.dedup import chunk_dedup
+    from ticktock_spark.streaming.dedup_lsh import streaming_chunk_dedup
+
+    rows0 = [(1, "a b c x y z"), (2, "p q r s t u")]
+    rows1 = [(3, "a b c d e f"),   # 'a b c' seen in batch 0 → stripped
+             (4, "d e f g h i")]   # 'd e f' new in batch 1 doc 3 → stripped here
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for i, rows in enumerate([rows0, rows1]):
+        with open(tmp_path / "in" / f"b{i}.jsonl", "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        # mtime pins file-source order
+        os.utime(tmp_path / "in" / f"b{i}.jsonl", (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    q = streaming_chunk_dedup(
+        stream, str(tmp_path / "idx"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), chunk_words=3,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_removed"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        1: ("a b c x y z", 2, 0),
+        2: ("p q r s t u", 2, 0),
+        3: ("d e f", 1, 1),
+        4: ("g h i", 1, 1),
+    }
+
+    allrows = spark.createDataFrame(rows0 + rows1, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_removed"])
+        for r in chunk_dedup(allrows, chunk_words=3).collect()
+    }
+    assert got == want

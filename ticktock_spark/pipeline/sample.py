@@ -354,22 +354,29 @@ def prepare_corpus(
     before cap: a mega-duplicated page mustn't consume its source's
     cap) and the column handoffs between stages.
 
-    Scale shape: text is read once (quality scan + digest) and dropped
-    before the first shuffle — the dedup window, cap window, and split
-    hash carry metadata-width rows only. The cap keeps
-    per_source_cap's WindowGroupLimit property (rank filter directly
-    over the window).
+    Scale shape: ONE text scan — quality (gopher_struct evaluated in
+    the same projection as the md5 digest, not a joined-back frame)
+    and the digest are computed together and text is dropped before
+    the first shuffle; the dedup windows and the cap windows each
+    share one metadata-width exchange (the cap's rank and its
+    source_total ride the same source partitioning, trading
+    per_source_cap's WindowGroupLimit for not re-executing the
+    upstream scan+window subtree in a totals branch — re-scanning is
+    the right call for the standalone operator, the wrong one mid-
+    pipeline). Audited: 1 scan, 2 exchanges total (was 6 scans as the
+    naive operator chain).
     """
-    from ticktock_spark.pipeline.text import gopher_quality_flags
+    from ticktock_spark.pipeline.text import gopher_struct
 
-    keep = gopher_quality_flags(docs, text_col=text_col, id_col=id_col).filter(
-        "keep"
-    ).select(id_col, "n_words")
     base = (
         docs.select(
-            F.col(id_col), "lang", "source", F.md5(F.col(text_col)).alias("_digest")
+            F.col(id_col), "lang", "source",
+            F.md5(F.col(text_col)).alias("_digest"),
+            gopher_struct(F.col(text_col)).alias("_g"),
         )
-        .join(keep, id_col)
+        .filter(F.col("_g.keep"))
+        .select(id_col, "lang", "source", "_digest",
+                F.col("_g.n_words").alias("n_words"))
     )
     wd = Window.partitionBy("_digest")
     dd = base.withColumns(
@@ -378,11 +385,18 @@ def prepare_corpus(
             "n_copies": F.count(F.lit(1)).over(wd),
         }
     ).filter(F.col("_rn") == 1)
-    capped = per_source_cap(dd, cap=source_cap, id_col=id_col).select(
-        id_col, "pick", "source_total"
-    )
-    out = dd.select(id_col, "lang", "source", "n_words", "n_copies").join(
-        capped, id_col
+    ws = Window.partitionBy("source")
+    h = hash_hex(F.col(id_col), "cap")
+    out = (
+        dd.withColumns(
+            {
+                "pick": F.row_number().over(ws.orderBy(h.asc(), F.col(id_col).asc())),
+                "source_total": F.count(F.lit(1)).over(ws),
+            }
+        )
+        .filter(F.col("pick") <= source_cap)
+        .select(id_col, "lang", "source", "n_words", "n_copies",
+                "pick", "source_total")
     )
     return split_assign(out, weights or {"train": 0.8, "valid": 0.1, "test": 0.1},
                         id_col=id_col)

@@ -497,7 +497,22 @@ def gopher_quality_flags(
     line/token filters are interpreted expressions, still JVM-side and
     scan-local (acceptable: they run once per doc, not per token pair).
     """
-    t = F.col(text_col)
+    g = gopher_struct(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[g[f].alias(f) for f in (
+            "n_words", "flag_word_count", "flag_mean_word_len",
+            "flag_symbol_ratio", "flag_bullets", "flag_ellipsis",
+            "flag_alpha", "flag_stopwords", "keep",
+        )],
+    )
+
+
+def gopher_struct(t: Column) -> Column:
+    """The Gopher rule set as ONE struct-valued column expression, so a
+    caller can evaluate quality inside its own projection (one text
+    scan) instead of joining gopher_quality_flags' frame back by id —
+    prepare_corpus depends on this for its single-scan shape."""
     trimmed = F.trim(t)
     toks = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
@@ -533,8 +548,7 @@ def gopher_quality_flags(
         & flag_alpha
         & flag_stopwords
     )
-    return df.select(
-        F.col(id_col),
+    return F.struct(
         n_words.alias("n_words"),
         flag_word_count.alias("flag_word_count"),
         flag_mean_word_len.alias("flag_mean_word_len"),

@@ -207,3 +207,59 @@ def streaming_novelty_screen(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_chunk_dedup(
+    doc_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    chunk_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming sub-document dedup: each micro-batch is tiled and
+    screened against the PERSISTED tile index (chunk_index parquet),
+    reassembled survivors are appended to ``out_path``, and the batch's
+    surviving tiles are appended to the index — so a passage that
+    arrived in any earlier batch is stripped from every later one, and
+    within-batch repeats follow chunk_dedup's first-occurrence rule.
+
+    Index appends are idempotent up to duplicate hash rows under epoch
+    replay; chunk_dedup_incremental collapses them (distinct) on read.
+    Arrival order decides precedence across batches (the streaming
+    analogue of chunk_dedup's min-id rule — equal when ids arrive in
+    order). The index is one BIGINT per unique tile: the state a
+    100 TB stream actually can afford to keep.
+
+    Returns the StreamingQuery.
+    """
+    from ticktock_spark.pipeline.dedup import chunk_dedup_incremental, chunk_index
+
+    def screen(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch.persist()
+        try:
+            try:
+                idx = spark.read.parquet(index_path)
+            except Exception:  # noqa: BLE001 — first batch: no index yet
+                idx = spark.createDataFrame([], "chunk_hash long")
+            out = chunk_dedup_incremental(
+                batch, idx, chunk_words=chunk_words,
+                text_col=text_col, id_col=id_col,
+            )
+            out.write.mode("append").parquet(out_path)
+            new_tiles = chunk_index(
+                batch, chunk_words=chunk_words, text_col=text_col, id_col=id_col
+            ).join(idx.select("chunk_hash").distinct(), "chunk_hash", "left_anti")
+            new_tiles.write.mode("append").parquet(index_path)
+        finally:
+            batch.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
