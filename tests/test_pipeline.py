@@ -1840,3 +1840,54 @@ def test_chunk_dedup_incremental_semantics(spark):
     a = chunk_dedup_incremental(batch, empty_idx, chunk_words=3).orderBy("doc_id").collect()
     b = chunk_dedup(batch, chunk_words=3).orderBy("doc_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed merge loop must produce the exact merge table a
+    reference single-process BPE trainer computes from the same (word,
+    count) vocabulary — same tie rule (max count, then pair asc), same
+    greedy left-to-right merge application."""
+    from ticktock_spark.pipeline.text import bpe_train, tokens
+    from ticktock_spark.schema import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = [
+        (r["rank"], r["a"], r["b"], r["pair"], r["n"])
+        for r in bpe_train(d, num_merges=5).orderBy("rank").collect()
+    ]
+
+    wc = {
+        r["w"]: r["c"]
+        for r in d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    state = [([ch for ch in w], c) for w, c in wc.items()]
+    want = []
+    for r in range(5):
+        counts = {}
+        for syms, c in state:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best_n = max(counts.values())
+        a, b = min(p for p, c in counts.items() if c == best_n)
+        want.append((r + 1, a, b, a + b, best_n))
+        new_state = []
+        for syms, c in state:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_state.append((out, c))
+        state = new_state
+    assert got == want and len(got) == 5
+
+    # overlap rule: 'aaa' pairs disjointly
+    tiny = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    m = bpe_train(tiny, num_merges=2).orderBy("rank").collect()
+    assert (m[0]["a"], m[0]["b"], m[0]["n"]) == ("a", "a", 4)  # 2 positions x wc 2
+    assert (m[1]["a"], m[1]["b"]) == ("aa", "a")

@@ -3061,3 +3061,64 @@ def q111(spark, sf_dir):
     d = _table(spark, sf_dir, "documents").select("doc_id", "text")
     idx = dd.chunk_index(d.filter(F.col("doc_id") < 250))
     return dd.chunk_dedup_incremental(d.filter(F.col("doc_id") >= 250), idx)
+
+
+@register(
+    "q112_bpe_train",
+    f"""
+    WITH nm AS (SELECT {_NORM} AS norm FROM documents),
+    w0 AS (
+      SELECT w, count(*) AS wc FROM (
+        SELECT unnest(string_split_regex(norm, '\\s+')) AS w
+        FROM nm WHERE length(norm) > 0
+      ) GROUP BY w
+    ),
+    s0 AS (
+      SELECT '|' || array_to_string(
+               [substr(w, i, 1) for i in generate_series(1, length(w))], '||'
+             ) || '|' AS s, wc
+      FROM w0
+    ),
+    p1 AS (
+      SELECT sy[u.i] AS a, sy[u.i+1] AS b, sum(wc) AS n
+      FROM (SELECT string_split(trim(s, '|'), '||') AS sy, wc FROM s0) t,
+           LATERAL unnest(range(1, len(sy))) u(i)
+      GROUP BY 1, 2
+    ),
+    t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+    s1 AS (
+      SELECT replace(s0.s, '|'||t1.a||'||'||t1.b||'|', '|'||t1.a||t1.b||'|') AS s, wc
+      FROM s0, t1
+    ),
+    p2 AS (
+      SELECT sy[u.i] AS a, sy[u.i+1] AS b, sum(wc) AS n
+      FROM (SELECT string_split(trim(s, '|'), '||') AS sy, wc FROM s1) t,
+           LATERAL unnest(range(1, len(sy))) u(i)
+      GROUP BY 1, 2
+    ),
+    t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+    s2 AS (
+      SELECT replace(s1.s, '|'||t2.a||'||'||t2.b||'|', '|'||t2.a||t2.b||'|') AS s, wc
+      FROM s1, t2
+    ),
+    p3 AS (
+      SELECT sy[u.i] AS a, sy[u.i+1] AS b, sum(wc) AS n
+      FROM (SELECT string_split(trim(s, '|'), '||') AS sy, wc FROM s2) t,
+           LATERAL unnest(range(1, len(sy))) u(i)
+      GROUP BY 1, 2
+    ),
+    t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+    SELECT CAST(1 AS INT) AS rank, a, b, a || b AS pair, CAST(n AS BIGINT) AS n FROM t1
+    UNION ALL
+    SELECT CAST(2 AS INT), a, b, a || b, CAST(n AS BIGINT) FROM t2
+    UNION ALL
+    SELECT CAST(3 AS INT), a, b, a || b, CAST(n AS BIGINT) FROM t3
+    """,
+)
+def q112(spark, sf_dir):
+    """Distributed BPE tokenizer training (pipeline/text.py bpe_train),
+    3 merges: vocab-collapsed word table, per-iteration pair agg +
+    greedy left-to-right merge fold. The oracle unrolls the identical
+    loop in SQL, encoding symbol sequences as '|sym||sym|' strings so
+    a non-overlapping replace reproduces the greedy fold exactly."""
+    return tx.bpe_train(_table(spark, sf_dir, "documents"), num_merges=3)

@@ -1323,3 +1323,95 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= min_count)
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train ``num_merges`` BPE merges over the corpus: the iterated
+    version of bpe_pair_counts — count adjacent symbol pairs (weighted
+    by word frequency), merge the most frequent pair (ties by pair
+    string asc) in every word greedily left-to-right, repeat. Output:
+    (rank, a, b, pair, n) — the merge table a BPE tokenizer ships.
+
+    Scale shape (the HuggingFace-trainer layout, distributed): the
+    corpus collapses ONCE to (word, count) — vocab-bounded — and every
+    iteration runs on that state: one bounded pair agg (top-1 collected,
+    a 2-string driver decision) plus one expression-only merge fold per
+    word; the corpus text is never rescanned. State is persisted per
+    iteration and the previous generation unpersisted, so lineage stays
+    one fold deep.
+
+    The merge fold appends each symbol unless the running tail equals
+    ``a`` and the symbol is ``b`` — greedy left-to-right, overlapping
+    runs pair up disjointly ('aaa' + (a,a) -> [aa, a]), matching every
+    reference implementation. Guards are nested when()s because ANSI
+    mode evaluates both operands of `&` (element_at on an empty
+    accumulator would throw).
+    """
+    spark = df.sparkSession
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    state = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+        .select(chars.alias("syms"), "wc")
+        .persist()
+    )
+    merges: list[tuple] = []
+    try:
+        for r in range(num_merges):
+            pair_structs = F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i.cast("int")).alias("a"),
+                    F.element_at("syms", (i + 1).cast("int")).alias("b"),
+                ),
+            )
+            top = (
+                state.filter(F.size("syms") >= 2)
+                .select(F.explode(pair_structs).alias("p"), "wc")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("wc").alias("n"))
+                .orderBy(F.col("n").desc(), "a", "b")
+                .first()
+            )
+            if top is None:
+                break
+            a, b, n = top["a"], top["b"], top["n"]
+            merges.append((r + 1, a, b, a + b, n))
+
+            def make_step(a: str, b: str):
+                def step(acc, x):
+                    tail_merge = F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                    )
+                    return F.when(F.size(acc) == 0, F.array(x)).otherwise(
+                        F.when(
+                            (F.element_at(acc, -1) == a) & (x == F.lit(b)),
+                            tail_merge,
+                        ).otherwise(F.concat(acc, F.array(x)))
+                    )
+
+                return step
+
+            step = make_step(a, b)
+
+            new_state = state.select(
+                F.aggregate(
+                    "syms", F.array().cast("array<string>"), step
+                ).alias("syms"),
+                "wc",
+            ).persist()
+            new_state.count()  # materialize before dropping the parent
+            state.unpersist()
+            state = new_state
+    finally:
+        state.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, a string, b string, pair string, n long"
+    )
