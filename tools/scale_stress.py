@@ -158,6 +158,9 @@ def main():
         "heavy_hitters",
         lambda: tx.heavy_hitters(docs, min_count=200 * n).count(),
     )
+    # both are vocab/metadata-bounded after their single text scan
+    timed("bpe_train_3", lambda: tx.bpe_train(docs, num_merges=3).count())
+    timed("prepare_corpus", lambda: sp.prepare_corpus(docs).count())
     timed(
         "token_budget_cap",
         lambda: sp.token_budget_cap(
