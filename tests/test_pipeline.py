@@ -1891,3 +1891,23 @@ def test_bpe_train_matches_reference(spark):
     m = bpe_train(tiny, num_merges=2).orderBy("rank").collect()
     assert (m[0]["a"], m[0]["b"], m[0]["n"]) == ("a", "a", 4)  # 2 positions x wc 2
     assert (m[1]["a"], m[1]["b"]) == ("aa", "a")
+
+
+def test_bpe_encode_semantics(spark):
+    """Merge replay: 'aaa' under (a,a) then (a,b) becomes [aa, a] (2
+    subwords); 'abab' pairs into [ab, ab]; unmerged words count their
+    characters; word with no applicable merge stays at char count."""
+    from ticktock_spark.pipeline.text import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaa aaa bc"), (2, "abab")], "doc_id long, text string"
+    )
+    m = bpe_train(df, num_merges=2)
+    got = {(r["doc_id"]): (r["n_words"], r["n_subwords"])
+           for r in bpe_encode(df, m).collect()}
+    assert got == {1: (3, 6), 2: (1, 2)}
+
+    # empty merge table → pure character counts
+    empty = m.filter("rank < 0")
+    got0 = {r["doc_id"]: r["n_subwords"] for r in bpe_encode(df, empty).collect()}
+    assert got0 == {1: 8, 2: 4}

@@ -3122,3 +3122,67 @@ def q112(spark, sf_dir):
     loop in SQL, encoding symbol sequences as '|sym||sym|' strings so
     a non-overlapping replace reproduces the greedy fold exactly."""
     return tx.bpe_train(_table(spark, sf_dir, "documents"), num_merges=3)
+
+
+@register(
+    "q113_bpe_encode",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents
+                WHERE text IS NOT NULL),
+    dt AS (
+      SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS w
+      FROM nm WHERE length(norm) > 0
+    ),
+    w0 AS (SELECT w, count(*) AS wc FROM dt GROUP BY w),
+    s0 AS (
+      SELECT w, '|' || array_to_string(
+               [substr(w, i, 1) for i in generate_series(1, length(w))], '||'
+             ) || '|' AS s, wc
+      FROM w0
+    ),
+    p1 AS (
+      SELECT sy[u.i] AS a, sy[u.i+1] AS b, sum(wc) AS n
+      FROM (SELECT string_split(trim(s, '|'), '||') AS sy, wc FROM s0) t,
+           LATERAL unnest(range(1, len(sy))) u(i)
+      GROUP BY 1, 2
+    ),
+    t1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+    s1 AS (SELECT w, replace(s0.s, '|'||t1.a||'||'||t1.b||'|',
+                             '|'||t1.a||t1.b||'|') AS s, wc FROM s0, t1),
+    p2 AS (
+      SELECT sy[u.i] AS a, sy[u.i+1] AS b, sum(wc) AS n
+      FROM (SELECT string_split(trim(s, '|'), '||') AS sy, wc FROM s1) t,
+           LATERAL unnest(range(1, len(sy))) u(i)
+      GROUP BY 1, 2
+    ),
+    t2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+    s2 AS (SELECT w, replace(s1.s, '|'||t2.a||'||'||t2.b||'|',
+                             '|'||t2.a||t2.b||'|') AS s, wc FROM s1, t2),
+    p3 AS (
+      SELECT sy[u.i] AS a, sy[u.i+1] AS b, sum(wc) AS n
+      FROM (SELECT string_split(trim(s, '|'), '||') AS sy, wc FROM s2) t,
+           LATERAL unnest(range(1, len(sy))) u(i)
+      GROUP BY 1, 2
+    ),
+    t3 AS (SELECT a, b FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+    s3 AS (SELECT w, replace(s2.s, '|'||t3.a||'||'||t3.b||'|',
+                             '|'||t3.a||t3.b||'|') AS s FROM s2, t3),
+    wsub AS (
+      SELECT w, len(string_split(trim(s, '|'), '||')) AS nsub FROM s3
+    )
+    SELECT dt.doc_id, CAST(count(*) AS INT) AS n_words,
+           CAST(sum(wsub.nsub) AS BIGINT) AS n_subwords
+    FROM dt JOIN wsub USING (w)
+    GROUP BY dt.doc_id
+    """,
+)
+def q113(spark, sf_dir):
+    """Tokenizer lifecycle closed: encode the corpus with the merge
+    table bpe_train just learned (pipeline/text.py bpe_encode) — per
+    doc, word count and post-merge subword count, the sequence-length
+    numbers packing/budget stages consume. The merge replay is a chain
+    of literal string replaces on the '|sym||sym|' encoding (one scan,
+    no shuffle); the oracle threads the same replay through SQL."""
+    d = _table(spark, sf_dir, "documents")
+    m = tx.bpe_train(d, num_merges=3)
+    return tx.bpe_encode(d, m)

@@ -1415,3 +1415,65 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, a string, b string, pair string, n long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge table (bpe_train output) to the corpus:
+    per word, start from characters and replay the merges in rank
+    order — the other half of the tokenizer lifecycle. Output:
+    (id, n_words, n_subwords) — the sequence-length accounting a
+    packing/budget stage consumes (n_subwords = n_chars when no merge
+    applies).
+
+    The replay uses the same '|sym||sym|' string encoding as q112's
+    oracle: each merge is ONE non-overlapping string replace, which
+    reproduces the greedy left-to-right fold — so a k-merge replay is
+    a chain of k codegen'd replace() calls per word, not k interpreted
+    array folds. The merge table is collected (model state, k rows)
+    and embedded as literals; one corpus scan, no shuffle, no Python.
+    """
+    rows = merges.orderBy("rank").collect()
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") > 0)  # no tokens -> no accounting row
+    )
+    word_syms = F.transform(
+        F.col("_t"),
+        lambda w: F.concat(
+            F.lit("|"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: w.substr(i, F.lit(1)),
+                ),
+                "||",
+            ),
+            F.lit("|"),
+        ),
+    )
+    enc = toks.select(F.col(id_col), word_syms.alias("_s"))
+    def _apply(pat: str, rep: str, prev: Column) -> Column:
+        return F.transform(prev, lambda s: F.replace(s, F.lit(pat), F.lit(rep)))
+
+    expr = F.col("_s")
+    for r in rows:
+        expr = _apply(f"|{r['a']}||{r['b']}|", f"|{r['a']}{r['b']}|", expr)
+    n_sub = F.aggregate(
+        F.transform(
+            expr,
+            lambda s: F.size(F.split(F.btrim(s, F.lit("|")), r"\|\|")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return enc.select(
+        F.col(id_col),
+        F.size("_s").alias("n_words"),
+        n_sub.cast("long").alias("n_subwords"),
+    )
