@@ -1,0 +1,153 @@
+"""BM25 retrieval, hashed-feature logistic regression, and DSIR
+importance weights."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ticktock_spark.pipeline.classify import (
+    BIAS_BUCKET,
+    hashed_features,
+    lr_quality_scores,
+    lr_score,
+    lr_train,
+)
+from ticktock_spark.pipeline.retrieval import (
+    bm25_index_topk,
+    bm25_topk,
+    corpus_stats,
+    write_inverted_index,
+)
+from ticktock_spark.pipeline.sample import dsir_weights
+
+DOCS = [
+    (1, "spark shuffles data across the cluster"),
+    (2, "spark spark spark everywhere in this doc"),
+    (3, "a very long document about many other things entirely with words"),
+    (4, "cluster schedulers place tasks"),
+    (5, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _ref_bm25(terms, k1=1.2, b=0.75):
+    """Single-process reference implementation over DOCS."""
+    toks = {d: t.lower().split() for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+    out = {}
+    for d, t in toks.items():
+        score, matched = 0.0, 0
+        for q in terms:
+            tf = t.count(q)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if matched:
+            out[d] = (matched, math.floor(score * 1e6 + 0.5) / 1e6)
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    got = {
+        r["doc_id"]: (r["n_terms"], r["score"])
+        for r in bm25_topk(_docs(spark), ["spark", "cluster"], k=10).collect()
+    }
+    assert got == _ref_bm25(["spark", "cluster"])
+    # tf saturation: doc 2 (tf=3) must not score 3x doc 1 (tf=1)
+    assert got[2][1] < 2 * got[1][1]
+
+
+def test_corpus_stats_counts_empty_docs(spark):
+    n, avgdl = corpus_stats(_docs(spark))
+    assert n == 5
+    assert avgdl == pytest.approx((6 + 7 + 11 + 4 + 0) / 5)
+
+
+def test_bm25_index_parity_and_pruning(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path)
+    base = bm25_topk(docs, ["spark", "cluster"], k=10)
+    idx = bm25_index_topk(spark, path, ["spark", "cluster"], k=10)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, idx.collect()))
+    # the probe must land in the parquet scan's PartitionFilters
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "bucket" in ln
+    ]
+    assert lines, f"no bucket PartitionFilters in plan:\n{plan}"
+
+
+def test_hashed_features_bias_and_l1(spark):
+    feats = hashed_features(_docs(spark), label=F.lit(1)).collect()
+    by_doc: dict[int, list] = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4, 5}
+    for d, rows in by_doc.items():
+        bias = [r for r in rows if r["bucket"] == BIAS_BUCKET]
+        assert len(bias) == 1 and bias[0]["x"] == 1.0
+        token_x = sum(r["x"] for r in rows if r["bucket"] != BIAS_BUCKET)
+        assert token_x == pytest.approx(1.0 if d != 5 else 0.0)
+
+
+def test_lr_learns_separable_label(spark):
+    # two vocabularies that share no tokens -> linearly separable
+    rows = [(i, "good clean prose here", 1) for i in range(20)] + [
+        (i + 100, "zz qq junk spam xx", 0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    feats = hashed_features(df, label=F.col("y") == 1)
+    w = lr_train(feats, steps=8, lr=2.0)
+    scores = {
+        r["doc_id"]: r["p"]
+        for r in lr_score(hashed_features(df), w).collect()
+    }
+    pos = [scores[i] for i in range(20)]
+    neg = [scores[i + 100] for i in range(20)]
+    assert min(pos) > max(neg)
+    assert min(pos) > 0.6 and max(neg) < 0.4
+
+
+def test_lr_quality_scores_every_doc(spark):
+    out = lr_quality_scores(_docs(spark), F.col("doc_id") <= 2, steps=2)
+    got = {r["doc_id"]: r["p"] for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert all(0.0 < p < 1.0 for p in got.values())
+
+
+def test_dsir_weights_prefer_target_like(spark):
+    # target slice speaks vocabulary A; one held-out doc of each
+    # vocabulary is unlabeled -- the A-like doc must weigh higher
+    rows = (
+        [(i, "alpha beta gamma delta", True) for i in range(10)]
+        + [(i + 50, "omega psi chi phi", False) for i in range(10)]
+        + [(200, "alpha beta gamma delta", False), (201, "omega psi chi phi", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_weights(df, F.col("is_t")).collect()
+    }
+    assert got[200] > got[201]
+    # empty/zero-token docs keep a row with NULL weight
+    df2 = spark.createDataFrame(
+        [(1, "alpha", True), (2, "", False)], "doc_id long, text string, is_t boolean"
+    )
+    out2 = {r["doc_id"]: (r["n_tokens"], r["log_w"]) for r in dsir_weights(
+        df2, F.col("is_t")).collect()}
+    assert out2[2] == (0, None)
+    assert out2[1][0] == 1

@@ -1,0 +1,174 @@
+"""Distributed linear text classification: hashed bag-of-tokens
+features, full-batch logistic-regression training with driver-held
+weights, and scan-side scoring.
+
+This is the fastText-style quality/language filter stage of an LLM data
+pipeline (public lineage: Joulin et al. 2016 "Bag of Tricks for
+Efficient Text Classification"; CCNet's quality filtering) re-expressed
+Spark-first:
+
+- features are hashed token buckets (`substr(md5(tok), 1, 2)` — 256
+  string buckets, reproducible in ANY engine including the SQL oracle,
+  the same portability trick as the MinHash catalog);
+- the model is a ~257-float driver-held vector (bucket weights + bias),
+  exactly the kmeans_lloyd pattern: per-iteration work is ONE pass over
+  a persisted vocab-bounded feature table, the shuffle is bounded by
+  (docs × distinct buckets per doc) then by 256, and only the 257
+  gradient partials ever reach the driver;
+- scoring joins the broadcast weight table against the feature table —
+  no Python anywhere.
+
+Full-batch gradient descent (not SGD) keeps every step deterministic
+and engine-reproducible: grad_b = Σ_docs (σ(w·x) − y)·x_b / N, with
+x_b = tf_b / dl (L1-normalized counts, the fastText convention).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ticktock_spark.pipeline.text import tokens
+
+#: hex-pair bucket of a token: 256 buckets, portable across engines.
+BIAS_BUCKET = "__bias__"
+
+
+def token_bucket(tok) -> F.Column:
+    return F.substring(F.md5(tok), 1, 2)
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label: F.Column | None = None,
+) -> DataFrame:
+    """(doc_id, bucket, x [, y]) hashed L1-normalized token features,
+    plus one constant bias feature per doc (x = 1).
+
+    One corpus scan; the groupBy shuffles at most one row per
+    (doc, distinct bucket) — bounded by docs × 256 regardless of corpus
+    text volume. Docs with no tokens still get the bias row, so the
+    model sees them.
+    """
+    cols = [F.col(id_col)]
+    if label is not None:
+        cols.append(label.cast("double").alias("y"))
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(*cols, tk.alias("__tk")).select(
+        *[F.col(c) for c in ([id_col, "y"] if label is not None else [id_col])],
+        F.size("__tk").alias("dl"),
+        F.explode(
+            F.concat(F.array(F.lit(None).cast("string")), F.col("__tk"))
+        ).alias("tok"),
+    )
+    # the injected NULL token is the bias carrier: bucket __bias__, x=1
+    keep = [id_col] + (["y"] if label is not None else [])
+    feats = (
+        base.withColumn(
+            "bucket",
+            F.when(F.col("tok").isNull(), F.lit(BIAS_BUCKET)).otherwise(
+                token_bucket(F.col("tok"))
+            ),
+        )
+        .groupBy(*keep, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "x",
+            F.when(F.col("bucket") == BIAS_BUCKET, F.lit(1.0)).otherwise(
+                F.col("tf").cast("double") / F.col("dl").cast("double")
+            ),
+        )
+        .drop("tf", "dl")
+    )
+    return feats
+
+
+def lr_train(
+    feats: DataFrame,
+    steps: int = 2,
+    lr: float = 1.0,
+    id_col: str = "doc_id",
+) -> dict[str, float]:
+    """Full-batch logistic regression on (doc_id, bucket, x, y) features.
+
+    Returns {bucket: weight}. Each step: broadcast the current weights
+    (≤257 rows), one pass over the persisted feature table computes
+    per-doc margins (shuffle keyed on doc), per-doc error joins back to
+    the features (co-keyed on doc), and the 256-key gradient aggregate
+    map-side-combines down to ≤257 rows collected to the driver. Zero
+    row-scale driver traffic; iteration count is the only sequential
+    axis (2–5 steps are the curation regime — the signal is a filter
+    threshold, not a converged LM).
+    """
+    spark = feats.sparkSession
+    owns_cache = feats.storageLevel == StorageLevel.NONE
+    if owns_cache:
+        feats = feats.persist()
+    n_docs = feats.select(id_col).distinct().count()
+    weights: dict[str, float] = {}
+    for _ in range(steps):
+        wdf = spark.createDataFrame(
+            list(weights.items()) or [], "bucket string, w double"
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy(id_col, "y")
+            .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("z"))
+        )
+        err = margins.select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias(
+                "err"
+            ),
+        )
+        grad_rows = (
+            feats.join(err, id_col)
+            .groupBy("bucket")
+            .agg((F.sum(F.col("err") * F.col("x")) / F.lit(float(n_docs))).alias("g"))
+            .collect()
+        )
+        for r in grad_rows:
+            # g is NULL iff every doc carrying the bucket has a NULL
+            # label — no information, leave the weight unchanged
+            if r["g"] is not None:
+                weights[r["bucket"]] = weights.get(r["bucket"], 0.0) - lr * r["g"]
+    if owns_cache:
+        feats.unpersist()
+    return weights
+
+
+def lr_score(
+    feats: DataFrame, weights: dict[str, float], id_col: str = "doc_id"
+) -> DataFrame:
+    """σ(w·x) per doc from a trained weight table (broadcast join —
+    the inference pass a 100 TB corpus runs scan-side)."""
+    spark = feats.sparkSession
+    wdf = spark.createDataFrame(list(weights.items()), "bucket string, w double")
+    return (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("z"))
+        .select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p"),
+        )
+    )
+
+
+def lr_quality_scores(
+    df: DataFrame,
+    label: F.Column,
+    steps: int = 2,
+    lr: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-and-score composition: fit the hashed-feature LR on
+    `label` (e.g. lang == 'en') and return (doc_id, p) for every doc."""
+    feats = hashed_features(df, text_col, id_col, label=label).persist()
+    w = lr_train(feats, steps=steps, lr=lr, id_col=id_col)
+    out = lr_score(feats.drop("y"), w, id_col=id_col)
+    return out

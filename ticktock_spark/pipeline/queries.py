@@ -3186,3 +3186,166 @@ def q113(spark, sf_dir):
     d = _table(spark, sf_dir, "documents")
     m = tx.bpe_train(d, num_merges=3)
     return tx.bpe_encode(d, m)
+
+
+from ticktock_spark.pipeline import classify as clf  # noqa: E402
+from ticktock_spark.pipeline import retrieval as rt  # noqa: E402
+
+# BM25 constants shared by the Spark query and the SQL oracle. The
+# oracle recomputes N/avgdl in-query; the operator collects the same two
+# numbers driver-side — both end up as IEEE doubles in the same formula.
+_BM25_TERMS = ("join", "slow", "vector")
+_BM25_IDF = "ln(1.0 + (CAST(st.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))"
+_BM25_TF = (
+    "CAST(p.tf AS DOUBLE) * 2.2 / (CAST(p.tf AS DOUBLE)"
+    " + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / st.avgdl))"
+)
+
+
+@register(
+    "q114_bm25_topk",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, string_split_regex(norm, '\\s+') AS tk
+      FROM nm WHERE length(norm) > 0
+    ),
+    base AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM t),
+    p AS (
+      SELECT tok, doc_id, count(*) AS tf, max(dl) AS dl FROM base
+      WHERE tok IN ('join', 'slow', 'vector') GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             CAST((SELECT sum(len(tk)) FROM t) AS DOUBLE)
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM p GROUP BY 1),
+    sc AS (
+      SELECT p.doc_id, count(*) AS n_terms,
+             sum({_BM25_IDF} * {_BM25_TF}) AS score
+      FROM p JOIN dfq USING (tok) CROSS JOIN st
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+           {_Q6.format(x='score')} AS score
+    FROM sc ORDER BY 3 DESC, 1 LIMIT 10
+    """,
+)
+def q114(spark, sf_dir):
+    """Exact BM25 top-10 for a 3-term keyword query (pipeline/
+    retrieval.py bm25_topk) — the corpus-search primitive behind
+    decontamination audits and targeted subset extraction. One text
+    scan (term filter lands right after the explode), |terms|-row df
+    table broadcast, quantize-then-rank so the cut is engine-stable.
+    The persisted partition-pruned twin (write_inverted_index /
+    bm25_index_topk) is parity-pinned in tests/test_retrieval.py."""
+    return rt.bm25_topk(
+        _table(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10
+    )
+
+
+# Hashed-feature logistic regression, 2 full-batch steps unrolled in
+# SQL (same shape as q112's unrolled BPE oracle). lr = 1.0.
+_LRF = """
+    nm AS (SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y, {norm} AS norm
+           FROM documents),
+    tkk AS (SELECT doc_id, y, string_split_regex(norm, '\\s+') AS t
+            FROM nm WHERE length(norm) > 0),
+    tok AS (SELECT doc_id, y, unnest(t) AS tok FROM tkk),
+    fb AS (SELECT doc_id, y, substr(md5(tok), 1, 2) AS b, count(*) AS tf
+           FROM tok GROUP BY 1, 2, 3),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM fb GROUP BY 1),
+    f AS (
+      SELECT fb.doc_id, fb.y, fb.b, CAST(fb.tf AS DOUBLE) / dl.dl AS x
+      FROM fb JOIN dl USING (doc_id)
+      UNION ALL
+      SELECT doc_id, y, '__bias__' AS b, 1.0 AS x FROM nm
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+"""
+
+
+@register(
+    "q115_lr_classifier",
+    f"""
+    WITH {_LRF.format(norm=_NORM)},
+    g1 AS (SELECT b, sum((0.5 - y) * x) / max(n.nd) AS g FROM f, n GROUP BY 1),
+    w1 AS (SELECT b, 0.0 - g AS w FROM g1),
+    z2 AS (
+      SELECT f.doc_id, f.y, sum(coalesce(w1.w, 0.0) * f.x) AS z
+      FROM f LEFT JOIN w1 USING (b) GROUP BY 1, 2
+    ),
+    e2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS err FROM z2),
+    g2 AS (
+      SELECT f.b, sum(e2.err * f.x) / max(n.nd) AS g
+      FROM f JOIN e2 USING (doc_id), n GROUP BY 1
+    ),
+    w2 AS (SELECT w1.b, w1.w - g2.g AS w FROM w1 JOIN g2 USING (b)),
+    zf AS (
+      SELECT f.doc_id, sum(coalesce(w2.w, 0.0) * f.x) AS z
+      FROM f LEFT JOIN w2 USING (b) GROUP BY 1
+    )
+    SELECT doc_id, {_Q6.format(x='1.0 / (1.0 + exp(-z))')} AS p
+    FROM zf
+    """,
+)
+def q115(spark, sf_dir):
+    """fastText-style hashed-feature logistic regression (pipeline/
+    classify.py), trained 2 full-batch steps on the label lang = 'en'
+    and scored over every doc — the quality/language-filter stage of an
+    LLM curation pipeline with kmeans_lloyd's driver-held-model shape:
+    per step one pass over a persisted (doc, bucket, x) table, ≤257
+    gradient partials to the driver. The oracle unrolls both steps in
+    SQL (q112's trick), pinning margins, gradients, and the final
+    sigmoid scores end to end."""
+    out = clf.lr_quality_scores(
+        _table(spark, sf_dir, "documents"), F.col("lang") == "en", steps=2
+    )
+    return out.select("doc_id", q6(F.col("p")).alias("p"))
+
+
+@register(
+    "q116_dsir_weights",
+    f"""
+    WITH nm AS (SELECT doc_id, (lang = 'en') AS is_t, {_NORM} AS norm
+                FROM documents),
+    t AS (
+      SELECT doc_id, is_t, unnest(string_split_regex(norm, '\\s+')) AS tok
+      FROM nm WHERE length(norm) > 0
+    ),
+    pd AS (SELECT doc_id, is_t, substr(md5(tok), 1, 2) AS b, count(*) AS tf
+           FROM t GROUP BY 1, 2, 3),
+    lm AS (
+      SELECT b, sum(tf) AS c_raw,
+             sum(CASE WHEN is_t THEN tf ELSE 0 END) AS c_tgt
+      FROM pd GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw,
+                   CAST(sum(c_tgt) AS DOUBLE) AS t_tgt FROM lm),
+    lw AS (
+      SELECT b, ln((CAST(c_tgt AS DOUBLE) + 1.0) / (t_tgt + 256.0))
+               - ln((CAST(c_raw AS DOUBLE) + 1.0) / (t_raw + 256.0)) AS llr
+      FROM lm, tot
+    ),
+    w AS (
+      SELECT pd.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             sum(CAST(tf AS DOUBLE) * lw.llr) AS log_w
+      FROM pd JOIN lw USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(w.n_tokens, 0) AS n_tokens,
+           {_Q6.format(x='w.log_w')} AS log_w
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    """,
+)
+def q116(spark, sf_dir):
+    """DSIR importance weights (pipeline/sample.py dsir_weights, after
+    Xie et al. arXiv:2302.03169): add-one-smoothed hashed-unigram LMs
+    for the target slice (lang = 'en') vs the raw corpus, per-doc
+    token-wise log-likelihood ratio. High weight = target-like; the
+    resample itself composes with the deterministic hash samplers. One
+    text scan; LMs are a 256-row broadcast."""
+    out = sp.dsir_weights(
+        _table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+    return out.select("doc_id", "n_tokens", q6(F.col("log_w")).alias("log_w"))

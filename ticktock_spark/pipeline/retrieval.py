@@ -1,0 +1,177 @@
+"""Distributed keyword retrieval: exact BM25 scoring and a persisted,
+term-bucket-partitioned inverted index.
+
+Beyond-reference operator family (the reference is a TSDB with no text
+search; a training-data pipeline needs corpus retrieval for
+decontamination audits, targeted subset extraction, and eval-neighbor
+mining). Spark-first shape:
+
+- tokenization / tf / df / dl are codegen'd JVM expressions over ONE
+  corpus scan (`_postings`);
+- corpus-level stats (N, total tokens) are a two-number driver
+  aggregate, the same pattern as tfidf_top_terms;
+- the document-frequency table for a query is term-bounded (one row per
+  query term) and broadcast;
+- the persisted index is a parquet layout partitioned by a hash bucket
+  of the term, so a query's term set becomes PartitionFilters — a
+  q-term query against a 100 TB corpus reads q/n_buckets of the
+  postings, never the raw text.
+
+Scoring is Okapi BM25 (Robertson/Sparck Jones, public formula):
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+Scores are quantized to 6 decimals BEFORE ranking (both here and in the
+SQL oracle), so the top-k cut is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ticktock_spark.pipeline.text import tokens
+from ticktock_spark.queries import q6
+
+
+def _postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, tok, tf, dl) in one scan: the token array is projected
+    once, then size() and explode() both consume the projected column."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")).select(
+        id_col, F.size("__tk").alias("dl"), F.explode("__tk").alias("tok")
+    )
+    return base.groupBy("tok", id_col).agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> tuple[int, float]:
+    """(N, avgdl) from one tiny aggregate action (two numbers to the
+    driver — metadata-scale, same as tfidf_top_terms's corpus count)."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("tl"),
+    ).collect()[0]
+    n = row["n"] or 0
+    return n, (float(row["tl"]) / n if n else 0.0)
+
+
+def _bm25_score(n_docs: int, avgdl: float, k1: float, b: float):
+    """Per-(doc, term) BM25 contribution as a JVM column expression."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    return idf * tf * F.lit(k1 + 1.0) / denom
+
+
+def _rank_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Deterministic top-k: quantized score desc, id asc. TakeOrdered
+    via orderBy+limit — no global sort materialized."""
+    out = scored.select(
+        id_col,
+        F.col("n_terms"),
+        q6(F.col("score")).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact BM25 top-k over the corpus for a bag of query terms.
+
+    Scale shape: ONE corpus scan builds term-filtered postings (the
+    `isin` lands right after the explode, so the groupBy shuffles at
+    most |terms| rows per doc); document frequencies are a |terms|-row
+    aggregate broadcast back; ranking is TakeOrdered. No Python, no
+    driver data beyond (N, avgdl).
+    """
+    n_docs, avgdl = corpus_stats(df, text_col)
+    post = _postings(df, text_col, id_col).filter(F.col("tok").isin(list(terms)))
+    dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        post.join(F.broadcast(dfreq), "tok")
+        .withColumn("s", _bm25_score(n_docs, avgdl, k1, b))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("s").alias("score"))
+    )
+    return _rank_topk(scored, id_col, k)
+
+
+N_TERM_BUCKETS = 64
+
+
+def term_bucket(tok) -> F.Column:
+    """Stable term → partition bucket: xxhash64 mod N_TERM_BUCKETS.
+    JVM-native; reproduced at query time for the probe literals."""
+    return F.pmod(F.xxhash64(tok), F.lit(N_TERM_BUCKETS))
+
+
+def write_inverted_index(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Materialize the inverted index: postings partitioned by term
+    bucket (+ per-term df folded in so queries never re-aggregate it),
+    corpus stats alongside.
+
+    The 100 TB layout: one full shuffle at build time (groupBy tok —
+    the same cost every search engine pays once), then every query
+    reads |query terms| buckets out of N_TERM_BUCKETS via
+    PartitionFilters and never touches the raw text again.
+    """
+    post = _postings(df, text_col, id_col)
+    w = Window.partitionBy("tok")
+    post.withColumn("df", F.count(F.lit(1)).over(w)).withColumn(
+        "bucket", term_bucket(F.col("tok"))
+    ).write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/postings")
+    n_docs, avgdl = corpus_stats(df, text_col)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs bigint, avgdl double"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_index_topk(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k against a written index with STATIC partition pruning.
+
+    The query terms' buckets are computed driver-side (|terms| xxhash64
+    calls through a 1-row Spark job, so the hash is the engine's own)
+    and inlined as a `bucket IN (...)` literal → PartitionFilters lists
+    only those directories. Ranking is identical to bm25_topk (same
+    quantize-then-rank rule), pinned by a parity test.
+    """
+    bucket_rows = spark.createDataFrame(
+        [(t,) for t in terms], "tok string"
+    ).select(term_bucket(F.col("tok")).alias("b")).distinct().collect()
+    buckets = sorted(r["b"] for r in bucket_rows)
+    srow = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("tok").isin(list(terms)))
+    )
+    scored = (
+        post.withColumn("s", _bm25_score(n_docs, avgdl, k1, b))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("s").alias("score"))
+    )
+    return _rank_topk(scored, id_col, k)

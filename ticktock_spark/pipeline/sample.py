@@ -400,3 +400,65 @@ def prepare_corpus(
     )
     return split_assign(out, weights or {"train": 0.8, "valid": 0.1, "test": 0.1},
                         id_col=id_col)
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.
+    2023, arXiv:2302.03169, public method): score every raw document by
+    how target-like its hashed-unigram distribution is.
+
+    Features are the classifier module's portable hex-pair buckets
+    (substr(md5(tok),1,2) — 256 buckets). Two add-one-smoothed unigram
+    LMs are fit from bucket counts — target = rows where `target` holds,
+    raw = the whole corpus — and each doc's weight is its token-wise
+    log-likelihood ratio Σ_tok ln(p_target(b)/p_raw(b)). High weight =
+    target-like; feed the weights into hash-order sampling or a
+    threshold cut for the actual resample.
+
+    Scale shape: ONE scan over the raw text builds the per-(doc,
+    bucket) tf table (shuffle bounded by docs × 256); bucket LMs are a
+    256-row aggregate of that table, broadcast back; the weight is a
+    per-doc sum — no second text scan, no Python, no driver data beyond
+    the action that triggers the plan.
+    """
+    from ticktock_spark.pipeline.classify import token_bucket
+    from ticktock_spark.pipeline.text import tokens
+
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col), target.alias("is_t"), tk.alias("__tk")
+    ).select(id_col, "is_t", F.explode("__tk").alias("tok"))
+    per_doc = base.groupBy(id_col, "is_t", token_bucket(F.col("tok")).alias("b")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    per_doc = per_doc.persist()
+    lm = per_doc.groupBy("b").agg(
+        F.sum("tf").alias("c_raw"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))).alias("c_tgt"),
+    )
+    tot = lm.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    ).collect()[0]
+    t_raw, t_tgt = float(tot["t_raw"] or 0), float(tot["t_tgt"] or 0)
+    llr = F.log(
+        (F.col("c_tgt").cast("double") + F.lit(1.0)) / F.lit(t_tgt + 256.0)
+    ) - F.log((F.col("c_raw").cast("double") + F.lit(1.0)) / F.lit(t_raw + 256.0))
+    lmw = lm.select("b", llr.alias("llr"))
+    out = (
+        per_doc.join(F.broadcast(lmw), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf").cast("double") * F.col("llr")).alias("log_w"),
+        )
+    )
+    spine = df.select(id_col)
+    return spine.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.col("log_w"),
+    )
