@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q101_source_cap",            # per-source caps (WindowGroupLimit)
     "q102_percentile_distributed",  # mega-bucket-safe R-6 percentile
     "q107_chunk_dedup",           # sub-document tile dedup (window + reassembly)
+    "q114_bm25_topk",             # BM25 keyword top-k (single-scan + window df)
+    "q116_dsir_weights",          # DSIR hashed-unigram importance weights
 ]
 
 

@@ -92,15 +92,16 @@ def bm25_topk(
 
     Scale shape: ONE corpus scan builds term-filtered postings (the
     `isin` lands right after the explode, so the groupBy shuffles at
-    most |terms| rows per doc); document frequencies are a |terms|-row
-    aggregate broadcast back; ranking is TakeOrdered. No Python, no
-    driver data beyond (N, avgdl).
+    most |terms| rows per doc); document frequencies come from a count
+    window over the SAME postings (partitioned by term — |terms|
+    partitions, no second text scan, no self-join recomputation);
+    ranking is TakeOrdered. No Python, no driver data beyond (N, avgdl)
+    — which cost one extra column-pruned pass over the text.
     """
     n_docs, avgdl = corpus_stats(df, text_col)
     post = _postings(df, text_col, id_col).filter(F.col("tok").isin(list(terms)))
-    dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        post.join(F.broadcast(dfreq), "tok")
+        post.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         .withColumn("s", _bm25_score(n_docs, avgdl, k1, b))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("s").alias("score"))
