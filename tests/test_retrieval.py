@@ -151,3 +151,40 @@ def test_dsir_weights_prefer_target_like(spark):
         df2, F.col("is_t")).collect()}
     assert out2[2] == (0, None)
     assert out2[1][0] == 1
+
+
+def test_bm25_index_append_matches_full_rebuild(spark, tmp_path):
+    old = spark.createDataFrame(DOCS, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "spark cluster spark"), (11, "unrelated words only")],
+        "doc_id long, text string",
+    )
+    from ticktock_spark.pipeline.retrieval import append_inverted_index
+
+    path = str(tmp_path / "idx")
+    write_inverted_index(old, path)
+    append_inverted_index(new, path)
+    got = bm25_index_topk(spark, path, ["spark", "cluster"], k=10)
+    want = bm25_topk(old.unionByName(new), ["spark", "cluster"], k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from ticktock_spark.pipeline.sample import weighted_sample
+
+    rows = [(i, 100 if i < 50 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    take = lambda: sorted(
+        r["doc_id"] for r in weighted_sample(df, F.col("w"), k=100).collect()
+    )
+    first = take()
+    assert first == take()  # idempotent: same (seed, id) -> same sample
+    # the 50 heavy rows (weight 100x) must dominate the sample head
+    heavy = sum(1 for d in first if d < 50)
+    assert heavy >= 40
+    # zero/negative/null weights are never drawn
+    df2 = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, None)], "doc_id long, w int"
+    )
+    got = weighted_sample(df2, F.col("w"), k=10).collect()
+    assert [r["doc_id"] for r in got] == [1]

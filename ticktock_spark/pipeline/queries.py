@@ -3349,3 +3349,35 @@ def q116(spark, sf_dir):
         _table(spark, sf_dir, "documents"), F.col("lang") == "en"
     )
     return out.select("doc_id", "n_tokens", q6(F.col("log_w")).alias("log_w"))
+
+
+@register(
+    "q117_weighted_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             substr(md5('w0:' || CAST(doc_id AS VARCHAR)), 1, 6) AS hx
+      FROM documents WHERE n_chars > 0
+    ),
+    kx AS (
+      SELECT doc_id, n_chars,
+             ln((list_aggregate(
+                   [ (strpos('0123456789abcdef', hx[i]) - 1) * (16 ** (6 - i))
+                     for i in generate_series(1, 6)], 'sum') + 0.5)
+                 / 16777216.0) / CAST(n_chars AS DOUBLE) AS key
+      FROM h
+    )
+    SELECT doc_id, n_chars, {_Q6.format(x='key')} AS sample_key
+    FROM kx ORDER BY kx.key DESC, doc_id LIMIT 50
+    """,
+)
+def q117(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (pipeline/
+    sample.py weighted_sample, Efraimidis-Spirakis A-ES): 50 docs drawn
+    proportionally to n_chars via the md5-uniform key ln(u)/w — the
+    token-budget-aware cousin of hash_sample, idempotent under retries
+    and reproducible in SQL (the oracle Horner-decodes the same 24-bit
+    draw). One codegen'd scan + TakeOrdered."""
+    d = _table(spark, sf_dir, "documents")
+    out = sp.weighted_sample(d, F.col("n_chars"), k=50)
+    return out.select("doc_id", "n_chars", q6(F.col("sample_key")).alias("sample_key"))

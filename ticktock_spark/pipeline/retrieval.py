@@ -119,27 +119,56 @@ def term_bucket(tok) -> F.Column:
 
 
 def write_inverted_index(
-    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the inverted index: postings partitioned by term
-    bucket (+ per-term df folded in so queries never re-aggregate it),
-    corpus stats alongside.
+    bucket, mergeable corpus stats (n_docs, sum_dl) alongside.
 
     The 100 TB layout: one full shuffle at build time (groupBy tok —
     the same cost every search engine pays once), then every query
     reads |query terms| buckets out of N_TERM_BUCKETS via
     PartitionFilters and never touches the raw text again.
+
+    The layout is SEGMENT-MERGEABLE, which is what makes
+    append_inverted_index a metadata-cheap operation: document
+    frequency is NOT baked into the rows (a new segment would stale
+    it) — queries derive df with a count window over the pruned scan,
+    and the stats table holds additive (n_docs, sum_dl) rows summed at
+    read time.
     """
     post = _postings(df, text_col, id_col)
-    w = Window.partitionBy("tok")
-    post.withColumn("df", F.count(F.lit(1)).over(w)).withColumn(
-        "bucket", term_bucket(F.col("tok"))
-    ).write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/postings")
-    n_docs, avgdl = corpus_stats(df, text_col)
+    post.withColumn("bucket", term_bucket(F.col("tok"))).write.partitionBy(
+        "bucket"
+    ).mode(mode).parquet(f"{path}/postings")
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)).alias("tl"),
+    ).collect()[0]
     spark = df.sparkSession
     spark.createDataFrame(
-        [(n_docs, avgdl)], "n_docs bigint, avgdl double"
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+        [(row["n"], row["tl"])], "n_docs bigint, sum_dl bigint"
+    ).write.mode(mode).parquet(f"{path}/stats")
+
+
+def append_inverted_index(
+    df_new: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Add a new document batch to a standing index WITHOUT rewriting
+    it: the batch's postings append into the same bucket directories
+    and its (n_docs, sum_dl) stats row lands beside the existing ones.
+    Cost is one scan of the NEW batch — the standing corpus is never
+    touched, the incremental-ingest shape chunk_dedup_incremental
+    established.
+
+    Contract: the batch's doc ids are disjoint from the standing
+    corpus (route re-ingests through incremental_exact_dedup first) —
+    a re-appearing doc would double-count itself in df and tf.
+    """
+    write_inverted_index(df_new, path, text_col, id_col, mode="append")
 
 
 def bm25_index_topk(
@@ -163,15 +192,26 @@ def bm25_index_topk(
         [(t,) for t in terms], "tok string"
     ).select(term_bucket(F.col("tok")).alias("b")).distinct().collect()
     buckets = sorted(r["b"] for r in bucket_rows)
-    srow = spark.read.parquet(f"{path}/stats").collect()[0]
-    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+    # stats rows are additive per segment — merging them here is what
+    # lets append_inverted_index skip touching the standing corpus
+    srow = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("tl"))
+        .collect()[0]
+    )
+    n_docs = int(srow["n"])
+    avgdl = float(srow["tl"]) / n_docs if n_docs else 0.0
     post = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("tok").isin(list(terms)))
     )
+    # df from a count window over the pruned scan: spans every segment,
+    # so it is correct immediately after an append — and the partition
+    # is a single term's postings, the same rows the score reads anyway
     scored = (
-        post.withColumn("s", _bm25_score(n_docs, avgdl, k1, b))
+        post.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+        .withColumn("s", _bm25_score(n_docs, avgdl, k1, b))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("s").alias("score"))
     )

@@ -462,3 +462,40 @@ def dsir_weights(
         F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
         F.col("log_w"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "w0",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, public algorithm A-ES): each row draws u ~ U(0,1)
+    from its id hash and ranks by ln(u)/w — the top-k ranks are an
+    exact weighted sample without replacement.
+
+    The draw is the samplers' md5 device (24 bits of the (seed, id)
+    hash → u = (v + 0.5)/2^24, never 0 or 1), so the sample is
+    idempotent under retries, stable across partitionings, and
+    reproducible in the SQL oracle. ln(u) ≤ 0, so dividing by a LARGER
+    weight moves the key toward 0 = better: rank by key desc, id asc.
+
+    Rows with NULL or non-positive weight are excluded (they cannot be
+    drawn — matching the algorithm's w > 0 domain). Scale shape: one
+    scan computing a codegen'd key expression, then TakeOrdered top-k —
+    no shuffle beyond the final k-row collect, no RNG state anywhere.
+    """
+    v = F.conv(F.substring(hash_hex(F.col(id_col), seed), 1, 6), 16, 10).cast(
+        "double"
+    )
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 24))
+    key = F.log(u) / weight.cast("double")
+    out = (
+        df.withColumn("__w", weight.cast("double"))
+        .filter(F.col("__w") > 0)
+        .withColumn("sample_key", key)
+        .drop("__w")
+    )
+    return out.orderBy(F.col("sample_key").desc(), F.col(id_col).asc()).limit(k)
