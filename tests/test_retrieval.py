@@ -163,10 +163,14 @@ def test_bm25_index_append_matches_full_rebuild(spark, tmp_path):
 
     path = str(tmp_path / "idx")
     write_inverted_index(old, path)
-    append_inverted_index(new, path)
+    append_inverted_index(new, path, segment="batch1")
     got = bm25_index_topk(spark, path, ["spark", "cluster"], k=10)
     want = bm25_topk(old.unionByName(new), ["spark", "cluster"], k=10)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # segment replay REPLACES, never double-counts (epoch-replay safety)
+    append_inverted_index(new, path, segment="batch1")
+    again = bm25_index_topk(spark, path, ["spark", "cluster"], k=10)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_weighted_sample_determinism_and_bias(spark):
@@ -188,3 +192,38 @@ def test_weighted_sample_determinism_and_bias(spark):
     )
     got = weighted_sample(df2, F.col("w"), k=10).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_streaming_index_append_matches_batch(spark, tmp_path):
+    """Two micro-batches become two index segments; BM25 over the index
+    equals batch BM25 over the union corpus."""
+    import json
+    import os
+
+    from ticktock_spark.streaming.retrieval import streaming_index_append
+
+    rows0 = DOCS[:3]
+    rows1 = [(10, "spark cluster spark"), (11, "other words entirely")]
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for i, rows in enumerate([rows0, rows1]):
+        with open(tmp_path / "in" / f"b{i}.jsonl", "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(tmp_path / "in" / f"b{i}.jsonl", (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    q = streaming_index_append(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    union = spark.createDataFrame(
+        rows0 + rows1, "doc_id long, text string"
+    )
+    got = bm25_index_topk(spark, str(tmp_path / "idx"), ["spark", "cluster"], k=10)
+    want = bm25_topk(union, ["spark", "cluster"], k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

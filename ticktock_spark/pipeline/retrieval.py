@@ -118,15 +118,54 @@ def term_bucket(tok) -> F.Column:
     return F.pmod(F.xxhash64(tok), F.lit(N_TERM_BUCKETS))
 
 
+def _write_segment(
+    df: DataFrame,
+    path: str,
+    segment: str,
+    text_col: str,
+    id_col: str,
+    dynamic: bool,
+) -> None:
+    # dynamic=False: static overwrite — the whole table is replaced
+    # (full rebuild). dynamic=True: only segment=<segment> partitions
+    # are replaced — other segments untouched (append / epoch replay).
+    mode = "dynamic" if dynamic else "static"
+    post = _postings(df, text_col, id_col)
+    (
+        post.withColumn("segment", F.lit(segment))
+        .withColumn("bucket", term_bucket(F.col("tok")))
+        .write.partitionBy("segment", "bucket")
+        .option("partitionOverwriteMode", mode)
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)).alias("tl"),
+    ).collect()[0]
+    spark = df.sparkSession
+    (
+        spark.createDataFrame(
+            [(segment, row["n"], row["tl"])],
+            "segment string, n_docs bigint, sum_dl bigint",
+        )
+        .write.partitionBy("segment")
+        .option("partitionOverwriteMode", mode)
+        .mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
 def write_inverted_index(
     df: DataFrame,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    mode: str = "overwrite",
+    segment: str = "seg0",
 ) -> None:
-    """Materialize the inverted index: postings partitioned by term
-    bucket, mergeable corpus stats (n_docs, sum_dl) alongside.
+    """Materialize the inverted index: postings partitioned by
+    (segment, bucket), mergeable per-segment corpus stats
+    (n_docs, sum_dl) alongside.
 
     The 100 TB layout: one full shuffle at build time (groupBy tok —
     the same cost every search engine pays once), then every query
@@ -134,41 +173,38 @@ def write_inverted_index(
     PartitionFilters and never touches the raw text again.
 
     The layout is SEGMENT-MERGEABLE, which is what makes
-    append_inverted_index a metadata-cheap operation: document
-    frequency is NOT baked into the rows (a new segment would stale
-    it) — queries derive df with a count window over the pruned scan,
-    and the stats table holds additive (n_docs, sum_dl) rows summed at
-    read time.
+    append_inverted_index cheap and idempotent: document frequency is
+    NOT baked into the rows (a new segment would stale it) — queries
+    derive df with a count window over the pruned scan — and the stats
+    table holds one additive (n_docs, sum_dl) row per segment, summed
+    at read time. This call is the full rebuild: it wipes every
+    existing segment.
     """
-    post = _postings(df, text_col, id_col)
-    post.withColumn("bucket", term_bucket(F.col("tok"))).write.partitionBy(
-        "bucket"
-    ).mode(mode).parquet(f"{path}/postings")
-    row = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)).alias("tl"),
-    ).collect()[0]
-    spark = df.sparkSession
-    spark.createDataFrame(
-        [(row["n"], row["tl"])], "n_docs bigint, sum_dl bigint"
-    ).write.mode(mode).parquet(f"{path}/stats")
+    _write_segment(df, path, segment, text_col, id_col, dynamic=False)
 
 
 def append_inverted_index(
-    df_new: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+    df_new: DataFrame,
+    path: str,
+    segment: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> None:
-    """Add a new document batch to a standing index WITHOUT rewriting
-    it: the batch's postings append into the same bucket directories
-    and its (n_docs, sum_dl) stats row lands beside the existing ones.
-    Cost is one scan of the NEW batch — the standing corpus is never
-    touched, the incremental-ingest shape chunk_dedup_incremental
-    established.
+    """Add a document batch to a standing index as its own segment,
+    WITHOUT rewriting the standing corpus: dynamic partition overwrite
+    replaces only ``segment=<segment>`` directories. Cost is one scan
+    of the NEW batch.
 
-    Contract: the batch's doc ids are disjoint from the standing
-    corpus (route re-ingests through incremental_exact_dedup first) —
-    a re-appearing doc would double-count itself in df and tf.
+    Segment semantics make this idempotent AND replayable: re-running
+    the same (batch, segment) REPLACES that segment instead of
+    double-counting it — which is exactly what a Structured Streaming
+    epoch replay needs (see streaming/retrieval.py) and what a
+    corrected re-ingest of a bad batch wants. Contract: doc ids are
+    disjoint ACROSS segments (route re-ingests through
+    incremental_exact_dedup first) — a doc repeated in two segments
+    would double-count itself in df and tf.
     """
-    write_inverted_index(df_new, path, text_col, id_col, mode="append")
+    _write_segment(df_new, path, segment, text_col, id_col, dynamic=True)
 
 
 def bm25_index_topk(
