@@ -227,3 +227,40 @@ def test_streaming_index_append_matches_batch(spark, tmp_path):
     got = bm25_index_topk(spark, str(tmp_path / "idx"), ["spark", "cluster"], k=10)
     want = bm25_topk(union, ["spark", "cluster"], k=10)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_jl_project_engines_and_distortion(spark):
+    """numpy and expr engines are bit-identical (shared fold order);
+    the projection roughly preserves pairwise geometry (JL property,
+    deterministic here: fixed planes + fixed vectors)."""
+    import math
+    import random
+
+    from ticktock_spark.pipeline.similarity import jl_project
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {r["vec_id"]: r["jl"] for r in jl_project(df, out_dim=32).collect()}
+    b = {
+        r["vec_id"]: r["jl"]
+        for r in jl_project(df, out_dim=32, engine="expr").collect()
+    }
+    assert a == b
+    assert all(len(v) == 32 for v in a.values())
+
+    def dist(u, v):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(u, v)))
+
+    orig = {r[0]: [float(x) for x in r[1]] for r in rows}
+    ratios = []
+    ids = sorted(orig)
+    for i in ids[:10]:
+        for j in ids[10:20]:
+            d0 = dist(orig[i], orig[j])
+            d1 = dist(a[i], a[j])
+            ratios.append(d1 / d0)
+    # 32 of 64 dims: distortion concentrated near 1 (loose deterministic bound)
+    assert 0.5 < min(ratios) and max(ratios) < 1.6, (min(ratios), max(ratios))

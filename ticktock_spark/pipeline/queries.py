@@ -3381,3 +3381,31 @@ def q117(spark, sf_dir):
     d = _table(spark, sf_dir, "documents")
     out = sp.weighted_sample(d, F.col("n_chars"), k=50)
     return out.select("doc_id", "n_chars", q6(F.col("sample_key")).alias("sample_key"))
+
+
+_JL_PLANE = (
+    "(CASE WHEN substr(md5('srp:11:' || b || ':' || (i-1)), 1, 1) >= '8'"
+    " THEN 1.0 ELSE -1.0 END)"
+)
+
+
+@register(
+    "q118_jl_project",
+    f"""
+    SELECT vec_id, b,
+           list_sum([{_JL_PLANE} * CAST(embedding[i] AS DOUBLE)
+                     for i in generate_series(1, len(embedding))]) * 0.25 AS v
+    FROM embeddings, generate_series(0, 15) t(b)
+    """,
+)
+def q118(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→16 compression (pipeline/similarity.py
+    jl_project, Achlioptas ±1 planes): 4x less embedding I/O for every
+    downstream scan. The numpy engine accumulates in SQL fold order, so
+    the exploded components compare at FULL precision — no quantization
+    in this oracle (the q106 exactness bar). 16 components = 1/sqrt(16)
+    scale, exact in binary."""
+    out = sim.jl_project(_table(spark, sf_dir, "embeddings"), out_dim=16, seed=11)
+    return out.select(
+        "vec_id", F.posexplode("jl").alias("b", "v")
+    )

@@ -1271,3 +1271,81 @@ def ivfpq_index_knn(
     scored = cand.select(query_id_col, id_col, _q6col(_pq_adc_col(mm)).alias("adc_d2"))
     w2 = Window.partitionBy(query_id_col).orderBy(F.col("adc_d2").asc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def jl_project(
+    corpus: DataFrame,
+    out_dim: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    engine: str = "numpy",
+) -> DataFrame:
+    """Johnson-Lindenstrauss embedding compression with deterministic
+    Rademacher planes (Achlioptas 2003, "Database-friendly random
+    projections", public result): y[b] = (1/sqrt(out_dim)) Σ_d
+    s(b,d)·x[d] with s = srp_planes' md5-derived ±1 — pairwise inner
+    products and distances are preserved in expectation, at out_dim/dim
+    of the storage (64→16 dims = 4x less embedding I/O for every
+    downstream scan, the cheap tier below int8 quantization).
+
+    Engines (the PQ/minhash dual-engine pattern):
+    - 'numpy' (default): Arrow-batched mapInPandas; the projection
+      accumulates SEQUENTIALLY over d (_srp_project), so sums are
+      bit-identical to a left-to-right SQL fold — the oracle needs no
+      tolerance.
+    - 'expr': pure-JVM zip_with/aggregate spec twin (no Python), same
+      fold order; parity-pinned against 'numpy'.
+
+    Planes are recomputed anywhere from (seed, b, d) md5 calls — no
+    broadcast, no driver state beyond the one-row dim probe. One scan,
+    no shuffle.
+    """
+    import math
+
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    scale = 1.0 / math.sqrt(out_dim)
+    if engine == "expr":
+        planes = srp_planes(out_dim, dim, seed)
+        comps = []
+        for b in range(out_dim):
+            s_arr = F.array(*[F.lit(float(v)) for v in planes[b]])
+            y = (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        s_arr,
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * F.lit(scale)
+            )
+            comps.append(y)
+        return corpus.select(
+            F.col(id_col), F.array(*comps).cast("array<double>").alias("jl")
+        )
+    if engine != "numpy":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    def stage(batches):
+        import numpy as np
+
+        P = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if P is None:
+                P = srp_planes(out_dim, M.shape[1], seed).astype(np.float64)
+            proj = _srp_project(M, P) * scale
+            out = pdf[[id_col]].copy()
+            out["jl"] = list(proj)
+            yield out
+
+    id_type = dict(corpus.dtypes)[id_col]
+    return corpus.select(id_col, vec_col).mapInPandas(
+        stage, schema=f"{id_col} {id_type}, jl array<double>"
+    )

@@ -170,6 +170,38 @@ def main():
             budget=100_000,
         ).count(),
     )
+    # retrieval / selection-model family (round-5 additions): all
+    # single-scan linear shapes; the index query additionally shows the
+    # build-once-probe-cheap split
+    from ticktock_spark.pipeline import classify as clf
+    from ticktock_spark.pipeline import retrieval as rt
+
+    timed(
+        "bm25_topk",
+        lambda: rt.bm25_topk(docs, ["join", "slow", "vector"], k=10).count(),
+    )
+    idx_path = f"{SCRATCH}/bm25_idx_{n}"
+    timed("write_inverted_index", lambda: rt.write_inverted_index(docs, idx_path))
+    timed(
+        "bm25_index_topk",
+        lambda: rt.bm25_index_topk(
+            spark, idx_path, ["join", "slow", "vector"], k=10
+        ).count(),
+    )
+    timed(
+        "lr_quality_scores_2step",
+        lambda: clf.lr_quality_scores(
+            docs, F.col("lang") == "en", steps=2
+        ).count(),
+    )
+    timed(
+        "dsir_weights",
+        lambda: sp.dsir_weights(docs, F.col("lang") == "en").count(),
+    )
+    timed(
+        "weighted_sample",
+        lambda: sp.weighted_sample(docs, F.col("n_chars"), k=1000).count(),
+    )
     print(json.dumps(out))
 
 
