@@ -264,3 +264,23 @@ def test_jl_project_engines_and_distortion(spark):
             ratios.append(d1 / d0)
     # 32 of 64 dims: distortion concentrated near 1 (loose deterministic bound)
     assert 0.5 < min(ratios) and max(ratios) < 1.6, (min(ratios), max(ratios))
+
+
+def test_corpus_report_cards(spark):
+    from ticktock_spark.pipeline.text import corpus_report
+
+    rows = [
+        (1, "alpha beta", "a"),
+        (2, "alpha beta", "b"),      # cross-source exact dup of doc 1
+        (3, "unique text here", "a"),
+        (4, "", "a"),                # zero tokens
+        (5, None, "b"),              # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in corpus_report(df).collect()}
+    assert got["a"]["n_docs"] == 3 and got["b"]["n_docs"] == 2
+    # dup counts hit BOTH sources of the pair
+    assert got["a"]["n_dup_docs"] == 1 and got["b"]["n_dup_docs"] == 1
+    assert got["a"]["n_empty"] == 1 and got["b"]["n_empty"] == 1  # "" and NULL
+    assert got["a"]["n_tokens"] == 5 and got["b"]["n_tokens"] == 2
+    assert got["a"]["pct_tokens"] + got["b"]["pct_tokens"] == pytest.approx(1.0)

@@ -3409,3 +3409,49 @@ def q118(spark, sf_dir):
     return out.select(
         "vec_id", F.posexplode("jl").alias("b", "v")
     )
+
+
+@register(
+    "q119_corpus_report",
+    f"""
+    WITH nm AS (
+      SELECT source, doc_id, {_NORM} AS norm, length(text) AS nc FROM documents
+    ),
+    b AS (
+      SELECT source, doc_id, nc,
+             CASE WHEN norm IS NULL THEN NULL ELSE md5(norm) END AS dig,
+             CASE WHEN norm IS NULL THEN NULL
+                  WHEN length(norm) = 0 THEN 0
+                  ELSE len(string_split_regex(norm, '\\s+')) END AS nt
+      FROM nm
+    ),
+    dc AS (SELECT dig, count(*) AS n_same FROM b WHERE dig IS NOT NULL GROUP BY 1),
+    m AS (SELECT b.*, dc.n_same FROM b LEFT JOIN dc USING (dig)),
+    a AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_chars,
+             CAST(count(CASE WHEN coalesce(nt, 0) = 0 THEN 1 END) AS BIGINT)
+               AS n_empty,
+             CAST(count(CASE WHEN n_same >= 2 THEN 1 END) AS BIGINT) AS n_dup_docs
+      FROM m GROUP BY 1
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
+           n_empty, n_dup_docs,
+           {_Q6.format(x='''CASE WHEN sum(n_tokens) OVER () = 0 THEN 0.0
+              ELSE CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+              END''')} AS pct_tokens
+    FROM a
+    """,
+)
+def q119(spark, sf_dir):
+    """Dataset card (pipeline/text.py corpus_report): per-source docs,
+    token/char mass, empty docs, cross-source exact-duplication, and
+    token share — the release-manifest table next to the shards. One
+    text scan + a digest-count equi-join (never broadcast: the digest
+    side is doc-cardinality)."""
+    out = tx.corpus_report(_table(spark, sf_dir, "documents"))
+    return out.select(
+        "source", "n_docs", "n_tokens", "n_chars", "n_empty", "n_dup_docs",
+        q6(F.col("pct_tokens")).alias("pct_tokens"),
+    )

@@ -1477,3 +1477,62 @@ def bpe_encode(
         F.size("_s").alias("n_words"),
         n_sub.cast("long").alias("n_subwords"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-call dataset card: per-source volume, token mass, emptiness,
+    and internal exact-duplication — the summary table a corpus release
+    ships next to its shards (and the drift input corpus_diff compares
+    across releases).
+
+    Columns per source: n_docs, n_tokens (normalized-token mass, NULL
+    texts contribute nothing), n_chars (raw), n_empty (zero-token or
+    NULL docs), n_dup_docs (docs whose normalized fingerprint is shared
+    by >= 2 docs ANYWHERE in the corpus — cross-source duplication
+    counts against both sources), pct_tokens (share of corpus tokens,
+    6-decimal).
+
+    Scale shape: one text scan projects (source, digest, n_tokens,
+    n_chars); the duplicate flag joins that projection against the
+    digest-count table (shuffles carry digests + counts, never text);
+    the final aggregate is source-bounded and the corpus-total window
+    runs on those few rows.
+    """
+    nt = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("int")
+    ).otherwise(F.size(tokens(F.col(text_col))))
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("dig"),
+        nt.alias("nt"),
+        F.length(F.col(text_col)).alias("nc"),
+    )
+    dupc = base.filter(F.col("dig").isNotNull()).groupBy("dig").agg(
+        F.count(F.lit(1)).alias("n_same")
+    )
+    # the digest-count side is doc-cardinality — never broadcast it;
+    # the equi-join shuffles (digest, count) rows only, text stays out
+    marked = base.join(dupc, "dig", "left")
+    agg = marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum("nc"), F.lit(0)).cast("bigint").alias("n_chars"),
+        F.count(F.when(F.coalesce(F.col("nt"), F.lit(0)) == 0, 1)).alias("n_empty"),
+        F.count(F.when(F.col("n_same") >= 2, 1)).alias("n_dup_docs"),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    pct = F.when(total == 0, F.lit(0.0)).otherwise(
+        F.col("n_tokens").cast("double") / total.cast("double")
+    )
+    return agg.select(
+        "source", "n_docs", "n_tokens", "n_chars", "n_empty", "n_dup_docs",
+        pct.alias("pct_tokens"),
+    )
