@@ -284,3 +284,46 @@ def test_corpus_report_cards(spark):
     assert got["a"]["n_empty"] == 1 and got["b"]["n_empty"] == 1  # "" and NULL
     assert got["a"]["n_tokens"] == 5 and got["b"]["n_tokens"] == 2
     assert got["a"]["pct_tokens"] + got["b"]["pct_tokens"] == pytest.approx(1.0)
+
+
+def test_lr_score_expr_matches_join_and_streams(spark, tmp_path):
+    """Scan-side inference ≈ the join/agg scorer (fold-order ulp only),
+    and runs STATELESS on a stream: per-row results equal the batch."""
+    import json
+    import os
+
+    from ticktock_spark.pipeline.classify import (
+        hashed_features,
+        lr_score_expr,
+        lr_train,
+    )
+
+    rows = [(i, "good clean prose here", 1) for i in range(10)] + [
+        (i + 100, "zz qq junk spam xx", 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = lr_train(hashed_features(df, label=F.col("y") == 1), steps=4, lr=2.0)
+
+    batch = {r["doc_id"]: r["p"] for r in lr_score_expr(df, w).collect()}
+
+    (tmp_path / "in").mkdir(exist_ok=True)
+    with open(tmp_path / "in" / "b0.jsonl", "w") as f:
+        for did, text, _ in rows:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(tmp_path / "in")
+    )
+    q = (
+        lr_score_expr(stream, w)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: r["p"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert streamed == batch  # identical expression -> identical floats

@@ -172,3 +172,45 @@ def lr_quality_scores(
     w = lr_train(feats, steps=steps, lr=lr, id_col=id_col)
     out = lr_score(feats.drop("y"), w, id_col=id_col)
     return out
+
+
+def lr_score_expr(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scan-side σ(w·x): the whole inference collapses into one
+    codegen'd row expression — no explode, no shuffle, no join.
+
+    Because x is L1-normalized counts, w·x = bias + (Σ_tok
+    w[bucket(tok)]) / n_tokens, so a per-token map lookup folded over
+    the token array computes the margin in place. The ≤257-entry model
+    inlines as a map literal (the cap_to_vocab size regime — far under
+    the expression-tree hazard threshold). This is the form a 100 TB
+    inference pass wants (pure scan, composes with pushdown) and it is
+    STATELESS — apply it directly to a streaming DataFrame, no
+    watermark, no state store (tests pin stream parity with lr_score).
+    """
+    pairs: list = []
+    for bkt, w in sorted(weights.items()):
+        if bkt != BIAS_BUCKET:
+            pairs += [F.lit(bkt), F.lit(float(w))]
+    wmap = F.create_map(*pairs) if pairs else F.create_map()
+    bias = float(weights.get(BIAS_BUCKET, 0.0))
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), tk.alias("__tk"))
+
+    def step(acc, t):
+        return acc + F.coalesce(
+            wmap[F.substring(F.md5(t), 1, 2)], F.lit(0.0)
+        )
+
+    tok_sum = F.aggregate(F.col("__tk"), F.lit(0.0), step)
+    n_tok = F.size("__tk")
+    z = F.lit(bias) + F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        tok_sum / n_tok.cast("double")
+    )
+    return base.select(
+        id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p")
+    )
