@@ -3124,10 +3124,10 @@ def q112(spark, sf_dir):
     return tx.bpe_train(_table(spark, sf_dir, "documents"), num_merges=3)
 
 
-@register(
-    "q113_bpe_encode",
-    f"""
-    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents
+# Shared 3-merge BPE replay (the q112 trainer unrolled, then the merge
+# table replayed over the corpus): CTE chain nm -> dt (doc words) ->
+# trained merges t1..t3 -> wsub (post-merge subword count per word).
+_BPE_REPLAY_CTES = f"""nm AS (SELECT doc_id, {_NORM} AS norm FROM documents
                 WHERE text IS NOT NULL),
     dt AS (
       SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS w
@@ -3169,7 +3169,13 @@ def q112(spark, sf_dir):
                              '|'||t3.a||t3.b||'|') AS s FROM s2, t3),
     wsub AS (
       SELECT w, len(string_split(trim(s, '|'), '||')) AS nsub FROM s3
-    )
+    )"""
+
+
+@register(
+    "q113_bpe_encode",
+    f"""
+    WITH {_BPE_REPLAY_CTES}
     SELECT dt.doc_id, CAST(count(*) AS INT) AS n_words,
            CAST(sum(wsub.nsub) AS BIGINT) AS n_subwords
     FROM dt JOIN wsub USING (w)
@@ -3454,4 +3460,43 @@ def q119(spark, sf_dir):
     return out.select(
         "source", "n_docs", "n_tokens", "n_chars", "n_empty", "n_dup_docs",
         q6(F.col("pct_tokens")).alias("pct_tokens"),
+    )
+
+
+@register(
+    "q120_bpe_fertility",
+    f"""
+    WITH {{ctes}},
+    docmap AS (SELECT doc_id, lang FROM documents),
+    enc AS (
+      SELECT dt.doc_id, count(*) AS n_words, sum(wsub.nsub) AS n_subwords
+      FROM dt JOIN wsub USING (w) GROUP BY dt.doc_id
+    )
+    SELECT d.lang, CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+           CAST(sum(enc.n_subwords) AS BIGINT) AS n_subwords,
+           {{q6}} AS fertility
+    FROM enc JOIN docmap d USING (doc_id)
+    GROUP BY d.lang
+    """.format(
+        ctes=_BPE_REPLAY_CTES,
+        q6=_Q6.format(
+            x="CAST(sum(enc.n_subwords) AS DOUBLE) / CAST(sum(enc.n_words) AS DOUBLE)"
+        ),
+    ),
+)
+def q120(spark, sf_dir):
+    """Tokenizer fertility per language: subwords emitted per word under
+    the 3-merge BPE table — the per-language tokenizer-quality metric a
+    multilingual corpus tracks (a lang the merges never learned pays
+    more subwords per word). Pure composition: bpe_train → bpe_encode →
+    lang join → ratio; the oracle reuses q113's replay CTE chain."""
+    d = _table(spark, sf_dir, "documents")
+    enc = tx.bpe_encode(d, tx.bpe_train(d, num_merges=3))
+    agg = enc.join(d.select("doc_id", "lang"), "doc_id").groupBy("lang").agg(
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+    )
+    fert = F.col("n_subwords").cast("double") / F.col("n_words").cast("double")
+    return agg.select(
+        "lang", "n_words", "n_subwords", q6(fert).alias("fertility")
     )
