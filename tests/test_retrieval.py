@@ -327,3 +327,61 @@ def test_lr_score_expr_matches_join_and_streams(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert streamed == batch  # identical expression -> identical floats
+
+
+def test_dsir_snapshot_scoring_matches_fit(spark, tmp_path):
+    """Fitting the LLR table on the corpus and scoring the SAME corpus
+    with the frozen snapshot reproduces dsir_weights (fold-order ulp);
+    the snapshot path also runs stateless on a stream."""
+    import json
+
+    from ticktock_spark.pipeline.sample import (
+        dsir_llr_table,
+        dsir_score_expr,
+        dsir_weights,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma delta", True) for i in range(8)]
+        + [(i + 50, "omega psi chi phi", False) for i in range(8)]
+        + [(200, "alpha beta unknownword", False), (201, "", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["log_w"])
+        for r in dsir_weights(df, F.col("is_t")).collect()
+    }
+    llr = dsir_llr_table(df, F.col("is_t"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_w"])
+        for r in dsir_score_expr(df, llr).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        if want[k][1] is None:
+            assert got[k][1] is None
+        else:
+            assert got[k][1] == pytest.approx(want[k][1], abs=1e-9)
+
+    (tmp_path / "in").mkdir(exist_ok=True)
+    with open(tmp_path / "in" / "b0.jsonl", "w") as f:
+        for did, text, _ in rows:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(tmp_path / "in")
+    )
+    q = (
+        dsir_score_expr(stream, llr)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_tokens"], r["log_w"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert streamed == got

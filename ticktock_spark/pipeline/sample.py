@@ -499,3 +499,73 @@ def weighted_sample(
         .drop("__w")
     )
     return out.orderBy(F.col("sample_key").desc(), F.col(id_col).asc()).limit(k)
+
+
+def dsir_score_expr(
+    df: DataFrame,
+    llr_map: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scan-side DSIR scoring against a FROZEN bucket-LLR snapshot: the
+    256-entry {hex-pair bucket: ln(p_t/p_r)} table inlines as a map
+    literal and the per-doc weight folds over the token array — no
+    explode, no shuffle, no join (lr_score_expr's shape).
+
+    This is the production split of dsir_weights: fit the LMs ONCE on a
+    reference corpus (dsir_llr_table), then score any batch — or a
+    STREAM, statelessly — against that snapshot. Zero-token docs score
+    NULL (no evidence), matching dsir_weights.
+    """
+    from ticktock_spark.pipeline.text import tokens
+
+    pairs: list = []
+    for bkt, v in sorted(llr_map.items()):
+        pairs += [F.lit(bkt), F.lit(float(v))]
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), tk.alias("__tk"))
+
+    def step(acc, t):
+        return acc + F.coalesce(m[F.substring(F.md5(t), 1, 2)], F.lit(0.0))
+
+    s = F.aggregate(F.col("__tk"), F.lit(0.0), step)
+    n = F.size("__tk")
+    return base.select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        F.when(n == 0, F.lit(None).cast("double")).otherwise(s).alias("log_w"),
+    )
+
+
+def dsir_llr_table(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Fit the DSIR bucket-LLR snapshot on a reference corpus: the
+    ≤256-entry driver-held dict dsir_score_expr consumes. One text
+    scan; only the bucket aggregate reaches the driver."""
+    from ticktock_spark.pipeline.classify import token_bucket
+    from ticktock_spark.pipeline.text import tokens as _tokens
+
+    base = df.select(
+        target.alias("is_t"),
+        F.explode(
+            F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
+        ).alias("tok"),
+    )
+    lm = base.groupBy(token_bucket(F.col("tok")).alias("b")).agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count(F.when(F.col("is_t"), 1)).alias("c_tgt"),
+    )
+    rows = lm.collect()
+    t_raw = float(sum(r["c_raw"] for r in rows))
+    t_tgt = float(sum(r["c_tgt"] for r in rows))
+    import math
+
+    return {
+        r["b"]: math.log((r["c_tgt"] + 1.0) / (t_tgt + 256.0))
+        - math.log((r["c_raw"] + 1.0) / (t_raw + 256.0))
+        for r in rows
+    }
