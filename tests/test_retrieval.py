@@ -385,3 +385,41 @@ def test_dsir_snapshot_scoring_matches_fit(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert streamed == got
+
+
+def test_ks_drift_exact_statistic(spark):
+    import bisect
+    import random
+
+    from ticktock_spark.operators.drift import ks_drift
+
+    rng = random.Random(11)
+    rows = [(round(rng.gauss(0, 1), 2), True) for _ in range(200)] + [
+        (round(rng.gauss(0.7, 1.3), 2), False) for _ in range(250)
+    ] + [(None, True), (1.0, None)]
+    df = spark.createDataFrame(rows, "value double, a boolean")
+    got = ks_drift(df, F.col("a"), "value").collect()[0]
+    av = sorted(v for v, s in rows if s and v is not None)
+    bv = sorted(v for v, s in rows if s is False and v is not None)
+    pts = sorted(set(av + bv))
+    gaps = [
+        (
+            abs(
+                bisect.bisect_right(av, p) / len(av)
+                - bisect.bisect_right(bv, p) / len(bv)
+            ),
+            p,
+        )
+        for p in pts
+    ]
+    d_ref = max(g for g, _ in gaps)
+    at_ref = min(p for g, p in gaps if g == d_ref)
+    assert got["n_a"] == len(av) and got["n_b"] == len(bv)
+    assert got["ks"] == pytest.approx(d_ref, abs=1e-6)
+    assert got["ks_at"] == at_ref
+    # identical distributions -> D from sampling noise only (same rows: 0)
+    df2 = spark.createDataFrame(
+        [(float(v), s) for v in range(50) for s in (True, False)],
+        "value double, a boolean",
+    )
+    assert ks_drift(df2, F.col("a"), "value").collect()[0]["ks"] == 0.0

@@ -3500,3 +3500,47 @@ def q120(spark, sf_dir):
     return agg.select(
         "lang", "n_words", "n_subwords", q6(fert).alias("fertility")
     )
+
+
+@register(
+    "q121_ks_drift",
+    f"""
+    WITH s AS (
+      SELECT value AS v, (event_type = 'click') AS is_a FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pv AS (
+      SELECT v, count(CASE WHEN is_a THEN 1 END) AS na,
+             count(CASE WHEN NOT is_a THEN 1 END) AS nb
+      FROM s GROUP BY 1
+    ),
+    c AS (
+      SELECT v,
+             sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+      FROM pv
+    ),
+    r AS (
+      SELECT v, ta, tb,
+             abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta) AS num
+      FROM c WHERE ta > 0 AND tb > 0
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           {_Q6.format(x='CAST(num AS DOUBLE) / CAST(CAST(ta AS HUGEINT) * tb AS DOUBLE)')}
+             AS ks,
+           v AS ks_at
+    FROM r ORDER BY num DESC, v LIMIT 1
+    """,
+)
+def q121(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift test (operators/
+    drift.py ks_drift): click vs non-click event values — the numeric
+    data-quality twin of q98's vocab drift. The argmax ranks on the
+    exact integer numerator |ca*tb - cb*ta| (no float in the ordering),
+    so the attained-at value is engine-exact; the shuffle carries one
+    row per distinct value."""
+    from ticktock_spark.operators.drift import ks_drift
+
+    ev = _table(spark, sf_dir, "events")
+    return ks_drift(ev, F.col("event_type") == "click")
