@@ -423,3 +423,40 @@ def test_ks_drift_exact_statistic(spark):
         "value double, a boolean",
     )
     assert ks_drift(df2, F.col("a"), "value").collect()[0]["ks"] == 0.0
+
+
+def test_categorical_drift_statistics(spark):
+    import math
+
+    from ticktock_spark.operators.drift import categorical_drift
+
+    rows = (
+        [("en", True)] * 50 + [("de", True)] * 30 + [("fr", True)] * 20
+        + [("en", False)] * 20 + [("de", False)] * 30 + [("fr", False)] * 50
+    )
+    df = spark.createDataFrame(rows, "lang string, a boolean")
+    got = categorical_drift(df, F.col("a"), "lang").collect()[0]
+    # reference chi2/psi
+    cats = {"en": (50, 20), "de": (30, 30), "fr": (20, 50)}
+    ta, tb = 100, 100
+    chi2 = sum(
+        (na - (na + nb) * ta / (ta + tb)) ** 2 / ((na + nb) * ta / (ta + tb))
+        + (nb - (na + nb) * tb / (ta + tb)) ** 2 / ((na + nb) * tb / (ta + tb))
+        for na, nb in cats.values()
+    )
+    k = 3
+    psi = sum(
+        ((na + 1) / (ta + k) - (nb + 1) / (tb + k))
+        * (math.log((na + 1) / (ta + k)) - math.log((nb + 1) / (tb + k)))
+        for na, nb in cats.values()
+    )
+    assert got["n_a"] == ta and got["n_b"] == tb and got["n_categories"] == k
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-6)
+    assert got["psi"] == pytest.approx(psi, abs=1e-6)
+    # identical mixes -> both statistics 0
+    same = spark.createDataFrame(
+        [("en", s) for s in (True, False)] * 40 + [("de", s) for s in (True, False)] * 10,
+        "lang string, a boolean",
+    )
+    z = categorical_drift(same, F.col("a"), "lang").collect()[0]
+    assert z["chi2"] == 0.0 and z["psi"] == 0.0

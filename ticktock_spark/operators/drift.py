@@ -73,3 +73,64 @@ def ks_drift(
         (F.floor(ks * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("ks"),
         F.col("v").alias("ks_at"),
     )
+
+
+def categorical_drift(
+    df: DataFrame,
+    side_a: Column,
+    cat_col: str,
+) -> DataFrame:
+    """Categorical-distribution drift between the ``side_a`` slice and
+    the rest: Pearson chi-square statistic (homogeneity test, observed
+    vs expected under the pooled distribution) and the Population
+    Stability Index Σ (p_a - p_b) ln(p_a / p_b) with add-one smoothing
+    (so empty cells on either side stay finite).
+
+    One row out: n_a, n_b, n_categories, chi2, psi (both 6-decimal).
+    Scale shape: one conditional-count aggregate per category (shuffle
+    bounded by category cardinality), then a category-count-sized
+    reduction. NULL category or NULL side rows are excluded.
+    """
+    sided = df.select(F.col(cat_col).alias("c"), side_a.alias("is_a")).filter(
+        F.col("c").isNotNull() & F.col("is_a").isNotNull()
+    )
+    per_c = sided.groupBy("c").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("na"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+    )
+    tot = Window.partitionBy()
+    k = F.count(F.lit(1)).over(tot)
+    with_tot = per_c.select(
+        "c", "na", "nb",
+        F.sum("na").over(tot).alias("ta"),
+        F.sum("nb").over(tot).alias("tb"),
+        k.alias("k"),
+    )
+    n = (F.col("ta") + F.col("tb")).cast("double")
+    # chi2 (homogeneity): expected_a = (na+nb) * ta/n per cell
+    ea = (F.col("na") + F.col("nb")).cast("double") * F.col("ta").cast("double") / n
+    eb = (F.col("na") + F.col("nb")).cast("double") * F.col("tb").cast("double") / n
+    cell = (F.col("na").cast("double") - ea) * (
+        F.col("na").cast("double") - ea
+    ) / ea + (F.col("nb").cast("double") - eb) * (F.col("nb").cast("double") - eb) / eb
+    # PSI with add-one smoothing over k categories
+    pa = (F.col("na").cast("double") + F.lit(1.0)) / (
+        F.col("ta").cast("double") + F.col("k").cast("double")
+    )
+    pb = (F.col("nb").cast("double") + F.lit(1.0)) / (
+        F.col("tb").cast("double") + F.col("k").cast("double")
+    )
+    psi_cell = (pa - pb) * (F.log(pa) - F.log(pb))
+    agg = with_tot.select(
+        "ta", "tb", "k", cell.alias("cell"), psi_cell.alias("psic")
+    ).groupBy("ta", "tb", "k").agg(
+        F.sum("cell").alias("chi2"), F.sum("psic").alias("psi")
+    )
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return agg.select(
+        F.col("ta").cast("bigint").alias("n_a"),
+        F.col("tb").cast("bigint").alias("n_b"),
+        F.col("k").cast("bigint").alias("n_categories"),
+        q6(F.col("chi2")).alias("chi2"),
+        q6(F.col("psi")).alias("psi"),
+    )

@@ -3544,3 +3544,71 @@ def q121(spark, sf_dir):
 
     ev = _table(spark, sf_dir, "events")
     return ks_drift(ev, F.col("event_type") == "click")
+
+
+@register(
+    "q122_categorical_drift",
+    f"""
+    WITH s AS (
+      SELECT lang AS c,
+             (source IN ('src0', 'src1', 'src2', 'src3', 'src4')) AS is_a
+      FROM documents
+      WHERE lang IS NOT NULL
+        AND (source IN ('src0', 'src1', 'src2', 'src3', 'src4')) IS NOT NULL
+    ),
+    pc AS (
+      SELECT c, count(CASE WHEN is_a THEN 1 END) AS na,
+             count(CASE WHEN NOT is_a THEN 1 END) AS nb
+      FROM s GROUP BY 1
+    ),
+    w AS (
+      SELECT c, na, nb, sum(na) OVER () AS ta, sum(nb) OVER () AS tb,
+             count(*) OVER () AS k
+      FROM pc
+    ),
+    cells AS (
+      SELECT ta, tb, k,
+             (CAST(na AS DOUBLE)
+                - CAST(na + nb AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / CAST(ta + tb AS DOUBLE))
+             * (CAST(na AS DOUBLE)
+                - CAST(na + nb AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / CAST(ta + tb AS DOUBLE))
+             / (CAST(na + nb AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / CAST(ta + tb AS DOUBLE))
+             + (CAST(nb AS DOUBLE)
+                - CAST(na + nb AS DOUBLE) * CAST(tb AS DOUBLE)
+                    / CAST(ta + tb AS DOUBLE))
+             * (CAST(nb AS DOUBLE)
+                - CAST(na + nb AS DOUBLE) * CAST(tb AS DOUBLE)
+                    / CAST(ta + tb AS DOUBLE))
+             / (CAST(na + nb AS DOUBLE) * CAST(tb AS DOUBLE)
+                    / CAST(ta + tb AS DOUBLE)) AS cell,
+             ((CAST(na AS DOUBLE) + 1.0)
+                / (CAST(ta AS DOUBLE) + CAST(k AS DOUBLE))
+              - (CAST(nb AS DOUBLE) + 1.0)
+                / (CAST(tb AS DOUBLE) + CAST(k AS DOUBLE)))
+             * (ln((CAST(na AS DOUBLE) + 1.0)
+                   / (CAST(ta AS DOUBLE) + CAST(k AS DOUBLE)))
+                - ln((CAST(nb AS DOUBLE) + 1.0)
+                     / (CAST(tb AS DOUBLE) + CAST(k AS DOUBLE)))) AS psic
+      FROM w
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           CAST(k AS BIGINT) AS n_categories,
+           {_Q6.format(x='sum(cell)')} AS chi2,
+           {_Q6.format(x='sum(psic)')} AS psi
+    FROM cells GROUP BY ta, tb, k
+    """,
+)
+def q122(spark, sf_dir):
+    """Categorical drift of the language mix: sources src0-src4 vs the
+    rest (operators/drift.py categorical_drift) — Pearson chi-square
+    plus Population Stability Index with add-one smoothing, the report
+    a corpus-intake gate alarms on. Category-bounded shuffle."""
+    from ticktock_spark.operators.drift import categorical_drift
+
+    d = _table(spark, sf_dir, "documents")
+    return categorical_drift(
+        d, F.col("source").isin("src0", "src1", "src2", "src3", "src4"), "lang"
+    )
