@@ -460,3 +460,39 @@ def test_categorical_drift_statistics(spark):
     )
     z = categorical_drift(same, F.col("a"), "lang").collect()[0]
     assert z["chi2"] == 0.0 and z["psi"] == 0.0
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Batch 0 matches the reference (tiny KS), batch 1 is shifted
+    (large KS) — the monitor's per-epoch rows say which."""
+    import json
+    import os
+
+    from ticktock_spark.streaming.drift import streaming_drift_monitor
+
+    ref = spark.createDataFrame(
+        [(float(v % 10),) for v in range(200)], "value double"
+    )
+    b0 = [{"value": float(v % 10)} for v in range(100)]       # same dist
+    b1 = [{"value": float(v % 10) + 25.0} for v in range(100)]  # shifted
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for i, batch in enumerate([b0, b1]):
+        with open(tmp_path / "in" / f"b{i}.jsonl", "w") as f:
+            for row in batch:
+                f.write(json.dumps(row) + "\n")
+        os.utime(tmp_path / "in" / f"b{i}.jsonl", (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    q = streaming_drift_monitor(
+        stream, ref, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    rows = {
+        r["epoch"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert rows[0]["test"] == "ks:value" and rows[0]["n_ref"] == 200
+    assert rows[0]["stat"] == 0.0          # identical distribution
+    assert rows[1]["stat"] == 1.0          # fully disjoint supports
