@@ -496,3 +496,30 @@ def test_streaming_drift_monitor(spark, tmp_path):
     assert rows[0]["test"] == "ks:value" and rows[0]["n_ref"] == 200
     assert rows[0]["stat"] == 0.0          # identical distribution
     assert rows[1]["stat"] == 1.0          # fully disjoint supports
+
+
+def test_intake_report_flags_duplicate_delivery(spark):
+    from ticktock_spark.pipeline.sample import intake_report
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i} with some words", "en", "s0")
+         for i in range(20)],
+        "doc_id long, text string, lang string, source string",
+    )
+    # delivery: 2 docs copied from the corpus, 1 internal dup pair, 1 new
+    new = spark.createDataFrame(
+        [
+            (100, "corpus doc number 3 with some words", "en", "s1"),
+            (101, "corpus doc number 7 with some words", "en", "s1"),
+            (102, "a fresh never seen document", "de", "s1"),
+            (103, "a fresh never seen document", "de", "s1"),
+            (104, "another brand new doc entirely", "fr", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = intake_report(new, corpus).collect()[0]
+    assert got["n_new"] == 5
+    assert got["n_dup_exact"] == 2
+    assert got["n_dup_internal"] == 1
+    assert got["lang_psi"] > 0.0  # en-only corpus vs mixed delivery
+    assert 0.0 <= got["gopher_pass_frac"] <= 1.0

@@ -1367,10 +1367,9 @@ _RAWTOKS = (
 )
 
 
-@register(
-    "q66_gopher_quality",
-    f"""
-    WITH s AS (
+# Gopher rule CTEs (s -> fl), parametrized by __SRC__ (sentinel, not
+# str.format — the embedded regexes contain braces).
+_GOPHER_CTES = f"""s AS (
       SELECT doc_id,
              len({_RAWTOKS}) AS n_words,
              length(regexp_replace(text, '\\s', '', 'g')) AS n_chars,
@@ -1383,7 +1382,7 @@ _RAWTOKS = (
              len([t for t in {_RAWTOKS} if regexp_matches(t, '[A-Za-z]')])
                AS n_alpha,
              {_SW['en']} AS sw
-      FROM documents
+      FROM __SRC__
     ),
     fl AS (
       SELECT doc_id, n_words,
@@ -1399,7 +1398,13 @@ _RAWTOKS = (
                AS flag_alpha,
              sw >= 2 AS flag_stopwords
       FROM s
-    )
+    )"""
+
+
+@register(
+    "q66_gopher_quality",
+    f"""
+    WITH {_GOPHER_CTES.replace("__SRC__", "documents")}
     SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
            flag_word_count, flag_mean_word_len, flag_symbol_ratio,
            flag_bullets, flag_ellipsis, flag_alpha, flag_stopwords,
@@ -3611,4 +3616,105 @@ def q122(spark, sf_dir):
     d = _table(spark, sf_dir, "documents")
     return categorical_drift(
         d, F.col("source").isin("src0", "src1", "src2", "src3", "src4"), "lang"
+    )
+
+
+@register(
+    "q123_intake_report",
+    f"""
+    WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    corp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    nd AS (SELECT doc_id, md5({_NORM}) AS dig FROM newd),
+    cd AS (SELECT DISTINCT md5({_NORM}) AS dig FROM corp),
+    n1 AS (SELECT count(*) AS n_new FROM newd),
+    n2 AS (
+      SELECT count(*) AS n_dup_exact FROM nd
+      WHERE dig IN (SELECT dig FROM cd WHERE dig IS NOT NULL)
+    ),
+    n3 AS (
+      SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dup_internal
+      FROM (SELECT dig, count(*) AS c FROM nd WHERE dig IS NOT NULL GROUP BY 1)
+    ),
+    tagged AS (
+      SELECT FALSE AS is_a, lang AS c,
+             CASE WHEN {_NORM} IS NULL THEN NULL
+                  WHEN length({_NORM}) = 0 THEN 0.0
+                  ELSE CAST(len(string_split_regex({_NORM}, '\\s+')) AS DOUBLE)
+             END AS v
+      FROM newd
+      UNION ALL
+      SELECT TRUE, lang,
+             CASE WHEN {_NORM} IS NULL THEN NULL
+                  WHEN length({_NORM}) = 0 THEN 0.0
+                  ELSE CAST(len(string_split_regex({_NORM}, '\\s+')) AS DOUBLE)
+             END
+      FROM corp
+    ),
+    pc AS (
+      SELECT c, count(CASE WHEN is_a THEN 1 END) AS na,
+             count(CASE WHEN NOT is_a THEN 1 END) AS nb
+      FROM tagged WHERE c IS NOT NULL GROUP BY 1
+    ),
+    wps AS (
+      SELECT c, na, nb, sum(na) OVER () AS ta, sum(nb) OVER () AS tb,
+             count(*) OVER () AS k
+      FROM pc
+    ),
+    psi AS (
+      SELECT {_Q6.format(x='''sum(
+        ((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + CAST(k AS DOUBLE))
+         - (CAST(nb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + CAST(k AS DOUBLE)))
+        * (ln((CAST(na AS DOUBLE) + 1.0)
+              / (CAST(ta AS DOUBLE) + CAST(k AS DOUBLE)))
+           - ln((CAST(nb AS DOUBLE) + 1.0)
+                / (CAST(tb AS DOUBLE) + CAST(k AS DOUBLE)))))''')} AS lang_psi
+      FROM wps GROUP BY ta, tb, k
+    ),
+    pv AS (
+      SELECT v, count(CASE WHEN is_a THEN 1 END) AS na,
+             count(CASE WHEN NOT is_a THEN 1 END) AS nb
+      FROM tagged WHERE v IS NOT NULL GROUP BY 1
+    ),
+    cks AS (
+      SELECT v,
+             sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+      FROM pv
+    ),
+    rks AS (
+      SELECT v, ta, tb,
+             abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta) AS num
+      FROM cks WHERE ta > 0 AND tb > 0
+    ),
+    ks AS (
+      SELECT {_Q6.format(x='CAST(num AS DOUBLE) / CAST(CAST(ta AS HUGEINT) * tb AS DOUBLE)')}
+               AS len_ks
+      FROM rks ORDER BY num DESC, v LIMIT 1
+    ),
+    {_GOPHER_CTES.replace("__SRC__", "newd")},
+    gp AS (
+      SELECT {_Q6.format(x='''CAST(count(CASE WHEN
+        flag_word_count AND flag_mean_word_len AND flag_symbol_ratio
+        AND flag_bullets AND flag_ellipsis AND flag_alpha AND flag_stopwords
+        THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)''')} AS gopher_pass_frac
+      FROM fl
+    )
+    SELECT CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_dup_exact AS BIGINT) AS n_dup_exact,
+           n_dup_internal, lang_psi, len_ks, gopher_pass_frac
+    FROM n1, n2, n3, psi, ks, gp
+    """,
+)
+def q123(spark, sf_dir):
+    """Corpus intake gate (pipeline/sample.py intake_report): the
+    one-row go/no-go report before merging a delivery — batch size,
+    exact-dup overlap with the standing corpus, within-batch dup mass,
+    language-mix PSI, token-length KS, and Gopher pass rate. Every
+    statistic is a scalar composed from the drift/dedup/quality
+    operators; the oracle reuses the q66 gopher CTEs and the q121/q122
+    drift mirrors."""
+    d = _table(spark, sf_dir, "documents")
+    return sp.intake_report(
+        d.filter(F.col("doc_id") % 5 == 0), d.filter(F.col("doc_id") % 5 != 0)
     )

@@ -569,3 +569,98 @@ def dsir_llr_table(
         - math.log((r["c_raw"] + 1.0) / (t_raw + 256.0))
         for r in rows
     }
+
+
+def intake_report(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-row intake gate for a new document batch against the
+    standing corpus — the go/no-go report an ingest pipeline computes
+    before merging a delivery:
+
+    - n_new, n_dup_exact (new docs whose normalized fingerprint already
+      exists in the corpus), n_dup_internal (duplicated WITHIN the
+      batch beyond first occurrence);
+    - lang_psi: Population Stability Index of the batch's language mix
+      vs the corpus (operators/drift.py categorical_drift);
+    - len_ks: exact KS statistic between the batch's and corpus's
+      per-doc token-count distributions (length drift — truncation or
+      boilerplate deliveries show up here);
+    - gopher_pass_frac: fraction of the batch passing the Gopher
+      quality conjunction.
+
+    Scale shape: the batch (small side by construction) is scanned per
+    screen; the corpus contributes its digest set (semi-join — in
+    production this is the standing digest index, not a text rescan),
+    its language counts, and its token-count distribution. Every
+    statistic is a scalar — the output is literally one row.
+    """
+    from ticktock_spark.operators.drift import categorical_drift, ks_drift
+    from ticktock_spark.pipeline.text import (
+        fingerprint,
+        gopher_quality_flags,
+        tokens,
+    )
+
+    ndig = new_df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("dig")
+    )
+    cdig = corpus_df.select(fingerprint(F.col(text_col)).alias("dig")).distinct()
+    n_new = new_df.groupBy().agg(F.count(F.lit(1)).alias("n_new"))
+    dup_exact = (
+        ndig.join(cdig, "dig", "left_semi")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_dup_exact"))
+    )
+    dup_internal = (
+        ndig.filter(F.col("dig").isNotNull())
+        .groupBy("dig")
+        .agg((F.count(F.lit(1)) - 1).alias("extra"))
+        .groupBy()
+        .agg(F.coalesce(F.sum("extra"), F.lit(0)).alias("n_dup_internal"))
+    )
+    tagged = new_df.select(
+        F.lit(False).alias("__ref"),
+        F.col(lang_col).alias("lang"),
+        F.size(tokens(F.col(text_col))).cast("double").alias("nt"),
+    ).unionByName(
+        corpus_df.select(
+            F.lit(True).alias("__ref"),
+            F.col(lang_col).alias("lang"),
+            F.size(tokens(F.col(text_col))).cast("double").alias("nt"),
+        )
+    )
+    psi = categorical_drift(tagged, F.col("__ref"), "lang").select(
+        F.col("psi").alias("lang_psi")
+    )
+    ks = ks_drift(tagged, F.col("__ref"), "nt").select(
+        F.col("ks").alias("len_ks")
+    )
+    gp = (
+        gopher_quality_flags(new_df, text_col=text_col, id_col=id_col)
+        .groupBy()
+        .agg(
+            (
+                F.floor(
+                    (
+                        F.count(F.when(F.col("keep"), 1)).cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                    )
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("gopher_pass_frac")
+        )
+    )
+    return (
+        n_new.crossJoin(dup_exact)
+        .crossJoin(dup_internal)
+        .crossJoin(psi)
+        .crossJoin(ks)
+        .crossJoin(gp)
+    )
