@@ -523,3 +523,50 @@ def test_intake_report_flags_duplicate_delivery(spark):
     assert got["n_dup_internal"] == 1
     assert got["lang_psi"] > 0.0  # en-only corpus vs mixed delivery
     assert 0.0 <= got["gopher_pass_frac"] <= 1.0
+
+
+def test_streaming_index_append_soak(spark, tmp_path):
+    """10 micro-batches -> 10 segments; the index answer still equals
+    batch BM25 over the full union (df/stats stay consistent as
+    segments accumulate)."""
+    import json
+    import os
+
+    from ticktock_spark.streaming.retrieval import streaming_index_append
+
+    vocab = ["spark", "cluster", "data", "task", "node", "word"]
+    batches = []
+    did = 0
+    for b in range(10):
+        rows = []
+        for _ in range(5):
+            text = " ".join(vocab[(did + j) % len(vocab)] for j in range(7))
+            rows.append((did, text))
+            did += 1
+        batches.append(rows)
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for i, rows in enumerate(batches):
+        with open(tmp_path / "in" / f"b{i:02d}.jsonl", "w") as f:
+            for r_id, text in rows:
+                f.write(json.dumps({"doc_id": r_id, "text": text}) + "\n")
+        os.utime(tmp_path / "in" / f"b{i:02d}.jsonl", (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    q = streaming_index_append(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    got = bm25_index_topk(spark, str(tmp_path / "idx"), ["spark", "node"], k=20)
+    want = bm25_topk(union, ["spark", "node"], k=20)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    segs = {
+        r["segment"]
+        for r in spark.read.parquet(str(tmp_path / "idx") + "/stats").collect()
+    }
+    assert len(segs) == 10

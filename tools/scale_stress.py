@@ -202,6 +202,27 @@ def main():
         "weighted_sample",
         lambda: sp.weighted_sample(docs, F.col("n_chars"), k=1000).count(),
     )
+    from ticktock_spark.operators.drift import categorical_drift, ks_drift
+
+    half = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    timed(
+        "ks_drift_doclen",
+        lambda: ks_drift(
+            docs.select("doc_id", F.length("text").cast("double").alias("v")),
+            half, "v",
+        ).count(),
+    )
+    timed(
+        "categorical_drift_lang",
+        lambda: categorical_drift(docs, half, "lang").count(),
+    )
+    timed(
+        "intake_report",
+        lambda: sp.intake_report(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+        ).count(),
+    )
     print(json.dumps(out))
 
 
