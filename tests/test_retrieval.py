@@ -570,3 +570,23 @@ def test_streaming_index_append_soak(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "idx") + "/stats").collect()
     }
     assert len(segs) == 10
+
+
+def test_embedding_drift_centroids(spark):
+    from ticktock_spark.operators.drift import embedding_drift
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], True) for i in range(10)] + [
+        (i + 100, [0.0, 1.0, 0.0, 0.0], False) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, a boolean")
+    got = embedding_drift(df, F.col("a")).collect()[0]
+    assert got["n_a"] == 10 and got["n_b"] == 10
+    assert got["centroid_cosine"] == 0.0           # orthogonal centroids
+    assert got["centroid_l2"] == pytest.approx(2 ** 0.5, abs=1e-6)
+    # identical slices -> cosine 1, distance 0
+    same = spark.createDataFrame(
+        [(i, [0.5, 0.5], i % 2 == 0) for i in range(20)],
+        "vec_id long, embedding array<float>, a boolean",
+    )
+    z = embedding_drift(same, F.col("a")).collect()[0]
+    assert z["centroid_cosine"] == 1.0 and z["centroid_l2"] == 0.0

@@ -134,3 +134,53 @@ def categorical_drift(
         q6(F.col("chi2")).alias("chi2"),
         q6(F.col("psi")).alias("psi"),
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    side_a: Column,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between the ``side_a`` slice and the rest:
+    cosine similarity and L2 distance between the two slices' MEAN
+    vectors (the centroid shift a re-embedded or re-crawled corpus
+    shows first), plus the per-side counts.
+
+    Completes the drift family's modality coverage: ks_drift (numeric),
+    categorical_drift (categorical), vocab_drift (tokens), this
+    (embeddings).
+
+    Scale shape: posexplode → per-(dimension, side) mean — the shuffle
+    is dimension-bounded (dim × 2 rows out) with map-side partial
+    aggregation — then a dimension-count reduction to one row. NULL
+    side or NULL vector rows are excluded.
+    """
+    sided = df.select(F.col(vec_col).alias("e"), side_a.alias("is_a")).filter(
+        F.col("e").isNotNull() & F.col("is_a").isNotNull()
+    )
+    ex = sided.select("is_a", F.posexplode("e").alias("pos", "x"))
+    per_dim = ex.groupBy("pos").agg(
+        F.avg(F.when(F.col("is_a"), F.col("x").cast("double"))).alias("ma"),
+        F.avg(F.when(~F.col("is_a"), F.col("x").cast("double"))).alias("mb"),
+    )
+    counts = sided.groupBy().agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+    )
+    red = per_dim.groupBy().agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+        F.sum(
+            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+        ).alias("d2"),
+    )
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return counts.crossJoin(red).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        q6(
+            F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+        ).alias("centroid_cosine"),
+        q6(F.sqrt(F.col("d2"))).alias("centroid_l2"),
+    )

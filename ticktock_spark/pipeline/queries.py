@@ -3718,3 +3718,49 @@ def q123(spark, sf_dir):
     return sp.intake_report(
         d.filter(F.col("doc_id") % 5 == 0), d.filter(F.col("doc_id") % 5 != 0)
     )
+
+
+@register(
+    "q124_embedding_drift",
+    f"""
+    WITH s AS (
+      SELECT embedding AS e, (label = 0) AS is_a FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    ex AS (
+      SELECT is_a, u.i AS pos, CAST(e[u.i] AS DOUBLE) AS x
+      FROM s, LATERAL unnest(range(1, len(e) + 1)) u(i)
+    ),
+    pd AS (
+      SELECT pos, avg(CASE WHEN is_a THEN x END) AS ma,
+             avg(CASE WHEN NOT is_a THEN x END) AS mb
+      FROM ex GROUP BY 1
+    ),
+    c AS (
+      SELECT count(CASE WHEN is_a THEN 1 END) AS n_a,
+             count(CASE WHEN NOT is_a THEN 1 END) AS n_b
+      FROM s
+    ),
+    r AS (
+      SELECT sum(ma * mb) AS dot, sum(ma * ma) AS na2,
+             sum(mb * mb) AS nb2,
+             sum((ma - mb) * (ma - mb)) AS d2
+      FROM pd
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           {_Q6.format(x='dot / (sqrt(na2) * sqrt(nb2))')} AS centroid_cosine,
+           {_Q6.format(x='sqrt(d2)')} AS centroid_l2
+    FROM c, r
+    """,
+)
+def q124(spark, sf_dir):
+    """Embedding-space drift (operators/drift.py embedding_drift):
+    centroid cosine + L2 between the label-0 slice and the rest — the
+    modality that completes the drift family (numeric KS, categorical
+    PSI, vocabulary KL, embedding centroid). Dimension-bounded shuffle
+    with map-side partials."""
+    from ticktock_spark.operators.drift import embedding_drift
+
+    return embedding_drift(
+        _table(spark, sf_dir, "embeddings"), F.col("label") == 0
+    )
