@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q107_chunk_dedup",           # sub-document tile dedup (window + reassembly)
     "q114_bm25_topk",             # BM25 keyword top-k (single-scan + window df)
     "q116_dsir_weights",          # DSIR hashed-unigram importance weights
+    "q121_ks_drift",              # exact two-sample KS (distinct-value bounded)
+    "q124_embedding_drift",       # centroid cosine/L2 (dimension bounded)
 ]
 
 
