@@ -10,8 +10,8 @@ mining). Spark-first shape:
   corpus scan (`_postings`);
 - corpus-level stats (N, total tokens) are a two-number driver
   aggregate, the same pattern as tfidf_top_terms;
-- the document-frequency table for a query is term-bounded (one row per
-  query term) and broadcast;
+- document frequencies derive from a count window over the term-bounded
+  postings themselves (|terms| partitions — no extra scan, no join);
 - the persisted index is a parquet layout partitioned by a hash bucket
   of the term, so a query's term set becomes PartitionFilters — a
   q-term query against a 100 TB corpus reads q/n_buckets of the
@@ -64,7 +64,7 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> tuple[int, float]:
         F.sum(F.size(tokens(F.col(text_col)))).alias("tl"),
     ).collect()[0]
     n = row["n"] or 0
-    return n, (float(row["tl"]) / n if n else 0.0)
+    return n, (float(row["tl"] or 0) / n if n else 0.0)
 
 
 def _bm25_score(n_docs: int, avgdl: float, k1: float, b: float):
