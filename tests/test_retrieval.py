@@ -590,3 +590,12 @@ def test_embedding_drift_centroids(spark):
     )
     z = embedding_drift(same, F.col("a")).collect()[0]
     assert z["centroid_cosine"] == 1.0 and z["centroid_l2"] == 0.0
+
+
+def test_bm25_require_all(spark):
+    got = bm25_topk(
+        _docs(spark), ["spark", "cluster"], k=10, require_all=True
+    ).collect()
+    # only doc 1 contains BOTH terms
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["n_terms"] == 2

@@ -3764,3 +3764,44 @@ def q124(spark, sf_dir):
     return embedding_drift(
         _table(spark, sf_dir, "embeddings"), F.col("label") == 0
     )
+
+
+@register(
+    "q125_bm25_all_terms",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, string_split_regex(norm, '\\s+') AS tk
+      FROM nm WHERE length(norm) > 0
+    ),
+    base AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM t),
+    p AS (
+      SELECT tok, doc_id, count(*) AS tf, max(dl) AS dl FROM base
+      WHERE tok IN ('join', 'slow', 'vector') GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             CAST((SELECT sum(len(tk)) FROM t) AS DOUBLE)
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM p GROUP BY 1),
+    sc AS (
+      SELECT p.doc_id, count(*) AS n_terms,
+             sum({_BM25_IDF} * {_BM25_TF}) AS score
+      FROM p JOIN dfq USING (tok) CROSS JOIN st
+      GROUP BY 1 HAVING count(*) = 3
+    )
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+           {_Q6.format(x='score')} AS score
+    FROM sc ORDER BY 3 DESC, 1 LIMIT 10
+    """,
+)
+def q125(spark, sf_dir):
+    """Conjunctive BM25 (require_all=True): only docs containing EVERY
+    query term rank — the decontamination-audit mode ('find the docs
+    that contain this whole query'). Same single-scan shape as q114;
+    the AND cut filters the aggregated (doc, n_terms) rows."""
+    return rt.bm25_topk(
+        _table(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10,
+        require_all=True,
+    )

@@ -99,6 +99,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    require_all: bool = False,
 ) -> DataFrame:
     """Exact BM25 top-k over the corpus for a bag of query terms.
 
@@ -137,6 +138,11 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("s").alias("score"))
     )
+    if require_all:
+        # AND semantics: only docs matching EVERY distinct query term.
+        # The filter runs on the aggregated (doc, n_terms) rows — the
+        # scan/shuffle shape is unchanged, the cut is exact.
+        scored = scored.filter(F.col("n_terms") == len(set(terms)))
     return _rank_topk(scored, id_col, k)
 
 
