@@ -20,44 +20,59 @@ def _registry():
     return q
 
 
-def _verified_history() -> tuple[set[str], set[str]]:
-    """(names in the LATEST round's driver verification, names EVER
-    verified in any round) from CORRECTNESS_r{N}.json. The driver
-    verifies a 50-entry window of the registry in iteration order, so
-    ordering is coverage policy: never-verified entries go absolutely
-    first (they have no driver-green evidence at all), then entries
-    missing from the latest round (rotation: consecutive rounds re-prove
-    both halves), then the recently-proven rest. Everything rotated out
-    stays pinned locally by tests/test_oracle.py, which runs ALL entries
-    against DuckDB."""
+def _verified_history() -> tuple[set[str], set[str], set[str]]:
+    """(green-in-latest, red-in-latest, ever-verified) name sets from
+    CORRECTNESS_r{N}.json. The driver verifies a 50-entry window of the
+    registry in iteration order, so ordering is coverage policy:
+    never-verified entries go absolutely first (no driver evidence at
+    all), then entries that were attempted but NOT green last round
+    (they must re-prove immediately — a red row left outside the window
+    stays red forever), then entries merely absent from the latest
+    round (rotation: consecutive rounds re-prove both halves), then the
+    recently-proven rest. Everything rotated out stays pinned locally
+    by tests/test_oracle.py, which runs ALL entries against DuckDB."""
     import glob
     import json
     import os
+
+    def _green(rec) -> bool:
+        # full oracle pass, or the driver's weaker rows-only pass for
+        # deliberately oracle-free entries (err == "no_oracle" is NOT
+        # green: it means the check could not pin values).
+        return isinstance(rec, dict) and rec.get("err") is None and (
+            rec.get("hash_match") is True or rec.get("rows_match") is True
+        )
 
     files = sorted(
         glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "CORRECTNESS_r*.json"))
     )
-    latest: set[str] = set()
+    green: set[str] = set()
+    red: set[str] = set()
     ever: set[str] = set()
     for i, path in enumerate(files):
         try:
             with open(path) as f:
-                names = set(json.load(f))
+                data = json.load(f)
         except (OSError, ValueError):
             continue
-        ever |= names
+        ever |= set(data)
         if i == len(files) - 1:
-            latest = names
-    return latest, ever
+            green = {k for k, rec in data.items() if _green(rec)}
+            red = set(data) - green
+    return green, red, ever
 
 
 def _reorder(mapping: dict) -> dict:
-    latest, ever = _verified_history()
+    green, red, ever = _verified_history()
     never = {k: v for k, v in mapping.items() if k not in ever}
-    rotated = {k: v for k, v in mapping.items() if k in ever and k not in latest}
-    rest = {k: v for k, v in mapping.items() if k in latest}
-    return {**never, **rotated, **rest}
+    failed = {k: v for k, v in mapping.items() if k in red and k not in never}
+    rotated = {
+        k: v for k, v in mapping.items()
+        if k in ever and k not in green and k not in red
+    }
+    rest = {k: v for k, v in mapping.items() if k in green}
+    return {**never, **failed, **rotated, **rest}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "q82_leakage_safe_split",     # cluster-atomic train/test split
     "q85_percentile_rollup",      # hourly multi-percentile rollup
     # round-5 additions
-    "q34x_minhash_xxh64",         # q34 under the production scale profile
+    "q34x_minhash_xxh64",         # q34 under the production scale profile (BENCH_ONLY)
     "q100_semantic_dedup",        # SRP-bucketed cosine pairs → CC closure
     "q101_source_cap",            # per-source caps (WindowGroupLimit)
     "q102_percentile_distributed",  # mega-bucket-safe R-6 percentile
@@ -53,14 +53,15 @@ BENCH_QUERIES = [
 
 def main() -> None:
     import ticktock_spark.pipeline.queries  # noqa: F401 — registers q3x/q4x
-    from ticktock_spark.queries import QUERIES
+    from ticktock_spark.queries import BENCH_ONLY, QUERIES
     from ticktock_spark.session import get_spark
 
     spark = get_spark(app_name="ticktock-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
     def run_once(name: str) -> float:
-        df = QUERIES[name](spark, SF_DIR)
+        fn = QUERIES.get(name) or BENCH_ONLY[name]
+        df = fn(spark, SF_DIR)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
@@ -75,6 +76,21 @@ def main() -> None:
     spark.range(0, int(CPUS) * 4, 1, int(CPUS)).mapInPandas(
         _identity, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    # COLD pass first (r5 verdict honesty ask): min-of-N measures the
+    # warm path for operators that persist internal projections — Spark's
+    # CacheManager dedups identical lazy plans across repeat calls, so
+    # e.g. q114's repeat cost is the cache-HIT path (~0.19 s) while its
+    # first call in a session is ~1 s. Clearing the SQL cache before each
+    # query's first run records that first-call cost per query. (JVM,
+    # codegen, parquet-footer and Python-worker warmup has already
+    # happened above, so `cold` isolates plan/cache cost, not process
+    # startup; host-stall noise still applies to a single-sample column.)
+    cold: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spark.catalog.clearCache()
+        cold[name] = round(run_once(name), 4)
+    spark.catalog.clearCache()
 
     # min of 3 INTERLEAVED passes: this VM shows multi-second bursty host
     # stalls (measured in round 4: 12.5/14.6/37.1 s totals on identical
@@ -98,6 +114,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "cold": cold,
                 "sf": sf,
             }
         )

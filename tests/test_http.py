@@ -119,6 +119,13 @@ def test_http_metadata(server):
 
     star = _get(server, "/api/suggest?type=metrics&q=*")
     assert "test.metric" in star and "env" in star
+    # max is parsed with atoi semantics (tsdb.cpp:2619-2624): a
+    # non-numeric max yields 0 → empty 200 (never a 500); a numeric
+    # prefix is honored
+    assert _get(server, "/api/suggest?type=metrics&q=test&max=abc") == []
+    assert _get(server, "/api/suggest?type=metrics&q=test&max=10x") == [
+        "test.metric"
+    ]
     for bad in (
         "/api/suggest?q=x",
         "/api/suggest?type=metrics",

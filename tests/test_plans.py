@@ -51,6 +51,17 @@ def test_topn_broadcast_semi_join(spark):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan  # materialized once
 
 
+def test_topn_no_single_partition_exchange(spark):
+    """The N rank keys are selected via TakeOrderedAndProject (local
+    top-n per partition, merged at the driver), not a global
+    Window.orderBy row_number — which would funnel EVERY series key
+    through one partition (a straggler at many-million-series
+    cardinality)."""
+    plan = _plan(spark, "q10_top3_series")
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_single_shuffle_aggregations(spark):
     """Each single-level aggregation pipeline shuffles exactly once, with
     map-side partial aggregation ahead of it. q13 (daily-from-hourly) is

@@ -1164,6 +1164,101 @@ def test_udp_spool_ingest(spark, tmp_path):
     assert row["tags"]["host"] == "u"
 
 
+def test_mqtt_spool_ingest(spark, tmp_path):
+    """Native MQTT source: mock broker → MqttSpool → per-format spool
+    files → file streaming source → parquet — no Kafka hop.
+
+    Pins the mqtt.cpp on_message contract end-to-end (quote/size
+    guards, exact-topic format lookup, per-format routing) and parity
+    with the bridge path: messages the Kafka bridge would route are
+    exactly the ones that land in parquet here."""
+    from ticktock_spark.streaming.mqtt import (
+        MAX_PAYLOAD_BYTES,
+        MqttSpool,
+        route_message,
+        stream_mqtt_lines,
+    )
+
+    class FakeClient:
+        """Mock paho client: captures the on_message callback so the
+        test can publish without a broker."""
+
+        def __init__(self, broker, port, on_message):
+            self.on_message = on_message
+            self.subscribed: list[str] = []
+
+        def subscribe(self, topic):
+            self.subscribed.append(topic)
+
+        def loop_start(self):
+            pass
+
+        def disconnect(self):
+            pass
+
+    clients: list[FakeClient] = []
+
+    def factory(broker, port, on_message):
+        c = FakeClient(broker, port, on_message)
+        clients.append(c)
+        return c
+
+    settings = (
+        '[{"broker": "dock", "port": 1883, "topics": ['
+        '{"topic": "sensors/put", "format": "put"},'
+        '{"topic": "telegraf/test", "format": "line"}]}]'
+    )
+    spool = MqttSpool(settings, str(tmp_path / "spool"),
+                      batch_lines=4, client_factory=factory)
+    assert len(clients) == 1
+    assert sorted(clients[0].subscribed) == ["sensors/put", "telegraf/test"]
+
+    class Msg:
+        def __init__(self, topic, payload):
+            self.topic, self.payload = topic, payload
+
+    T = 1_704_067_200_000
+    publish = clients[0].on_message
+    msgs = [
+        *[Msg("sensors/put", f"put sys.mqtt {T + i * 1000} {float(i)} host=m".encode())
+          for i in range(6)],
+        Msg("telegraf/test", b"env,room=a temp=21.5 1704067200000000000"),
+        Msg("sensors/put", b'put bad.metric 1 2 note="quoted"'),  # quote guard
+        Msg("sensors/put", b"x" * MAX_PAYLOAD_BYTES),             # size guard
+        Msg("unknown/topic", b"put x 1 2 h=v"),                   # no topic match
+    ]
+    for m in msgs:
+        publish(None, None, m)
+    spool.stop()  # flushes partial batches
+    assert spool.received == 7 and spool.dropped == 3
+
+    # parity with the Kafka bridge: same router, same accept set
+    topics = {"sensors/put": "put", "telegraf/test": "line"}
+    bridge_accepted = [m for m in msgs if route_message(topics, m.topic, m.payload)]
+    assert len(bridge_accepted) == 7
+
+    dps = stream_mqtt_lines(spark, str(tmp_path / "spool"), fmt="put")
+    q = write_datapoints_stream(
+        dps, str(tmp_path / "out"), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 6
+    row = got.filter(f"ts = {T}").collect()[0]
+    assert row["metric"] == "sys.mqtt" and row["value"] == 0.0
+    assert row["tags"]["host"] == "m"
+
+    # the influx-format message spooled to its own subdirectory
+    dps2 = stream_mqtt_lines(spark, str(tmp_path / "spool"), fmt="influx")
+    q2 = write_datapoints_stream(
+        dps2, str(tmp_path / "out2"), str(tmp_path / "ckpt2"), trigger_once=True
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(str(tmp_path / "out2")).collect()
+    # influx lines explode per field, tagged _field=<name>
+    assert [(r["metric"], r["tags"]["_field"]) for r in got2] == [("env", "temp")]
+
+
 def test_streaming_chunk_dedup_matches_batch(spark, tmp_path):
     """Cross-batch tile novelty: a passage accepted in micro-batch 0 is
     stripped from batch 1's docs; with ids arriving in order the

@@ -26,6 +26,7 @@ Structured Streaming path in streaming/ingest.py.
 from __future__ import annotations
 
 import json
+import re as _re
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -146,8 +147,14 @@ class TsdbStore:
             drained = dict(self._meter)
             for k in self._meter:
                 self._meter[k] = type(self._meter[k])(0)
-        # O(series), not O(datapoints): the cached series dim
-        n_series = self.series_dim().count()
+        try:
+            # O(series), not O(datapoints): the cached series dim
+            n_series = self.series_dim().count()
+        except BaseException:
+            with self._meter_lock:
+                for k, v in drained.items():
+                    self._meter[k] += v
+            raise
         dps = [
             {"metric": "ticktock.http.request.count", "ts": now,
              "value": float(drained["http_requests"]), "tags": {"host": host}},
@@ -162,7 +169,17 @@ class TsdbStore:
             {"metric": "ticktock.buffer.dps.count", "ts": now,
              "value": float(len(self._buffer)), "tags": {"host": host}},
         ]
-        self.add(dps)
+        try:
+            self.add(dps)
+        except BaseException:
+            # a failed emit must not zero the interval counters: restore
+            # the drained values (+= — concurrent notes since the drain
+            # are kept) so the next tick re-emits them. The timer loop's
+            # catch-all would otherwise silently eat the loss.
+            with self._meter_lock:
+                for k, v in drained.items():
+                    self._meter[k] += v
+            raise
         return dps
 
     def add(self, dps: list[dict]) -> int:
@@ -523,7 +540,11 @@ class _Handler(BaseHTTPRequestHandler):
             raise _BadRequest("suggest requires q")
         typ = params["type"][0]
         q = params["q"][0]
-        mx = int((params.get("max") or ["1000"])[0])
+        # the reference parses max with atoi (tsdb.cpp:2619-2624):
+        # a non-numeric value yields 0 (→ empty 200), a numeric prefix
+        # is honored ("12abc" → 12) — never a 500
+        m = _re.match(r"[+-]?\d+", (params.get("max") or ["1000"])[0].strip())
+        mx = int(m.group(0)) if m else 0
         df = self.store.series_dim()
         if typ == "metrics":
             col = df.select(F.col("metric").alias("v"))

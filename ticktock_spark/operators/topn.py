@@ -49,9 +49,12 @@ def top_bottom_n(
     keyfn = F.max(value_col) if mode == "top" else F.min(value_col)
     keys = tail.groupBy(*series_cols).agg(keyfn.alias("__rank_key"))
     order = F.col("__rank_key").desc() if mode == "top" else F.col("__rank_key").asc()
-    chosen = (
-        keys.withColumn("__r", F.row_number().over(Window.orderBy(order, *series_cols)))
-        .filter(F.col("__r") <= n)
-        .select(*series_cols)
-    )
+    # orderBy().limit(n) plans as TakeOrderedAndProject: each partition
+    # keeps its local top-n and the driver merges N·#partitions rows —
+    # no single-partition exchange of ALL series keys (which a global
+    # Window.orderBy row_number would force; fine at thousands of
+    # series, a straggler at many millions). series_cols break ties so
+    # the selection stays deterministic, matching the reference's
+    # stable result-set order.
+    chosen = keys.orderBy(order, *series_cols).limit(n).select(*series_cols)
     return df.join(F.broadcast(chosen), on=series_cols, how="left_semi")

@@ -167,11 +167,23 @@ def lr_quality_scores(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Train-and-score composition: fit the hashed-feature LR on
-    `label` (e.g. lang == 'en') and return (doc_id, p) for every doc."""
+    `label` (e.g. lang == 'en') and return (doc_id, p) for every doc.
+
+    The feature table is persisted only for the duration of training
+    (each GD step scans it) and unpersisted once the ≤257-float weight
+    dict is on the driver; scoring recomputes features scan-side — the
+    same one-pass shape a 100 TB inference run uses — so the returned
+    frame holds no reference to session cache and a long-lived session
+    accumulates nothing (r5 advice: CacheManager pins cached plans
+    until explicit unpersist)."""
     feats = hashed_features(df, text_col, id_col, label=label).persist()
-    w = lr_train(feats, steps=steps, lr=lr, id_col=id_col)
-    out = lr_score(feats.drop("y"), w, id_col=id_col)
-    return out
+    try:
+        w = lr_train(feats, steps=steps, lr=lr, id_col=id_col)
+    finally:
+        feats.unpersist()
+    return lr_score(
+        hashed_features(df, text_col, id_col), w, id_col=id_col
+    )
 
 
 def lr_score_expr(

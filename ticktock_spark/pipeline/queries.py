@@ -20,7 +20,7 @@ from ticktock_spark.pipeline import dedup as dd
 from ticktock_spark.pipeline import multimodal as mm
 from ticktock_spark.pipeline import similarity as sim
 from ticktock_spark.pipeline import text as tx
-from ticktock_spark.queries import _Q6, _table, q6, register
+from ticktock_spark.queries import _Q6, BENCH_ONLY, _table, q6, register
 
 # --- shared SQL fragments (DuckDB) mirroring text.py expressions ---
 
@@ -203,17 +203,22 @@ def q34(spark, sf_dir):
     return dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
 
 
-@register("q34x_minhash_xxh64")
 def q34x(spark, sf_dir):
     """q34 under the production SCALE_PROFILE knobs (engine='xxh64',
     bucket_cap=256): all-JVM xxhash64 signatures — no Python workers, no
     Arrow text transfer — plus the viral-bucket backstop. Same workload
-    as q34 for a direct bench comparison of the two engines. No SQL
-    oracle: the candidate SET is hash-family-specific and DuckDB has no
-    xxhash64 — correctness of this exact operator+engine is pinned by
-    q99's structural oracle (jaccard=1.0 recall is 100% under any hash)
-    and test_dedup_pipeline_xxh64_matches_md5's verified-output parity;
-    the driver's rows-only check still pins determinism here."""
+    as q34 for a direct bench comparison of the two engines.
+
+    BENCH-ONLY, deliberately outside the driver-verified registry
+    (round-6 decision, per the r5 verdict): the candidate SET is
+    hash-family-specific and DuckDB has no xxhash64, so the only driver
+    check possible is a weak rows-only one that surfaces as a permanent
+    non-green row. Exactness of this operator+engine is pinned instead
+    by q99's structural oracle (jaccard=1.0 recall is 100% under ANY
+    hash family) and test_dedup_pipeline_xxh64_matches_md5's
+    verified-output parity; the bucket_cap backstop is excluded from an
+    exact oracle on principle — it intentionally trades recall on
+    viral (>cap) buckets, so no hash-invariant exact oracle exists."""
     from ticktock_spark.pipeline.dedup import SCALE_PROFILE
 
     d = _table(spark, sf_dir, "documents")
@@ -221,6 +226,9 @@ def q34x(spark, sf_dir):
         d, num_hashes=8, bands=4, engine=SCALE_PROFILE["engine"],
         bucket_cap=SCALE_PROFILE["bucket_cap"],
     )
+
+
+BENCH_ONLY["q34x_minhash_xxh64"] = q34x
 
 
 @register(
@@ -2802,9 +2810,9 @@ def q105(spark, sf_dir):
                         for e in x] END AS q
       FROM b
     )
-    SELECT vec_id,
-           [CAST(CAST(qv AS DOUBLE) * scale AS REAL) for qv in q] AS embedding
-    FROM qq
+    SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS pos,
+           CAST(CAST(q[u.i] AS DOUBLE) * scale AS REAL) AS val
+    FROM qq, LATERAL unnest(range(1, len(q) + 1)) u(i)
     """,
 )
 def q106(spark, sf_dir):
@@ -2812,9 +2820,17 @@ def q106(spark, sf_dir):
     dequantize_embeddings over q58's quantizer): the reconstructed
     float vectors an int8 embedding store serves, x̂_i = q_i · scale
     with |x − x̂| ≤ scale/2 per dimension. The oracle recomputes the
-    identical codes and products in SQL."""
+    identical codes and products in SQL. The operator returns the
+    vectors as array<float>; the registry entry posexplodes to scalar
+    (vec_id, pos, val) rows so the driver harness can sort/hash the
+    result (pandas cannot sort a list column — r5 harness crash).
+    Both engines produce the double product then round to float32, so
+    val is bit-identical with no q6 canonicalization needed."""
     e = _table(spark, sf_dir, "embeddings")
-    return sim.dequantize_embeddings(sim.quantize_embeddings(e))
+    deq = sim.dequantize_embeddings(sim.quantize_embeddings(e))
+    return deq.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
 
 
 @register(

@@ -104,11 +104,23 @@ def bm25_topk(
     """Exact BM25 top-k over the corpus for a bag of query terms.
 
     Scale shape: ONE corpus text scan total. The scan projects each doc
-    down to (id, dl, matched-term tokens) — the token array is filtered
-    BEFORE the explode, so downstream volume is matched-term scale, not
-    corpus-token scale — and that tiny projection is persisted: the
-    (N, avgdl) aggregate materializes it, then postings explode from
-    cache instead of re-tokenizing the text (measured 2x at 80k docs).
+    down to (id, dl, tokens) and persists that projection: the
+    (N, avgdl) aggregate materializes it, then postings read from cache
+    instead of re-tokenizing the text (measured 2x at 80k docs). The
+    token array is filtered to the query terms BEFORE the explode, so
+    post-cache volume is matched-term scale, not corpus-token scale.
+
+    Cache ownership: the persisted projection is deliberately
+    TERM-INDEPENDENT, so Spark's CacheManager dedups it across repeated
+    calls on the same corpus — a long-lived query server accumulates
+    ONE cache entry per corpus (reused by every query), not one per
+    query. (A term-filtered cache would be smaller per entry but leak a
+    new entry for every distinct term set — CacheManager pins cached
+    plans until explicit unpersist.) Callers that are done with a
+    corpus reclaim the entry with ``spark.catalog.clearCache()``; for
+    standing corpora prefer the persisted inverted index
+    (``write_inverted_index`` + ``bm25_topk_indexed``).
+
     Document frequencies come from a count window over the postings
     (partitioned by term — |terms| partitions, no self-join
     recomputation); ranking is TakeOrdered. No Python, no driver data
@@ -117,11 +129,7 @@ def bm25_topk(
     tk = tokens(F.col(text_col))
     base = (
         df.select(F.col(id_col), tk.alias("__tk"))
-        .select(
-            id_col,
-            F.size("__tk").alias("dl"),
-            F.filter("__tk", lambda x: x.isin(list(terms))).alias("__mt"),
-        )
+        .select(id_col, F.size("__tk").alias("dl"), F.col("__tk"))
         .persist()
     )
     row = base.agg(
@@ -129,7 +137,11 @@ def bm25_topk(
     ).collect()[0]
     n_docs = row["n"] or 0
     avgdl = float(row["tl"] or 0) / n_docs if n_docs else 0.0
-    post = base.select(id_col, "dl", F.explode("__mt").alias("tok")).groupBy(
+    post = base.select(
+        id_col,
+        "dl",
+        F.explode(F.filter("__tk", lambda x: x.isin(list(terms)))).alias("tok"),
+    ).groupBy(
         "tok", id_col
     ).agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     scored = (

@@ -419,11 +419,18 @@ def dsir_weights(
     target-like; feed the weights into hash-order sampling or a
     threshold cut for the actual resample.
 
-    Scale shape: ONE scan over the raw text builds the per-(doc,
-    bucket) tf table (shuffle bounded by docs × 256); bucket LMs are a
-    256-row aggregate of that table, broadcast back; the weight is a
-    per-doc sum — no second text scan, no Python, no driver data beyond
-    the action that triggers the plan.
+    Scale shape: TWO passes, no retained cache. The fit pass (at call
+    time) persists the per-(doc, bucket) tf table just long enough to
+    aggregate the two 256-bucket LMs, collects the resulting ≤256-float
+    LLR dict to the driver, and unpersists — so the returned frame
+    holds NO reference to session cache and a long-lived session
+    accumulates nothing (r5 advice: CacheManager pins cached plans
+    until explicit unpersist; at 100 TB, keeping a corpus-derived tf
+    table pinned in executor storage for the caller's eventual action
+    is worse than the second scan). The scoring pass (at action time)
+    rebuilds the tf table in one scan (shuffle bounded by docs × 256)
+    and joins the broadcast LLR literals — the same frozen-model
+    scan-side shape as dsir_score_snapshot.
     """
     from ticktock_spark.pipeline.classify import token_bucket
     from ticktock_spark.pipeline.text import tokens
@@ -432,24 +439,36 @@ def dsir_weights(
     base = df.select(
         F.col(id_col), target.alias("is_t"), tk.alias("__tk")
     ).select(id_col, "is_t", F.explode("__tk").alias("tok"))
-    per_doc = base.groupBy(id_col, "is_t", token_bucket(F.col("tok")).alias("b")).agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    per_doc = per_doc.persist()
-    lm = per_doc.groupBy("b").agg(
-        F.sum("tf").alias("c_raw"),
-        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))).alias("c_tgt"),
-    )
-    tot = lm.agg(
-        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
-    ).collect()[0]
-    t_raw, t_tgt = float(tot["t_raw"] or 0), float(tot["t_tgt"] or 0)
-    llr = F.log(
-        (F.col("c_tgt").cast("double") + F.lit(1.0)) / F.lit(t_tgt + 256.0)
-    ) - F.log((F.col("c_raw").cast("double") + F.lit(1.0)) / F.lit(t_raw + 256.0))
-    lmw = lm.select("b", llr.alias("llr"))
+
+    def tf_table():
+        return base.groupBy(
+            id_col, "is_t", token_bucket(F.col("tok")).alias("b")
+        ).agg(F.count(F.lit(1)).alias("tf"))
+
+    per_doc = tf_table().persist()
+    try:
+        lm = per_doc.groupBy("b").agg(
+            F.sum("tf").alias("c_raw"),
+            F.sum(
+                F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))
+            ).alias("c_tgt"),
+        )
+        tot = lm.agg(
+            F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+        ).collect()[0]
+        t_raw, t_tgt = float(tot["t_raw"] or 0), float(tot["t_tgt"] or 0)
+        llr = F.log(
+            (F.col("c_tgt").cast("double") + F.lit(1.0)) / F.lit(t_tgt + 256.0)
+        ) - F.log(
+            (F.col("c_raw").cast("double") + F.lit(1.0)) / F.lit(t_raw + 256.0)
+        )
+        lm_rows = lm.select("b", llr.alias("llr")).collect()  # ≤256 rows
+    finally:
+        per_doc.unpersist()
+    spark = df.sparkSession
+    lmw = spark.createDataFrame(lm_rows, "b string, llr double")
     out = (
-        per_doc.join(F.broadcast(lmw), "b")
+        tf_table().join(F.broadcast(lmw), "b")
         .groupBy(id_col)
         .agg(
             F.sum("tf").alias("n_tokens"),

@@ -51,6 +51,10 @@ MIN_MS, HOUR_MS, DAY_MS = 60_000, 3_600_000, 86_400_000
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Bench-only workloads: measured by bench.py but deliberately NOT in the
+# driver-verified registry (no DuckDB-expressible oracle AND their
+# exactness is pinned elsewhere — see each entry's docstring).
+BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 def register(name: str, oracle: str | None = None):

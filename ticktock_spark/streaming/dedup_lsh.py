@@ -220,13 +220,19 @@ def streaming_chunk_dedup(
 ):
     """Streaming sub-document dedup: each micro-batch is tiled and
     screened against the PERSISTED tile index (chunk_index parquet),
-    reassembled survivors are appended to ``out_path``, and the batch's
-    surviving tiles are appended to the index — so a passage that
-    arrived in any earlier batch is stripped from every later one, and
-    within-batch repeats follow chunk_dedup's first-occurrence rule.
+    reassembled survivors land in ``out_path``, and the batch's novel
+    tiles land in the index — so a passage that arrived in any earlier
+    batch is stripped from every later one, and within-batch repeats
+    follow chunk_dedup's first-occurrence rule.
 
-    Index appends are idempotent up to duplicate hash rows under epoch
-    replay; chunk_dedup_incremental collapses them (distinct) on read.
+    Replay idempotence (both sides, exactly-once effect): output and
+    index are partitioned by ``__epoch`` and written with DYNAMIC
+    partition overwrite, so an epoch replay after a crash between the
+    two writes (or after a missed checkpoint commit) REWRITES that
+    epoch's own partitions instead of appending duplicates. The index
+    read excludes the current epoch's partition (partition-pruned), so
+    a replayed batch is never screened against its own tiles — the
+    recomputed epoch output is bit-identical to the first attempt.
     Arrival order decides precedence across batches (the streaming
     analogue of chunk_dedup's min-id rule — equal when ids arrive in
     order). The index is one BIGINT per unique tile: the state a
@@ -241,18 +247,32 @@ def streaming_chunk_dedup(
         batch.persist()
         try:
             try:
-                idx = spark.read.parquet(index_path)
+                idx = spark.read.parquet(index_path).filter(
+                    F.col("__epoch") != epoch_id
+                )
             except Exception:  # noqa: BLE001 — first batch: no index yet
-                idx = spark.createDataFrame([], "chunk_hash long")
+                idx = spark.createDataFrame([], "chunk_hash long, __epoch long")
             out = chunk_dedup_incremental(
                 batch, idx, chunk_words=chunk_words,
                 text_col=text_col, id_col=id_col,
             )
-            out.write.mode("append").parquet(out_path)
+            (
+                out.withColumn("__epoch", F.lit(epoch_id))
+                .write.partitionBy("__epoch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(out_path)
+            )
             new_tiles = chunk_index(
                 batch, chunk_words=chunk_words, text_col=text_col, id_col=id_col
             ).join(idx.select("chunk_hash").distinct(), "chunk_hash", "left_anti")
-            new_tiles.write.mode("append").parquet(index_path)
+            (
+                new_tiles.withColumn("__epoch", F.lit(epoch_id))
+                .write.partitionBy("__epoch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(index_path)
+            )
         finally:
             batch.unpersist()
 

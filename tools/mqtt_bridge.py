@@ -27,54 +27,15 @@ routing logic is importable and testable without them.
 
 from __future__ import annotations
 
-import json
-
-# the reference's network-buffer guard (`mqtt.cpp:282` right operand):
-# messages at least this large are dropped, not truncated
-MAX_PAYLOAD_BYTES = 512 * 1024
-
-# format name → ingest parser key (FORMATS in streaming/ingest.py).
-# "line" is Influx line protocol (IF_LINE → the /api/write path);
-# "json"/"put" go to the put path (IF_JSON and telnet put share
-# Tsdb::http_api_put_handler in the reference).
-FORMAT_TO_FMT = {"line": "influx", "json": "json", "put": "put"}
-
-
-def parse_settings(settings_json: str) -> list[dict]:
-    """Parse the reference-shaped mqtt.settings JSON into
-    [{broker, port, topics: {name: format}}] — malformed topic entries
-    are ignored with the same leniency as `mqtt.cpp:137-151`."""
-    out = []
-    for client in json.loads(settings_json):
-        broker = client.get("broker")
-        topics = {}
-        for t in client.get("topics", []):
-            if "topic" not in t or "format" not in t:
-                continue  # mqtt.cpp:144-148: mal-formatted topic ignored
-            if t["format"] not in FORMAT_TO_FMT:
-                continue  # to_input_format → IF_UNKNOWN: never subscribed
-            topics[t["topic"]] = t["format"]
-        if broker and topics:  # mqtt.cpp:205: broker without topics ignored
-            out.append(
-                {"broker": broker, "port": int(client.get("port", 1883)),
-                 "topics": topics}
-            )
-    return out
-
-
-def route_message(
-    topics: dict[str, str], msg_topic: str, payload: bytes
-) -> tuple[str, bytes] | None:
-    """One MQTT message → (ingest fmt, payload) or None if dropped.
-
-    Mirrors `mqtt.cpp:on_message` exactly: quote guard, size guard,
-    exact-topic format lookup, unknown-format drop."""
-    if b'"' in payload or len(payload) >= MAX_PAYLOAD_BYTES:
-        return None  # mqtt.cpp:282: skip string values / oversized
-    fmt_name = topics.get(msg_topic)
-    if fmt_name is None:
-        return None  # no exact topic match → IF_UNKNOWN → dropped
-    return FORMAT_TO_FMT[fmt_name], payload
+# Routing/settings semantics live in the package's native MQTT source
+# (ticktock_spark/streaming/mqtt.py) — single source of truth so the
+# Kafka bridge and the in-process MqttSpool drop/route identically.
+from ticktock_spark.streaming.mqtt import (  # noqa: F401 — re-exported API
+    FORMAT_TO_FMT,
+    MAX_PAYLOAD_BYTES,
+    parse_settings,
+    route_message,
+)
 
 
 def kafka_topic_for(fmt: str, prefix: str = "ticktock") -> str:
