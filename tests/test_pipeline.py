@@ -1911,3 +1911,75 @@ def test_bpe_encode_semantics(spark):
     empty = m.filter("rank < 0")
     got0 = {r["doc_id"]: r["n_subwords"] for r in bpe_encode(df, empty).collect()}
     assert got0 == {1: 8, 2: 4}
+
+
+def test_bpe_engines_parity(spark):
+    """The production engines (train='local', encode='arrow') must be
+    bit-identical to the 'sql' spec engines: same merge table at k=8 on
+    real documents, same per-doc subword accounting under that table."""
+    from ticktock_spark.pipeline.text import bpe_encode, bpe_train
+    from ticktock_spark.schema import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    t_sql = [tuple(r) for r in bpe_train(d, num_merges=8).orderBy("rank").collect()]
+    t_loc = [
+        tuple(r)
+        for r in bpe_train(d, num_merges=8, engine="local").orderBy("rank").collect()
+    ]
+    assert t_sql == t_loc and len(t_loc) == 8
+
+    m = bpe_train(d, num_merges=8, engine="local")
+    e_sql = {r["doc_id"]: (r["n_words"], r["n_subwords"])
+             for r in bpe_encode(d, m).collect()}
+    e_arw = {r["doc_id"]: (r["n_words"], r["n_subwords"])
+             for r in bpe_encode(d, m, engine="arrow").collect()}
+    assert e_sql == e_arw and len(e_arw) > 0
+
+
+def test_bpe_encode_arrow_replay_order(spark):
+    """Replay-in-order corner the heap must honor: a merge that CREATES
+    a pair whose rank is EARLIER than the replay cursor must NOT fire
+    (the sequential replay already passed it), while created pairs with
+    later ranks must. Table: rank1 (a,bc) — only applicable AFTER rank2
+    builds 'bc', so it never fires; rank3 (a,bc) does."""
+    from ticktock_spark.pipeline.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "abc"), (2, "abc abc")],
+                               "doc_id long, text string")
+    # forward chain: rank1 builds bc, rank2 consumes it → 1 subword
+    fwd = spark.createDataFrame(
+        [(1, "b", "c", "bc", 0), (2, "a", "bc", "abc", 0)],
+        "rank int, a string, b string, pair string, n long",
+    )
+    # backward chain: (a,bc) sits at rank1, bc only exists after rank2 →
+    # replay-in-order leaves [a, bc] (2 subwords)
+    bwd = spark.createDataFrame(
+        [(1, "a", "bc", "abc", 0), (2, "b", "c", "bc", 0)],
+        "rank int, a string, b string, pair string, n long",
+    )
+    for table, want_sub in ((fwd, 1), (bwd, 2)):
+        sql = {r["doc_id"]: r["n_subwords"]
+               for r in bpe_encode(df, table).collect()}
+        arw = {r["doc_id"]: r["n_subwords"]
+               for r in bpe_encode(df, table, engine="arrow").collect()}
+        assert sql == arw == {1: want_sub, 2: 2 * want_sub}, (want_sub, sql, arw)
+
+
+def test_bpe_sql_engine_merge_cap(spark):
+    """The sql replay chain refuses past _SQL_ENGINE_MAX_MERGES (Janino
+    64KB method limit at production vocab sizes) and points at arrow."""
+    import pytest
+
+    from ticktock_spark.pipeline.text import _SQL_ENGINE_MAX_MERGES, bpe_encode
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    big = spark.createDataFrame(
+        [(i + 1, f"s{i}", f"t{i}", f"s{i}t{i}", 0)
+         for i in range(_SQL_ENGINE_MAX_MERGES + 1)],
+        "rank int, a string, b string, pair string, n long",
+    )
+    with pytest.raises(ValueError, match="arrow"):
+        bpe_encode(df, big)
+    # the arrow engine takes the same table in stride
+    got = bpe_encode(df, big, engine="arrow").collect()
+    assert [(r["n_words"], r["n_subwords"]) for r in got] == [(1, 2)]

@@ -3137,12 +3137,17 @@ def q111(spark, sf_dir):
     """,
 )
 def q112(spark, sf_dir):
-    """Distributed BPE tokenizer training (pipeline/text.py bpe_train),
-    3 merges: vocab-collapsed word table, per-iteration pair agg +
-    greedy left-to-right merge fold. The oracle unrolls the identical
-    loop in SQL, encoding symbol sequences as '|sym||sym|' strings so
-    a non-overlapping replace reproduces the greedy fold exactly."""
-    return tx.bpe_train(_table(spark, sf_dir, "documents"), num_merges=3)
+    """BPE tokenizer training (pipeline/text.py bpe_train) under the
+    PRODUCTION engine ('local': distributed vocab collapse + driver
+    incremental-pair-count merges — zero Spark jobs inside the merge
+    loop), 3 merges. The oracle unrolls the reference 'sql' loop in
+    SQL, encoding symbol sequences as '|sym||sym|' strings so a
+    non-overlapping replace reproduces the greedy fold exactly — so
+    the driver pins the production engine against the spec engine's
+    math (engine parity is additionally test-pinned at larger k)."""
+    return tx.bpe_train(
+        _table(spark, sf_dir, "documents"), num_merges=3, engine="local"
+    )
 
 
 # Shared 3-merge BPE replay (the q112 trainer unrolled, then the merge
@@ -3207,12 +3212,14 @@ def q113(spark, sf_dir):
     """Tokenizer lifecycle closed: encode the corpus with the merge
     table bpe_train just learned (pipeline/text.py bpe_encode) — per
     doc, word count and post-merge subword count, the sequence-length
-    numbers packing/budget stages consume. The merge replay is a chain
-    of literal string replaces on the '|sym||sym|' encoding (one scan,
-    no shuffle); the oracle threads the same replay through SQL."""
+    numbers packing/budget stages consume. Runs BOTH production
+    engines (train='local', encode='arrow' heap-driven replay) so the
+    driver pins them against the oracle's SQL replay chain; the spec
+    'sql' engines stay driver-pinned via q120, which shares this
+    oracle's CTE chain."""
     d = _table(spark, sf_dir, "documents")
-    m = tx.bpe_train(d, num_merges=3)
-    return tx.bpe_encode(d, m)
+    m = tx.bpe_train(d, num_merges=3, engine="local")
+    return tx.bpe_encode(d, m, engine="arrow")
 
 
 from ticktock_spark.pipeline import classify as clf  # noqa: E402
