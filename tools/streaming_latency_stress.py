@@ -98,6 +98,9 @@ def run_rate(spark, rate: int, lines_per_file: int) -> dict:
     interval = lines_per_file / rate
 
     dps = stream_put_lines(spark, path=in_dir, fmt="put")
+    # pre-create the handoff directory so the chained file source can
+    # attach before the first ingest batch commits
+    os.makedirs(f"{SCRATCH}/{tag}/dps", exist_ok=True)
     q1 = write_datapoints_stream_with_series(
         dps, f"{SCRATCH}/{tag}/dps", f"{SCRATCH}/{tag}/ck1",
         f"{SCRATCH}/{tag}/series",
