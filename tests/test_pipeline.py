@@ -1965,6 +1965,47 @@ def test_bpe_encode_arrow_replay_order(spark):
         assert sql == arw == {1: want_sub, 2: 2 * want_sub}, (want_sub, sql, arw)
 
 
+def test_bpe_encode_ids(spark):
+    """Token-id emission: GPT-2-style id assignment (sorted alphabet
+    then merges by rank), words in order, symbols in order, and the
+    min-id rule when a merge output collides with an existing symbol
+    string."""
+    from ticktock_spark.pipeline.text import bpe_encode_ids, bpe_train, bpe_vocab
+
+    df = spark.createDataFrame(
+        [(1, "abab ab"), (2, "ba")], "doc_id long, text string"
+    )
+    # merges: rank1 (a,b)->ab (most frequent: 3 positions)
+    m = bpe_train(df, num_merges=1, engine="local")
+    rows = m.collect()
+    assert [(r["a"], r["b"]) for r in rows] == [("a", "b")]
+    vocab = {r["sym"]: r["token_id"] for r in bpe_vocab(df, m).collect()}
+    assert vocab == {"a": 0, "b": 1, "ab": 2}
+    got = {r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+           for r in bpe_encode_ids(df, m).collect()}
+    # doc1: 'abab'->[ab,ab], 'ab'->[ab]; doc2: 'ba'->[b,a]
+    assert got == {1: ([2, 2, 2], 3), 2: ([1, 0], 2)}
+
+    # collision: a merge whose output string equals an alphabet symbol
+    # cannot take a second id (min-id rule)
+    df2 = spark.createDataFrame([(1, "ab a b")], "doc_id long, text string")
+    m2 = spark.createDataFrame(
+        [(1, "a", "b", "ab", 0)], "rank int, a string, b string, pair string, n long"
+    )
+    v2 = {r["sym"]: r["token_id"] for r in bpe_vocab(df2, m2).collect()}
+    assert v2 == {"a": 0, "b": 1, "ab": 2}
+    df3 = spark.createDataFrame([(1, "aa a")], "doc_id long, text string")
+    m3 = spark.createDataFrame(
+        [(1, "a", "a", "aa", 0), (2, "a", "aa", "aaa", 0)],
+        "rank int, a string, b string, pair string, n long",
+    )
+    v3 = {r["sym"]: r["token_id"] for r in bpe_vocab(df3, m3).collect()}
+    assert v3 == {"a": 0, "aa": 1, "aaa": 2}
+    got3 = {r["doc_id"]: list(r["token_ids"])
+            for r in bpe_encode_ids(df3, m3).collect()}
+    assert got3 == {1: [1, 0]}  # 'aa'->[aa], 'a'->[a]
+
+
 def test_bpe_sql_engine_merge_cap(spark):
     """The sql replay chain refuses past _SQL_ENGINE_MAX_MERGES (Janino
     64KB method limit at production vocab sizes) and points at arrow."""

@@ -3222,6 +3222,66 @@ def q113(spark, sf_dir):
     return tx.bpe_encode(d, m, engine="arrow")
 
 
+@register(
+    "q127_bpe_token_ids",
+    f"""
+    WITH {_BPE_REPLAY_CTES},
+    alpha AS (
+      SELECT DISTINCT substr(w, u.i, 1) AS sym
+      FROM w0, LATERAL unnest(range(1, length(w) + 1)) u(i)
+    ),
+    avocab AS (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS tid
+      FROM alpha
+    ),
+    na AS (SELECT count(*) AS n FROM avocab),
+    mvocab AS (
+      SELECT t1.a || t1.b AS sym, CAST(na.n AS INT) AS tid FROM t1, na
+      UNION ALL SELECT t2.a || t2.b, CAST(na.n + 1 AS INT) FROM t2, na
+      UNION ALL SELECT t3.a || t3.b, CAST(na.n + 2 AS INT) FROM t3, na
+    ),
+    vocab AS (
+      SELECT sym, CAST(min(tid) AS INT) AS tid
+      FROM (SELECT * FROM avocab UNION ALL SELECT * FROM mvocab)
+      GROUP BY sym
+    ),
+    dtw AS (
+      SELECT doc_id, words[u.i] AS w, u.i AS wi
+      FROM (SELECT doc_id, string_split_regex(norm, '\\s+') AS words
+            FROM nm WHERE length(norm) > 0) t,
+           LATERAL unnest(range(1, len(words) + 1)) u(i)
+    ),
+    wsyms AS (SELECT w, string_split(trim(s, '|'), '||') AS sy FROM s3),
+    docsym AS (
+      SELECT dtw.doc_id, dtw.wi, u.i AS si, sy[u.i] AS sym
+      FROM dtw JOIN wsyms USING (w),
+           LATERAL unnest(range(1, len(sy) + 1)) u(i)
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1
+                AS INT) AS pos,
+           vocab.tid AS token_id
+    FROM docsym JOIN vocab USING (sym)
+    """,
+)
+def q127(spark, sf_dir):
+    """Tokenizer APPLICATION end-to-end: the per-doc token-ID stream a
+    packing stage actually consumes (pipeline/text.py bpe_encode_ids —
+    arrow heap replay emitting ids through bpe_vocab's GPT-2-style
+    alphabet-then-merges assignment), posexploded to scalar (doc_id,
+    pos, token_id) rows. The oracle replays the identical 3-merge
+    chain and id assignment in SQL (q113's CTE chain + a vocab CTE
+    with min-id collision rule), pinning symbol order, word order, and
+    every id."""
+    d = _table(spark, sf_dir, "documents")
+    m = tx.bpe_train(d, num_merges=3, engine="local")
+    enc = tx.bpe_encode_ids(d, m)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    )
+
+
+
 from ticktock_spark.pipeline import classify as clf  # noqa: E402
 from ticktock_spark.pipeline import retrieval as rt  # noqa: E402
 

@@ -1688,46 +1688,13 @@ def _bpe_encode_arrow(
     # NB: module-level `from __future__ import annotations` stringifies
     # hints, which pandas_udf cannot introspect — attach real ones.
     def _n_subwords(tok_arrays):
-        import heapq
-
         memo: dict[str, int] = {}
 
         def word_len(w: str) -> int:
             got = memo.get(w)
-            if got is not None:
-                return got
-            syms = list(w)
-            heap: list[int] = []
-            for i in range(len(syms) - 1):
-                for rk in ranks_of.get((syms[i], syms[i + 1]), ()):
-                    heapq.heappush(heap, rk)
-            done = 0
-            while heap:
-                rk = heapq.heappop(heap)
-                if rk <= done:
-                    continue
-                done = rk
-                a, b, merged = by_rank[rk]
-                out: list[str] = []
-                i = 0
-                changed = False
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        out.append(merged)
-                        i += 2
-                        changed = True
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                if changed:
-                    syms = out
-                    for i in range(len(syms) - 1):
-                        for rk2 in ranks_of.get((syms[i], syms[i + 1]), ()):
-                            if rk2 > done:
-                                heapq.heappush(heap, rk2)
-            n = len(syms)
-            memo[w] = n
-            return n
+            if got is None:
+                got = memo[w] = len(_bpe_replay_word(w, by_rank, ranks_of))
+            return got
 
         return tok_arrays.map(lambda toks: sum(word_len(w) for w in toks))
 
@@ -1744,6 +1711,143 @@ def _bpe_encode_arrow(
         F.size("_t").alias("n_words"),
         n_subwords("_t").alias("n_subwords"),
     )
+
+
+def _bpe_replay_word(w: str, by_rank: dict, ranks_of: dict) -> list:
+    """Heap-driven replay-in-order of a merge table over one word —
+    the shared kernel of the arrow engines (see _bpe_encode_arrow's
+    docstring for the exactness argument). Returns the final symbol
+    list."""
+    import heapq
+
+    syms = list(w)
+    heap: list[int] = []
+    for i in range(len(syms) - 1):
+        for rk in ranks_of.get((syms[i], syms[i + 1]), ()):
+            heapq.heappush(heap, rk)
+    done = 0
+    while heap:
+        rk = heapq.heappop(heap)
+        if rk <= done:
+            continue
+        done = rk
+        a, b, merged = by_rank[rk]
+        out: list = []
+        i = 0
+        changed = False
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+                changed = True
+            else:
+                out.append(syms[i])
+                i += 1
+        if changed:
+            syms = out
+            for i in range(len(syms) - 1):
+                for rk2 in ranks_of.get((syms[i], syms[i + 1]), ()):
+                    if rk2 > done:
+                        heapq.heappush(heap, rk2)
+    return syms
+
+
+def bpe_vocab(
+    df: DataFrame, merges: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The (symbol, token_id) vocabulary a trained merge table defines
+    over a corpus: the corpus ALPHABET (distinct single characters of
+    its tokens, sorted ascending) takes ids 0..A-1, then each merge's
+    output symbol takes A+rank-1 — the GPT-2-style base-then-merges id
+    assignment. A merge output that collides with an existing symbol
+    string keeps the SMALLEST id (a vocab maps strings, so duplicates
+    cannot get distinct ids). The alphabet aggregation is
+    character-bounded (one distinct over ≤ alphabet-size rows after a
+    scan-side explode); the merge side is model-scale."""
+    spark = df.sparkSession
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    alpha = sorted(
+        r["c"]
+        for r in df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(F.explode(chars).alias("c"))
+        .distinct()
+        .collect()
+    )
+    sym_id: dict[str, int] = {}
+    for i, c in enumerate(alpha):
+        sym_id[c] = i
+    for r in merges.orderBy("rank").collect():
+        sym = r["a"] + r["b"]
+        sym_id.setdefault(sym, len(alpha) + int(r["rank"]) - 1)
+    return spark.createDataFrame(
+        sorted(sym_id.items(), key=lambda kv: kv[1]), "sym string, token_id int"
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The tokenizer output a training-data pipeline actually feeds to
+    packing: (id, token_ids array<int>, n_tokens) — every doc's full
+    post-merge symbol stream mapped through ``bpe_vocab``'s ids, words
+    in order, symbols in order within each word.
+
+    Arrow engine only (the heap replay of ``bpe_encode``'s 'arrow'
+    path, emitting ids instead of counts — same exactness argument,
+    word→ids memoized per batch); the SQL-expressible spec lives in
+    q127's oracle, which replays the identical merge chain and id
+    assignment in DuckDB, so the driver pins this engine end-to-end.
+    One corpus scan, no shuffle; model state = merge table + vocab
+    dict, collected once and closed over."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mrows = merges.orderBy("rank").collect()
+    by_rank: dict[int, tuple[str, str, str]] = {
+        int(r["rank"]): (r["a"], r["b"], r["a"] + r["b"]) for r in mrows
+    }
+    ranks_of: dict[tuple[str, str], list[int]] = {}
+    for r in mrows:
+        ranks_of.setdefault((r["a"], r["b"]), []).append(int(r["rank"]))
+    vocab = {
+        r["sym"]: r["token_id"]
+        for r in bpe_vocab(df, merges, text_col=text_col).collect()
+    }
+
+    def _token_ids(tok_arrays):
+        memo: dict[str, list] = {}
+
+        def word_ids(w: str) -> list:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = [
+                    vocab[s] for s in _bpe_replay_word(w, by_rank, ranks_of)
+                ]
+            return got
+
+        return tok_arrays.map(
+            lambda toks: [tid for w in toks for tid in word_ids(w)]
+        )
+
+    _token_ids.__annotations__ = {"tok_arrays": pd.Series, "return": pd.Series}
+    token_ids = pandas_udf(_token_ids, "array<int>")
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") > 0)
+    )
+    return toks.select(
+        F.col(id_col),
+        token_ids("_t").alias("token_ids"),
+    ).withColumn("n_tokens", F.size("token_ids"))
 
 
 def corpus_report(
