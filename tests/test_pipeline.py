@@ -2006,6 +2006,35 @@ def test_bpe_encode_ids(spark):
     assert got3 == {1: [1, 0]}  # 'aa'->[aa], 'a'->[a]
 
 
+def test_pack_token_ids(spark):
+    """Packed-pretraining materialization: docs concatenate in id order
+    within their pack group, sequences cut at max_len (a doc spans two
+    sequences; a sequence holds many docs), groups pack independently,
+    and every sequence except a group's last is exactly full."""
+    from ticktock_spark.pipeline.text import pack_token_ids
+
+    enc = spark.createDataFrame(
+        [
+            (0, [0, 1, 2]),        # group 0
+            (2, [3, 4, 5, 6]),     # group 0: spans seq 0 (3..4) + seq 1 (5..6)
+            (4, [7]),              # group 0
+            (1, [9, 9]),           # group 1: isolated from group 0
+        ],
+        "doc_id long, token_ids array<int>",
+    ).withColumn("n_tokens", F.size("token_ids"))
+    got = {
+        (r["pack_group"], r["seq_idx"]): (
+            list(r["input_ids"]), r["n_tokens"], r["n_docs"]
+        )
+        for r in pack_token_ids(enc, max_len=5, n_groups=2).collect()
+    }
+    assert got == {
+        (0, 0): ([0, 1, 2, 3, 4], 5, 2),   # doc0 whole + doc2 head
+        (0, 1): ([5, 6, 7], 3, 2),         # doc2 tail + doc4
+        (1, 0): ([9, 9], 2, 1),
+    }
+
+
 def test_bpe_sql_engine_merge_cap(spark):
     """The sql replay chain refuses past _SQL_ENGINE_MAX_MERGES (Janino
     64KB method limit at production vocab sizes) and points at arrow."""

@@ -51,6 +51,18 @@ def test_topn_broadcast_semi_join(spark):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan  # materialized once
 
 
+def test_bpe_token_ids_single_scan_no_shuffle(spark):
+    """q127's id emission is one corpus scan through Arrow stages with
+    ZERO exchanges — the model state (merge table + vocab) is collected
+    and closed over, never joined. A shuffle appearing here means the
+    vocab mapping regressed into a join."""
+    import re
+
+    plan = _plan(spark, "q127_bpe_token_ids")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
 def test_topn_no_single_partition_exchange(spark):
     """The N rank keys are selected via TakeOrderedAndProject (local
     top-n per partition, merged at the driver), not a global

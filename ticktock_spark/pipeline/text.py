@@ -313,6 +313,72 @@ def pack_sequences(
     )
 
 
+def pack_token_ids(
+    enc: DataFrame,
+    max_len: int = 256,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Materialize PACKED training sequences from token-id streams
+    (``bpe_encode_ids`` output): within each hash-assigned pack group
+    (doc_id % n_groups) docs are concatenated in doc-id order and the
+    combined stream is cut into consecutive ``max_len`` windows — the
+    GPT-style packed-pretraining layout, where a doc may span two
+    sequences and a sequence may hold many docs. Output per sequence:
+    (pack_group, seq_idx, input_ids array<int>, n_tokens, n_docs);
+    every sequence except each group's last holds exactly max_len ids.
+
+    Scale shape: one window (per-group exclusive prefix sum over
+    doc-level counts — one row per DOC, not per token), then the
+    unavoidable repack shuffle (posexplode → groupBy sequence) carries
+    each token once, partitioned by (group, seq). No global order, no
+    driver state; parallelism = n_groups × sequences, and results are
+    physical-partitioning-invariant (same determinism argument as
+    pack_sequences)."""
+    from pyspark.sql import Window
+
+    grp = (F.col(id_col) % n_groups).alias("pack_group")
+    base = enc.select(grp, F.col(id_col), F.col(ids_col),
+                      F.size(ids_col).alias("__n"))
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("__n").over(w) - F.col("__n")).alias("__start")
+    tok = base.withColumn("__start", start).select(
+        "pack_group",
+        F.col(id_col),
+        "__start",
+        F.posexplode(ids_col).alias("__i", "token_id"),
+    )
+    gpos = F.col("__start") + F.col("__i")
+    tok = tok.select(
+        "pack_group",
+        F.col(id_col),
+        F.floor(gpos / F.lit(max_len)).cast("int").alias("seq_idx"),
+        (gpos % F.lit(max_len)).cast("int").alias("pos"),
+        "token_id",
+    )
+    return (
+        tok.groupBy("pack_group", "seq_idx")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "token_id"))
+            ).alias("__s"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .select(
+            F.col("pack_group").cast("int").alias("pack_group"),
+            "seq_idx",
+            F.transform("__s", lambda s: s["token_id"]).alias("input_ids"),
+            F.size("__s").alias("n_tokens"),
+            "n_docs",
+        )
+    )
+
+
 def tokens(text: Column) -> Column:
     """Normalized word tokens (the vocab/ngram unit): normalize_text then
     whitespace split; blank text → empty array."""
