@@ -2022,16 +2022,30 @@ def test_pack_token_ids(spark):
         ],
         "doc_id long, token_ids array<int>",
     ).withColumn("n_tokens", F.size("token_ids"))
+    rows = pack_token_ids(enc, max_len=5, n_groups=2).collect()
     got = {
         (r["pack_group"], r["seq_idx"]): (
             list(r["input_ids"]), r["n_tokens"], r["n_docs"]
         )
-        for r in pack_token_ids(enc, max_len=5, n_groups=2).collect()
+        for r in rows
     }
     assert got == {
         (0, 0): ([0, 1, 2, 3, 4], 5, 2),   # doc0 whole + doc2 head
         (0, 1): ([5, 6, 7], 3, 2),         # doc2 tail + doc4
         (1, 0): ([9, 9], 2, 1),
+    }
+    spans = {
+        (r["pack_group"], r["seq_idx"]): [
+            (s["doc_id"], s["start"], s["end"]) for s in r["doc_spans"]
+        ]
+        for r in rows
+    }
+    # [start, end) boundaries inside each sequence — the attention-mask
+    # input; spans ordered, contiguous, covering every position
+    assert spans == {
+        (0, 0): [(0, 0, 3), (2, 3, 5)],
+        (0, 1): [(2, 0, 2), (4, 2, 3)],
+        (1, 0): [(1, 0, 2)],
     }
 
 

@@ -3357,6 +3357,86 @@ def q128(spark, sf_dir):
     )
 
 
+@register(
+    "q129_pack_doc_spans",
+    f"""
+    WITH {_BPE_REPLAY_CTES},
+    alpha AS (
+      SELECT DISTINCT substr(w, u.i, 1) AS sym
+      FROM w0, LATERAL unnest(range(1, length(w) + 1)) u(i)
+    ),
+    avocab AS (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS tid
+      FROM alpha
+    ),
+    na AS (SELECT count(*) AS n FROM avocab),
+    mvocab AS (
+      SELECT t1.a || t1.b AS sym, CAST(na.n AS INT) AS tid FROM t1, na
+      UNION ALL SELECT t2.a || t2.b, CAST(na.n + 1 AS INT) FROM t2, na
+      UNION ALL SELECT t3.a || t3.b, CAST(na.n + 2 AS INT) FROM t3, na
+    ),
+    vocab AS (
+      SELECT sym, CAST(min(tid) AS INT) AS tid
+      FROM (SELECT * FROM avocab UNION ALL SELECT * FROM mvocab)
+      GROUP BY sym
+    ),
+    dtw AS (
+      SELECT doc_id, words[u.i] AS w, u.i AS wi
+      FROM (SELECT doc_id, string_split_regex(norm, '\\s+') AS words
+            FROM nm WHERE length(norm) > 0) t,
+           LATERAL unnest(range(1, len(words) + 1)) u(i)
+    ),
+    wsyms AS (SELECT w, string_split(trim(s, '|'), '||') AS sy FROM s3),
+    docsym AS (
+      SELECT dtw.doc_id, dtw.wi, u.i AS si, sy[u.i] AS sym
+      FROM dtw JOIN wsyms USING (w),
+           LATERAL unnest(range(1, len(sy) + 1)) u(i)
+    ),
+    dpos AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1
+               AS pos,
+             vocab.tid AS token_id
+      FROM docsym JOIN vocab USING (sym)
+    ),
+    dlen AS (SELECT doc_id, count(*) AS n FROM dpos GROUP BY doc_id),
+    dstart AS (
+      SELECT doc_id,
+             sum(n) OVER (PARTITION BY doc_id % 64 ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n AS strt
+      FROM dlen
+    )
+    SELECT CAST(d.doc_id % 64 AS INT) AS pack_group,
+           CAST(floor((s.strt + d.pos) / 256.0) AS INT) AS seq_idx,
+           d.doc_id,
+           CAST(min((s.strt + d.pos) % 256) AS INT) AS start,
+           CAST(max((s.strt + d.pos) % 256) + 1 AS INT) AS "end"
+    FROM dpos d JOIN dstart s USING (doc_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q129(spark, sf_dir):
+    """The doc-boundary side of packed sequences: per (sequence, doc)
+    the [start, end) span inside the sequence — the exact input a
+    block-diagonal attention mask needs. Spark side explodes
+    pack_token_ids' fold-built doc_spans; the oracle reduces to a
+    min/max grouping over q128's packed positions (equivalent because
+    concatenated streams make every in-sequence doc span contiguous)."""
+    d = _table(spark, sf_dir, "documents")
+    m = tx.bpe_train(d, num_merges=3, engine="local")
+    packed = tx.pack_token_ids(tx.bpe_encode_ids(d, m))
+    sp = packed.select(
+        "pack_group", "seq_idx", F.explode("doc_spans").alias("sp")
+    )
+    return sp.select(
+        "pack_group", "seq_idx",
+        F.col("sp.doc_id").alias("doc_id"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
 from ticktock_spark.pipeline import classify as clf  # noqa: E402
 from ticktock_spark.pipeline import retrieval as rt  # noqa: E402
 

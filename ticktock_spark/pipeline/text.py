@@ -326,8 +326,12 @@ def pack_token_ids(
     combined stream is cut into consecutive ``max_len`` windows — the
     GPT-style packed-pretraining layout, where a doc may span two
     sequences and a sequence may hold many docs. Output per sequence:
-    (pack_group, seq_idx, input_ids array<int>, n_tokens, n_docs);
-    every sequence except each group's last holds exactly max_len ids.
+    (pack_group, seq_idx, input_ids array<int>, n_tokens, n_docs,
+    doc_spans array<struct<doc_id,start,end>>) — doc_spans are the
+    [start, end) doc boundaries inside the sequence, in order: exactly
+    what a block-diagonal attention mask (or a cross-doc-attention
+    audit) needs. Every sequence except each group's last holds
+    exactly max_len ids.
 
     Scale shape: one window (per-group exclusive prefix sum over
     doc-level counts — one row per DOC, not per token), then the
@@ -361,11 +365,40 @@ def pack_token_ids(
         (gpos % F.lit(max_len)).cast("int").alias("pos"),
         "token_id",
     )
+    # doc spans fold over the position-sorted tokens: extend the open
+    # span while doc_id repeats, else open a new one. Nested when()s, not
+    # a conjunction — ANSI mode evaluates both operands of `&`, and
+    # element_at on the empty initial accumulator would throw.
+    def span_step(acc, s):
+        last = F.element_at(acc, -1)
+        opened = F.array(
+            F.struct(
+                s["doc_id"].alias("doc_id"),
+                s["pos"].alias("start"),
+                (s["pos"] + 1).alias("end"),
+            )
+        )
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["doc_id"].alias("doc_id"),
+                    last["start"].alias("start"),
+                    (s["pos"] + 1).alias("end"),
+                )
+            ),
+        )
+        return F.when(F.size(acc) == 0, opened).otherwise(
+            F.when(last["doc_id"] == s["doc_id"], extended).otherwise(
+                F.concat(acc, opened)
+            )
+        )
+
     return (
         tok.groupBy("pack_group", "seq_idx")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("pos", "token_id"))
+                F.collect_list(F.struct("pos", "token_id", F.col(id_col).alias("doc_id")))
             ).alias("__s"),
             F.countDistinct(id_col).alias("n_docs"),
         )
@@ -375,6 +408,13 @@ def pack_token_ids(
             F.transform("__s", lambda s: s["token_id"]).alias("input_ids"),
             F.size("__s").alias("n_tokens"),
             "n_docs",
+            F.aggregate(
+                "__s",
+                F.array().cast(
+                    "array<struct<doc_id:bigint,start:int,end:int>>"
+                ),
+                span_step,
+            ).alias("doc_spans"),
         )
     )
 

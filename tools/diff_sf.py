@@ -41,12 +41,22 @@ def canon(df):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    pats = sys.argv[2:]
+    pats = [a for a in sys.argv[2:] if not a.startswith("--skip=")]
+    skips: list[str] = []
+    for a in sys.argv[2:]:
+        if a.startswith("--skip="):
+            # --skip=q49,q50: exclude by substring (e.g. the 5 queries
+            # whose recursive-CTE oracle is quadratic at sf0.1)
+            skips += [p for p in a[len("--skip="):].split(",") if p]
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     spark = get_spark()
-    names = [n for n in sorted(QUERIES) if not pats or any(p in n for p in pats)]
+    names = [
+        n for n in sorted(QUERIES)
+        if (not pats or any(p in n for p in pats))
+        and not any(p in n for p in skips)
+    ]
     bad = []
     for name in names:
         t0 = time.monotonic()
