@@ -1259,6 +1259,53 @@ def test_mqtt_spool_ingest(spark, tmp_path):
     assert [(r["metric"], r["tags"]["_field"]) for r in got2] == [("env", "temp")]
 
 
+def test_streaming_bpe_encode_ids_matches_batch(spark, tmp_path):
+    """Tokenizer application is STATELESS scan-side work (frozen merge
+    table + vocab closed over an Arrow UDF), so bpe_encode_ids applies
+    directly to a streaming DataFrame — no watermark, no state store —
+    and must emit exactly the batch result. The vocab is built from the
+    TRAIN corpus (model freeze), then applied to the stream."""
+    import json
+
+    from ticktock_spark.pipeline.text import bpe_encode_ids, bpe_train, bpe_vocab
+
+    train = spark.createDataFrame(
+        [(100, "abab ab a b"), (101, "ba ab")], "doc_id long, text string"
+    )
+    m = bpe_train(train, num_merges=1, engine="local")
+    frozen = bpe_vocab(train, m)  # model freeze: vocab from TRAIN corpus
+
+    rows = [(1, "ab ba"), (2, "abab")]
+    (tmp_path / "in").mkdir(exist_ok=True)
+    with open(tmp_path / "in" / "b0.jsonl", "w") as f:
+        for did, text in rows:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(tmp_path / "in"))
+    )
+    out = bpe_encode_ids(stream, m, vocab_df=frozen)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe_encode_ids(batch, m, vocab_df=frozen).collect()
+    }
+    assert got == want and set(got) == {1, 2}
+
+
 def test_streaming_chunk_dedup_matches_batch(spark, tmp_path):
     """Cross-batch tile novelty: a passage accepted in micro-batch 0 is
     stripped from batch 1's docs; with ids arriving in order the

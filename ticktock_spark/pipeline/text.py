@@ -1899,6 +1899,7 @@ def bpe_encode_ids(
     merges: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
 ) -> DataFrame:
     """The tokenizer output a training-data pipeline actually feeds to
     packing: (id, token_ids array<int>, n_tokens) — every doc's full
@@ -1911,7 +1912,15 @@ def bpe_encode_ids(
     q127's oracle, which replays the identical merge chain and id
     assignment in DuckDB, so the driver pins this engine end-to-end.
     One corpus scan, no shuffle; model state = merge table + vocab
-    dict, collected once and closed over."""
+    dict, collected once and closed over.
+
+    ``vocab_df`` (a ``bpe_vocab`` result) freezes the vocabulary from a
+    TRAIN corpus — required when ``df`` is a streaming DataFrame (the
+    default derives the alphabet from ``df`` itself, which needs a
+    collect), and the right call whenever train and apply corpora
+    differ. Symbols outside the frozen vocab raise (OOV words cannot
+    silently drop ids); a production alphabet should include every
+    byte/char class the stream can produce."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -1922,10 +1931,9 @@ def bpe_encode_ids(
     ranks_of: dict[tuple[str, str], list[int]] = {}
     for r in mrows:
         ranks_of.setdefault((r["a"], r["b"]), []).append(int(r["rank"]))
-    vocab = {
-        r["sym"]: r["token_id"]
-        for r in bpe_vocab(df, merges, text_col=text_col).collect()
-    }
+    if vocab_df is None:
+        vocab_df = bpe_vocab(df, merges, text_col=text_col)
+    vocab = {r["sym"]: r["token_id"] for r in vocab_df.collect()}
 
     def _token_ids(tok_arrays):
         memo: dict[str, list] = {}
