@@ -1,0 +1,56 @@
+"""Classifier-evaluation tests: hand-computed tie-corrected AUC,
+confusion metrics at threshold, degenerate single-class guards, and
+null-row exclusion (pipeline/classify.py classifier_eval)."""
+
+from __future__ import annotations
+
+from ticktock_spark.pipeline.classify import classifier_eval
+
+
+def _eval(spark, rows, threshold=0.5):
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    return classifier_eval(df, threshold=threshold).collect()[0]
+
+
+def test_auc_with_ties_hand_computed(spark):
+    """P=2, N=3 with one tied score: U = 3 (0.9 beats all negs)
+    + 2.5 (0.8 beats two negs, ties one) = 5.5 → AUC = 5.5/6."""
+    r = _eval(
+        spark,
+        [(0.9, True), (0.8, False), (0.8, True), (0.3, False), (0.1, False)],
+    )
+    assert abs(r["auc"] - 11 / 12) < 1e-12
+    assert (r["n_pos"], r["n_neg"]) == (2, 3)
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 0, 2)
+    assert abs(r["precision"] - 2 / 3) < 1e-12
+    assert r["recall"] == 1.0
+    assert abs(r["f1"] - 0.8) < 1e-12
+    assert abs(r["accuracy"] - 0.8) < 1e-12
+
+
+def test_perfect_and_inverted_rankings(spark):
+    perfect = _eval(spark, [(0.9, True), (0.8, True), (0.2, False)])
+    assert perfect["auc"] == 1.0
+    inverted = _eval(spark, [(0.1, True), (0.2, True), (0.9, False)])
+    assert inverted["auc"] == 0.0
+    all_tied = _eval(spark, [(0.5, True), (0.5, False), (0.5, False)])
+    assert abs(all_tied["auc"] - 0.5) < 1e-12
+
+
+def test_single_class_yields_null_ratios(spark):
+    r = _eval(spark, [(0.9, False), (0.1, False)])
+    assert r["auc"] is None and r["recall"] is None and r["f1"] is None
+    assert (r["n_pos"], r["n_neg"]) == (0, 2)
+    # no predicted positives at a high threshold → precision NULL
+    r2 = _eval(spark, [(0.1, True), (0.2, False)], threshold=0.9)
+    assert r2["precision"] is None and r2["tp"] == 0
+
+
+def test_null_scores_and_labels_excluded(spark):
+    df = spark.createDataFrame(
+        [(0.9, True), (None, True), (0.4, None), (0.2, False)],
+        "score double, y boolean",
+    )
+    r = classifier_eval(df).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (1, 1)
+    assert r["auc"] == 1.0

@@ -226,3 +226,100 @@ def lr_score_expr(
     return base.select(
         id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p")
     )
+
+
+def classifier_eval(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact classifier evaluation: tie-corrected ROC-AUC plus the
+    confusion matrix and derived metrics at ``threshold`` — the
+    threshold-picking report a curation pipeline runs before turning a
+    quality/language signal into a filter.
+
+    AUC is the Mann-Whitney rank statistic computed entirely in the
+    INTEGER domain so every engine agrees bit-for-bit (the ks_drift
+    integer-argmax rationale): group rows by distinct score value
+    (counts ``pos``/``neg``), take a cumulative ``neg_below`` over
+    score order, and sum ``U2 = Σ pos·(2·neg_below + neg)`` — twice
+    the U statistic, with the tie term ``0.5·pos·neg`` kept integral.
+    ``AUC = U2 / (2·P·N)`` is then a single double division of exact
+    integers. Products are decimal(38,0) so P, N up to ~1e18 cannot
+    overflow.
+
+    Scale: the only shuffle is the groupBy on score value; the
+    cumulative window is over DISTINCT scores only, which callers keep
+    bounded by quantizing the score (a [0,1] score at 1e-6 resolution
+    is ≤ 1,000,001 rows no matter the corpus size), so the unpartitioned
+    window never sees data-scale rows. Rows with a NULL score or label
+    are excluded (they cannot be ranked or counted).
+
+    Returns one row: n_pos, n_neg, auc, tp, fp, fn, tn, precision,
+    recall, f1, accuracy. Ratio columns are NULL when their denominator
+    is empty (e.g. auc with a single-class corpus) rather than NaN.
+    """
+    from pyspark.sql import Window
+
+    s = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    by = (
+        s.groupBy(score_col)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+        )
+        .withColumn("neg", F.col("cnt") - F.col("pos"))
+    )
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    per = by.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    hit = F.col(score_col) >= F.lit(float(threshold))
+    agg = per.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(
+            dec(F.col("pos"))
+            * (dec(F.lit(2)) * dec(F.col("neg_below")) + dec(F.col("neg")))
+        ).alias("u2"),
+        F.sum(F.when(hit, F.col("pos")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(F.when(hit, F.col("neg")).otherwise(F.lit(0))).alias("fp"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = np_ - tp, nn - fp
+    auc = F.when(
+        (np_ > 0) & (nn > 0),
+        F.col("u2").cast("double")
+        / (F.lit(2.0) * np_.cast("double") * nn.cast("double")),
+    )
+    precision = F.when(tp + fp > 0, tp.cast("double") / (tp + fp).cast("double"))
+    recall = F.when(np_ > 0, tp.cast("double") / np_.cast("double"))
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & (precision + recall > 0),
+        F.lit(2.0) * precision * recall / (precision + recall),
+    )
+    accuracy = F.when(
+        np_ + nn > 0, (tp + tn).cast("double") / (np_ + nn).cast("double")
+    )
+    zl = F.lit(0).cast("long")
+    return agg.select(
+        F.coalesce(np_, zl).alias("n_pos"),
+        F.coalesce(nn, zl).alias("n_neg"),
+        auc.alias("auc"),
+        F.coalesce(tp, zl).alias("tp"),
+        F.coalesce(fp, zl).alias("fp"),
+        F.coalesce(fn, zl).alias("fn"),
+        F.coalesce(tn, zl).alias("tn"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        accuracy.alias("accuracy"),
+    )

@@ -4043,3 +4043,89 @@ def q125(spark, sf_dir):
         _table(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10,
         require_all=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# model evaluation / curriculum / rerank / tokenizer roundtrip
+# ---------------------------------------------------------------------------
+
+#: q30's quality score as a (doc_id, y, score) CTE chain — the scored
+#: frame classifier evaluation consumes (label: lang = 'en').
+_QUALITY_SCORED = f"""
+    s0 AS (
+      SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y, {_TOKS} AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST({_PUNCT} AS DOUBLE) / length(text) END AS pr,
+             {_SW['en']} AS sw
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, y,
+             {_Q6.format(x='''greatest(0.0, least(1.0,
+               0.5 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE) / n_tokens END) * 5.0
+               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.2 * (1.0 - pr * 4.0)))''')} AS score
+      FROM s0
+    )
+"""
+
+
+@register(
+    "q130_classifier_eval",
+    f"""
+    WITH {_QUALITY_SCORED},
+    by AS (
+      SELECT score, count(*) AS cnt, sum(y) AS pos FROM s GROUP BY 1
+    ),
+    per AS (
+      SELECT score, pos, cnt - pos AS neg,
+             coalesce(sum(cnt - pos) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM by
+    ),
+    a AS (
+      SELECT sum(pos) AS n_pos, sum(neg) AS n_neg,
+             sum(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) AS u2,
+             sum(CASE WHEN score >= 0.5 THEN pos ELSE 0 END) AS tp,
+             sum(CASE WHEN score >= 0.5 THEN neg ELSE 0 END) AS fp
+      FROM per
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             {_Q6.format(x='CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))')}
+           END AS auc,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(n_pos - tp AS BIGINT) AS fn, CAST(n_neg - fp AS BIGINT) AS tn,
+           CASE WHEN tp + fp > 0 THEN
+             {_Q6.format(x='CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)')}
+           END AS precision,
+           CASE WHEN n_pos > 0 THEN
+             {_Q6.format(x='CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)')}
+           END AS recall
+    FROM a
+    """,
+)
+def q130(spark, sf_dir):
+    """Classifier evaluation (pipeline/classify.py classifier_eval):
+    exact tie-corrected ROC-AUC + confusion counts at threshold 0.5 for
+    the heuristic quality score treated as an English-document
+    classifier — the report a curation pipeline reads before turning a
+    filter signal into a keep/drop rule. AUC is the Mann-Whitney
+    statistic kept in the integer domain (U2 = Σ pos·(2·neg_below +
+    neg), one double division at the end) so DuckDB reproduces it
+    bit-for-bit; the cumulative window runs over DISTINCT quantized
+    scores (≤ 1e6+1 rows at any corpus size)."""
+    d = _table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("lang") == "en").alias("y"),
+        q6(tx.quality_score(F.col("text"))).alias("score"),
+    )
+    out = clf.classifier_eval(scored, score_col="score", label_col="y")
+    return out.select(
+        "n_pos", "n_neg", q6(F.col("auc")).alias("auc"),
+        "tp", "fp", "fn", "tn",
+        q6(F.col("precision")).alias("precision"),
+        q6(F.col("recall")).alias("recall"),
+    )
