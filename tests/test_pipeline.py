@@ -2006,6 +2006,42 @@ def test_bpe_encode_ids(spark):
     assert got3 == {1: [1, 0]}  # 'aa'->[aa], 'a'->[a]
 
 
+def test_bpe_decode_roundtrip(spark):
+    """decode∘encode reproduces the normalized text with spaces elided
+    (lossless roundtrip through ids); unknown ids decode to U+FFFD and
+    are counted in n_bad rather than dropped."""
+    from ticktock_spark.pipeline.text import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab ab ba"), (2, "ba baba"), (3, "Mixed CASE, punct!")],
+        "doc_id long, text string",
+    )
+    m = bpe_train(df, num_merges=2, engine="local")
+    v = bpe_vocab(df, m)
+    dec = bpe_decode_ids(bpe_encode_ids(df, m, vocab_df=v), v)
+    got = {r["doc_id"]: (r["decoded"], r["n_bad"]) for r in dec.collect()}
+    want = {
+        r["doc_id"]: r["w"].replace(" ", "")
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("w")
+        ).collect()
+    }
+    assert got == {i: (w, 0) for i, w in want.items()}
+
+    # an id outside the vocab surfaces as U+FFFD + n_bad, not silence
+    ids = spark.createDataFrame(
+        [(9, [0, 999, 1])], "doc_id long, token_ids array<int>"
+    )
+    bad = bpe_decode_ids(ids, v).collect()[0]
+    assert bad["n_bad"] == 1 and "�" in bad["decoded"]
+
+
 def test_pack_token_ids(spark):
     """Packed-pretraining materialization: docs concatenate in id order
     within their pack group, sequences cut at max_len (a doc spans two

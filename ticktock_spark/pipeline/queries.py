@@ -4129,3 +4129,28 @@ def q130(spark, sf_dir):
         q6(F.col("precision")).alias("precision"),
         q6(F.col("recall")).alias("recall"),
     )
+
+
+@register(
+    "q131_bpe_roundtrip",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+    SELECT doc_id, replace(norm, ' ', '') AS decoded,
+           CAST(0 AS BIGINT) AS n_bad
+    FROM nm WHERE length(norm) > 0
+    """,
+)
+def q131(spark, sf_dir):
+    """Tokenizer ROUNDTRIP: train 3 merges, encode every doc to token
+    ids, decode the ids back through the vocab (pipeline/text.py
+    bpe_decode_ids). The oracle is the losslessness theorem itself —
+    merges only concatenate within words and the vocab is injective on
+    ids, so decode∘encode must equal the normalized text with spaces
+    elided; any replay, id-assignment, or decode-join defect breaks the
+    hash. Decode is a broadcast vocab join + one doc-keyed shuffle (no
+    map-literal, so a 32k production vocab works unchanged)."""
+    d = _table(spark, sf_dir, "documents")
+    m = tx.bpe_train(d, num_merges=3, engine="local")
+    v = tx.bpe_vocab(d, m)
+    enc = tx.bpe_encode_ids(d, m, vocab_df=v)
+    return tx.bpe_decode_ids(enc, v)

@@ -1964,6 +1964,47 @@ def bpe_encode_ids(
     ).withColumn("n_tokens", F.size("token_ids"))
 
 
+def bpe_decode_ids(
+    ids_df: DataFrame,
+    vocab_df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Detokenize: map a ``bpe_encode_ids`` stream back to text through
+    the ``bpe_vocab`` table — (id, decoded, n_bad). Because merges only
+    concatenate adjacent symbols within a word and the vocab maps each
+    symbol string to one id, decode∘encode reproduces the normalized
+    text with word boundaries elided (words were split on whitespace
+    before encoding, so ``decoded == replace(norm, ' ', '')`` — the
+    lossless-roundtrip identity q131's oracle pins end to end; callers
+    who need word boundaries back should encode with a vocab whose
+    alphabet includes an explicit word-end symbol).
+
+    Scale: posexplode → broadcast join against the model-scale vocab →
+    one groupBy keyed on the doc id (the only shuffle); the join stays
+    JVM-side at any vocab size, unlike a map-literal lookup which would
+    hit the expression-tree hazard at a 32k+ production vocab. Unknown
+    ids decode to U+FFFD and are counted in ``n_bad`` instead of being
+    silently dropped."""
+    ex = ids_df.select(
+        F.col(id_col), F.posexplode(ids_col).alias("pos", "token_id")
+    )
+    j = ex.join(
+        F.broadcast(vocab_df.select("token_id", "sym")), "token_id", "left"
+    )
+    return j.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda x: x["sym"],
+            ),
+            "",
+            "�",
+        ).alias("decoded"),
+        F.sum(F.when(F.col("sym").isNull(), 1).otherwise(0)).alias("n_bad"),
+    )
+
+
 def corpus_report(
     df: DataFrame,
     text_col: str = "text",
