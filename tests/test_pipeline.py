@@ -1484,6 +1484,46 @@ def test_mixture_plan_composes_with_stratified_sample(spark):
         assert abs(got.get(lang, 0) - expect) / max(expect, 1) < 0.35
 
 
+def test_curriculum_schedule(spark):
+    """Phase weights interpolate linearly from start to end (each phase
+    normalized to 1), phase 0 equals the start mix and the last phase
+    the end mix, a stratum with no data gets rate 0 with its full
+    target as shortfall, and each phase row is a valid mixture_plan
+    row (rate capped at 1)."""
+    from ticktock_spark.pipeline import sample as sp
+
+    start = {"en": 0.25, "de": 0.25, "fr": 0.5}
+    end = {"en": 0.8, "de": 0.2}
+    w = sp.curriculum_weights(start, end, 3)
+    byp: dict[int, dict[str, float]] = {}
+    for p, s, x in w:
+        byp.setdefault(p, {})[s] = x
+    assert all(abs(sum(d.values()) - 1.0) < 1e-12 for d in byp.values())
+    assert byp[0] == {"en": 0.25, "de": 0.25, "fr": 0.5}
+    assert byp[2] == {"en": 0.8, "de": 0.2, "fr": 0.0}
+    # midpoint before normalization: en .525, de .225, fr .25 (sums to 1)
+    assert abs(byp[1]["en"] - 0.525) < 1e-12
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 8 else "de", 100) for i in range(10)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    plan = sp.curriculum_schedule(docs, start, end, 3, 400)
+    rows = {(r["phase"], r["lang"]): r for r in plan.collect()}
+    assert len(rows) == 9  # 3 phases x 3 strata
+    # fr never has data: rate 0, shortfall = its whole target
+    fr0 = rows[(0, "fr")]
+    assert fr0["available_tokens"] == 0 and fr0["rate"] == 0.0
+    assert fr0["shortfall"] == fr0["target_tokens"] == 200.0
+    # en phase 0: target 100 of 800 available -> rate 1/8
+    assert abs(rows[(0, "en")]["rate"] - 0.125) < 1e-12
+    # de phase 2: target 80 of 200 available -> rate 0.4
+    assert abs(rows[(2, "de")]["rate"] - 0.4) < 1e-12
+    # rate is capped at 1 even when the target exceeds availability
+    big = sp.curriculum_schedule(docs, start, end, 1, 10**6)
+    assert all(r["rate"] <= 1.0 for r in big.collect())
+
+
 def test_corpus_diff_statuses(spark):
     """added/removed/changed/unchanged labels are exact, including the
     NULL-text cases (NULL→NULL unchanged, NULL→text changed)."""

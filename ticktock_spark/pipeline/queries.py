@@ -4154,3 +4154,71 @@ def q131(spark, sf_dir):
     v = tx.bpe_vocab(d, m)
     enc = tx.bpe_encode_ids(d, m, vocab_df=v)
     return tx.bpe_decode_ids(enc, v)
+
+
+from ticktock_spark.pipeline.sample import curriculum_weights as _cw  # noqa: E402
+
+#: curriculum: anneal a diversity-flat mix toward an en-heavy mix
+_CURR_START = {"en": 0.25, "de": 0.25, "fr": 0.25, "es": 0.25}
+_CURR_END = {"en": 0.7, "de": 0.1, "fr": 0.1, "es": 0.1}
+_CURR_PHASES = 3
+_CURR_BUDGET = 50_000
+_CURR_VALUES = ", ".join(
+    f"({p}, '{s}', CAST({w!r} AS DOUBLE))"
+    for p, s, w in _cw(_CURR_START, _CURR_END, _CURR_PHASES)
+)
+
+
+@register(
+    "q132_curriculum_plan",
+    f"""
+    WITH w(phase, lang, weight) AS (VALUES {_CURR_VALUES}),
+    per AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 OR text IS NULL THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                  AS BIGINT) AS available_tokens
+      FROM documents GROUP BY 1
+    ),
+    j AS (
+      SELECT w.phase, w.lang, w.weight,
+             coalesce(per.available_tokens, 0) AS available_tokens,
+             w.weight * {float(_CURR_BUDGET)} AS target
+      FROM w LEFT JOIN per USING (lang)
+    )
+    SELECT phase, lang, {_Q6.format(x='weight')} AS weight,
+           available_tokens,
+           {_Q6.format(x='target')} AS target_tokens,
+           {_Q6.format(x='''CASE WHEN available_tokens > 0
+             THEN least(1.0, target / CAST(available_tokens AS DOUBLE))
+             ELSE 0.0 END''')} AS rate,
+           {_Q6.format(x='greatest(0.0, target - CAST(available_tokens AS DOUBLE))')}
+             AS shortfall
+    FROM j
+    """,
+)
+def q132(spark, sf_dir):
+    """Curriculum mixture planner (pipeline/sample.py
+    curriculum_schedule): 3 training phases annealing a flat 4-language
+    mix toward an en-heavy mix, each phase a 50k-token mixture_plan.
+    The phase weights are interpolated ONCE driver-side
+    (curriculum_weights) and shared as literals with the oracle, so
+    both engines compute identical targets/rates; availability is one
+    strata-bounded aggregation broadcast-joined to the weight
+    literals. The rates feed stratified_sample with a per-phase seed —
+    sampling stays a scan-side hash filter per phase."""
+    d = _table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.token_count(F.col("text")).cast("long")
+    )
+    plan = sp.curriculum_schedule(
+        d, _CURR_START, _CURR_END, _CURR_PHASES, _CURR_BUDGET
+    )
+    return plan.select(
+        "phase",
+        "lang",
+        q6(F.col("weight")).alias("weight"),
+        "available_tokens",
+        q6(F.col("target_tokens")).alias("target_tokens"),
+        q6(F.col("rate")).alias("rate"),
+        q6(F.col("shortfall")).alias("shortfall"),
+    )

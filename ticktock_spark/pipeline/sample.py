@@ -334,6 +334,99 @@ def mixture_plan(
     )
 
 
+def curriculum_weights(
+    start_weights: dict[str, float],
+    end_weights: dict[str, float],
+    n_phases: int,
+) -> list[tuple[int, str, float]]:
+    """Per-phase normalized stratum weights, linearly interpolated from
+    ``start_weights`` to ``end_weights`` over ``n_phases`` training
+    phases (the data-curriculum convention: e.g. anneal from a
+    diversity-heavy mix toward a quality-heavy mix late in training).
+
+    Computed driver-side and returned as plain literals so EVERY
+    consumer — the Spark schedule, the sampling filters, and the SQL
+    oracles — shares bit-identical weight values (repr round-trips a
+    double exactly). Strata missing from either dict interpolate
+    from/to 0. Each phase is renormalized to sum to 1."""
+    if n_phases < 1:
+        raise ValueError("n_phases must be >= 1")
+    strata = sorted(set(start_weights) | set(end_weights))
+    out: list[tuple[int, str, float]] = []
+    for p in range(n_phases):
+        frac = p / (n_phases - 1) if n_phases > 1 else 1.0
+        raw = {
+            s: start_weights.get(s, 0.0)
+            + (end_weights.get(s, 0.0) - start_weights.get(s, 0.0)) * frac
+            for s in strata
+        }
+        tot = sum(raw.values())
+        if tot <= 0:
+            raise ValueError(f"phase {p} weights sum to {tot}")
+        out += [(p, s, raw[s] / tot) for s in strata]
+    return out
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    start_weights: dict[str, float],
+    end_weights: dict[str, float],
+    n_phases: int,
+    phase_token_budget: int,
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Multi-phase training-mixture planner: ``mixture_plan`` per
+    curriculum phase, with the phase weights annealed linearly from
+    ``start_weights`` to ``end_weights`` (``curriculum_weights``).
+
+    Output rows = phases × strata: (phase, stratum, weight,
+    available_tokens, target_tokens, rate, shortfall). ``rate`` feeds
+    ``stratified_sample`` with a per-phase seed (e.g. ``f"phase{p}"``)
+    so each phase draws its own deterministic subset — planning costs
+    ONE tiny availability aggregation (rows = strata) broadcast-joined
+    against the model-scale weight literals; the per-phase sampling
+    stays a scan-side hash filter exactly like the single-phase plan.
+    A stratum with no available tokens gets rate 0 and its full target
+    as shortfall (no division by zero)."""
+    spark = df.sparkSession
+    wrows = curriculum_weights(start_weights, end_weights, n_phases)
+    wdf = spark.createDataFrame(
+        wrows, f"phase int, {strata_col} string, weight double"
+    )
+    per = df.groupBy(strata_col).agg(F.sum(token_col).alias("available_tokens"))
+    j = wdf.join(F.broadcast(per), strata_col, "left").select(
+        "phase",
+        strata_col,
+        "weight",
+        F.coalesce(F.col("available_tokens"), F.lit(0)).alias(
+            "available_tokens"
+        ),
+        (F.col("weight") * F.lit(float(phase_token_budget))).alias(
+            "target_tokens"
+        ),
+    )
+    avail = F.col("available_tokens")
+    return j.select(
+        "phase",
+        strata_col,
+        "weight",
+        "available_tokens",
+        "target_tokens",
+        F.when(
+            avail > 0,
+            F.least(
+                F.lit(1.0), F.col("target_tokens") / avail.cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rate"),
+        F.greatest(
+            F.lit(0.0), F.col("target_tokens") - avail.cast("double")
+        ).alias("shortfall"),
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     source_cap: int = 40,
