@@ -1484,6 +1484,48 @@ def test_mixture_plan_composes_with_stratified_sample(spark):
         assert abs(got.get(lang, 0) - expect) / max(expect, 1) < 0.35
 
 
+def test_mmr_rerank_diversifies(spark):
+    """MMR skips the near-duplicate of an already-picked result in
+    favor of a less-relevant but diverse one; λ=1 degenerates to the
+    pure relevance ranking (brute-force order)."""
+    from ticktock_spark.pipeline import similarity as sim
+
+    # 0/1 nearly identical and most relevant; 2 diverse, mid relevance;
+    # 3 diverse, low relevance
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.05]),
+            (1, [1.0, 0.0, 0.06]),
+            (2, [0.5, 0.86, 0.0]),
+            (3, [0.1, 0.2, 0.97]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0])], "query_id long, embedding array<double>"
+    )
+    picks = [
+        r["vec_id"]
+        for r in sim.mmr_rerank(corpus, q, k=3, m=4, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    # relevance order is 0, 1, 2 — MMR must demote 1 (near-dup of 0)
+    assert picks[0] == 0
+    assert picks[1] in (2, 3) and 1 not in picks[:2]
+    rel_only = [
+        r["vec_id"]
+        for r in sim.mmr_rerank(corpus, q, k=3, m=4, lam=1.0)
+        .orderBy("rank")
+        .collect()
+    ]
+    bf = [
+        r["vec_id"]
+        for r in sim.brute_force_knn(corpus, q, k=3).orderBy("rank").collect()
+    ]
+    assert rel_only == bf
+
+
 def test_curriculum_schedule(spark):
     """Phase weights interpolate linearly from start to end (each phase
     normalized to 1), phase 0 equals the start mix and the last phase

@@ -4222,3 +4222,98 @@ def q132(spark, sf_dir):
         q6(F.col("rate")).alias("rate"),
         q6(F.col("shortfall")).alias("shortfall"),
     )
+
+
+def _mmr_oracle_sql(lam: float, k: int, m: int, nq: int) -> str:
+    """Unrolled greedy MMR in SQL (q115's unrolled-GD trick applied to
+    selection): k argmax stages, each joining the candidate set against
+    the selected-so-far ids. ``lam`` and ``1 - lam`` are interpolated
+    as repr literals so the driver loop's Python doubles and the
+    oracle's arithmetic are the same bits (1 - 0.7 is NOT 0.3 in
+    IEEE; both sides must use the same constant)."""
+    oml = 1.0 - lam
+    cos = _Q6.format(x=f"({_DOT}) / ({_NRM_C} * {_NRM_Q})")
+    parts = [
+        f"""
+    cand0 AS (
+      SELECT q.vec_id AS query_id, c.vec_id, {cos} AS rel
+      FROM embeddings c, embeddings q
+      WHERE q.vec_id < {nq} AND c.vec_id <> q.vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS r
+        FROM cand0) WHERE r <= {m}
+    ),
+    pr AS (
+      SELECT a.query_id, c.vec_id AS ida, q.vec_id AS idb, {cos} AS sim
+      FROM cand a
+      JOIN cand b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+      JOIN embeddings c ON c.vec_id = a.vec_id
+      JOIN embeddings q ON q.vec_id = b.vec_id
+    ),
+    s1 AS (
+      SELECT query_id, vec_id, CAST({lam!r} AS DOUBLE) * rel AS mmr FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS r
+        FROM cand) WHERE r = 1
+    ),
+    sel1 AS (SELECT query_id, vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+    m{i} AS (
+      SELECT c.query_id, c.vec_id,
+             CAST({lam!r} AS DOUBLE) * c.rel
+               - CAST({oml!r} AS DOUBLE) * max(p.sim) AS mmr
+      FROM cand c
+      JOIN pr p ON p.query_id = c.query_id AND p.ida = c.vec_id
+      JOIN sel{i - 1} s ON s.query_id = p.query_id AND s.vec_id = p.idb
+      WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                        WHERE x.query_id = c.query_id
+                          AND x.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.rel
+    ),
+    s{i} AS (
+      SELECT query_id, vec_id, mmr FROM (
+        SELECT query_id, vec_id, mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, vec_id) AS r
+        FROM m{i}) WHERE r = 1
+    ),
+    sel{i} AS (SELECT query_id, vec_id FROM sel{i - 1}
+               UNION ALL SELECT query_id, vec_id FROM s{i})"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT query_id, {i} AS rank, vec_id, mmr FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           {_Q6.format(x='mmr')} AS mmr
+    FROM ({union})
+    """
+    )
+
+
+@register("q133_mmr_rerank", _mmr_oracle_sql(0.7, 5, 20, 2))
+def q133(spark, sf_dir):
+    """MMR-diversified retrieval (pipeline/similarity.py mmr_rerank):
+    for 2 query vectors, greedily pick 5 of the top-20 cosine
+    candidates maximizing λ·relevance − (1−λ)·max-similarity-to-picked
+    (λ=0.7) — the diversification pass after candidate generation. The
+    oracle unrolls all 5 greedy stages in SQL; relevance and pairwise
+    sims both go through the fold-order-exact block kernel + q6, so
+    the driver-side argmax and the SQL argmax see identical doubles."""
+    e = _table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.mmr_rerank(e, q, k=5, m=20, lam=0.7)

@@ -760,6 +760,102 @@ def semantic_dedup(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998): per query, greedily pick ``k`` results from the top-m
+    cosine candidates, each step maximizing
+    ``lam·rel(c) − (1−lam)·max_{s∈selected} sim(c, s)`` — relevance
+    traded against redundancy, the diversification pass retrieval
+    pipelines run after candidate generation (e.g. to avoid returning
+    five near-identical passages for RAG).
+
+    Output: (query_id, rank, vec_id, mmr); ties pick the smallest id.
+
+    Scale shape: candidate generation is the distributed part — one
+    corpus scan scored by the Arrow block kernel (``cosine_scores``) +
+    a per-query window cut to m, so data-scale work is identical to
+    brute_force_knn (swap in an ANN front-end for 100 TB). The greedy
+    selection is inherently sequential over k steps but operates on a
+    RESULT-SET-sized state (≤ q·m rels + q·m² pair sims, all collected
+    after candidate pruning — never corpus-scale), so the driver loop
+    is the right plan, not a shortcut. Pairwise sims run through the
+    same fold-order-exact kernel as relevance, and every input is
+    6-decimal-quantized, so the greedy argmax (Python doubles) is
+    bit-identical to the unrolled SQL oracle's.
+    """
+    import math
+
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+    rel = cosine_scores(
+        corpus, queries, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    # cosine_scores normalizes its output names to (query_id, vec_id)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    cand_rows = (
+        rel.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= m)
+        .drop("__r")
+        .collect()
+    )
+    rels: dict = {}
+    for r in cand_rows:
+        rels.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+    cand_ids = sorted({r["vec_id"] for r in cand_rows})
+    cvecs = corpus.filter(F.col(id_col).isin(cand_ids)).select(id_col, vec_col)
+    pair_rows = cosine_scores(
+        cvecs,
+        cvecs.select(F.col(id_col).alias("__mq"), vec_col),
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col="__mq",
+    ).collect()
+    # orientation: (corpus-role candidate, query-role selected) — the
+    # same roles the SQL oracle's pair CTE assigns, so denominators
+    # multiply in the same order (IEEE * commutes; this is for clarity).
+    # cosine_scores always names its output (query_id, vec_id, cosine).
+    sims = {(r["vec_id"], r["query_id"]): r["cosine"] for r in pair_rows}
+    oml = 1.0 - lam
+    out = []
+    for qid in sorted(rels):
+        sel: list = []
+        remaining = sorted(rels[qid])
+        for step in range(1, k + 1):
+            best_id, best_score = None, None
+            for c in remaining:
+                if not sel:
+                    sc = lam * rels[qid][c]
+                else:
+                    sc = lam * rels[qid][c] - oml * max(
+                        sims[(c, s)] for s in sel
+                    )
+                if best_score is None or sc > best_score:
+                    best_id, best_score = c, sc
+            if best_id is None:
+                break
+            out.append(
+                (qid, step, best_id,
+                 math.floor(best_score * 1_000_000.0 + 0.5) / 1_000_000.0)
+            )
+            sel.append(best_id)
+            remaining.remove(best_id)
+    return corpus.sparkSession.createDataFrame(
+        out, f"query_id {qid_type}, rank int, vec_id {id_type}, mmr double"
+    )
+
+
 def diversity_sample(
     corpus: DataFrame,
     per_bucket: int,
