@@ -1484,6 +1484,29 @@ def test_mixture_plan_composes_with_stratified_sample(spark):
         assert abs(got.get(lang, 0) - expect) / max(expect, 1) < 0.35
 
 
+def test_lsh_audit_counts(spark):
+    """The audit's intersection logic is exact: n_hit counts candidate
+    pairs that are also true pairs, precision/recall are their ratios,
+    and an exact-duplicate pair (recall structurally 1 for identical
+    signatures) is always both a candidate and a truth pair."""
+    from ticktock_spark.pipeline import dedup as dd
+
+    r = dd.lsh_audit(_docs(spark), threshold=0.2).collect()[0]
+    truth = set(
+        (x["id_a"], x["id_b"])
+        for x in dd.ngram_jaccard_pairs(_docs(spark), threshold=0.2).collect()
+    )
+    cand = set(
+        (x["id_a"], x["id_b"])
+        for x in dd.minhash_lsh_candidates(_docs(spark)).collect()
+    )
+    assert r["n_truth"] == len(truth) and r["n_cand"] == len(cand)
+    assert r["n_hit"] == len(truth & cand)
+    assert (1, 4) in truth and (1, 4) in cand  # the exact-dup pair
+    assert r["precision"] == r["n_hit"] / r["n_cand"]
+    assert r["recall"] == r["n_hit"] / r["n_truth"]
+
+
 def test_mmr_rerank_diversifies(spark):
     """MMR skips the near-duplicate of an already-picked result in
     favor of a less-relevant but diverse one; λ=1 degenerates to the

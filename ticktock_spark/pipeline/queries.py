@@ -4317,3 +4317,59 @@ def q133(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.mmr_rerank(e, q, k=5, m=20, lam=0.7)
+
+
+@register(
+    "q134_lsh_audit",
+    _minhash_cte()
+    + f"""
+    , ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    tr0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    tr AS (
+      SELECT id_a, id_b FROM tr0
+      JOIN sz sa ON sa.doc_id = tr0.id_a
+      JOIN sz sb ON sb.doc_id = tr0.id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ),
+    f AS (
+      SELECT coalesce(t.in_t, 0) AS in_t, coalesce(c.in_c, 0) AS in_c
+      FROM (SELECT id_a, id_b, 1 AS in_t FROM tr) t
+      FULL JOIN (SELECT id_a, id_b, 1 AS in_c FROM cand) c
+        USING (id_a, id_b)
+    ),
+    a AS (
+      SELECT sum(in_t) AS n_truth, sum(in_c) AS n_cand,
+             sum(in_t * in_c) AS n_hit
+      FROM f
+    )
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_cand > 0 THEN
+             {_Q6.format(x='CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)')}
+           END AS precision,
+           CASE WHEN n_truth > 0 THEN
+             {_Q6.format(x='CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)')}
+           END AS recall
+    FROM a
+    """,
+)
+def q134(spark, sf_dir):
+    """Dedup-config audit (pipeline/dedup.py lsh_audit): MinHash-LSH
+    (8 hashes × 4 bands) candidate pairs measured against the exact
+    shared-shingle Jaccard ≥ 0.2 ground truth — one row of candidate
+    precision (verification work wasted) and recall (true near-dups
+    the banding misses), the go/no-go numbers read before committing a
+    banding config to a 100 TB dedup run. Ratios are single divisions
+    of exact pair counts."""
+    out = dd.lsh_audit(_table(spark, sf_dir, "documents"), threshold=0.2)
+    return out.select(
+        "n_truth", "n_cand", "n_hit",
+        q6(F.col("precision")).alias("precision"),
+        q6(F.col("recall")).alias("recall"),
+    )
