@@ -4,6 +4,8 @@ null-row exclusion (pipeline/classify.py classifier_eval)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ticktock_spark.pipeline.classify import classifier_eval
 
 
@@ -44,6 +46,45 @@ def test_single_class_yields_null_ratios(spark):
     # no predicted positives at a high threshold → precision NULL
     r2 = _eval(spark, [(0.1, True), (0.2, False)], threshold=0.9)
     assert r2["precision"] is None and r2["tp"] == 0
+
+
+def test_grouped_eval_partitions_slices(spark):
+    """group_cols computes an independent report per slice — each
+    group's AUC matches the ungrouped AUC of that slice alone."""
+    rows = [
+        ("a", 0.9, True), ("a", 0.8, False), ("a", 0.3, False),
+        ("b", 0.2, True), ("b", 0.7, False),
+    ]
+    df = spark.createDataFrame(rows, "src string, score double, y boolean")
+    got = {
+        r["src"]: r
+        for r in classifier_eval(df, group_cols=["src"]).collect()
+    }
+    assert got["a"]["auc"] == 1.0 and got["b"]["auc"] == 0.0
+    for src in ("a", "b"):
+        solo = classifier_eval(df.filter(F.col("src") == src)).collect()[0]
+        assert got[src]["auc"] == solo["auc"]
+        assert got[src]["tp"] == solo["tp"]
+
+
+def test_calibration_bins(spark):
+    """Bin edges, counts, pos_rate, and micro-unit mean are exact; a
+    score of 1.0 clamps into the top bin."""
+    from ticktock_spark.pipeline.classify import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.05, False), (0.08, True), (0.95, True), (1.0, True)],
+        "score double, y boolean",
+    )
+    got = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert set(got) == {0, 9}
+    b0 = got[0]
+    assert (b0["n"], b0["n_pos"]) == (2, 1) and b0["pos_rate"] == 0.5
+    assert abs(b0["mean_score"] - 0.065) < 1e-12
+    assert (b0["lo"], b0["hi"]) == (0.0, 0.1)
+    b9 = got[9]
+    assert (b9["n"], b9["n_pos"]) == (2, 2) and b9["pos_rate"] == 1.0
+    assert abs(b9["mean_score"] - 0.975) < 1e-12
 
 
 def test_null_scores_and_labels_excluded(spark):

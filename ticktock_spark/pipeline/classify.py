@@ -233,11 +233,17 @@ def classifier_eval(
     score_col: str = "score",
     label_col: str = "y",
     threshold: float = 0.5,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact classifier evaluation: tie-corrected ROC-AUC plus the
     confusion matrix and derived metrics at ``threshold`` — the
     threshold-picking report a curation pipeline runs before turning a
-    quality/language signal into a filter.
+    quality/language signal into a filter. With ``group_cols`` the
+    whole report is computed per group (per-source / per-language
+    slice evaluation — the fairness table that catches a filter that
+    works on average but fails one slice); the cumulative window then
+    partitions by group, so no single partition ever holds more than
+    one group's distinct scores.
 
     AUC is the Mann-Whitney rank statistic computed entirely in the
     INTEGER domain so every engine agrees bit-for-bit (the ks_drift
@@ -262,18 +268,23 @@ def classifier_eval(
     """
     from pyspark.sql import Window
 
+    groups = list(group_cols or [])
     s = scored.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     )
     by = (
-        s.groupBy(score_col)
+        s.groupBy(*groups, score_col)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col(label_col).cast("long")).alias("pos"),
         )
         .withColumn("neg", F.col("cnt") - F.col("pos"))
     )
-    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     per = by.withColumn(
         "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
     )
@@ -282,7 +293,7 @@ def classifier_eval(
         return c.cast("decimal(38,0)")
 
     hit = F.col(score_col) >= F.lit(float(threshold))
-    agg = per.agg(
+    agg = per.groupBy(*groups).agg(
         F.sum("pos").alias("n_pos"),
         F.sum("neg").alias("n_neg"),
         F.sum(
@@ -311,6 +322,7 @@ def classifier_eval(
     )
     zl = F.lit(0).cast("long")
     return agg.select(
+        *[F.col(g) for g in groups],
         F.coalesce(np_, zl).alias("n_pos"),
         F.coalesce(nn, zl).alias("n_neg"),
         auc.alias("auc"),
@@ -322,4 +334,65 @@ def classifier_eval(
         recall.alias("recall"),
         f1.alias("f1"),
         accuracy.alias("accuracy"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table for a [0,1] score: equal-width bins
+    with observed positive rate vs mean predicted score — the
+    calibration check run next to ``classifier_eval`` before a score
+    is used as a probability (e.g. temperature-sampling on it).
+
+    Engine-exactness: the mean score per bin is computed by summing the
+    score in integer MICRO-UNITS (the score is q6-quantized by
+    convention, so ``floor(score·1e6 + 0.5)`` recovers an exact
+    integer), then ONE double division — a plain double sum would
+    round differently under Spark's partial aggregation order vs a
+    sequential engine. ``pos_rate`` is likewise a single division of
+    counts. One groupBy on the bin id (≤ n_bins groups); rows with a
+    NULL score or label are excluded.
+
+    Columns: bin, lo, hi, n, n_pos, pos_rate, mean_score.
+    """
+    s = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    b = F.least(
+        F.floor(F.col(score_col) * F.lit(float(n_bins))).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    micro = F.floor(
+        F.col(score_col) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        s.select(
+            b.alias("bin"),
+            F.col(label_col).cast("long").alias("__y"),
+            micro.alias("__m"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum("__m").alias("__sm"),
+        )
+    )
+    return agg.select(
+        "bin",
+        (F.col("bin").cast("double") / F.lit(float(n_bins))).alias("lo"),
+        ((F.col("bin") + 1).cast("double") / F.lit(float(n_bins))).alias("hi"),
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+        (
+            F.col("__sm").cast("double")
+            / (F.col("n").cast("double") * F.lit(1_000_000.0))
+        ).alias("mean_score"),
     )

@@ -4049,18 +4049,18 @@ def q125(spark, sf_dir):
 # model evaluation / curriculum / rerank / tokenizer roundtrip
 # ---------------------------------------------------------------------------
 
-#: q30's quality score as a (doc_id, y, score) CTE chain — the scored
-#: frame classifier evaluation consumes (label: lang = 'en').
+#: q30's quality score as a (doc_id, source, y, score) CTE chain — the
+#: scored frame classifier evaluation consumes (label: lang = 'en').
 _QUALITY_SCORED = f"""
     s0 AS (
-      SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y, {_TOKS} AS n_tokens,
+      SELECT doc_id, source, CAST(lang = 'en' AS BIGINT) AS y, {_TOKS} AS n_tokens,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST({_PUNCT} AS DOUBLE) / length(text) END AS pr,
              {_SW['en']} AS sw
       FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
     ),
     s AS (
-      SELECT doc_id, y,
+      SELECT doc_id, source, y,
              {_Q6.format(x='''greatest(0.0, least(1.0,
                0.5 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE) / n_tokens END) * 5.0
                + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
@@ -4372,4 +4372,110 @@ def q134(spark, sf_dir):
         "n_truth", "n_cand", "n_hit",
         q6(F.col("precision")).alias("precision"),
         q6(F.col("recall")).alias("recall"),
+    )
+
+
+@register(
+    "q135_eval_per_source",
+    f"""
+    WITH {_QUALITY_SCORED},
+    by AS (
+      SELECT source, score, count(*) AS cnt, sum(y) AS pos
+      FROM s GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT source, score, pos, cnt - pos AS neg,
+             coalesce(sum(cnt - pos) OVER (
+               PARTITION BY source ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM by
+    ),
+    a AS (
+      SELECT source, sum(pos) AS n_pos, sum(neg) AS n_neg,
+             sum(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) AS u2,
+             sum(CASE WHEN score >= 0.5 THEN pos ELSE 0 END) AS tp,
+             sum(CASE WHEN score >= 0.5 THEN neg ELSE 0 END) AS fp
+      FROM per GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             {_Q6.format(x='CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))')}
+           END AS auc,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CASE WHEN tp + fp > 0 THEN
+             {_Q6.format(x='CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)')}
+           END AS precision,
+           CASE WHEN n_pos > 0 THEN
+             {_Q6.format(x='CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)')}
+           END AS recall
+    FROM a
+    """,
+)
+def q135(spark, sf_dir):
+    """Per-slice evaluation (classifier_eval with group_cols): the same
+    AUC/precision/recall report as q130 but per SOURCE — the fairness
+    table that catches a quality filter performing well on average
+    while collapsing on one provider's docs. The cumulative window
+    partitions by source, so each partition holds only one slice's
+    distinct quantized scores."""
+    d = _table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        (F.col("lang") == "en").alias("y"),
+        q6(tx.quality_score(F.col("text"))).alias("score"),
+    )
+    out = clf.classifier_eval(
+        scored, score_col="score", label_col="y", group_cols=["source"]
+    )
+    return out.select(
+        "source", "n_pos", "n_neg", q6(F.col("auc")).alias("auc"),
+        "tp", "fp",
+        q6(F.col("precision")).alias("precision"),
+        q6(F.col("recall")).alias("recall"),
+    )
+
+
+@register(
+    "q136_calibration",
+    f"""
+    WITH {_QUALITY_SCORED},
+    b AS (
+      SELECT least(CAST(floor(score * 10.0) AS INT), 9) AS bin, y,
+             CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS m
+      FROM s
+    ),
+    a AS (
+      SELECT bin, count(*) AS n, sum(y) AS n_pos, sum(m) AS sm
+      FROM b GROUP BY 1
+    )
+    SELECT bin, CAST(bin AS DOUBLE) / 10.0 AS lo,
+           CAST(bin + 1 AS DOUBLE) / 10.0 AS hi,
+           CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           {_Q6.format(x='CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)')}
+             AS pos_rate,
+           {_Q6.format(x='CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)')}
+             AS mean_score
+    FROM a
+    """,
+)
+def q136(spark, sf_dir):
+    """Calibration / reliability bins (pipeline/classify.py
+    calibration_bins): observed positive rate vs mean predicted score
+    in 10 equal-width bins of the quality score, label lang = 'en' —
+    the check run before a score is treated as a probability. Mean
+    score is summed in exact integer micro-units (the score is
+    q6-quantized) so Spark's partial-aggregation order and DuckDB's
+    sequential sum produce the same bits; one ≤10-group aggregation."""
+    d = _table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("lang") == "en").alias("y"),
+        q6(tx.quality_score(F.col("text"))).alias("score"),
+    )
+    out = clf.calibration_bins(scored, score_col="score", label_col="y")
+    return out.select(
+        "bin", "lo", "hi", "n", "n_pos",
+        q6(F.col("pos_rate")).alias("pos_rate"),
+        q6(F.col("mean_score")).alias("mean_score"),
     )
