@@ -3,6 +3,8 @@ detection on fabricated duplicates, SimHash locality."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from ticktock_spark.pipeline import dedup as dd
@@ -2208,3 +2210,65 @@ def test_bpe_sql_engine_merge_cap(spark):
     # the arrow engine takes the same table in stride
     got = bpe_encode(df, big, engine="arrow").collect()
     assert [(r["n_words"], r["n_subwords"]) for r in got] == [(1, 2)]
+
+
+
+def test_perplexity_buckets_cut_per_language(spark):
+    from ticktock_spark.pipeline.sample import perplexity_buckets
+    from ticktock_spark.pipeline.text import bigram_perplexity
+
+    rows = []
+    for i in range(12):
+        rows.append((i, "the cat sat on the mat " * (1 + i % 3) + f"extra{i}", "en"))
+    for i in range(12, 21):
+        rows.append((i, "der hund lief schnell " * (1 + i % 4) + f"wort{i}", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(docs).collect()
+    assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
+
+    # recompute expected thresholds per lang with the R-6 rule
+    ce = {
+        r["doc_id"]: math.floor(r["cross_entropy"] * 1e6 + 0.5) / 1e6
+        for r in bigram_perplexity(docs).collect()
+    }
+    lang = {i: l for i, _, l in rows}
+
+    def r6(vals, q):
+        vals = sorted(vals)
+        n = len(vals)
+        idx = q / 100.0 * (n + 1)
+        if n == 1 or idx < 1:
+            return vals[0]
+        if idx >= n:
+            return vals[-1]
+        i = int(math.floor(idx))
+        return vals[i - 1] + (idx - i) * (vals[i] - vals[i - 1])
+
+    for r in out:
+        vals = [c for d, c in ce.items() if lang[d] == r["lang"]]
+        lo = math.floor(r6(vals, 33.0) * 1e6 + 0.5) / 1e6
+        hi = math.floor(r6(vals, 67.0) * 1e6 + 0.5) / 1e6
+        c = ce[r["doc_id"]]
+        want = "head" if c <= lo else ("middle" if c <= hi else "tail")
+        assert r["bucket"] == want, (r, lo, hi, c)
+    # every scored doc got a bucket
+    assert len(out) == len(ce)
+
+
+def test_epoch_shuffle_reproducible_permutation(spark):
+    from ticktock_spark.pipeline.sample import epoch_shuffle
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(docs, 8, 0).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(docs, 8, 0).collect()}
+    assert a == b  # same epoch → identical order
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(docs, 8, 1).collect()}
+    assert a != c  # new epoch → new permutation
+    # coordinates form a partition-wise contiguous 1..n_s numbering
+    assert len(a) == 200
+    by_shard = {}
+    for d, (s, p) in a.items():
+        assert 0 <= s < 8
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

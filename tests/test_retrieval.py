@@ -599,3 +599,41 @@ def test_bm25_require_all(spark):
     # only doc 1 contains BOTH terms
     assert [r["doc_id"] for r in got] == [1]
     assert got[0]["n_terms"] == 2
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    from ticktock_spark.pipeline.retrieval import hybrid_rrf
+
+    docs = _docs(spark)
+    # embeddings aligned with doc ids: doc 2 nearest to the query (doc 1),
+    # then 3, then 4, then 5 (orthogonal-ish tail).
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.5, 0.5, 0.0]),
+            (4, [0.1, 0.9, 0.0]),
+            (5, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = hybrid_rrf(docs, emb, ["spark", "cluster"], q, k=5, k_lex=3, k_dense=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    # expected: fuse the two lists by hand
+    lex = bm25_topk(docs, ["spark", "cluster"], k=3).collect()
+    lex_ranks = {r["doc_id"]: i + 1 for i, r in enumerate(lex)}
+    dense_ranks = {2: 1, 3: 2, 4: 3}  # cosine order to [1,0,0], self excluded
+    for d, r in rows.items():
+        le, de = lex_ranks.get(d, 0), dense_ranks.get(d, 0)
+        assert r["lex_rank"] == le and r["dense_rank"] == de
+        want = (1.0 / (60 + le) if le else 0.0) + (1.0 / (60 + de) if de else 0.0)
+        assert r["rrf"] == pytest.approx(want, abs=1e-6)
+    # a doc on both lists must outrank an equal-rank single-list doc
+    both = [d for d in rows if lex_ranks.get(d) and dense_ranks.get(d)]
+    only = [d for d in rows if bool(lex_ranks.get(d)) != bool(dense_ranks.get(d))]
+    if both and only:
+        assert max(rows[d]["rrf"] for d in only) < max(rows[d]["rrf"] for d in both)

@@ -4479,3 +4479,179 @@ def q136(spark, sf_dir):
         q6(F.col("pos_rate")).alias("pos_rate"),
         q6(F.col("mean_score")).alias("mean_score"),
     )
+
+_RRF = "CASE WHEN {r} > 0 THEN 1.0 / (60.0 + CAST({r} AS DOUBLE)) ELSE 0.0 END"
+
+
+@register(
+    "q137_hybrid_rrf",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, string_split_regex(norm, '\\s+') AS tk
+      FROM nm WHERE length(norm) > 0
+    ),
+    base AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM t),
+    p AS (
+      SELECT tok, doc_id, count(*) AS tf, max(dl) AS dl FROM base
+      WHERE tok IN ('join', 'slow', 'vector') GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             CAST((SELECT sum(len(tk)) FROM t) AS DOUBLE)
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM p GROUP BY 1),
+    sc AS (
+      SELECT p.doc_id, sum({_BM25_IDF} * {_BM25_TF}) AS score
+      FROM p JOIN dfq USING (tok) CROSS JOIN st GROUP BY 1
+    ),
+    lexr AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY {_Q6.format(x='score')} DESC, doc_id) AS lex_rank
+      FROM sc
+    ),
+    lex AS (SELECT * FROM lexr WHERE lex_rank <= 20),
+    dsc AS (
+      SELECT c.vec_id,
+             {_Q6.format(x=f'({_DOT}) / ({_NRM_C} * {_NRM_Q})')} AS cosine
+      FROM embeddings c, embeddings q
+      WHERE q.vec_id = 0 AND c.vec_id <> 0
+    ),
+    denr AS (
+      SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id)
+               AS dense_rank
+      FROM dsc
+    ),
+    den AS (SELECT * FROM denr WHERE dense_rank <= 20),
+    f AS (
+      SELECT coalesce(lex.doc_id, den.vec_id) AS doc_id,
+             coalesce(lex.lex_rank, 0) AS lex_rank,
+             coalesce(den.dense_rank, 0) AS dense_rank
+      FROM lex FULL OUTER JOIN den ON lex.doc_id = den.vec_id
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           {_Q6.format(x=f"({_RRF.format(r='lex_rank')} + {_RRF.format(r='dense_rank')})")}
+             AS rrf
+    FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q137(spark, sf_dir):
+    """Hybrid retrieval: q114's 3-term BM25 list fused with the dense
+    cosine list for query vector 0 by Reciprocal Rank Fusion
+    (1/(60+rank), Cormack et al. 2009) — the standard first stage of a
+    RAG / eval-neighbor-mining stack, exercising keyword and embedding
+    search as ONE query. Both candidate lists cut at 20 with
+    engine-stable quantize-then-rank TakeOrdered; the fusion join runs
+    on <= 40 candidate rows (pipeline/retrieval.py hybrid_rrf)."""
+    d = _table(spark, sf_dir, "documents")
+    e = _table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rt.hybrid_rrf(d, e, list(_BM25_TERMS), q, k=10)
+
+
+# R-6 threshold interpolation over a DuckDB sorted list (the q59
+# fragment, parameterized by the vals/idx/n columns in scope).
+_R6_LIST = """CASE WHEN n = 1 THEN vals[1]
+             WHEN idx < 1 THEN vals[1]
+             WHEN idx >= n THEN vals[n]
+             ELSE vals[CAST(floor(idx) AS INTEGER)]
+                  + (idx - floor(idx))
+                    * (vals[CAST(floor(idx) AS INTEGER) + 1]
+                       - vals[CAST(floor(idx) AS INTEGER)]) END"""
+
+
+@register(
+    "q138_ppl_buckets",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, string_split_regex(norm, '\\s+') AS tk
+      FROM nm WHERE length(norm) > 0
+    ),
+    p AS (
+      SELECT doc_id, unnest([{{'w1': tk[i], 'w2': tk[i+1]}}
+                             for i in generate_series(1, len(tk) - 1)],
+                            recursive := true)
+      FROM t WHERE len(tk) >= 2
+    ),
+    dp AS (SELECT doc_id, w1, w2, count(*) AS n FROM p GROUP BY 1, 2, 3),
+    c AS (SELECT w1, w2, sum(n) AS n_pair FROM dp GROUP BY 1, 2),
+    tot AS (SELECT w1, sum(n_pair) AS n_w1 FROM c GROUP BY 1),
+    lm AS (
+      SELECT c.w1, c.w2, CAST(c.n_pair AS DOUBLE) / CAST(tot.n_w1 AS DOUBLE)
+               AS cond_p
+      FROM c JOIN tot ON c.w1 = tot.w1
+    ),
+    ce AS (
+      SELECT dp.doc_id,
+             {_Q6.format(x='-sum(dp.n * log2(lm.cond_p)) / sum(dp.n)')} AS ce
+      FROM dp JOIN lm ON dp.w1 = lm.w1 AND dp.w2 = lm.w2
+      GROUP BY dp.doc_id
+    ),
+    sc AS (SELECT d.lang, ce.doc_id, ce.ce
+           FROM ce JOIN documents d USING (doc_id)),
+    g AS (SELECT lang, list_sort(list(ce)) AS vals, count(*) AS n
+          FROM sc GROUP BY 1),
+    e AS (SELECT lang, vals, n, unnest([33.0, 67.0]) AS quantile FROM g),
+    cx AS (
+      SELECT lang, quantile, n, vals,
+             CASE WHEN quantile <= 0 THEN 0.0
+                  WHEN quantile >= 100 THEN CAST(n AS DOUBLE)
+                  ELSE quantile / 100.0 * (n + 1) END AS idx
+      FROM e
+    ),
+    thr AS (SELECT lang, quantile, {_Q6.format(x=_R6_LIST)} AS pct FROM cx),
+    piv AS (SELECT lang,
+                   max(CASE WHEN quantile = 33.0 THEN pct END) AS lo,
+                   max(CASE WHEN quantile = 67.0 THEN pct END) AS hi
+            FROM thr GROUP BY 1)
+    SELECT sc.doc_id, sc.lang, sc.ce AS cross_entropy,
+           CASE WHEN sc.ce <= piv.lo THEN 'head'
+                WHEN sc.ce <= piv.hi THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc JOIN piv USING (lang)
+    """,
+)
+def q138(spark, sf_dir):
+    """CCNet-style perplexity buckets (pipeline/sample.py
+    perplexity_buckets): per-doc cross-entropy under the corpus bigram
+    LM (q91's score), cut per LANGUAGE at its R-6 p33/p67 into
+    head/middle/tail — the relative-within-language cut is CCNet's
+    design (absolute ppl is not comparable across languages). One text
+    scan for scores, rank-based thresholds (no per-group arrays),
+    broadcast back; quantize-then-compare on both engines."""
+    return sp.perplexity_buckets(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q139_epoch_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('ep0:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, k,
+             CAST(CAST(list_aggregate(
+               [ (strpos('0123456789abcdef', k[i]) - 1) * (16 ** (3 - i))
+                 for i in generate_series(1, 3)], 'sum') AS BIGINT) % 8
+               AS INT) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+    FROM s
+    """,
+)
+def q139(spark, sf_dir):
+    """Epoch-seeded reproducible global shuffle (pipeline/sample.py
+    epoch_shuffle): every doc gets a (shard, pos) training-order
+    coordinate that is a pure function of (epoch, id) — the multi-epoch
+    pretraining loader contract. One exchange hash-partitioned on the
+    8 shards; the rank window is per-shard (never a global
+    single-partition sort)."""
+    return sp.epoch_shuffle(_table(spark, sf_dir, "documents"), n_shards=8, epoch=0)

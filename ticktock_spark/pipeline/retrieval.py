@@ -301,3 +301,70 @@ def bm25_index_topk(
         .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("s").alias("score"))
     )
     return _rank_topk(scored, id_col, k)
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query: DataFrame,
+    k: int = 10,
+    k_lex: int = 20,
+    k_dense: int = 20,
+    c: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion:
+    rrf(d) = sum over lists of 1/(c + rank_d) (Cormack, Clarke &
+    Buettcher, SIGIR 2009 — the standard no-tuning fusion for RAG /
+    eval-neighbor-mining stacks; c=60 is the paper's constant).
+
+    One hybrid query: ``terms`` is its keyword bag (BM25 list over
+    ``docs``) and ``query`` a ONE-ROW (query_id, embedding) frame (dense
+    cosine list over ``emb``, whose ``vec_id`` shares the id space of
+    ``docs.doc_id``). The dense list excludes the query's own vector
+    (cosine_scores drops self-pairs); the lexical list may contain it.
+
+    Output: (id, lex_rank, dense_rank, rrf) for the top ``k`` fused
+    candidates; rank 0 means "absent from that list".
+
+    Scale shape: one corpus text scan (bm25_topk) + one embedding scan
+    (cosine_scores against the broadcast query matrix), each cut to its
+    top list via quantize-then-rank TakeOrdered (orderBy+limit — no
+    single-partition window over corpus rows). Everything downstream of
+    the two cuts — rank windows, the full-outer fusion join, the final
+    sort — runs on <= k_lex + k_dense rows, bounded by constants, not
+    data.
+    """
+    lex = bm25_topk(docs, terms, k=k_lex, id_col=id_col)
+    wl = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    lex_r = lex.select(F.col(id_col), F.row_number().over(wl).alias("lex_rank"))
+
+    from ticktock_spark.pipeline.similarity import cosine_scores
+
+    scored = cosine_scores(emb, query, id_col=vec_id_col)
+    cand = scored.orderBy(F.col("cosine").desc(), F.col(vec_id_col)).limit(k_dense)
+    wd = Window.orderBy(F.col("cosine").desc(), F.col(vec_id_col))
+    dense_r = cand.select(
+        F.col(vec_id_col).alias(id_col), F.row_number().over(wd).alias("dense_rank")
+    )
+
+    fused = lex_r.join(dense_r, id_col, "full_outer").select(
+        id_col,
+        F.coalesce(F.col("lex_rank").cast("long"), F.lit(0)).alias("lex_rank"),
+        F.coalesce(F.col("dense_rank").cast("long"), F.lit(0)).alias("dense_rank"),
+    )
+
+    def contrib(rank: str):
+        return F.when(
+            F.col(rank) > 0, F.lit(1.0) / (F.lit(float(c)) + F.col(rank))
+        ).otherwise(F.lit(0.0))
+
+    out = fused.select(
+        id_col,
+        "lex_rank",
+        "dense_rank",
+        q6(contrib("lex_rank") + contrib("dense_rank")).alias("rrf"),
+    )
+    return out.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k)

@@ -776,3 +776,109 @@ def intake_report(
         .crossJoin(ks)
         .crossJoin(gp)
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lo: float = 33.0,
+    hi: float = 67.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    score every document by cross-entropy under the corpus's own bigram
+    LM, then cut each language at its R-6 ``lo``/``hi`` percentiles into
+    head (most fluent third) / middle / tail (gibberish, boilerplate,
+    wrong-language shards). Downstream mixtures keep head+middle, or
+    sample the tail at a reduced rate (compose with stratified_sample on
+    the bucket column).
+
+    Per-language thresholds matter: absolute cross-entropy is not
+    comparable across languages (different corpus mass per language), so
+    the cut is relative within each language — exactly CCNet's design.
+
+    Output: (id, lang, cross_entropy, bucket) for every doc with >= 2
+    tokens (others have no bigrams, hence no defined score).
+
+    Scale shape: bigram_perplexity is ONE corpus text scan (linear
+    window plan, no self-joins); attaching lang re-reads only the
+    (id, lang) projection (column-pruned second scan). Thresholds are 2
+    rows per language from group_percentiles_r6 (rank-based — no
+    per-group collected arrays) and broadcast back onto the scored
+    frame. Quantize-then-compare: scores and thresholds are both
+    canonicalized to 6 decimals before the bucket CASE, so the cut is
+    engine-stable (DuckDB oracle q138).
+    """
+    from ticktock_spark.operators.percentile import group_percentiles_r6
+    from ticktock_spark.pipeline.text import bigram_perplexity
+    from ticktock_spark.queries import q6
+
+    ce = bigram_perplexity(docs, text_col=text_col, id_col=id_col)
+    # The scored projection (id, lang, ce — three narrow columns, no
+    # text) is consumed twice: once to derive the thresholds, once for
+    # the final bucket assignment. Persist it so the perplexity scan
+    # runs ONCE (unpersisted shape re-executed the whole LM subtree —
+    # measured 8 corpus scans vs 4). Same CacheManager ownership rule
+    # as bm25_topk: long-lived sessions reclaim via
+    # spark.catalog.clearCache() once done with the corpus.
+    scored = (
+        docs.select(id_col, lang_col)
+        .join(ce, id_col)
+        .select(id_col, lang_col, q6(F.col("cross_entropy")).alias("__ce"))
+        .persist()
+    )
+    th = group_percentiles_r6(scored, [lang_col], "__ce", [lo, hi])
+    piv = th.groupBy(lang_col).agg(
+        F.max(F.when(F.col("quantile") == lo, q6(F.col("pct")))).alias("__lo"),
+        F.max(F.when(F.col("quantile") == hi, q6(F.col("pct")))).alias("__hi"),
+    )
+    return scored.join(F.broadcast(piv), lang_col).select(
+        id_col,
+        lang_col,
+        F.col("__ce").alias("cross_entropy"),
+        F.when(F.col("__ce") <= F.col("__lo"), F.lit("head"))
+        .when(F.col("__ce") <= F.col("__hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible epoch-level global shuffle into training shards:
+    every row gets a (shard, pos) training-order coordinate that is a
+    pure function of (epoch, id) — re-running the job, resuming
+    mid-epoch, or regenerating one lost shard reproduces the identical
+    order, and bumping ``epoch`` reshuffles with no carried state. This
+    is the data-loader contract for multi-epoch pretraining: a global
+    random permutation per epoch, materialized as shard files.
+
+    shard = first-3-hex-digits of md5('ep<epoch>:' || id) mod n_shards
+    (uniform over ids); pos = 1-based rank of the full digest within the
+    shard (digest order is a uniform random permutation; id breaks the
+    measure-zero digest-collision ties).
+
+    Scale shape: one scan + ONE exchange, hash-partitioned on shard; the
+    rank window is per-shard (n_shards-way parallel — there is never a
+    global single-partition ordering step). At 100 TB, n_shards is sized
+    to the downstream loader (thousands), so each window partition is a
+    bounded slice; the sort-within-shard is the write you were going to
+    do anyway to produce loader shards.
+    """
+    key = F.md5(F.concat(F.lit(f"ep{int(epoch)}:"), F.col(id_col).cast("string")))
+    d = df.select(F.col(id_col), key.alias("__k")).select(
+        id_col,
+        "__k",
+        (F.conv(F.substring("__k", 1, 3), 16, 10).cast("long") % F.lit(int(n_shards)))
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return d.select(
+        F.col(id_col), F.col("shard"), F.row_number().over(w).cast("long").alias("pos")
+    )
