@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ticktock_spark.pipeline import dedup as dd
@@ -2272,3 +2274,50 @@ def test_epoch_shuffle_reproducible_permutation(spark):
         by_shard.setdefault(s, []).append(p)
     for s, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_length_bucket_report_hand_computed(spark):
+    from ticktock_spark.pipeline.text import length_bucket_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),            # 3 tokens  → bucket 4
+            (2, "a b c d"),          # 4         → bucket 4
+            (3, "a b c d e"),        # 5         → bucket 8
+            (4, " ".join("x" * 1 for _ in range(20))),  # 20 → bucket 8 (truncated to 8)
+            (5, ""),                 # 0         → bucket 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in length_bucket_report(docs, (4, 8)).collect()}
+    assert out[4]["n_docs"] == 3 and out[4]["token_mass"] == 7
+    assert out[4]["pad_mass"] == 3 * 4 - 7
+    assert out[8]["n_docs"] == 2 and out[8]["token_mass"] == 5 + 8  # doc 4 truncated
+    assert out[8]["pad_mass"] == 2 * 8 - 13
+    assert out[4]["efficiency"] == pytest.approx(7 / 12, abs=1e-6)
+
+
+def test_zipf_alpha_recovers_planted_exponent(spark):
+    from ticktock_spark.pipeline.text import zipf_alpha
+
+    # plant counts ~ round(1000 / rank^0.8) for 30 tokens: expect alpha≈0.8
+    import numpy as np
+
+    counts = {f"tok{i:02d}": max(1, round(1000 / (i + 1) ** 0.8)) for i in range(30)}
+    text = " ".join(" ".join([t] * c) for t, c in counts.items())
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_alpha(docs, top_k=30).collect()[0]
+    assert row["n_tokens"] == 30
+
+    # independent OLS on the same micro-quantized points
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.array([math.floor(math.log(i + 1) * 1e6 + 0.5) for i in range(30)])
+    y = np.array(
+        [math.floor(math.log(c) * 1e6 + 0.5) for _, c in ranked], dtype=np.int64
+    )
+    n = 30
+    slope = (n * int((x * y).sum()) - int(x.sum()) * int(y.sum())) / (
+        n * int((x * x).sum()) - int(x.sum()) ** 2
+    )
+    assert row["alpha"] == pytest.approx(-slope, abs=1e-5)
+    assert 0.7 < row["alpha"] < 0.9

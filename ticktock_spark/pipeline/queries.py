@@ -4655,3 +4655,78 @@ def q139(spark, sf_dir):
     8 shards; the rank window is per-shard (never a global
     single-partition sort)."""
     return sp.epoch_shuffle(_table(spark, sf_dir, "documents"), n_shards=8, epoch=0)
+
+
+@register(
+    "q140_length_buckets",
+    f"""
+    WITH n AS (SELECT doc_id, {_TOKS} AS nt FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64
+                  WHEN nt <= 128 THEN 128 ELSE 256 END AS bucket,
+             least(nt, 256) AS t
+      FROM n
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS token_mass,
+           CAST(sum(bucket - t) AS BIGINT) AS pad_mass,
+           {_Q6.format(x='CAST(sum(t) AS DOUBLE) / CAST(sum(t) + sum(bucket - t) AS DOUBLE)')}
+             AS efficiency
+    FROM b GROUP BY 1
+    """,
+)
+def q140(spark, sf_dir):
+    """Sequence-bucketing efficiency report (pipeline/text.py
+    length_bucket_report): docs assigned the smallest {{32,64,128,256}}
+    boundary >= their token count (truncated above the largest), per
+    bucket the real-token vs padding capacity split — the measurement
+    behind bucketed batch builders. One scan, <=4-group agg, exact
+    BIGINT masses so the ratio is engine-identical."""
+    return tx.length_bucket_report(
+        _table(spark, sf_dir, "documents"), boundaries=(32, 64, 128, 256)
+    )
+
+
+@register(
+    "q141_zipf_alpha",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT unnest(string_split_regex(norm, '\\s+')) AS tok
+      FROM nm WHERE length(norm) > 0
+    ),
+    v AS (SELECT tok, count(*) AS n_occ FROM t GROUP BY 1),
+    topv AS (SELECT tok, n_occ FROM v ORDER BY n_occ DESC, tok LIMIT 100),
+    r AS (SELECT row_number() OVER (ORDER BY n_occ DESC, tok) AS rank, n_occ
+          FROM topv),
+    m AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               AS xi,
+             CAST(floor(ln(CAST(n_occ AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               AS yi
+      FROM r
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS sx,
+             CAST(sum(yi) AS BIGINT) AS sy, CAST(sum(xi * yi) AS BIGINT) AS sxy,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx
+      FROM m
+    )
+    SELECT n AS n_tokens,
+           {_Q6.format(x='-(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))')}
+             AS alpha,
+           {_Q6.format(x='(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0')}
+             AS intercept
+    FROM s
+    """,
+)
+def q141(spark, sf_dir):
+    """Zipf exponent of the corpus unigram distribution (pipeline/
+    text.py zipf_alpha): OLS of ln(count) on ln(rank) over the top-100
+    tokens — a one-row vocabulary-health gate (boilerplate floods
+    collapse alpha, degenerate vocabularies inflate it). TakeOrdered
+    top-k cut (never a full-vocab global rank); ln values canonicalized
+    to integer micro-units so every OLS sum is an exact BIGINT and the
+    fitted doubles are engine-identical (q136's integer pattern)."""
+    return tx.zipf_alpha(_table(spark, sf_dir, "documents"), top_k=100)

@@ -2062,3 +2062,116 @@ def corpus_report(
         "source", "n_docs", "n_tokens", "n_chars", "n_empty", "n_dup_docs",
         pct.alias("pct_tokens"),
     )
+
+
+def length_bucket_report(
+    df: DataFrame,
+    boundaries: tuple[int, ...] = (32, 64, 128, 256),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching efficiency: assign every document the
+    smallest bucket boundary >= its whitespace-token count (documents
+    longer than the largest boundary are truncated to it), and report
+    per bucket how much of the padded capacity is real tokens — the
+    metric behind sequence-bucketing decisions in training/inference
+    batch builders (uniform max_len wastes compute as padding; buckets
+    recover it).
+
+    Output per bucket: n_docs, token_mass (after truncation), pad_mass,
+    efficiency = token_mass / (n_docs * bucket capacity).
+
+    Scale shape: one scan, one <=len(boundaries)-group aggregation; all
+    masses are exact BIGINT sums (order-independent partial aggregation)
+    so the efficiency ratio is bit-identical across engines.
+    """
+    bs = sorted(int(b) for b in boundaries)
+    n = token_count(F.col(text_col))
+    bucket = F.lit(bs[-1])
+    for b in reversed(bs[:-1]):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    t = F.least(n, F.lit(bs[-1])).cast("long")
+    per = df.select(bucket.alias("bucket"), t.alias("t"))
+    from ticktock_spark.queries import q6
+
+    return (
+        per.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("token_mass"),
+            F.sum(F.col("bucket").cast("long") - F.col("t")).alias("pad_mass"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "token_mass",
+            "pad_mass",
+            q6(
+                F.col("token_mass").cast("double")
+                / (F.col("token_mass") + F.col("pad_mass")).cast("double")
+            ).alias("efficiency"),
+        )
+    )
+
+
+def zipf_alpha(
+    df: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf exponent of the corpus unigram distribution: OLS fit of
+    ln(count) = intercept - alpha * ln(rank) over the ``top_k`` most
+    frequent tokens. Natural corpora sit near alpha = 1; a collapsed
+    alpha flags template/boilerplate floods, an inflated one flags
+    tiny-vocabulary degeneration — a one-row vocabulary-health gate for
+    intake monitoring (pairs with q103's vocab size and q98's drift).
+
+    Scale shape: token counts are one scan + one token-key aggregation;
+    the top_k cut is TakeOrdered (orderBy+limit — never a global rank
+    over the full vocabulary); the regression runs over <= top_k rows.
+    Engine exactness: ln values are canonicalized to integer micro-units
+    and every OLS sum is an exact BIGINT (order-independent), so the
+    final slope/intercept doubles are bit-identical to the SQL oracle
+    (the q136 integer-micro-unit pattern; bounds: n*Sxy < 1.3e18 fits
+    BIGINT for top_k <= a few hundred).
+    """
+    from pyspark.sql import Window
+
+    from ticktock_spark.queries import q6
+
+    v = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    top = v.orderBy(F.col("n_occ").desc(), F.col("tok")).limit(int(top_k))
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("tok"))
+    r = top.select(F.row_number().over(w).alias("rank"), "n_occ")
+
+    def micro(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    m = r.select(micro(F.col("rank")).alias("xi"), micro(F.col("n_occ")).alias("yi"))
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(1_000_000.0)
+    )
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        q6(-slope).alias("alpha"),
+        q6(intercept).alias("intercept"),
+    )
