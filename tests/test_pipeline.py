@@ -2321,3 +2321,28 @@ def test_zipf_alpha_recovers_planted_exponent(spark):
     )
     assert row["alpha"] == pytest.approx(-slope, abs=1e-5)
     assert 0.7 < row["alpha"] < 0.9
+
+
+def test_cross_source_matrix_attributes_pairs(spark):
+    from ticktock_spark.pipeline.dedup import cross_source_matrix
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base, "web"),
+            (2, base + "tail", "licensed"),      # near-dup of 1, crosses sources
+            (3, base + "coda", "web"),           # near-dup of 1, within web
+            (4, "completely different text about spark executors", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_matrix(docs, threshold=0.7).collect()
+    }
+    assert ("licensed", "web") in out
+    assert out[("licensed", "web")]["n_pairs"] >= 1
+    assert ("web", "web") in out  # within-source diagonal
+    for r in out.values():
+        assert 0.7 <= r["mean_jaccard"] <= 1.0
+        assert r["source_a"] <= r["source_b"]

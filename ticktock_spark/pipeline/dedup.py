@@ -1128,3 +1128,76 @@ def chunk_dedup_incremental(
         F.sum(F.col("_keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
     )
+
+
+def cross_source_matrix(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix: for every pair
+    of sources, how many Jaccard-verified near-dup pairs straddle them —
+    the provenance report behind licensing risk ("our crawl duplicates
+    that licensed set"), mixture double-counting (two sources carrying
+    the same text get 2x weight), and scrape-of-a-scrape detection.
+    Diagonal rows (source_a = source_b) report within-source duplication.
+
+    Pipeline: LSH candidates (banded, bucket-bounded — never all-pairs)
+    -> exact-Jaccard verification on the candidate set only ->
+    source attribution via two joins on the (id, source) projection ->
+    symmetric-canonical (least, greatest) source-pair aggregation.
+
+    Output: (source_a <= source_b, n_pairs, mean_jaccard). The mean is
+    summed in exact integer micro-units of the q6-quantized per-pair
+    Jaccard, so partial-aggregation order cannot perturb the result.
+
+    Scale shape: everything after candidate generation is
+    candidate-pair-sized; the (id, source) side is a column-pruned
+    projection joined twice (broadcast-eligible against the pair set).
+    """
+    from ticktock_spark.queries import q6
+
+    cand = minhash_lsh_candidates(
+        df, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes, bands=bands
+    )
+    ver = verify_jaccard(
+        df, cand, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+    )
+    srcs = df.select(F.col(id_col), F.col(source_col))
+    pairs = (
+        ver.select("id_a", "id_b", q6(F.col("jaccard")).alias("__j"))
+        .join(
+            srcs.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa")),
+            "id_a",
+        )
+        .join(
+            srcs.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb")),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            F.floor(F.col("__j") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("__jm"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("__jm").alias("__sj"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (
+                F.col("__sj").cast("double")
+                / F.col("n_pairs").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("mean_jaccard"),
+        )
+    )

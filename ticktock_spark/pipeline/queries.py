@@ -4730,3 +4730,49 @@ def q141(spark, sf_dir):
     to integer micro-units so every OLS sum is an exact BIGINT and the
     fitted doubles are engine-identical (q136's integer pattern)."""
     return tx.zipf_alpha(_table(spark, sf_dir, "documents"), top_k=100)
+
+
+@register(
+    "q142_cross_source_matrix",
+    _minhash_cte()
+    + """
+    , ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    iv AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                  JOIN ex b ON b.doc_id = c.id_b AND a.s = b.s
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT iv.id_a, iv.id_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+      FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
+              JOIN sz sb ON sb.doc_id = iv.id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7
+    ),
+    sp AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             CAST(floor((floor(j * 1000000.0 + 0.5) / 1000000.0)
+                        * 1000000.0 + 0.5) AS BIGINT) AS jm
+      FROM ver JOIN documents da ON da.doc_id = ver.id_a
+               JOIN documents db ON db.doc_id = ver.id_b
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jm) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+             AS mean_jaccard
+    FROM sp GROUP BY 1, 2
+    """,
+)
+def q142(spark, sf_dir):
+    """Cross-source near-dup contamination matrix (pipeline/dedup.py
+    cross_source_matrix): Jaccard-verified (>= 0.7) near-dup pairs
+    attributed to their (source, source) cell — the provenance report
+    behind licensing risk, mixture double-counting, and
+    scrape-of-a-scrape detection. LSH candidates -> candidate-only exact
+    verify -> two column-pruned source joins; the mean Jaccard is summed
+    in exact integer micro-units so aggregation order is immaterial."""
+    return dd.cross_source_matrix(
+        _table(spark, sf_dir, "documents"), threshold=0.7
+    )
