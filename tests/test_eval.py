@@ -95,3 +95,23 @@ def test_null_scores_and_labels_excluded(spark):
     r = classifier_eval(df).collect()[0]
     assert (r["n_pos"], r["n_neg"]) == (1, 1)
     assert r["auc"] == 1.0
+
+
+def test_threshold_sweep_counts(spark):
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.pipeline.classify import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [(0.1, True), (0.3, False), (0.5, True), (0.7, False), (0.9, True), (None, True)],
+        "score double, y boolean",
+    )
+    out = {r["threshold"]: r for r in threshold_sweep(scored, (0.4, 0.8)).collect()}
+    r4 = out[0.4]
+    # kept at 0.4: 0.5T, 0.7F, 0.9T → tp=2 fp=1; dropped: 0.1T, 0.3F → fn=1 tn=1
+    assert (r4["n"], r4["tp"], r4["fp"], r4["fn"], r4["tn"]) == (5, 2, 1, 1, 1)
+    assert r4["precision"] == 2 / 3 and r4["recall"] == 2 / 3
+    assert r4["kept_frac"] == 3 / 5
+    r8 = out[0.8]
+    assert (r8["tp"], r8["fp"], r8["fn"], r8["tn"]) == (1, 0, 2, 2)
+    assert r8["precision"] == 1.0 and r8["recall"] == 1 / 3

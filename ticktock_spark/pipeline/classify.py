@@ -396,3 +396,59 @@ def calibration_bins(
             / (F.col("n").cast("double") * F.lit(1_000_000.0))
         ).alias("mean_score"),
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    thresholds: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Operating-point sweep for a binary filter score: at each
+    candidate threshold t, the confusion counts for the rule
+    "keep iff score >= t" plus precision / recall / kept fraction —
+    the one-table report behind choosing a quality-filter cut
+    (pairs with ``classifier_eval``'s threshold-free AUC and
+    ``calibration_bins``' probability check).
+
+    Scale shape: ONE scan; each row contributes to every threshold via
+    a literal-array explode (|thresholds| rows per doc — a constant
+    fan-out, grouped by threshold into <= |thresholds| result rows).
+    All outputs are exact integer counts or single divisions of them,
+    so results are engine-identical regardless of aggregation order.
+    Rows with a NULL score or label are excluded.
+    """
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in thresholds])
+    ).alias("threshold")
+    base = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("boolean").alias("__y"),
+        t,
+    )
+    kept = F.col("__s") >= F.col("threshold")
+    agg = base.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(kept & F.col("__y"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(kept & ~F.col("__y"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~kept & F.col("__y"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~kept & ~F.col("__y"), 1).otherwise(0)).alias("tn"),
+    )
+    div = lambda a, b: F.when(  # noqa: E731 — tiny local ratio helper
+        b > 0, a.cast("double") / b.cast("double")
+    )
+    return agg.select(
+        "threshold",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        div(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        div(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        ((F.col("tp") + F.col("fp")).cast("double") / F.col("n").cast("double")).alias(
+            "kept_frac"
+        ),
+    )

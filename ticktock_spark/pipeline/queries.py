@@ -4776,3 +4776,47 @@ def q142(spark, sf_dir):
     return dd.cross_source_matrix(
         _table(spark, sf_dir, "documents"), threshold=0.7
     )
+
+
+@register(
+    "q143_threshold_sweep",
+    f"""
+    WITH s AS ({_QUALITY_CTE}),
+    q AS (SELECT doc_id, lang = 'en' AS y, {_Q6.format(x=_QUALITY_EXPR)} AS v
+          FROM s),
+    e AS (
+      SELECT y, v, unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS threshold
+      FROM q
+    ),
+    a AS (
+      SELECT threshold, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN v >= threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN v >= threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN v < threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN v < threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM e GROUP BY 1
+    )
+    SELECT threshold, n, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+           CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE) AS kept_frac
+    FROM a
+    """,
+)
+def q143(spark, sf_dir):
+    """Quality-filter operating-point sweep (pipeline/classify.py
+    threshold_sweep): confusion counts + precision/recall/kept-fraction
+    for "keep iff quality >= t" at 9 candidate thresholds, label
+    lang = 'en' — the table read before committing to a filter cut
+    (complements q130's threshold-free AUC and q136's calibration).
+    One scan with a constant 9x literal fan-out; all outputs exact
+    integer counts or single divisions of them."""
+    d = _table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("lang") == "en").alias("y"),
+        q6(tx.quality_score(F.col("text"))).alias("score"),
+    )
+    return clf.threshold_sweep(scored)
