@@ -637,3 +637,52 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     only = [d for d in rows if bool(lex_ranks.get(d)) != bool(dense_ranks.get(d))]
     if both and only:
         assert max(rows[d]["rrf"] for d in only) < max(rows[d]["rrf"] for d in both)
+
+
+def test_hybrid_rrf_index_backed_parity(spark, tmp_path):
+    """The production path — persisted inverted index + persisted IVF
+    index, fused with rrf_fuse — must produce the identical fused list
+    as the scan-based hybrid_rrf (RRF consumes only ranks, and both
+    index searches are rank-parity-pinned against their scan twins)."""
+    from pyspark.sql import Window
+
+    from ticktock_spark.pipeline.retrieval import hybrid_rrf, rrf_fuse
+    from ticktock_spark.pipeline.similarity import ivf_index_knn, write_ivf_index
+
+    docs = _docs(spark)
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0], 0),
+            (3, [0.5, 0.5, 0.0], 0),
+            (4, [0.1, 0.9, 0.0], 1),
+            (5, [0.0, 0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    terms = ["spark", "cluster"]
+    want = [
+        tuple(r)
+        for r in hybrid_rrf(
+            docs, emb, terms, q, k=5, k_lex=3, k_dense=3
+        ).collect()
+    ]
+
+    ipath = str(tmp_path / "inv")
+    write_inverted_index(docs, ipath)
+    lex = bm25_index_topk(spark, ipath, terms, k=3)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+
+    vpath = str(tmp_path / "ivf")
+    write_ivf_index(emb, vpath)
+    dense = ivf_index_knn(spark, vpath, q, k=3, nprobe=2)  # 2 = all buckets
+    dense_r = dense.select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank")
+    )
+
+    got = [tuple(r) for r in rrf_fuse(lex_r, dense_r, k=5).collect()]
+    assert got == want

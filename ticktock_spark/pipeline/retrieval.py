@@ -349,7 +349,29 @@ def hybrid_rrf(
     dense_r = cand.select(
         F.col(vec_id_col).alias(id_col), F.row_number().over(wd).alias("dense_rank")
     )
+    return rrf_fuse(lex_r, dense_r, k=k, c=c, id_col=id_col)
 
+
+def rrf_fuse(
+    lex_r: DataFrame,
+    dense_r: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuse two already-ranked candidate lists by Reciprocal Rank
+    Fusion. ``lex_r`` is (id, lex_rank) and ``dense_r`` (id,
+    dense_rank), both 1-based ranks over candidate-list-sized frames —
+    from any retriever pair: the scan operators (bm25_topk /
+    cosine_scores), the persisted indexes (bm25_index_topk /
+    ivf_index_knn), or an external list. RRF only consumes ranks, so
+    the production index-backed path fuses identically to the scan
+    path (parity pinned in tests/test_retrieval.py).
+
+    Everything here is candidate-list-sized: a full-outer join of the
+    two lists, rank contributions 1/(c + rank) (rank 0 = absent), a
+    final TakeOrdered cut to ``k``.
+    """
     fused = lex_r.join(dense_r, id_col, "full_outer").select(
         id_col,
         F.coalesce(F.col("lex_rank").cast("long"), F.lit(0)).alias("lex_rank"),
