@@ -2346,3 +2346,29 @@ def test_cross_source_matrix_attributes_pairs(spark):
     for r in out.values():
         assert 0.7 <= r["mean_jaccard"] <= 1.0
         assert r["source_a"] <= r["source_b"]
+
+
+def test_embedding_hygiene_flags_broken_vectors(spark):
+    from ticktock_spark.pipeline.similarity import embedding_hygiene
+
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0], "a"),            # norm 5
+            (2, [0.0, 0.0], "a"),            # zero norm
+            (3, [1.0, float("nan")], "a"),   # non-finite
+            (4, [1.0, 0.0, 0.0], "b"),       # ragged dim vs group a
+            (5, [float("inf"), 0.0, 0.0], "b"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = {r["label"]: r for r in embedding_hygiene(emb).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_vecs"], a["n_zero_norm"], a["n_nonfinite"]) == (3, 1, 1)
+    assert (a["dim_min"], a["dim_max"]) == (2, 2)
+    assert (b["dim_min"], b["dim_max"]) == (3, 3)
+    assert b["n_nonfinite"] == 1
+    # mean norm over FINITE norms only: group a = (5 + 0) / 2
+    assert a["mean_norm"] == pytest.approx(2.5, abs=1e-6)
+    # group b: finite norm is only vec 4 (norm 1)
+    assert b["mean_norm"] == pytest.approx(1.0, abs=1e-6)
+    assert b["n_vecs"] == 2

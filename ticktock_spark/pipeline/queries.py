@@ -4820,3 +4820,47 @@ def q143(spark, sf_dir):
         q6(tx.quality_score(F.col("text"))).alias("score"),
     )
     return clf.threshold_sweep(scored)
+
+
+@register(
+    "q144_embedding_hygiene",
+    """
+    WITH per AS (
+      SELECT label,
+             len(embedding) AS dim,
+             sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)
+                    for i in generate_series(1, len(embedding))])) AS n,
+             len([x for x in embedding
+                  if isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))])
+               AS bad
+      FROM embeddings
+    ),
+    a AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CASE WHEN n = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+             CAST(sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+             CAST(min(dim) AS INT) AS dim_min, CAST(max(dim) AS INT) AS dim_max,
+             CAST(sum(CASE WHEN isfinite(n)
+                           THEN CAST(floor(n * 1000000.0 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sn,
+             CAST(sum(CASE WHEN isfinite(n) THEN 1 ELSE 0 END) AS BIGINT) AS nf
+      FROM per GROUP BY 1
+    )
+    SELECT label, n_vecs, n_zero_norm, n_nonfinite, dim_min, dim_max,
+           CASE WHEN nf > 0
+                THEN CAST(sn AS DOUBLE) / CAST(nf AS DOUBLE) / 1000000.0 END
+             AS mean_norm
+    FROM a
+    """,
+)
+def q144(spark, sf_dir):
+    """Embedding-table hygiene report per label slice (pipeline/
+    similarity.py embedding_hygiene): zero-norm vectors, non-finite
+    components, ragged dimensions, mean L2 norm — the intake gate run
+    before an embedding batch feeds ANN/dedup (zero norms poison cosine,
+    collapsed norms flag encoder regressions q124's centroid drift can
+    miss). One scan, one bounded-group agg, integer micro-unit mean."""
+    return sim.embedding_hygiene(_table(spark, sf_dir, "embeddings"))

@@ -1445,3 +1445,73 @@ def jl_project(
     return corpus.select(id_col, vec_col).mapInPandas(
         stage, schema=f"{id_col} {id_type}, jl array<double>"
     )
+
+
+def embedding_hygiene(
+    corpus: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-table hygiene report per group (label / source /
+    model-version slice): vector counts, zero-norm vectors (a broken or
+    padding encoder output — they poison cosine math), non-finite
+    components, and dimension min/max (ragged arrays from a mixed
+    encoder deployment), plus the mean L2 norm (collapsed-norm drift is
+    an encoder-regression smell even when drift of the MEAN vector,
+    q124, looks fine).
+
+    Scale shape: one scan, one group_col aggregation; every output is
+    an exact integer count or a single division of integer micro-unit
+    sums (the q136 pattern), so results are aggregation-order-proof.
+    """
+    nrm = norm(F.col(vec_col))
+    nonfinite = F.size(
+        F.filter(F.col(vec_col), lambda x: x.isNaN() | (F.abs(x) == float("inf")))
+    )
+    # __n stays RAW: quantizing first would mask the breakage this
+    # report exists to catch (Spark's floor() collapses NaN to 0 —
+    # a NaN norm would masquerade as a zero norm).
+    per = corpus.select(
+        F.col(group_col),
+        F.size(F.col(vec_col)).alias("__dim"),
+        nrm.alias("__n"),
+        nonfinite.alias("__bad"),
+    )
+    finite = ~(F.col("__n").isNaN() | (F.abs(F.col("__n")) == F.lit(float("inf"))))
+    agg = per.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("__n") == 0.0, 1).otherwise(0)).alias("n_zero_norm"),
+        F.sum(F.when(F.col("__bad") > 0, 1).otherwise(0)).alias("n_nonfinite"),
+        F.min("__dim").alias("dim_min"),
+        F.max("__dim").alias("dim_max"),
+        # mean over FINITE norms only: a NaN/inf norm would poison the
+        # sum (and its long cast throws under ANSI even inside a when()
+        # branch — codegen evaluates the value expression eagerly), so
+        # the input is nanvl+clamped BEFORE the cast and the when() only
+        # picks which rows count.
+        F.sum(
+            F.when(
+                finite,
+                F.floor(
+                    F.least(F.nanvl(F.col("__n"), F.lit(0.0)), F.lit(1.0e9))
+                    * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("__sn"),
+        F.sum(F.when(finite, 1).otherwise(0)).alias("__nf"),
+    )
+    return agg.select(
+        group_col,
+        "n_vecs",
+        "n_zero_norm",
+        "n_nonfinite",
+        "dim_min",
+        "dim_max",
+        F.when(
+            F.col("__nf") > 0,
+            F.col("__sn").cast("double")
+            / F.col("__nf").cast("double")
+            / F.lit(1_000_000.0),
+        ).alias("mean_norm"),
+    )
