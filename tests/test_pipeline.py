@@ -2372,3 +2372,33 @@ def test_embedding_hygiene_flags_broken_vectors(spark):
     # group b: finite norm is only vec 4 (norm 1)
     assert b["mean_norm"] == pytest.approx(1.0, abs=1e-6)
     assert b["n_vecs"] == 2
+
+
+def test_pmi_collocations_rank_strong_pair(spark):
+    from ticktock_spark.pipeline.text import pmi_collocations
+
+    # "san francisco" always co-occurs (high PMI); "the cat"/"the dog"
+    # share the frequent left word "the" (low PMI).
+    rows = []
+    for i in range(10):
+        rows.append((i, "san francisco is great and the cat saw the dog"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, top_k=9, min_count=5).collect()
+    got = {(r["w1"], r["w2"]): r for r in out}
+
+    import math as m
+
+    # 9 bigrams/doc * 10 docs = 90 total; margins: 'the' is 20 as w1
+    # and 20 as w2, everything else 10. Pairs not touching 'the' all
+    # tie at log2(10*90/(10*10)) = log2(9); pairs with one 'the' margin
+    # score log2(4.5).
+    nt = 90.0
+    hi = m.floor(m.log2(9.0) * 1e6 + 0.5) / 1e6
+    lo = m.floor(m.log2(4.5) * 1e6 + 0.5) / 1e6
+    assert got[("san", "francisco")]["pmi"] == pytest.approx(hi, abs=1e-6)
+    assert got[("san", "francisco")]["n"] == 10
+    assert got[("the", "cat")]["pmi"] == pytest.approx(lo, abs=1e-6)
+    assert out[0]["pmi"] == pytest.approx(hi, abs=1e-6)
+    # ties broken by (w1, w2): 'cat saw' sorts before 'san francisco'
+    assert (out[0]["w1"], out[0]["w2"]) == ("cat", "saw")
+    assert all(r["pmi"] <= out[0]["pmi"] for r in out)

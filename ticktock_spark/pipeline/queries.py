@@ -4864,3 +4864,39 @@ def q144(spark, sf_dir):
     collapsed norms flag encoder regressions q124's centroid drift can
     miss). One scan, one bounded-group agg, integer micro-unit mean."""
     return sim.embedding_hygiene(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q145_pmi_collocations",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, string_split_regex(norm, '\\s+') AS tk
+      FROM nm WHERE length(norm) > 0
+    ),
+    p AS (
+      SELECT unnest([{{'w1': tk[i], 'w2': tk[i+1]}}
+                     for i in generate_series(1, len(tk) - 1)], recursive := true)
+      FROM t WHERE len(tk) >= 2
+    ),
+    c AS (SELECT w1, w2, count(*) AS n FROM p GROUP BY 1, 2),
+    tl AS (SELECT w1, sum(n) AS nl FROM c GROUP BY 1),
+    tr AS (SELECT w2, sum(n) AS nr FROM c GROUP BY 1),
+    nn AS (SELECT sum(n) AS nt FROM c)
+    SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n,
+           {_Q6.format(x='log2((CAST(c.n AS DOUBLE) * CAST(nn.nt AS DOUBLE))'
+                         ' / (CAST(tl.nl AS DOUBLE) * CAST(tr.nr AS DOUBLE)))')}
+             AS pmi
+    FROM c JOIN tl ON c.w1 = tl.w1 JOIN tr ON c.w2 = tr.w2 CROSS JOIN nn
+    WHERE c.n >= 5
+    ORDER BY pmi DESC, c.w1, c.w2 LIMIT 50
+    """,
+)
+def q145(spark, sf_dir):
+    """PMI collocations (pipeline/text.py pmi_collocations): top-50
+    adjacent-token pairs by pointwise mutual information with a
+    min-count-5 guard — phrase/multi-word-expression mining, the
+    statistic BPE merge selection approximates (q112's picker counts).
+    One scan into the distinct-pair frame; margins via two stacked
+    unordered windows, grand total as a one-number driver aggregate."""
+    return tx.pmi_collocations(_table(spark, sf_dir, "documents"))

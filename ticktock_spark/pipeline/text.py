@@ -2175,3 +2175,63 @@ def zipf_alpha(
         q6(-slope).alias("alpha"),
         q6(intercept).alias("intercept"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token pairs: pmi(w1, w2) = log2(n(w1,w2) * N / (n(w1,.) * n(.,w2))),
+    the classic phrase/multi-word-expression signal (and the statistic
+    BPE-style merge pickers approximate). ``min_count`` guards the PMI
+    low-frequency pathology (a pair seen once between two hapaxes maxes
+    the score); top_k by quantized PMI, ties by (w1, w2).
+
+    Engine exactness: PMI is one log2 of a product/quotient of exact
+    integer counts, composed in the same operation order as the SQL
+    oracle, then q6-quantized before ranking.
+
+    Scale shape: adjacent pairs explode scan-side into ONE
+    map-side-combined (w1, w2) count aggregation; that distinct-pair
+    frame is persisted (narrow — bounded by distinct pairs, not corpus
+    tokens) because the grand total N is a one-number driver aggregate
+    of it (the corpus_stats pattern) and the margin totals are two
+    stacked unordered windows over it (w1, then w2 — the linear
+    no-self-join shape bigram_lm_table documents). Same CacheManager
+    note as bm25_topk: long-lived sessions reclaim with
+    spark.catalog.clearCache().
+    """
+    from pyspark.sql import Window
+
+    from ticktock_spark.queries import q6
+
+    counts = (
+        df.select(F.explode(_bigram_pair_array(F.col(text_col))).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    left = F.sum("n").over(Window.partitionBy("w1"))
+    right = F.sum("n").over(Window.partitionBy("w2"))
+    scored = counts.select(
+        "w1",
+        "w2",
+        "n",
+        q6(
+            F.log2(
+                (F.col("n").cast("double") * F.lit(float(total)))
+                / (left.cast("double") * right.cast("double"))
+            )
+        ).alias("pmi"),
+    )
+    return (
+        scored.filter(F.col("n") >= min_count)
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
