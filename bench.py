@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "q116_dsir_weights",          # DSIR hashed-unigram importance weights
     "q121_ks_drift",              # exact two-sample KS (distinct-value bounded)
     "q124_embedding_drift",       # centroid cosine/L2 (dimension bounded)
+    # round-6 additions
+    "q127_bpe_token_ids",         # arrow BPE id emission (packing input)
+    "q137_hybrid_rrf",            # BM25 + dense fused by RRF (two scans)
+    "q138_ppl_buckets",           # bigram-LM scoring + per-lang R-6 cuts
 ]
 
 

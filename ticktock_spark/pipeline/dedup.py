@@ -226,7 +226,9 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
                     sh = set(doc[i : i + k] for i in range(max(len(doc) - k + 1, 1)))
                 else:
                     sh = doc
-                if sh:
+                # len() not truthiness: a shingles_df column arrives as a
+                # numpy array, whose bool() raises "truth value ambiguous"
+                if len(sh):
                     # min per hash over all shingles, in C (zip + min)
                     minima = [min(c) for c in zip(*(_pieces(s) for s in sh))]
                 else:
@@ -565,8 +567,35 @@ def verify_jaccard(
             F.col(id_col), shingles(F.col(text_col), k).alias("sh")
         )
     )
+    base = pairs.select("id_a", "id_b")
+    if threshold > 0.0:
+        # Exact size prescreen: jaccard >= t forces min(|A|,|B|)/max >= t
+        # (inter <= min, union >= max), so pairs failing the size ratio
+        # can be dropped from two SKINNY integer joins BEFORE the wide
+        # shingle arrays are shuffled per pair. Semantics-neutral — the
+        # survivors get the same exact intersection. On LSH candidate
+        # sets dominated by low-jaccard junk this is the difference
+        # between verifying 2.4M pairs and verifying thousands
+        # (measured 23s -> ~2s at sf0.1, threshold 0.7).
+        szs = sh.select(F.col(id_col), F.size("sh").alias("__n"))
+        base = (
+            base.join(
+                szs.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")),
+                "id_a",
+            )
+            .join(
+                szs.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")),
+                "id_b",
+            )
+            .filter(
+                F.least("__na", "__nb").cast("double")
+                / F.greatest("__na", "__nb").cast("double")
+                >= F.lit(float(threshold))
+            )
+            .select("id_a", "id_b")
+        )
     out = (
-        pairs.select("id_a", "id_b")
+        base
         .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .select(
@@ -1139,6 +1168,8 @@ def cross_source_matrix(
     k: int = 5,
     num_hashes: int = 8,
     bands: int = 4,
+    engine: str = "pandas",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Cross-source near-duplicate contamination matrix: for every pair
     of sources, how many Jaccard-verified near-dup pairs straddle them —
@@ -1162,11 +1193,40 @@ def cross_source_matrix(
     """
     from ticktock_spark.queries import q6
 
+    # One persisted shingle computation feeds candidate generation, the
+    # verify stage's size prescreen, and the exact intersections — the
+    # shingles_df sharing contract both callees document. CacheManager
+    # note as elsewhere: long-lived sessions reclaim with clearCache().
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+        .persist()
+    )
+    # ``engine`` / ``bucket_cap`` are the SCALE_PROFILE knobs: on
+    # templated corpora the band buckets go viral (measured 2.4M
+    # candidates from 5k sf0.1 docs) and candidate mass — not the
+    # verified output — dominates cost; engine='xxh64' +
+    # bucket_cap=256 is the production shape (same tradeoff q34x/q77
+    # document; the md5 default stays the DuckDB-oracle-matched spec).
     cand = minhash_lsh_candidates(
-        df, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes, bands=bands
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingles_df=sh if engine == "pandas" else None,
+        engine=engine,
+        bucket_cap=bucket_cap,
     )
     ver = verify_jaccard(
-        df, cand, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+        df,
+        cand,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        threshold=threshold,
+        shingles_df=sh,
     )
     srcs = df.select(F.col(id_col), F.col(source_col))
     pairs = (
