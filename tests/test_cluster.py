@@ -322,3 +322,28 @@ def test_prepare_corpus_composition(spark):
         assert r["split"] in ("train", "valid", "test")
     if 1 in out:
         assert out[1]["n_copies"] == 3
+
+
+def test_event_transitions_counts_and_probs(spark):
+    import datetime as dt
+
+    from ticktock_spark.pipeline.sessions import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> buy ; user 2: view -> click -> view
+        (1, t0, 1, "view"), (2, t0.replace(minute=1), 1, "click"),
+        (3, t0.replace(minute=2), 1, "buy"),
+        (4, t0, 2, "view"), (5, t0.replace(minute=1), 2, "click"),
+        (6, t0.replace(minute=2), 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r["event_type"], r["next_type"]): r for r in event_transitions(ev).collect()}
+    assert out[("view", "click")]["n"] == 2
+    assert out[("view", "click")]["p"] == 1.0   # both views lead to click
+    assert out[("click", "buy")]["n"] == 1
+    assert out[("click", "buy")]["p"] == 0.5
+    assert out[("click", "view")]["p"] == 0.5
+    assert ("buy", None) not in out  # terminal events emit no pair

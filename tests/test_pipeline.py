@@ -2402,3 +2402,21 @@ def test_pmi_collocations_rank_strong_pair(spark):
     # ties broken by (w1, w2): 'cat saw' sorts before 'san francisco'
     assert (out[0]["w1"], out[0]["w2"]) == ("cat", "saw")
     assert all(r["pmi"] <= out[0]["pmi"] for r in out)
+
+
+def test_langid_margin_routes_ambiguous(spark):
+    from ticktock_spark.pipeline.text import langid_margin
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog was in that house for it is"),  # strong en
+            (2, "der la the und le el"),                              # mixed soup
+            (3, "qwerty zzz 12345"),                                  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in langid_margin(docs).collect()}
+    assert out[1]["lang_pred"] == "en" and out[1]["confident"]
+    assert out[1]["margin"] == out[1]["top_hits"]  # no other lang hits
+    assert not out[2]["confident"]  # margin below threshold
+    assert out[3]["lang_pred"] == "und" and not out[3]["confident"]

@@ -4900,3 +4900,65 @@ def q145(spark, sf_dir):
     One scan into the distinct-pair frame; margins via two stacked
     unordered windows, grand total as a one-number driver aggregate."""
     return tx.pmi_collocations(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q146_langid_margin",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_SW['de']} AS s_de, {_SW['en']} AS s_en,
+             {_SW['es']} AS s_es, {_SW['fr']} AS s_fr
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, {_lang_case()} AS lang_pred,
+             list_sort([s_de, s_en, s_es, s_fr]) AS a
+      FROM s
+    )
+    SELECT doc_id, lang_pred,
+           CAST(a[-1] AS BIGINT) AS top_hits,
+           CAST(a[-1] - a[-2] AS BIGINT) AS margin,
+           lang_pred <> 'und' AND a[-1] - a[-2] >= 2 AS confident
+    FROM m
+    """,
+)
+def q146(spark, sf_dir):
+    """Language ID with confidence margin (pipeline/text.py
+    langid_margin): the q30/q31 stopword argmax plus the best-vs-second
+    hit gap — the router CCNet-style pipelines use to quarantine
+    mixed-language / short-fragment docs instead of trusting a weak
+    argmax. Exact integers end to end; zero-shuffle scan expressions."""
+    return tx.langid_margin(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q147_event_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.event_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def q147(spark, sf_dir):
+    """First-order event-transition matrix (pipeline/sessions.py
+    event_transitions): counts and p(next | current) for consecutive
+    events per user, (ts, event_id)-ordered — the Markov view behind
+    funnel discovery and anomalous-flow detection. One scan, one
+    user-keyed window shuffle, |types|^2-bounded output; exact counts,
+    one division."""
+    from ticktock_spark.schema import load_table
+
+    return ss.event_transitions(load_table(spark, sf_dir, "events"))

@@ -169,3 +169,47 @@ def cohort_retention(
     return per.groupBy("cohort_date", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-transition matrix: for each ordered pair of
+    event types, how often one immediately follows the other within a
+    user's stream, and the conditional probability p(next | current) —
+    the Markov-chain view behind funnel discovery ("what do users do
+    after X"), anomalous-flow detection, and synthetic-session
+    generators. Ordering is (ts, id) per user, the q46 tiebreak.
+
+    Output: (event_type, next_type, n, p) with n an exact count and p a
+    single division of exact counts (engine-identical).
+
+    Scale shape: one scan; the lead() window shuffles once on user_id
+    (bounded per-user partitions), the pair aggregation map-side
+    combines into |types|^2 rows, and the denominator comes from an
+    unordered window over the current type — no self-joins.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("event_type"),
+        )
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("p"),
+    )

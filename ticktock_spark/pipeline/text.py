@@ -2235,3 +2235,33 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def langid_margin(
+    df: DataFrame, min_margin: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-ID with a confidence margin: the stopword-hit argmax
+    (lang_id) plus the gap between the best and second-best language's
+    hit counts. CCNet-style pipelines keep the classifier CONFIDENCE
+    next to the label and route low-margin docs (mixed-language pages,
+    short fragments, code) to a separate bucket instead of trusting the
+    argmax. ``confident`` = labeled (not 'und') and margin >= min_margin.
+
+    All columns are exact integers (hit counts and their difference) or
+    string/boolean functions of them — engine-identical by construction.
+    Scale shape: pure scan-side expressions, no shuffle at all.
+    """
+    scores = lang_scores(F.col(text_col))
+    arr = F.sort_array(F.array(*[scores[lang] for lang in sorted(scores)]))
+    top = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    lang = lang_id(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        lang.alias("lang_pred"),
+        top.cast("long").alias("top_hits"),
+        (top - second).cast("long").alias("margin"),
+        ((lang != F.lit("und")) & ((top - second) >= F.lit(int(min_margin)))).alias(
+            "confident"
+        ),
+    )
