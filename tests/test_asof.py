@@ -217,3 +217,21 @@ def test_rolling_zscore(spark):
     assert abs(spike["roll_mean"] - 12.5) < 1e-12
     assert abs(spike["zscore"] - (7.5 / 18.75 ** 0.5)) < 1e-12
     assert got[("b", 9, 0)]["zscore"] is None
+
+
+def test_ewma_baseline_hand_computed(spark):
+    from ticktock_spark.operators.rolling import ewma_baseline
+
+    rows = [("m", t, float(v)) for t, v in [(1, 10.0), (2, 20.0), (3, 40.0), (4, 0.0)]]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = {r["ts"]: r for r in ewma_baseline(df, ["metric"], 0.5, 16).collect()}
+    assert 1 not in out  # no prior point
+    assert out[2]["ewma"] == 10.0 and out[2]["resid"] == 10.0
+    # t=3: weights 0.5, 1 over [10, 20] -> (5 + 20) / 1.5
+    assert out[3]["ewma"] == round((0.5 * 10 + 20) / 1.5, 6)
+    # t=4: weights 0.25, 0.5, 1 over [10, 20, 40]
+    import math
+
+    want = (0.25 * 10 + 0.5 * 20 + 40) / 1.75
+    assert out[4]["ewma"] == math.floor(want * 1e6 + 0.5) / 1e6
+    assert out[4]["resid"] == math.floor((0.0 - want) * 1e6 + 0.5) / 1e6

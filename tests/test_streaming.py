@@ -1355,3 +1355,68 @@ def test_streaming_chunk_dedup_matches_batch(spark, tmp_path):
         for r in chunk_dedup(allrows, chunk_words=3).collect()
     }
     assert got == want
+
+
+def test_streaming_transitions_match_batch(spark, tmp_path):
+    """In-order stream split across two micro-batches emits the exact
+    pair multiset of the batch lead()-window operator — including the
+    pair that SPANS the micro-batch boundary (carried by the O(1)
+    per-user state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.pipeline.sessions import event_transitions
+    from ticktock_spark.schema import load_table
+    from ticktock_spark.streaming.transitions import streaming_transitions
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    rows = sorted(ev.collect(), key=lambda r: (r["us"], r["event_id"]))
+    half = len(rows) // 2
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for bi, chunk in enumerate((rows[:half], rows[half:])):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text(
+            "\n".join(
+                f"{r['user_id']} {r['event_id']} {r['us']} {r['event_type']}"
+                for r in chunk
+            )
+        )
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).cast("long").alias("user_id"),
+        p.getItem(1).cast("long").alias("event_id"),
+        p.getItem(2).cast("long").alias("us"),
+        p.getItem(3).alias("event_type"),
+    )
+    q = (
+        streaming_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("trans_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got: dict = {}
+    for r in spark.sql("select event_type, next_type from trans_out").collect():
+        k = (r["event_type"], r["next_type"])
+        got[k] = got.get(k, 0) + 1
+    want = {
+        (r["event_type"], r["next_type"]): r["n"]
+        for r in event_transitions(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        ).collect()
+    }
+    assert got == want

@@ -104,3 +104,72 @@ def rolling_zscore(
             "zscore": z,
         }
     )
+
+
+def ewma_baseline(
+    df: DataFrame,
+    series_cols: list[str],
+    alpha: float = 0.5,
+    lookback: int = 16,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing exponentially-weighted moving-average baseline per
+    series: baseline_t = sum over the previous ``lookback`` points of
+    w_k * v_k / sum(w_k) with w_k = (1-alpha)^age — the classic
+    smoothed-forecast anomaly baseline (resid = value - baseline feeds
+    an alerting threshold; complements rolling_zscore's variance-based
+    signal with a recency-weighted one). The current point is EXCLUDED
+    from its own baseline; rows with no prior point are dropped.
+
+    Engine exactness: with the default alpha = 0.5 the decay 0.5^k is
+    an exact binary double for any k, the weighted sum is a
+    left-to-right fold (F.aggregate, mirroring DuckDB's list fold), and
+    the final division is one double op — bit-identical across engines.
+    (Other alphas work; exactness then rests on pow() agreeing to the
+    last ulp, which is not guaranteed across libms.)
+
+    Scale shape: one exchange on the series key, a bounded
+    ROWS-between window (<= lookback values carried per row), and
+    per-row O(lookback) expression work — no self-joins, no state
+    beyond the frame.
+    """
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col)
+        .rowsBetween(-int(lookback), -1)
+    )
+    decay = 1.0 - float(alpha)
+    base = df.select(
+        *series_cols,
+        F.col(ts_col),
+        F.col(value_col).alias("__v"),
+        F.collect_list(value_col).over(w).alias("__arr"),
+    ).filter(F.size("__arr") > 0)
+    n = F.size(F.col("__arr"))
+    wts = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.pow(F.lit(decay), (n - i).cast("double")),
+    )
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    raw = _fold(F.zip_with(F.col("__arr"), wts, lambda v, wt: v * wt)) / _fold(wts)
+    return base.select(
+        *series_cols,
+        ts_col,
+        F.col("__v").alias(value_col),
+        raw.alias("__raw"),
+    ).select(
+        *series_cols,
+        ts_col,
+        value_col,
+        (F.floor(F.col("__raw") * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)).alias("ewma"),
+        (
+            F.floor(
+                (F.col(value_col) - F.col("__raw")) * F.lit(1_000_000.0) + F.lit(0.5)
+            )
+            / F.lit(1_000_000.0)
+        ).alias("resid"),
+    )

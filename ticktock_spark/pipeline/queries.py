@@ -4962,3 +4962,58 @@ def q147(spark, sf_dir):
     from ticktock_spark.schema import load_table
 
     return ss.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q148_ewma_baseline",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {{ev}} GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT metric, ts, v,
+             list(v) OVER (PARTITION BY metric ORDER BY ts
+                           ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) AS arr
+      FROM b
+    ),
+    r AS (
+      SELECT metric, ts, v,
+             list_sum([arr[i] * 0.5 ** (len(arr) - i)
+                       for i in generate_series(1, len(arr))])
+               / list_sum([0.5 ** (len(arr) - i)
+                           for i in generate_series(1, len(arr))]) AS raw
+      FROM w WHERE len(arr) > 0
+    )
+    SELECT metric, ts, {_Q6.format(x='v')} AS value,
+           {_Q6.format(x='raw')} AS ewma,
+           {_Q6.format(x='(v - raw)')} AS resid
+    FROM r
+    """.format(ev="(SELECT event_type AS metric, epoch_ms(ts) AS ts, value"
+               " FROM events)"),
+)
+def q148(spark, sf_dir):
+    """Trailing EWMA anomaly baseline over per-metric 1m buckets
+    (operators/rolling.py ewma_baseline): recency-weighted forecast +
+    residual, the smoothed twin of q84's rolling z-score. Bucket means
+    are exact decimal sums (aggregation-order-proof); alpha=0.5 keeps
+    every decay weight an exact binary double, and the weighted fold is
+    left-to-right in both engines."""
+    from ticktock_spark.operators.rolling import ewma_baseline
+    from ticktock_spark.queries import _dps, MIN_MS
+
+    d = _dps(spark, sf_dir)
+    b = (
+        d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("value")
+        )
+    )
+    out = ewma_baseline(b, ["metric"], alpha=0.5, lookback=16)
+    return out.select(
+        "metric", "ts", q6(F.col("value")).alias("value"), "ewma", "resid"
+    )
