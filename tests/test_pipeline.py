@@ -2420,3 +2420,32 @@ def test_langid_margin_routes_ambiguous(spark):
     assert out[1]["margin"] == out[1]["top_hits"]  # no other lang hits
     assert not out[2]["confident"]  # margin below threshold
     assert out[3]["lang_pred"] == "und" and not out[3]["confident"]
+
+
+def test_curation_gate_joint_decision(spark):
+    from ticktock_spark.pipeline.sample import curation_gate
+
+    good = "the cat and the dog was in that house for it is the best " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, good),        # good text, good vector → keep
+            (2, good),        # good text, broken vector → drop
+            (3, good),        # good text, missing vector → drop
+            (4, "zz 123"),    # junk text, good vector → drop
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [0.6, 0.8]),
+            (2, [float("nan"), 1.0]),
+            (4, [1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["doc_id"]: r for r in curation_gate(docs, emb).collect()}
+    assert out[1]["keep"] and out[1]["norm_ok"] and out[1]["confident"]
+    assert not out[2]["keep"] and not out[2]["norm_ok"]
+    assert not out[3]["keep"] and not out[3]["norm_ok"]
+    assert not out[4]["keep"]  # fails quality/confidence, vector fine
+    assert out[4]["norm_ok"]

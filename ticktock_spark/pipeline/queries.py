@@ -5017,3 +5017,57 @@ def q148(spark, sf_dir):
     return out.select(
         "metric", "ts", q6(F.col("value")).alias("value"), "ewma", "resid"
     )
+
+
+@register(
+    "q149_curation_gate",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS} AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST({_PUNCT} AS DOUBLE) / length(text) END AS pr,
+             {_SW['en']} AS sw,
+             {_SW['de']} AS s_de, {_SW['en']} AS s_en,
+             {_SW['es']} AS s_es, {_SW['fr']} AS s_fr
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, {_Q6.format(x=_QUALITY_EXPR)} AS quality,
+             {_lang_case()} AS lang_pred,
+             list_sort([s_de, s_en, s_es, s_fr]) AS a
+      FROM s
+    ),
+    v AS (
+      SELECT vec_id AS doc_id,
+             len([x for x in embedding
+                  if isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))]) = 0
+             AND NOT isnan(sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+                                          * CAST(embedding[i] AS DOUBLE)
+                    for i in generate_series(1, len(embedding))])))
+             AND sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+                                * CAST(embedding[i] AS DOUBLE)
+                    for i in generate_series(1, len(embedding))])) > 0.0
+               AS norm_ok
+      FROM embeddings
+    ),
+    f AS (
+      SELECT q.doc_id, q.quality, q.lang_pred,
+             q.lang_pred <> 'und' AND q.a[-1] - q.a[-2] >= 2 AS confident,
+             coalesce(v.norm_ok, false) AS norm_ok
+      FROM q LEFT JOIN v USING (doc_id)
+    )
+    SELECT doc_id, quality, lang_pred, confident, norm_ok,
+           quality >= 0.4 AND confident AND norm_ok AS keep
+    FROM f
+    """,
+)
+def q149(spark, sf_dir):
+    """Joint text+embedding curation gate (pipeline/sample.py
+    curation_gate): per-doc quality score, language-ID confidence, and
+    embedding-health flag folded into one keep decision — the
+    cross-modal admission filter before a (text, embedding) pair enters
+    a mixture or an ANN index. Two scans + one id join; all row-level
+    expressions, no aggregation, streams as-is."""
+    return sp.curation_gate(
+        _table(spark, sf_dir, "documents"), _table(spark, sf_dir, "embeddings")
+    )

@@ -882,3 +882,66 @@ def epoch_shuffle(
     return d.select(
         F.col(id_col), F.col("shard"), F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+def curation_gate(
+    docs: DataFrame,
+    emb: DataFrame,
+    min_quality: float = 0.4,
+    min_margin: int = 2,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Joint text+embedding curation gate: one row per document with its
+    quality score, language-ID confidence, embedding-health flag, and
+    the combined keep decision — the cross-modal admission filter run
+    before a (text, embedding) pair enters a training mixture or an ANN
+    index. A document passes only if ALL of:
+
+    - heuristic quality >= ``min_quality`` (pipeline/text.quality_score),
+    - language ID is confident (labeled and margin >= ``min_margin``,
+      pipeline/text.langid_margin semantics),
+    - its embedding exists, is all-finite, and has nonzero norm
+      (pipeline/similarity.embedding_hygiene's per-vector checks).
+
+    Scale shape: two scans (documents and embeddings are separate
+    tables) joined once on the shared id — everything else is
+    scan-side row expressions; no aggregation at all, so the gate
+    streams. Missing embeddings LEFT-join to norm_ok = false (text-only
+    docs fail the joint gate by definition; gate the tables separately
+    if that is not the intent).
+    """
+    from ticktock_spark.pipeline.similarity import norm
+    from ticktock_spark.pipeline.text import langid_margin, quality_score
+    from ticktock_spark.queries import q6
+
+    lid = langid_margin(docs, min_margin=min_margin, text_col=text_col, id_col=id_col)
+    scored = docs.select(
+        F.col(id_col), q6(quality_score(F.col(text_col))).alias("quality")
+    ).join(lid.select(id_col, "lang_pred", "confident"), id_col)
+
+    nrm = norm(F.col(vec_col))
+    bad = F.size(
+        F.filter(F.col(vec_col), lambda x: x.isNaN() | (F.abs(x) == float("inf")))
+    )
+    vec_ok = emb.select(
+        F.col(vec_id_col).alias(id_col),
+        ((bad == 0) & ~nrm.isNaN() & (nrm > 0.0)).alias("norm_ok"),
+    )
+    out = scored.join(vec_ok, id_col, "left").select(
+        id_col,
+        "quality",
+        "lang_pred",
+        "confident",
+        F.coalesce(F.col("norm_ok"), F.lit(False)).alias("norm_ok"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("quality") >= F.lit(float(min_quality)))
+            & F.col("confident")
+            & F.col("norm_ok")
+        ).alias("keep"),
+    )
