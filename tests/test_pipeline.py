@@ -2449,3 +2449,21 @@ def test_curation_gate_joint_decision(spark):
     assert not out[3]["keep"] and not out[3]["norm_ok"]
     assert not out[4]["keep"]  # fails quality/confidence, vector fine
     assert out[4]["norm_ok"]
+
+
+def test_ccnet_mixture_keeps_head_samples_tail(spark):
+    from ticktock_spark.pipeline.sample import ccnet_mixture, perplexity_buckets
+
+    rows = [(i, "the cat sat on the mat " * (1 + i % 5) + f"x{i}", "en") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    buckets = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(docs).collect()}
+    kept = {r["doc_id"]: r["bucket"] for r in ccnet_mixture(docs, tail_rate=0.1).collect()}
+    for d, b in buckets.items():
+        if b in ("head", "middle"):
+            assert d in kept, (d, b)  # head/middle always kept
+    tail = [d for d, b in buckets.items() if b == "tail"]
+    tail_kept = [d for d in tail if d in kept]
+    assert len(tail_kept) < len(tail)  # tail actually sampled down
+    # determinism
+    again = {r["doc_id"] for r in ccnet_mixture(docs, tail_rate=0.1).collect()}
+    assert set(kept) == again

@@ -5071,3 +5071,69 @@ def q149(spark, sf_dir):
     return sp.curation_gate(
         _table(spark, sf_dir, "documents"), _table(spark, sf_dir, "embeddings")
     )
+
+
+@register(
+    "q150_ccnet_mixture",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT doc_id, string_split_regex(norm, '\\s+') AS tk
+      FROM nm WHERE length(norm) > 0
+    ),
+    p AS (
+      SELECT doc_id, unnest([{{'w1': tk[i], 'w2': tk[i+1]}}
+                             for i in generate_series(1, len(tk) - 1)],
+                            recursive := true)
+      FROM t WHERE len(tk) >= 2
+    ),
+    dp AS (SELECT doc_id, w1, w2, count(*) AS n FROM p GROUP BY 1, 2, 3),
+    c AS (SELECT w1, w2, sum(n) AS n_pair FROM dp GROUP BY 1, 2),
+    tot AS (SELECT w1, sum(n_pair) AS n_w1 FROM c GROUP BY 1),
+    lm AS (
+      SELECT c.w1, c.w2, CAST(c.n_pair AS DOUBLE) / CAST(tot.n_w1 AS DOUBLE)
+               AS cond_p
+      FROM c JOIN tot ON c.w1 = tot.w1
+    ),
+    ce AS (
+      SELECT dp.doc_id,
+             {_Q6.format(x='-sum(dp.n * log2(lm.cond_p)) / sum(dp.n)')} AS ce
+      FROM dp JOIN lm ON dp.w1 = lm.w1 AND dp.w2 = lm.w2
+      GROUP BY dp.doc_id
+    ),
+    sc AS (SELECT d.lang, ce.doc_id, ce.ce
+           FROM ce JOIN documents d USING (doc_id)),
+    g AS (SELECT lang, list_sort(list(ce)) AS vals, count(*) AS n
+          FROM sc GROUP BY 1),
+    e AS (SELECT lang, vals, n, unnest([33.0, 67.0]) AS quantile FROM g),
+    cx AS (
+      SELECT lang, quantile, n, vals,
+             CASE WHEN quantile <= 0 THEN 0.0
+                  WHEN quantile >= 100 THEN CAST(n AS DOUBLE)
+                  ELSE quantile / 100.0 * (n + 1) END AS idx
+      FROM e
+    ),
+    thr AS (SELECT lang, quantile, {_Q6.format(x=_R6_LIST)} AS pct FROM cx),
+    piv AS (SELECT lang,
+                   max(CASE WHEN quantile = 33.0 THEN pct END) AS lo,
+                   max(CASE WHEN quantile = 67.0 THEN pct END) AS hi
+            FROM thr GROUP BY 1),
+    bk AS (
+      SELECT sc.doc_id, sc.lang,
+             CASE WHEN sc.ce <= piv.lo THEN 'head'
+                  WHEN sc.ce <= piv.hi THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sc JOIN piv USING (lang)
+    )
+    SELECT doc_id, lang, bucket FROM bk
+    WHERE bucket <> 'tail'
+       OR substr(md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    """,
+)
+def q150(spark, sf_dir):
+    """CCNet mixture end to end (pipeline/sample.py ccnet_mixture):
+    q138's per-language perplexity buckets with head+middle kept in
+    full and the tail deterministically sampled at 10% via the
+    md5-threshold draw — the actual CCNet selection recipe as one
+    composition. No shuffle beyond the bucket scoring."""
+    return sp.ccnet_mixture(_table(spark, sf_dir, "documents"), tail_rate=0.1)

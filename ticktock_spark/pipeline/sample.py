@@ -945,3 +945,35 @@ def curation_gate(
             & F.col("norm_ok")
         ).alias("keep"),
     )
+
+
+def ccnet_mixture(
+    docs: DataFrame,
+    tail_rate: float = 0.1,
+    lo: float = 33.0,
+    hi: float = 67.0,
+    seed: str = "ppl",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The CCNet selection recipe end to end: bucket every document by
+    per-language bigram-LM perplexity (perplexity_buckets) and keep
+    head + middle in full while deterministically sampling the tail at
+    ``tail_rate`` — high-perplexity text is mostly noise but not all
+    noise, so production pipelines keep a slice rather than dropping it.
+
+    The tail draw is the repo-standard md5(seed:id) threshold, so the
+    selection is idempotent under retries and reproducible across
+    engines. Output: the kept (id, lang, bucket) rows.
+
+    Scale shape: perplexity_buckets' one scoring scan + broadcast
+    thresholds, then a pure scan-side filter — no new shuffle.
+    """
+    b = perplexity_buckets(
+        docs, lo=lo, hi=hi, text_col=text_col, id_col=id_col, lang_col=lang_col
+    )
+    keep = (F.col("bucket") != "tail") | (
+        hash_hex(F.col(id_col), seed) < F.lit(_thr(tail_rate))
+    )
+    return b.filter(keep).select(id_col, lang_col, "bucket")
