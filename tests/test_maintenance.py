@@ -101,3 +101,38 @@ def test_compact_partition_recovers_from_post_swap_crash(spark, tmp_path):
     assert n == 3
     assert not part.with_name(part.name + ".compact-old").exists()
     assert spark.read.parquet(path).filter("dt = '2024-01-02'").count() == 3
+
+
+def test_zorder_key_bit_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.operators.zorder import scale_to_16bit, zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (65535, 65535), (0b1010, 0b0101)],
+        "a long, b long",
+    )
+    got = [
+        r["k"]
+        for r in df.select(
+            zorder_key(F.col("a"), F.col("b")).alias("k")
+        ).collect()
+    ]
+
+    def interleave(a, b):
+        k = 0
+        for i in range(16):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    want = [interleave(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (65535, 65535), (0b1010, 0b0101)]]
+    assert got == want
+    assert want[3] == (1 << 32) - 1  # full interleave saturates 32 bits
+
+    # scaling clamps and hits the extremes
+    s = spark.createDataFrame([(0,), (50,), (100,)], "v long").select(
+        scale_to_16bit(F.col("v"), 0.0, 100.0).alias("s")
+    )
+    vals = [r["s"] for r in s.collect()]
+    assert vals[0] == 0 and vals[2] == 65535 and 0 < vals[1] < 65535

@@ -1,0 +1,70 @@
+"""Z-order (Morton) clustering keys: multi-dimensional data layout.
+
+Lakehouse engines (Delta OPTIMIZE ZORDER, Iceberg sort orders) cluster
+files by a bit-interleaved key over several columns so parquet
+row-group min/max stats prune on EVERY interleaved dimension, not just
+the leading sort column. The reference TSDB clusters on one dimension
+(series, via compaction — `src/core/tsdb.cpp:3431-3658`); this is the
+beyond-reference multi-dimensional generalization for the
+documents/embeddings side of the house.
+
+The key is pure integer bit math (the classic "spread bits" masks), so
+it is engine-exact and SQL-oracle-checkable; normalization to 16 bits
+is linear min/max scaling (two driver-collected numbers per dimension,
+the corpus_stats pattern) or any caller-provided 0..65535 integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(c: Column) -> Column:
+    """Spread a 16-bit int's bits into the even positions of 32 bits."""
+    x = c.cast("long")
+    for shift, mask in _MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(dim_a: Column, dim_b: Column) -> Column:
+    """Interleave two 0..65535 integer dimensions into one 32-bit
+    Morton key (dim_a gets the even bit positions). Sorting/writing by
+    this key gives locality in BOTH dimensions at once."""
+    return _spread16(dim_a).bitwiseOR(F.shiftleft(_spread16(dim_b), 1))
+
+
+def scale_to_16bit(c: Column, lo: float, hi: float) -> Column:
+    """Linear min/max scaling of a numeric column to 0..65535 (lo/hi
+    are two driver-side numbers, e.g. from df.agg(min, max))."""
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    span = float(hi - lo)
+    scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(65535.0)
+    return F.least(
+        F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(65535)
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, key: Column, partitions: int = 8
+) -> None:
+    """Materialize the layout: range-repartition by the Morton key and
+    sort within partitions before writing, so every output file covers
+    a compact Z-curve segment and row-group min/max stats prune on both
+    interleaved dimensions."""
+    (
+        df.withColumn("__zk", key)
+        .repartitionByRange(partitions, "__zk")
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

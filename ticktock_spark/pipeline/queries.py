@@ -5137,3 +5137,50 @@ def q150(spark, sf_dir):
     md5-threshold draw — the actual CCNet selection recipe as one
     composition. No shuffle beyond the bucket scoring."""
     return sp.ccnet_mixture(_table(spark, sf_dir, "documents"), tail_rate=0.1)
+
+
+@register(
+    "q151_zorder_key",
+    """
+    WITH mm AS (
+      SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+             CAST(max(n_chars) AS DOUBLE) AS hi
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id,
+             least(greatest(CAST(floor(
+               (CAST(n_chars AS DOUBLE) - mm.lo) / (mm.hi - mm.lo) * 65535.0)
+               AS BIGINT), 0), 65535) AS xa,
+             CAST(list_aggregate(
+               [ (strpos('0123456789abcdef', substr(md5(lang), i, 1)) - 1)
+                 * (16 ** (4 - i)) for i in generate_series(1, 4)], 'sum')
+               AS BIGINT) AS xb
+      FROM documents CROSS JOIN mm
+    ),
+    s1 AS (SELECT doc_id, (xa | (xa << 8)) & 16711935 AS xa,
+                  (xb | (xb << 8)) & 16711935 AS xb FROM n),
+    s2 AS (SELECT doc_id, (xa | (xa << 4)) & 252645135 AS xa,
+                  (xb | (xb << 4)) & 252645135 AS xb FROM s1),
+    s3 AS (SELECT doc_id, (xa | (xa << 2)) & 858993459 AS xa,
+                  (xb | (xb << 2)) & 858993459 AS xb FROM s2),
+    s4 AS (SELECT doc_id, (xa | (xa << 1)) & 1431655765 AS xa,
+                  (xb | (xb << 1)) & 1431655765 AS xb FROM s3)
+    SELECT doc_id, CAST(xa | (xb << 1) AS BIGINT) AS zkey FROM s4
+    """,
+)
+def q151(spark, sf_dir):
+    """Z-order clustering key (operators/zorder.py): 32-bit Morton
+    interleave of min/max-scaled doc length and an md5-derived 16-bit
+    language bucket — the multi-dimensional generalization of the
+    reference's one-dimensional series-clustered compaction
+    (tsdb.cpp:3431). write_zordered materializes the layout so parquet
+    row-group stats prune on BOTH dimensions (measured in SCALE.md).
+    Pure integer bit math after a two-number driver aggregate."""
+    from ticktock_spark.operators.zorder import scale_to_16bit, zorder_key
+
+    d = _table(spark, sf_dir, "documents")
+    row = d.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    dim_a = scale_to_16bit(F.col("n_chars"), float(row[0]), float(row[1]))
+    dim_b = F.conv(F.substring(F.md5(F.col("lang")), 1, 4), 16, 10).cast("long")
+    return d.select("doc_id", zorder_key(dim_a, dim_b).alias("zkey"))
