@@ -2467,3 +2467,40 @@ def test_ccnet_mixture_keeps_head_samples_tail(spark):
     # determinism
     again = {r["doc_id"] for r in ccnet_mixture(docs, tail_rate=0.1).collect()}
     assert set(kept) == again
+
+
+def test_scene_cuts_segments_frames(spark):
+    from ticktock_spark.pipeline.multimodal import scene_cuts
+
+    # hand-crafted frames: payloads whose first 4 bytes give signatures
+    # 0.0, 0.0, ~0.5, ~0.5, ~1.0 → cuts at idx 2 and 4
+    def payload(first_byte):
+        return bytes([first_byte, 0, 0, 0]) + b"rest"
+
+    rows = [
+        (1, 0, payload(0)), (1, 1, payload(1)), (1, 2, payload(128)),
+        (1, 3, payload(129)), (1, 4, payload(255)),
+        (2, 0, payload(7)), (2, 1, payload(9)),  # one quiet video
+    ]
+    frames = spark.createDataFrame(rows, "doc_id long, frame_idx int, frame binary")
+    out = {(r["doc_id"], r["frame_idx"]): r for r in scene_cuts(frames, 0.3).collect()}
+    assert [out[(1, i)]["scene_idx"] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert out[(1, 2)]["is_cut"] and out[(1, 4)]["is_cut"]
+    assert not out[(1, 1)]["is_cut"]
+    assert [out[(2, i)]["scene_idx"] for i in range(2)] == [0, 0]
+
+
+def test_scene_cuts_on_frame_sample_plumbing(spark):
+    from ticktock_spark.pipeline.multimodal import frame_sample, scene_cuts
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"videoblob"), {"duration_ms": 4000})],
+        "doc_id long, media binary, media_meta map<string,int>",
+    )
+    frames = frame_sample(media, fps=1.0)
+    out = scene_cuts(frames).collect()
+    assert len(out) == 4
+    assert all(r["scene_idx"] >= 0 for r in out)
+    # deterministic: same input → same segmentation
+    again = scene_cuts(frame_sample(media, fps=1.0)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

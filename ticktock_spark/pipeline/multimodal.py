@@ -477,3 +477,47 @@ def dhash_neardup_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def scene_cuts(
+    frames: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    idx_col: str = "frame_idx",
+    frame_col: str = "frame",
+) -> DataFrame:
+    """Scene-change detection over sampled frames (frame_sample output):
+    a cut is declared where the inter-frame signature distance exceeds
+    ``threshold``, and frames are grouped into scenes by a running cut
+    count — the shot-segmentation pass before per-scene frame selection
+    in video training-data pipelines.
+
+    The signature here is a deterministic JVM-side proxy (first 4 bytes
+    of the frame payload as a [0,1) fraction via hex decode — exact on
+    the fake-decode frames); a real build swaps in an Arrow-batched
+    grayscale-histogram UDF, and everything downstream (the lag window,
+    the cut rule, the running scene index) is unchanged.
+
+    Scale shape: one exchange on the video id; two stacked ordered
+    windows per video (lag + running sum) over per-video frame counts —
+    bounded state, no Python in the default path.
+    """
+    from pyspark.sql import Window
+
+    sig = (
+        F.conv(F.substring(F.hex(F.col(frame_col)), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    base = frames.withColumn("sig", sig).withColumn(
+        "is_cut",
+        F.when(
+            F.lag("sig").over(w).isNotNull()
+            & (F.abs(F.col("sig") - F.lag("sig").over(w)) > F.lit(float(threshold))),
+            True,
+        ).otherwise(False),
+    )
+    scene = F.sum(F.col("is_cut").cast("int")).over(
+        Window.partitionBy(id_col).orderBy(idx_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return base.withColumn("scene_idx", scene.cast("int"))
