@@ -2504,3 +2504,32 @@ def test_scene_cuts_on_frame_sample_plumbing(spark):
     # deterministic: same input → same segmentation
     again = scene_cuts(frame_sample(media, fps=1.0)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_containment_pairs_catch_excerpts(spark):
+    from ticktock_spark.pipeline.dedup import (
+        containment_pairs,
+        minhash_lsh_candidates,
+        verify_jaccard,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+    article = (
+        "breaking report from the valley "
+        + quote
+        + " officials said more follows tomorrow with extended analysis "
+        + "and a long tail of unrelated commentary stretching onward " * 3
+    )
+    docs = spark.createDataFrame(
+        [(1, article), (2, quote), (3, "completely different text body")],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, threshold=0.8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["contained"] == "b" and r["containment"] >= 0.9  # the quote side
+    # Jaccard at the same bar misses it (small union ratio)
+    cand = minhash_lsh_candidates(docs)
+    jac = verify_jaccard(docs, cand, threshold=0.8).collect()
+    assert (1, 2) not in {(x["id_a"], x["id_b"]) for x in jac}

@@ -1261,3 +1261,61 @@ def cross_source_matrix(
             ).alias("mean_jaccard"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT detection: |A∩B| / min(|A|, |B|) >= t —
+    the excerpt/quote relation Jaccard misses (a paragraph quoted inside
+    a long article has tiny Jaccard but containment ~1). Broder's
+    containment coefficient over the same k-gram shingle sets as the
+    Jaccard pipeline; output says WHICH side is contained
+    (``contained`` = 'a', 'b', or 'both' when sizes tie or each clears
+    the bar relative to its own size).
+
+    Candidates come from the same LSH pass (MinHash recall for high
+    containment with skewed sizes is weaker than for high Jaccard —
+    callers screening short-in-long quotes at scale should shingle the
+    LONG side in windows, the chunk_dedup machinery); verification is
+    exact and candidate-bounded, sharing one persisted shingle frame.
+
+    Output: (id_a < id_b, inter, n_a, n_b, containment, contained).
+    """
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+        .persist()
+    )
+    cand = minhash_lsh_candidates(
+        df, text_col=text_col, id_col=id_col, k=k,
+        num_hashes=num_hashes, bands=bands, shingles_df=sh,
+    )
+    joined = (
+        cand.select("id_a", "id_b")
+        .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    cont = F.col("inter").cast("double") / F.least("n_a", "n_b").cast("double")
+    out = joined.withColumn("containment", cont).filter(
+        F.col("containment") >= F.lit(float(threshold))
+    )
+    side = (
+        F.when(F.col("n_a") < F.col("n_b"), F.lit("a"))
+        .when(F.col("n_b") < F.col("n_a"), F.lit("b"))
+        .otherwise(F.lit("both"))
+    )
+    return out.select("id_a", "id_b", "inter", "n_a", "n_b", "containment", side.alias("contained"))

@@ -5184,3 +5184,39 @@ def q151(spark, sf_dir):
     dim_a = scale_to_16bit(F.col("n_chars"), float(row[0]), float(row[1]))
     dim_b = F.conv(F.substring(F.md5(F.col("lang")), 1, 4), 16, 10).cast("long")
     return d.select("doc_id", zorder_key(dim_a, dim_b).alias("zkey"))
+
+
+@register(
+    "q152_containment_pairs",
+    _minhash_cte()
+    + """
+    , ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    iv AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                  JOIN ex b ON b.doc_id = c.id_b AND a.s = b.s
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT iv.id_a, iv.id_b, CAST(iv.inter AS BIGINT) AS inter,
+             CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b,
+             CAST(iv.inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+      FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
+              JOIN sz sb ON sb.doc_id = iv.id_b
+    )
+    SELECT id_a, id_b, inter, n_a, n_b, containment,
+           CASE WHEN n_a < n_b THEN 'a'
+                WHEN n_b < n_a THEN 'b'
+                ELSE 'both' END AS contained
+    FROM j WHERE containment >= 0.8
+    """,
+)
+def q152(spark, sf_dir):
+    """Asymmetric containment pairs (pipeline/dedup.py
+    containment_pairs): |A∩B| / min(|A|,|B|) >= 0.8 over the LSH
+    candidate set — the excerpt/quote relation Jaccard misses (tiny
+    union ratio, full overlap of the short side). Shares one persisted
+    shingle frame across candidates and verification; exact candidate-
+    bounded intersections; reports which side is contained."""
+    return dd.containment_pairs(_table(spark, sf_dir, "documents"), threshold=0.8)
