@@ -1420,3 +1420,65 @@ def test_streaming_transitions_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_ewma_matches_sequential_fold(spark, tmp_path):
+    """Two micro-batches of per-series points reproduce the exact
+    sequential recursive EWMA (state carries the running average across
+    the batch boundary; first point seeds silently)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.ewma import streaming_ewma
+
+    rows = []
+    for s, vals in (("a", [10.0, 20.0, 40.0, 0.0]), ("b", [5.0, 5.0, 8.0])):
+        for i, v in enumerate(vals):
+            rows.append((s, 1_000_000 * (i + 1), i, v))
+    half = len(rows) // 2
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for bi, chunk in enumerate((rows[:half], rows[half:])):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{s} {us} {q} {v}" for s, us, q, v in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).alias("series"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(2).cast("long").alias("seq"),
+        p.getItem(3).cast("double").alias("value"),
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.5)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["series"], r["us"]): (r["ewma"], r["resid"])
+        for r in spark.sql("select * from ewma_out").collect()
+    }
+    # sequential reference fold
+    want = {}
+    for s, vals in (("a", [10.0, 20.0, 40.0, 0.0]), ("b", [5.0, 5.0, 8.0])):
+        ew = None
+        for i, v in enumerate(vals):
+            us = 1_000_000 * (i + 1)
+            if ew is None:
+                ew = v
+                continue
+            want[(s, us)] = (ew, v - ew)
+            ew = 0.5 * v + 0.5 * ew
+    assert got == want
