@@ -235,3 +235,18 @@ def test_ewma_baseline_hand_computed(spark):
     want = (0.25 * 10 + 0.5 * 20 + 40) / 1.75
     assert out[4]["ewma"] == math.floor(want * 1e6 + 0.5) / 1e6
     assert out[4]["resid"] == math.floor((0.0 - want) * 1e6 + 0.5) / 1e6
+
+
+def test_rolling_percentile_r6_hand_computed(spark):
+    from ticktock_spark.operators.rolling import rolling_percentile_r6
+
+    rows = [("m", t, float(v)) for t, v in enumerate([10, 30, 20, 40], start=1)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = {r["ts"]: r for r in rolling_percentile_r6(df, ["metric"], 50.0, 3).collect()}
+    # t=1: window [10] -> p50 = 10; t=2: [10,30] -> idx=1.5 -> 20
+    assert out[1]["pct"] == 10.0 and out[1]["n_window"] == 1
+    assert out[2]["pct"] == 20.0
+    # t=3: [10,20,30] -> idx = 0.5*4 = 2 -> exactly the 2nd value = 20
+    assert out[3]["pct"] == 20.0 and out[3]["n_window"] == 3
+    # t=4: trailing 3 = [20,30,40] -> 30
+    assert out[4]["pct"] == 30.0

@@ -173,3 +173,45 @@ def ewma_baseline(
             / F.lit(1_000_000.0)
         ).alias("resid"),
     )
+
+
+def rolling_percentile_r6(
+    df: DataFrame,
+    series_cols: list[str],
+    quantile: float,
+    lookback: int = 16,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing-window exact percentile per series — "rolling p95
+    latency", the SRE staple — with OpenTSDB's R-6 ``q*(n+1)``
+    interpolation (operators/percentile.py semantics) so a rolling p95
+    agrees with the downsample/aggregation percentiles everywhere else
+    in the engine. The window INCLUDES the current point and covers the
+    trailing ``lookback`` rows.
+
+    Scale shape: one exchange on the series key; each row carries a
+    sorted array bounded by ``lookback`` (constant), so memory per row
+    is fixed — no per-group collection of unbounded history.
+    """
+    from ticktock_spark.operators.downsample import percentile_r6_on_array
+
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col)
+        .rowsBetween(-(int(lookback) - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(value_col).over(w))
+    base = df.select(
+        *series_cols, F.col(ts_col), F.col(value_col), arr.alias("__arr")
+    )
+    pct = percentile_r6_on_array(F.col("__arr"), float(quantile))
+    return base.select(
+        *series_cols,
+        ts_col,
+        value_col,
+        F.size("__arr").alias("n_window"),
+        (F.floor(pct * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)).alias(
+            "pct"
+        ),
+    )

@@ -5220,3 +5220,51 @@ def q152(spark, sf_dir):
     shingle frame across candidates and verification; exact candidate-
     bounded intersections; reports which side is contained."""
     return dd.containment_pairs(_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "q153_rolling_p95",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM (SELECT event_type AS metric, epoch_ms(ts) AS ts, value FROM events)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT metric, ts, v,
+             list_sort(list(v) OVER (PARTITION BY metric ORDER BY ts
+                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)) AS vals
+      FROM b
+    ),
+    cx AS (
+      SELECT metric, ts, v, vals, len(vals) AS n,
+             95.0 / 100.0 * (len(vals) + 1) AS idx
+      FROM w
+    )
+    SELECT metric, ts, {_Q6.format(x='v')} AS value,
+           CAST(n AS INT) AS n_window,
+           {_Q6.format(x=_R6_LIST)} AS pct
+    FROM cx
+    """,
+)
+def q153(spark, sf_dir):
+    """Rolling exact R-6 p95 over per-metric 1m buckets (operators/
+    rolling.py rolling_percentile_r6) — the "rolling p95 latency" SRE
+    query, interpolating with the same OpenTSDB q*(n+1) rule as every
+    other percentile in the engine (agg_test.cpp:29-76 semantics).
+    Constant-bounded trailing arrays; exact decimal bucket means."""
+    from ticktock_spark.operators.rolling import rolling_percentile_r6
+    from ticktock_spark.queries import MIN_MS, _dps
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    out = rolling_percentile_r6(b, ["metric"], 95.0, lookback=16)
+    return out.select(
+        "metric", "ts", q6(F.col("value")).alias("value"), "n_window", "pct"
+    )
