@@ -2533,3 +2533,25 @@ def test_containment_pairs_catch_excerpts(spark):
     cand = minhash_lsh_candidates(docs)
     jac = verify_jaccard(docs, cand, threshold=0.8).collect()
     assert (1, 2) not in {(x["id_a"], x["id_b"]) for x in jac}
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    from ticktock_spark.pipeline.dedup import dedup_threshold_sweep
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "small tail"),          # very high jaccard with 1
+            (3, base + "a much longer different continuation " * 4),  # mid
+            (4, "entirely different content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["threshold"]: r for r in dedup_threshold_sweep(docs).collect()}
+    assert out, "no thresholds produced"
+    ts = sorted(out)
+    for a, b in zip(ts, ts[1:]):
+        assert out[a]["n_pairs"] >= out[b]["n_pairs"]        # monotone down
+        assert out[a]["n_removable"] >= out[b]["n_removable"]
+    assert out[ts[0]]["n_removable"] >= 1  # doc 2 removable at the low cut

@@ -1319,3 +1319,49 @@ def containment_pairs(
         .otherwise(F.lit("both"))
     )
     return out.select("id_a", "id_b", "inter", "n_a", "n_b", "containment", side.alias("contained"))
+
+
+def dedup_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Operating-point sweep for the near-dup Jaccard cut: at each
+    candidate threshold t, how many verified pairs clear it and how many
+    documents the keep-lowest-id rule would remove — the dedup
+    counterpart of classify.threshold_sweep, read before committing a
+    pipeline's jaccard threshold (q77's dedup_pipeline default).
+
+    ``n_removable`` uses the closure-free keep-first rule (a doc is
+    removed iff it pairs at >= t with any LOWER id); it lower-bounds the
+    connected-components closure count but is exactly SQL-checkable and
+    monotone in t, which is what threshold selection needs.
+
+    Scale shape: ONE candidate+verify pass at min(thresholds) (the size
+    prescreen bounds verification work), then a constant |thresholds|
+    fan-out over the verified pairs (pair-scale, not corpus-scale).
+    """
+    lo = min(float(t) for t in thresholds)
+    ver = verify_jaccard(
+        df,
+        minhash_lsh_candidates(
+            df, text_col=text_col, id_col=id_col, k=k,
+            num_hashes=num_hashes, bands=bands,
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        threshold=lo,
+    )
+    t = F.explode(F.array(*[F.lit(float(x)) for x in thresholds])).alias("threshold")
+    fanned = ver.select("id_a", "id_b", "jaccard", t).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    return fanned.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_removable"),
+    )

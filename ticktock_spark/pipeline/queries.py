@@ -5268,3 +5268,41 @@ def q153(spark, sf_dir):
     return out.select(
         "metric", "ts", q6(F.col("value")).alias("value"), "n_window", "pct"
     )
+
+
+@register(
+    "q154_dedup_threshold_sweep",
+    _minhash_cte()
+    + """
+    , ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    iv AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                  JOIN ex b ON b.doc_id = c.id_b AND a.s = b.s
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT iv.id_a, iv.id_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+      FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
+              JOIN sz sb ON sb.doc_id = iv.id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    f AS (
+      SELECT id_a, id_b, j,
+             unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+      FROM ver
+    )
+    SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT id_b) AS BIGINT) AS n_removable
+    FROM f WHERE j >= threshold GROUP BY 1
+    """,
+)
+def q154(spark, sf_dir):
+    """Near-dup threshold sweep (pipeline/dedup.py
+    dedup_threshold_sweep): verified pairs and keep-first removable-doc
+    counts at each candidate Jaccard cut — the table read before fixing
+    a dedup pipeline's threshold. One candidate+verify pass at the
+    lowest cut (size-prescreened), constant fan-out after."""
+    return dd.dedup_threshold_sweep(_table(spark, sf_dir, "documents"))
