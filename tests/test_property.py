@@ -256,3 +256,56 @@ def test_netpbm_parser_never_crashes_on_garbage(data):
     for prefix in (b"", b"P5", b"P6", b"P5 ", b"P6\n#"):
         out = _decode_netpbm(prefix + data)
         assert out is None or (len(out) == 4 and out[0] > 0 and out[1] > 0)
+
+
+def test_rolling_percentile_r6_matches_reference_randomized(spark):
+    # seeded-random single-series walk cross-checked window-by-window
+    # against the same aggregate.cpp transcription used above
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ticktock_spark.operators.rolling import rolling_percentile_r6
+
+    rng = random.Random(20260815)
+    vals = [rng.uniform(-1e4, 1e4) for _ in range(60)]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)],
+        "metric string, ts long, value double",
+    )
+    for q, lb in ((95.0, 8), (50.0, 5)):
+        got = {
+            r["ts"]: (r["pct"], r["n_window"])
+            for r in rolling_percentile_r6(df, ["metric"], q, lb).collect()
+        }
+        for i in range(len(vals)):
+            window = sorted(vals[max(0, i - lb + 1) : i + 1])
+            exp = _r6_reference(window, q)
+            exp = math.floor(exp * 1e6 + 0.5) / 1e6
+            assert got[i][1] == len(window)
+            assert math.isclose(got[i][0], exp, rel_tol=0, abs_tol=1e-9), (i, q)
+
+
+def test_epoch_shuffle_is_permutation_randomized(spark):
+    # any (n_shards, epoch): coordinates form a bijection onto
+    # {(s, 1..count_s)} and reshuffle completely across epochs
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.pipeline.sample import epoch_shuffle
+
+    rng = random.Random(42)
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    for _ in range(3):
+        ns, ep = rng.randint(1, 17), rng.randint(0, 99)
+        rows = epoch_shuffle(docs, ns, ep).collect()
+        assert len(rows) == 300
+        coords = {(r["shard"], r["pos"]) for r in rows}
+        assert len(coords) == 300  # injective
+        by_shard: dict = {}
+        for r in rows:
+            assert 0 <= r["shard"] < ns
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))  # contiguous
