@@ -1311,3 +1311,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+@register(
+    "q155_seasonal_profile",
+    f"""
+    SELECT metric,
+           CAST((ts // 3600000) % 24 AS INT) AS hour_utc,
+           CAST(count(*) AS BIGINT) AS n,
+           {_Q6.format(x='CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)'
+                         ' / count(*)')} AS avg_value
+    FROM {_EV} GROUP BY 1, 2
+    """,
+)
+def q155(spark, sf_dir):
+    """Hour-of-day seasonal profile per metric — the daily-seasonality
+    matrix behind capacity planning and seasonal-baseline alerting
+    (the calendar twin of q148's recency baseline). Hour is pure
+    integer epoch math (UTC, no calendar/tz logic — matching the
+    reference's epoch-aligned bucket philosophy, down.cpp:242-246);
+    bucket means are exact decimal sums. One scan, one 24×|metrics|
+    aggregation."""
+    d = _dps(spark, sf_dir)
+    # integer `div`, not float '/': a double quotient can round across
+    # the hour boundary for epoch values near a multiple of 3600000
+    return d.groupBy(
+        "metric",
+        (F.expr("ts div 3600000") % 24).cast("int").alias("hour_utc"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        q6(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
