@@ -1345,3 +1345,47 @@ def q155(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("avg_value"),
     )
+
+
+@register(
+    "q156_seasonal_residual",
+    f"""
+    WITH p AS (
+      SELECT metric, CAST((ts // 3600000) % 24 AS INT) AS hour_utc,
+             {_Q6.format(x='CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)'
+                           ' / count(*)')} AS hour_avg
+      FROM {_EV} GROUP BY 1, 2
+    )
+    SELECT e.metric, e.ts, e.seq, {_Q6.format(x='e.value')} AS value,
+           p.hour_avg,
+           {_Q6.format(x='(e.value - p.hour_avg)')} AS resid
+    FROM {_EV} e JOIN p
+      ON e.metric = p.metric AND CAST((e.ts // 3600000) % 24 AS INT) = p.hour_utc
+    """,
+)
+def q156(spark, sf_dir):
+    """Seasonal residual per datapoint: value minus its metric's
+    same-hour-of-day mean (q155's profile joined back, broadcast — 24 x
+    |metrics| rows) — the de-seasonalized signal that feeds threshold
+    alerting without tripping on daily cycles. Two scans of the events
+    table (profile + points), residual arithmetic mirrored exactly."""
+    d = _dps(spark, sf_dir)
+    hour = (F.expr("ts div 3600000") % 24).cast("int")
+    prof = d.groupBy("metric", hour.alias("hour_utc")).agg(
+        q6(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hour_avg")
+    )
+    return (
+        d.withColumn("hour_utc", hour)
+        .join(F.broadcast(prof), ["metric", "hour_utc"])
+        .select(
+            "metric",
+            "ts",
+            "seq",
+            q6(F.col("value")).alias("value"),
+            "hour_avg",
+            q6(F.col("value") - F.col("hour_avg")).alias("resid"),
+        )
+    )
