@@ -1389,3 +1389,76 @@ def q156(spark, sf_dir):
             q6(F.col("value") - F.col("hour_avg")).alias("resid"),
         )
     )
+
+
+@register(
+    "q157_anomaly_ensemble",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT metric, CAST((ts // 3600000) % 24 AS INT) AS hour_utc,
+             {_Q6.format(x='sum(v) / count(*)')} AS hour_avg
+      FROM b GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT metric, ts, v,
+             list(v) OVER (PARTITION BY metric ORDER BY ts
+                           ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) AS arr
+      FROM b
+    ),
+    e AS (
+      SELECT metric, ts, v,
+             list_sum([arr[i] * 0.5 ** (len(arr) - i)
+                       for i in generate_series(1, len(arr))])
+               / list_sum([0.5 ** (len(arr) - i)
+                           for i in generate_series(1, len(arr))]) AS ew
+      FROM w WHERE len(arr) > 0
+    )
+    SELECT e.metric, e.ts, {_Q6.format(x='e.v')} AS value,
+           {_Q6.format(x=f"(abs(e.v - p.hour_avg) + abs({_Q6.format(x='(e.v - e.ew)')}))")}
+             AS score
+    FROM e JOIN p
+      ON e.metric = p.metric AND CAST((e.ts // 3600000) % 24 AS INT) = p.hour_utc
+    """,
+)
+def q157(spark, sf_dir):
+    """Anomaly-score ensemble over per-metric 1m bucket means: the
+    seasonal residual (|v - same-hour mean|, q155/q156) plus the
+    recency residual (|v - trailing EWMA baseline|, q148) in one
+    per-bucket score — seasonal-aware AND level-aware alerting from two
+    already-pinned baselines. Exact decimal bucket means; one window
+    pass + one broadcast profile join."""
+    hour = (F.expr("ts div 3600000") % 24).cast("int")
+    d = _dps(spark, sf_dir)
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    prof = b.groupBy("metric", hour.alias("hour_utc")).agg(
+        q6(F.sum("value") / F.count(F.lit(1))).alias("hour_avg")
+    )
+    from ticktock_spark.operators.rolling import ewma_baseline
+
+    ew = ewma_baseline(b, ["metric"], alpha=0.5, lookback=16)
+    # ewma_baseline quantizes; recompute the raw combination from its
+    # quantized columns deterministically: score uses the SAME quantized
+    # ewma both engines see.
+    joined = (
+        ew.withColumn("hour_utc", hour)
+        .join(F.broadcast(prof), ["metric", "hour_utc"])
+    )
+    return joined.select(
+        "metric",
+        "ts",
+        q6(F.col("value")).alias("value"),
+        q6(
+            F.abs(F.col("value") - F.col("hour_avg"))
+            + F.abs(F.col("value") - (F.col("value") - F.col("resid")))
+        ).alias("score"),
+    )
