@@ -1346,16 +1346,25 @@ def dedup_threshold_sweep(
     fan-out over the verified pairs (pair-scale, not corpus-scale).
     """
     lo = min(float(t) for t in thresholds)
+    # one persisted shingle frame across candidates + verify (the
+    # cross_source_matrix sharing shape; unshared, the audit shows the
+    # corpus text scanned twice just to re-derive shingles)
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+        .persist()
+    )
     ver = verify_jaccard(
         df,
         minhash_lsh_candidates(
             df, text_col=text_col, id_col=id_col, k=k,
-            num_hashes=num_hashes, bands=bands,
+            num_hashes=num_hashes, bands=bands, shingles_df=sh,
         ),
         text_col=text_col,
         id_col=id_col,
         k=k,
         threshold=lo,
+        shingles_df=sh,
     )
     t = F.explode(F.array(*[F.lit(float(x)) for x in thresholds])).alias("threshold")
     fanned = ver.select("id_a", "id_b", "jaccard", t).filter(
