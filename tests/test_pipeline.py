@@ -2555,3 +2555,30 @@ def test_dedup_threshold_sweep_monotone(spark):
         assert out[a]["n_pairs"] >= out[b]["n_pairs"]        # monotone down
         assert out[a]["n_removable"] >= out[b]["n_removable"]
     assert out[ts[0]]["n_removable"] >= 1  # doc 2 removable at the low cut
+
+
+def test_release_delta_token_accounting(spark):
+    from ticktock_spark.pipeline.dedup import release_delta
+
+    old = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),       # unchanged
+            (2, "x y", "s1"),         # changed: grows by 2 tokens
+            (3, "gone now", "s2"),    # removed: -2
+        ],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "x y z w", "s1"),
+            (4, "fresh doc here", "s2"),  # added: +3
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source"], r["status"]): r for r in release_delta(old, new).collect()}
+    assert out[("s1", "unchanged")]["n_docs"] == 1
+    assert out[("s1", "unchanged")]["token_delta"] == 0
+    assert out[("s1", "changed")]["token_delta"] == 2
+    assert out[("s2", "removed")]["token_delta"] == -2
+    assert out[("s2", "added")]["token_delta"] == 3

@@ -1374,3 +1374,63 @@ def dedup_threshold_sweep(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("id_b").alias("n_removable"),
     )
+
+
+def release_delta(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus release delta report: corpus_diff's per-doc statuses
+    rolled up per (source, status) with the TOKEN mass each class moves
+    — the release-engineering numbers next to the diff ("src3 grew 2M
+    tokens, 40% of it rewrites"). Token delta per doc is
+    new_tokens - old_tokens (added: +new, removed: -old, changed: the
+    difference, unchanged: 0), so summing a source's rows gives its net
+    token drift between versions.
+
+    Shuffle carries (id, digest, tokens, source) — still never the
+    text; one md5+token scan per side, one id join, one bounded
+    (source x status) aggregation. All outputs exact integers.
+    """
+    from ticktock_spark.pipeline.text import token_count
+
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__old"),
+        token_count(F.col(text_col)).cast("long").alias("__to"),
+        F.col(source_col).alias("__so"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__new"),
+        token_count(F.col(text_col)).cast("long").alias("__tn"),
+        F.col(source_col).alias("__sn"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    status = (
+        F.when(in_old & ~in_new, F.lit("removed"))
+        .when(~in_old & in_new, F.lit("added"))
+        .when(
+            F.coalesce(F.col("__old"), F.lit("\x00"))
+            == F.coalesce(F.col("__new"), F.lit("\x00")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    per = j.select(
+        F.coalesce(F.col("__sn"), F.col("__so")).alias("source"),
+        status.alias("status"),
+        (F.coalesce(F.col("__tn"), F.lit(0)) - F.coalesce(F.col("__to"), F.lit(0))).alias(
+            "__td"
+        ),
+    )
+    return per.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__td").alias("token_delta")
+    )

@@ -5306,3 +5306,54 @@ def q154(spark, sf_dir):
     a dedup pipeline's threshold. One candidate+verify pass at the
     lowest cut (size-prescreened), constant fan-out after."""
     return dd.dedup_threshold_sweep(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q158_release_delta",
+    f"""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h, {_TOKS} AS t, source FROM documents
+    ),
+    newsrc AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+             source
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, source
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    new AS (SELECT doc_id, md5(text) AS h, {_TOKS} AS t, source FROM newsrc),
+    j AS (
+      SELECT coalesce(new.source, old.source) AS source,
+             CASE WHEN new.doc_id IS NULL THEN 'removed'
+                  WHEN old.doc_id IS NULL THEN 'added'
+                  WHEN coalesce(old.h, chr(1)) = coalesce(new.h, chr(1))
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             coalesce(new.t, 0) - coalesce(old.t, 0) AS td
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    )
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(td) AS BIGINT) AS token_delta
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q158(spark, sf_dir):
+    """Release delta report (pipeline/dedup.py release_delta): q105's
+    version diff rolled up per (source, status) with the token mass each
+    class moves — net token drift per source between corpus versions.
+    Same synthetic v2 snapshot as q105 (drop every 7th, rewrite every
+    5th, append every 11th). Exact integer outputs; (id, digest,
+    tokens, source) shuffle, never text."""
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    new = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    return dd.release_delta(d, new)
