@@ -2582,3 +2582,26 @@ def test_release_delta_token_accounting(spark):
     assert out[("s1", "changed")]["token_delta"] == 2
     assert out[("s2", "removed")]["token_delta"] == -2
     assert out[("s2", "added")]["token_delta"] == 3
+
+
+def test_word_shingles_and_lsh_recall(spark):
+    from ticktock_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        word_shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "iota"), (3, "totally different words only")],
+        "doc_id long, text string",
+    )
+    ws = {r["doc_id"]: set(r["ws"]) for r in docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("ws")).collect()}
+    # word 3-grams: near-identical docs share almost all shingles
+    inter = len(ws[1] & ws[2]);  union = len(ws[1] | ws[2])
+    assert inter / union > 0.8
+    assert not (ws[1] & ws[3])
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    cand = {(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_candidates(docs, shingles_df=sh).collect()}
+    assert (1, 2) in cand and (1, 3) not in cand

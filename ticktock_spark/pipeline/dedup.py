@@ -1434,3 +1434,30 @@ def release_delta(
     return per.groupBy("source", "status").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("__td").alias("token_delta")
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text — the shingle unit
+    most production dedup stacks use (RefinedWeb/Gopher-style word
+    5-grams vs this module's default char 5-grams: word shingles are
+    robust to intra-word edits and make |shingle set| ~ token count
+    instead of ~ char count). Documents with fewer than ``n`` tokens
+    yield their full token sequence as one shingle.
+
+    Slots directly into the LSH stack via the ``shingles_df`` parameter
+    of minhash_lsh_candidates / verify_jaccard (both treat the shingle
+    set as opaque strings).
+    """
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.array(F.split(normalize_text(text), r"\s+")),
+                lambda tk: F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+                ),
+            )
+        )
+    )

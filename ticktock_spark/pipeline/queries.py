@@ -159,7 +159,9 @@ def q33(spark, sf_dir):
 
 
 def _minhash_cte(
-    cand_cond: str = "a.doc_id < b.doc_id", src: str = "documents"
+    cand_cond: str = "a.doc_id < b.doc_id",
+    src: str = "documents",
+    shingle_expr: str | None = None,
 ) -> str:
     # mirror of dedup.minhash_signature: h_j = min over shingles of the
     # j-th 8-hex slice of md5('0:'||s) || md5('1:'||s)
@@ -171,9 +173,10 @@ def _minhash_cte(
         f"SELECT doc_id, {b} AS band, md5('b{b}:' || h{2*b} || h{2*b+1}) AS key FROM sig"
         for b in range(4)
     )
+    sh_expr = shingle_expr or _SHINGLES
     return f"""
     WITH n AS (SELECT doc_id, {_NORM} AS norm FROM {src}),
-    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM n),
+    sh AS (SELECT doc_id, {sh_expr} AS sh FROM n),
     ct AS (SELECT doc_id, [md5('0:' || s) || md5('1:' || s) for s in sh] AS cats FROM sh),
     sig AS (
       SELECT doc_id,
@@ -5357,3 +5360,32 @@ def q158(spark, sf_dir):
         )
     )
     return dd.release_delta(d, new)
+
+
+_WORD_SHINGLES = (
+    "list_distinct([array_to_string(tk_w[i:i+2], ' ')"
+    " for i in generate_series(1, greatest(len(tk_w) - 2, 1))])"
+)
+
+
+@register(
+    "q159_minhash_word_shingles",
+    _minhash_cte(
+        shingle_expr=(
+            "(SELECT " + _WORD_SHINGLES
+            + " FROM (SELECT string_split_regex(norm, '\\s+') AS tk_w))"
+        )
+    )
+    + "\n    SELECT id_a, id_b, n_bands FROM cand",
+)
+def q159(spark, sf_dir):
+    """MinHash+LSH candidates over WORD 3-gram shingles (pipeline/
+    dedup.py word_shingles) — the RefinedWeb/Gopher shingle unit, robust
+    to intra-word edits with |shingle set| ~ token count. Same banding
+    engine as q34, fed through the shingles_df sharing contract; the
+    oracle re-derives identical word shingles in SQL."""
+    d = _table(spark, sf_dir, "documents")
+    sh = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col("doc_id"), dd.word_shingles(F.col("text"), 3).alias("sh"))
+    return dd.minhash_lsh_candidates(d, shingles_df=sh)
