@@ -5389,3 +5389,45 @@ def q159(spark, sf_dir):
         d.sparkSession.sparkContext.defaultParallelism
     ).select(F.col("doc_id"), dd.word_shingles(F.col("text"), 3).alias("sh"))
     return dd.minhash_lsh_candidates(d, shingles_df=sh)
+
+
+_BPE_LEN = (
+    "sum(len(regexp_extract_all(text,"
+    " '[A-Za-z]{1,4}|[0-9]|[^\\sA-Za-z0-9]', 0)))"
+)
+
+
+@register(
+    "q160_compression_ratio",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST({_BPE_LEN} AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN {_BPE_LEN} > 0 THEN
+           {_Q6.format(x=f'CAST(sum(length(text)) AS DOUBLE) / {_BPE_LEN}')}
+           END AS chars_per_token
+    FROM documents GROUP BY 1
+    """,
+)
+def q160(spark, sf_dir):
+    """Tokenizer compression ratio per source (chars per BPE-ish
+    token): low ratios flag sources the tokenizer segments poorly
+    (non-Latin scripts, code, mojibake) — the per-source twin of q120's
+    per-language fertility, used to spot sources that will eat token
+    budget. One scan, exact integer masses, single division."""
+    d = _table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(tx.bpe_ish_token_count(F.col("text"))).alias("n_bpe_tokens"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            q6(F.col("n_chars").cast("double") / F.col("n_bpe_tokens")),
+        ).alias("chars_per_token"),
+    )
