@@ -1401,7 +1401,9 @@ def q156(spark, sf_dir):
     ),
     p AS (
       SELECT metric, CAST((ts // 3600000) % 24 AS INT) AS hour_utc,
-             {_Q6.format(x='sum(v) / count(*)')} AS hour_avg
+             {_Q6.format(
+                 x='CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))'
+                   ' AS DOUBLE) / count(*) / 1000000.0')} AS hour_avg
       FROM b GROUP BY 1, 2
     ),
     w AS (
@@ -1440,8 +1442,18 @@ def q157(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("value")
     )
+    # the hour profile averages bucket MEANS (doubles): sum them in
+    # exact integer micro-units or Spark's partial-aggregation order
+    # diverges from a sequential engine in the last ulp (caught at
+    # sf0.01 — 80 flipped micro-digits)
     prof = b.groupBy("metric", hour.alias("hour_utc")).agg(
-        q6(F.sum("value") / F.count(F.lit(1))).alias("hour_avg")
+        q6(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0)
+        ).alias("hour_avg")
     )
     from ticktock_spark.operators.rolling import ewma_baseline
 
@@ -1457,8 +1469,11 @@ def q157(spark, sf_dir):
         "metric",
         "ts",
         q6(F.col("value")).alias("value"),
+        # |resid| directly — value - (value - resid) re-rounds twice in
+        # IEEE and can differ from resid in the last ulp, which the q6
+        # canonicalization then amplifies into a visible digit (caught
+        # by the sf0.01 full-registry differential)
         q6(
-            F.abs(F.col("value") - F.col("hour_avg"))
-            + F.abs(F.col("value") - (F.col("value") - F.col("resid")))
+            F.abs(F.col("value") - F.col("hour_avg")) + F.abs(F.col("resid"))
         ).alias("score"),
     )
