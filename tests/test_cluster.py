@@ -347,3 +347,28 @@ def test_event_transitions_counts_and_probs(spark):
     assert out[("click", "buy")]["p"] == 0.5
     assert out[("click", "view")]["p"] == 0.5
     assert ("buy", None) not in out  # terminal events emit no pair
+
+
+def test_session_transitions_respect_gaps(spark):
+    import datetime as dt
+
+    from ticktock_spark.pipeline.sessions import session_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 session 1: view->click; then a 2h gap; session 2: buy->view
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click"),
+        (3, t0 + dt.timedelta(hours=2, minutes=2), 1, "buy"),
+        (4, t0 + dt.timedelta(hours=2, minutes=3), 1, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["event_type"], r["next_type"]): r["n"]
+        for r in session_transitions(ev, gap_ms=1_800_000).collect()
+    }
+    assert out == {("view", "click"): 1, ("buy", "view"): 1}
+    # the cross-gap click->buy pair must NOT appear
+    assert ("click", "buy") not in out

@@ -5431,3 +5431,53 @@ def q160(spark, sf_dir):
             q6(F.col("n_chars").cast("double") / F.col("n_bpe_tokens")),
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "q161_session_transitions",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {_GAP_MS * 1000}
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    si AS (
+      SELECT user_id, event_id, event_type, us,
+             1 + sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM s
+    ),
+    o AS (
+      SELECT event_type,
+             lead(event_type) OVER w2 AS next_type,
+             session_idx,
+             lead(session_idx) OVER w2 AS next_sess
+      FROM si
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    c AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM o
+      WHERE next_type IS NOT NULL AND next_sess = session_idx
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.event_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def q161(spark, sf_dir):
+    """Within-session transition matrix (pipeline/sessions.py
+    session_transitions): q147's Markov view restricted to pairs inside
+    one gap-bounded session (4h gap, q46's rule) — cross-session jumps
+    are noise for funnel discovery. Session index and lead share one
+    (user, time) exchange+sort; |types|^2-bounded output."""
+    from ticktock_spark.schema import load_table
+
+    return ss.session_transitions(
+        load_table(spark, sf_dir, "events"), gap_ms=_GAP_MS
+    )

@@ -213,3 +213,50 @@ def event_transitions(
         "n",
         (F.col("n").cast("double") / total.cast("double")).alias("p"),
     )
+
+
+def session_transitions(
+    df: DataFrame,
+    gap_ms: int = 1_800_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Event-transition matrix WITHIN sessions: like event_transitions,
+    but a pair only counts when both events fall in the same
+    gap-bounded session — cross-session "transitions" (last click
+    tonight → first view next week) are noise for funnel discovery, and
+    this is the variant an analyst usually means.
+
+    Scale shape: sessionize's window and the lead() share the SAME
+    (user, time) partitioning and ordering, so Catalyst runs both in
+    one exchange + one sort; the pair aggregation is |types|^2-bounded
+    as in event_transitions.
+    """
+    s = sessionize(df, gap_ms=gap_ms, user_col=user_col, ts_col=ts_col, id_col=id_col)
+    w = Window.partitionBy(user_col).orderBy("__us", F.col(id_col))
+    pairs = (
+        s.select(
+            F.col(user_col),
+            F.col("__us"),
+            F.col(id_col),
+            F.col("session_idx"),
+            F.col(type_col).alias("event_type"),
+        )
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_sess", F.lead("session_idx").over(w))
+        .filter(
+            F.col("next_type").isNotNull()
+            & (F.col("next_sess") == F.col("session_idx"))
+        )
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("p"),
+    )
