@@ -2605,3 +2605,23 @@ def test_word_shingles_and_lsh_recall(spark):
     cand = {(r["id_a"], r["id_b"]) for r in
             minhash_lsh_candidates(docs, shingles_df=sh).collect()}
     assert (1, 2) in cand and (1, 3) not in cand
+
+
+def test_script_report_detects_scripts(spark):
+    from ticktock_spark.pipeline.text import script_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello latin world"),
+            (2, "中文文本处理 ok"),      # Han + 2 latin
+            (3, "привет мир"),  # Cyrillic
+            (4, "12345 !!!"),                                     # no letters
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_report(docs).collect()}
+    assert out[1]["script"] == "latin" and out[1]["n_latin"] == 15
+    assert out[2]["script"] == "han" and out[2]["n_han"] == 6
+    assert out[2]["n_latin"] == 2
+    assert out[3]["script"] == "cyrillic" and out[3]["n_cyrillic"] == 9
+    assert out[4]["script"] == "none" and out[4]["n_letters"] == 0

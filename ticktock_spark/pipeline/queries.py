@@ -5481,3 +5481,37 @@ def q161(spark, sf_dir):
     return ss.session_transitions(
         load_table(spark, sf_dir, "events"), gap_ms=_GAP_MS
     )
+
+
+@register(
+    "q162_script_report",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\p{Latin}', 0)) AS n_latin,
+             len(regexp_extract_all(text, '\p{Han}', 0)) AS n_han,
+             len(regexp_extract_all(text, '\p{Cyrillic}', 0)) AS n_cyrillic,
+             len(regexp_extract_all(text, '\p{L}', 0)) AS n_letters
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+           CAST(n_han AS BIGINT) AS n_han,
+           CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+           CAST(n_letters AS BIGINT) AS n_letters,
+           CASE WHEN n_letters <= 0 THEN 'none'
+                WHEN greatest(n_cyrillic, n_han, n_latin) <= 0 THEN 'other'
+                WHEN n_cyrillic = greatest(n_cyrillic, n_han, n_latin)
+                  THEN 'cyrillic'
+                WHEN n_han = greatest(n_cyrillic, n_han, n_latin) THEN 'han'
+                ELSE 'latin' END AS script
+    FROM s
+    """,
+)
+def q162(spark, sf_dir):
+    """Unicode-script report (pipeline/text.py script_report): per-doc
+    Latin/Han/Cyrillic letter counts and the dominant script — the
+    pre-filter before stopword language ID, which only separates
+    Latin-script languages. Exact integer counts, zero-shuffle scan;
+    the differential doubles as a Java-regex-vs-RE2 script-class
+    parity check."""
+    return tx.script_report(_table(spark, sf_dir, "documents"))

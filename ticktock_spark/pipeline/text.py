@@ -2265,3 +2265,49 @@ def langid_margin(
             "confident"
         ),
     )
+
+
+def script_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script detection: per-doc Latin / Han / Cyrillic letter
+    counts, total letters, and the dominant script — the complement to
+    the stopword language ID (which only separates Latin-script
+    languages; CJK/Cyrillic text needs the script signal first, then a
+    within-script language model). Ties break Cyrillic < Han < Latin
+    (alphabetical, mirroring lang_id's smallest-code rule); docs with
+    no letters at all are 'none'.
+
+    Pure scan-side regexp counts — exact integers, zero shuffle. The
+    \\p{{script}} classes agree between Java regex (Spark) and RE2
+    (DuckDB oracle); parity is exercised by the q162 differential.
+    """
+    counts = {
+        "cyrillic": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\p{IsCyrillic}"), 0)
+        ),
+        "han": F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\p{IsHan}"), 0)),
+        "latin": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\p{IsLatin}"), 0)
+        ),
+    }
+    letters = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\p{L}"), 0))
+    best = None
+    for name in sorted(counts):
+        pair = F.struct(counts[name].alias("s"), F.lit(name).alias("l"))
+        best = (
+            pair
+            if best is None
+            else F.when(counts[name] > best["s"], pair).otherwise(best)
+        )
+    script = F.when(letters <= 0, F.lit("none")).otherwise(
+        F.when(best["s"] <= 0, F.lit("other")).otherwise(best["l"])
+    )
+    return df.select(
+        F.col(id_col),
+        counts["latin"].cast("long").alias("n_latin"),
+        counts["han"].cast("long").alias("n_han"),
+        counts["cyrillic"].cast("long").alias("n_cyrillic"),
+        letters.cast("long").alias("n_letters"),
+        script.alias("script"),
+    )
