@@ -5515,3 +5515,52 @@ def q162(spark, sf_dir):
     the differential doubles as a Java-regex-vs-RE2 script-class
     parity check."""
     return tx.script_report(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q163_pii_rollup",
+    r"""
+    WITH s AS (
+      SELECT source,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS e,
+             len(regexp_extract_all(text, '\b\d{6,}\b', 0)) AS n,
+             len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS ip
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e + n + ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_pii,
+           CAST(sum(e) AS BIGINT) AS n_emails,
+           CAST(sum(n) AS BIGINT) AS n_longnums,
+           CAST(sum(ip) AS BIGINT) AS n_ips
+    FROM s GROUP BY 1
+    """,
+)
+def q163(spark, sf_dir):
+    """Per-source PII exposure rollup: email / long-number / IPv4-shaped
+    match counts and the share of documents carrying any — the
+    compliance report that decides which sources need the q52 redaction
+    pass before release. Conservative RE2-compatible patterns (the
+    pii_redact set + IPv4), exact integer counts, one scan."""
+    d = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    longnum = r"\b\d{6,}\b"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    per = d.select(
+        "source",
+        F.size(F.regexp_extract_all(t, F.lit(email), 0)).alias("e"),
+        F.size(F.regexp_extract_all(t, F.lit(longnum), 0)).alias("n"),
+        F.size(F.regexp_extract_all(t, F.lit(ipv4), 0)).alias("ip"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("e") + F.col("n") + F.col("ip") > 0, 1).otherwise(0)
+        ).alias("n_docs_with_pii"),
+        F.sum("e").alias("n_emails"),
+        F.sum("n").alias("n_longnums"),
+        F.sum("ip").alias("n_ips"),
+    )
