@@ -5564,3 +5564,47 @@ def q163(spark, sf_dir):
         F.sum("n").alias("n_longnums"),
         F.sum("ip").alias("n_ips"),
     )
+
+
+@register(
+    "q164_dup_quality",
+    f"""
+    WITH s AS ({_QUALITY_CTE}),
+    q AS (SELECT doc_id, {_Q6.format(x=_QUALITY_EXPR)} AS v FROM s),
+    d AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+      FROM documents
+    )
+    SELECT d.is_dup, CAST(count(*) AS BIGINT) AS n_docs,
+           {_Q6.format(
+               x='CAST(sum(CAST(floor(q.v * 1000000.0 + 0.5) AS BIGINT))'
+                 ' AS DOUBLE) / count(*) / 1000000.0')} AS mean_quality
+    FROM q JOIN d USING (doc_id) GROUP BY 1
+    """,
+)
+def q164(spark, sf_dir):
+    """Duplication × quality interaction: mean quality score for docs
+    whose exact content digest repeats vs singletons — the two-row
+    check behind 'duplicates are boilerplate' assumptions before
+    choosing dedup aggressiveness. Quality means are integer micro-unit
+    sums (aggregation-order-proof); dup membership is one digest
+    window over (digest, id) — text never shuffles twice."""
+    d = _table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    is_dup = (
+        F.count(F.lit(1)).over(Window.partitionBy(F.md5(F.col("text")))) > 1
+    )
+    scored = d.select(
+        q6(tx.quality_score(F.col("text"))).alias("v"), is_dup.alias("is_dup")
+    )
+    return scored.groupBy("is_dup").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        q6(
+            F.sum(
+                F.floor(F.col("v") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0)
+        ).alias("mean_quality"),
+    )
