@@ -372,3 +372,34 @@ def test_session_transitions_respect_gaps(spark):
     assert out == {("view", "click"): 1, ("buy", "view"): 1}
     # the cross-gap click->buy pair must NOT appear
     assert ("click", "buy") not in out
+
+
+def test_cohort_funnel_counts(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.pipeline.sessions import cohort_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    w = dt.timedelta(days=8)  # lands in the next epoch week
+    rows = [
+        # cohort A: u1 full funnel, u2 stops at view
+        (1, t0, 1, "signup"), (2, t0 + dt.timedelta(minutes=1), 1, "view"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "click"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "purchase"),
+        (5, t0, 2, "signup"), (6, t0 + dt.timedelta(minutes=1), 2, "view"),
+        # cohort B (a week later): u3 signup only
+        (7, t0 + w, 3, "signup"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    out = sorted(
+        cohort_funnel(ev, ["signup", "view", "click", "purchase"]).collect(),
+        key=lambda r: r["cohort_week"],
+    )
+    assert len(out) == 2
+    a, b = out
+    assert (a["n_users"], a["n_signup"], a["n_view"], a["n_click"], a["n_purchase"]) == (2, 2, 2, 1, 1)
+    assert (b["n_users"], b["n_signup"], b["n_view"]) == (1, 1, 0)

@@ -5608,3 +5608,55 @@ def q164(spark, sf_dir):
             / F.lit(1_000_000.0)
         ).alias("mean_quality"),
     )
+
+
+@register(
+    "q165_cohort_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, min(us) AS t_signup FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(us) AS t_view FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'view' AND us > t_signup GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'click' AND us > t_view GROUP BY 1),
+    s4 AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN s3 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t_click GROUP BY 1),
+    f AS (
+      SELECT s1.user_id, t_signup,
+             CASE WHEN t_purchase IS NOT NULL THEN 4
+                  WHEN t_click IS NOT NULL THEN 3
+                  WHEN t_view IS NOT NULL THEN 2
+                  ELSE 1 END AS stage
+      FROM s1
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      LEFT JOIN s4 USING (user_id)
+    )
+    SELECT t_signup // 604800000000 AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signup,
+           CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view,
+           CAST(sum(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click,
+           CAST(sum(CASE WHEN stage >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase
+    FROM f GROUP BY 1
+    """,
+)
+def q165(spark, sf_dir):
+    """Cohort funnel (pipeline/sessions.py cohort_funnel): q79's
+    strictly-ordered funnel grouped by the epoch-aligned signup week —
+    per-cohort depth counts, the growth-analytics view joining the
+    cohort and funnel primitives. Exact integers end to end; one scan +
+    one user shuffle + a cohort-bounded agg."""
+    from pyspark.sql import functions as _F
+
+    from ticktock_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _F.unix_micros("ts").alias("us")
+    )
+    return ss.cohort_funnel(ev, ["signup", "view", "click", "purchase"])

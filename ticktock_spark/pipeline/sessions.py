@@ -260,3 +260,41 @@ def session_transitions(
         "n",
         (F.col("n").cast("double") / total.cast("double")).alias("p"),
     )
+
+
+def cohort_funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion BY COHORT: users grouped by the ISO week of
+    their stage-0 event, each cohort reporting how many reached every
+    funnel depth — the growth-analytics view ("is this week's signup
+    class converting better than last week's?") that joins the cohort
+    and funnel primitives this module already pins separately.
+
+    Week = epoch-µs integer division by a 7-day span (epoch-aligned
+    like every bucket in this engine — no calendar/tz logic), so the
+    cohort key is exact integer math. Output: (cohort_week, n_users,
+    n_stage1..n_stageK) with exact counts; conversion ratios are one
+    division away and deliberately left to the caller (they'd be
+    rationals of these exact integers).
+
+    Scale shape: funnel_stages' one scan + one user shuffle, then a
+    cohort-bounded aggregation over one row per user.
+    """
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+    f = funnel_stages(
+        events, stages, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    agg = [F.count(F.lit(1)).alias("n_users")] + [
+        F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"n_{s}")
+        for i, s in enumerate(stages)
+    ]
+    return (
+        f.withColumn("cohort_week", F.expr(f"t_{stages[0]} div {WEEK_US}"))
+        .groupBy("cohort_week")
+        .agg(*agg)
+    )
