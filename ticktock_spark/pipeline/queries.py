@@ -5660,3 +5660,57 @@ def q165(spark, sf_dir):
         "user_id", "event_type", _F.unix_micros("ts").alias("us")
     )
     return ss.cohort_funnel(ev, ["signup", "view", "click", "purchase"])
+
+
+@register(
+    "q166_gap_percentiles",
+    f"""
+    WITH o AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      FROM events
+    ),
+    g AS (SELECT event_type, CAST(gap AS DOUBLE) AS v FROM o
+          WHERE gap IS NOT NULL),
+    a AS (SELECT event_type, list_sort(list(v)) AS vals, count(*) AS n
+          FROM g GROUP BY 1),
+    e AS (SELECT event_type, vals, n, unnest([50.0, 95.0]) AS quantile FROM a),
+    cx AS (
+      SELECT event_type, quantile, n, vals,
+             CASE WHEN quantile <= 0 THEN 0.0
+                  WHEN quantile >= 100 THEN CAST(n AS DOUBLE)
+                  ELSE quantile / 100.0 * (n + 1) END AS idx
+      FROM e
+    )
+    SELECT event_type, quantile, CAST(n AS BIGINT) AS n,
+           {_Q6.format(x=_R6_LIST)} AS gap_us
+    FROM cx
+    """,
+)
+def q166(spark, sf_dir):
+    """Inter-event gap percentiles per ARRIVING event type (R-6 p50 /
+    p95 of per-user gaps to the previous event, keyed by the later
+    event's type) — the distribution you read BEFORE
+    choosing a sessionization gap_ms (q46's threshold should sit in the
+    tail of these gaps, not at a folklore 30 minutes). Gaps are exact
+    integer microseconds; rank-based grouped percentiles, no per-group
+    arrays on the Spark side."""
+    from pyspark.sql import Window
+
+    from ticktock_spark.operators.percentile import group_percentiles_r6
+    from ticktock_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", F.col("gap").cast("double").alias("gap"))
+    )
+    out = group_percentiles_r6(gaps, ["event_type"], "gap", [50.0, 95.0])
+    return out.select(
+        "event_type", "quantile", "n", q6(F.col("pct")).alias("gap_us")
+    )
