@@ -1477,3 +1477,76 @@ def q157(spark, sf_dir):
             F.abs(F.col("value") - F.col("hour_avg")) + F.abs(F.col("resid"))
         ).alias("score"),
     )
+
+
+@register(
+    "q167_metric_correlation",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} WHERE metric IN ('click', 'error') GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.ts,
+             CAST(floor(a.v * 1000000.0 + 0.5) AS BIGINT) AS x,
+             CAST(floor(b2.v * 1000000.0 + 0.5) AS BIGINT) AS y
+      FROM b a JOIN b b2 ON a.ts = b2.ts
+      WHERE a.metric = 'click' AND b2.metric = 'error'
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           {_Q6.format(x='''(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0))''')}
+             AS pearson_r
+    FROM s
+    """,
+)
+def q167(spark, sf_dir):
+    """Exact Pearson correlation between two metrics' aligned 1m series
+    (click vs error) — the metric-correlation primitive behind
+    dependency discovery and alert grouping in observability stacks.
+    Bucket means are exact decimal sums, then every correlation moment
+    is an exact DECIMAL(38)/HUGEINT integer over micro-unit values
+    (drift.py's integer-cross-product discipline), so the final r is
+    bit-identical across engines. Alignment is exact-timestamp inner
+    join (the engine's no-interpolation rule, aggregate.cpp:158-215)."""
+    d = _dps(spark, sf_dir).filter(F.col("metric").isin("click", "error"))
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    micro = F.floor(F.col("v") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    a = b.filter(F.col("metric") == "click").select("ts", micro.alias("x"))
+    c = b.filter(F.col("metric") == "error").select("ts", micro.alias("y"))
+    jd = a.join(c, "ts")
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = jd.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # try_divide: a constant series (or a single aligned bucket) has
+    # zero variance — the guard yields NULL instead of an ANSI
+    # divide-by-zero, mirroring the oracle's NULLIF
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        q6(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny))).alias("pearson_r"),
+    )
