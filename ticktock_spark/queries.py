@@ -1550,3 +1550,81 @@ def q167(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         q6(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny))).alias("pearson_r"),
     )
+
+
+@register(
+    "q168_lead_lag",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} WHERE metric IN ('click', 'error') GROUP BY 1, 2
+    ),
+    m AS (SELECT ts, CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS x
+          FROM b WHERE metric = 'click'),
+    o AS (SELECT ts, CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS y
+          FROM b WHERE metric = 'error'),
+    l AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag_min),
+    j AS (
+      SELECT l.lag_min, m.x, o.y
+      FROM l JOIN m ON true JOIN o ON o.ts = m.ts + l.lag_min * 60000
+    ),
+    s AS (
+      SELECT lag_min, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+      FROM j GROUP BY 1
+    )
+    SELECT CAST(lag_min AS INT) AS lag_min, CAST(n AS BIGINT) AS n,
+           {_Q6.format(x='''(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0))''')}
+             AS pearson_r
+    FROM s
+    """,
+)
+def q168(spark, sf_dir):
+    """Lead-lag correlation profile: q167's exact Pearson machinery at
+    bucket shifts of -2..+2 minutes (does error FOLLOW click?) — the
+    one-table answer to "which metric leads" in incident analysis. Same
+    decimal-exact moments and zero-variance guard; the lag fan-out is a
+    5-row literal cross join, so the aligned join runs once per lag on
+    bucket-scale frames."""
+    d = _dps(spark, sf_dir).filter(F.col("metric").isin("click", "error"))
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    micro = F.floor(F.col("v") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    a = b.filter(F.col("metric") == "click").select("ts", micro.alias("x"))
+    c = b.filter(F.col("metric") == "error").select("ts", micro.alias("y"))
+    lags = spark.range(-2, 3).select(F.col("id").cast("int").alias("lag_min"))
+    jd = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            c.select(F.col("ts").alias("__ots"), "y"),
+            F.col("__ots") == F.col("ts") + F.col("lag_min") * F.lit(60000),
+        )
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = jd.groupBy("lag_min").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "lag_min",
+        F.col("n").cast("long").alias("n"),
+        q6(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny))).alias("pearson_r"),
+    )
