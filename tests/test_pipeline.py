@@ -1572,6 +1572,10 @@ def test_curriculum_schedule(spark):
     assert byp[2] == {"en": 0.8, "de": 0.2, "fr": 0.0}
     # midpoint before normalization: en .525, de .225, fr .25 (sums to 1)
     assert abs(byp[1]["en"] - 0.525) < 1e-12
+    # single-phase curriculum = the START mix (frac 0), identical to the
+    # p=0 phase of any multi-phase run
+    w1 = {s: x for _, s, x in sp.curriculum_weights(start, end, 1)}
+    assert w1 == byp[0]
 
     docs = spark.createDataFrame(
         [(i, "en" if i < 8 else "de", 100) for i in range(10)],

@@ -113,6 +113,7 @@ def ewma_baseline(
     lookback: int = 16,
     ts_col: str = "ts",
     value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Trailing exponentially-weighted moving-average baseline per
     series: baseline_t = sum over the previous ``lookback`` points of
@@ -133,10 +134,16 @@ def ewma_baseline(
     ROWS-between window (<= lookback values carried per row), and
     per-row O(lookback) expression work — no self-joins, no state
     beyond the frame.
+
+    Determinism: the ROWS frame order is defined by ``ts_col``; with
+    duplicate timestamps inside one series the frame contents become
+    engine/partitioning-dependent. Either feed unique-ts rows (the
+    registry callers feed 1m buckets) or pass ``tiebreak_cols`` (e.g. an
+    ingest seq/id column) to pin a total order.
     """
     w = (
         Window.partitionBy(*series_cols)
-        .orderBy(ts_col)
+        .orderBy(ts_col, *(tiebreak_cols or []))
         .rowsBetween(-int(lookback), -1)
     )
     decay = 1.0 - float(alpha)
@@ -182,6 +189,7 @@ def rolling_percentile_r6(
     lookback: int = 16,
     ts_col: str = "ts",
     value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Trailing-window exact percentile per series — "rolling p95
     latency", the SRE staple — with OpenTSDB's R-6 ``q*(n+1)``
@@ -193,12 +201,18 @@ def rolling_percentile_r6(
     Scale shape: one exchange on the series key; each row carries a
     sorted array bounded by ``lookback`` (constant), so memory per row
     is fixed — no per-group collection of unbounded history.
+
+    Determinism: as with ``ewma_baseline``, duplicate timestamps make
+    the ROWS frame engine-dependent — feed unique-ts rows or pass
+    ``tiebreak_cols`` to pin a total order. (The sort_array inside the
+    frame makes the PCT itself order-free, but n_window membership at
+    the frame edge still depends on row order.)
     """
     from ticktock_spark.operators.downsample import percentile_r6_on_array
 
     w = (
         Window.partitionBy(*series_cols)
-        .orderBy(ts_col)
+        .orderBy(ts_col, *(tiebreak_cols or []))
         .rowsBetween(-(int(lookback) - 1), 0)
     )
     arr = F.sort_array(F.collect_list(value_col).over(w))

@@ -348,13 +348,18 @@ def curriculum_weights(
     consumer — the Spark schedule, the sampling filters, and the SQL
     oracles — shares bit-identical weight values (repr round-trips a
     double exactly). Strata missing from either dict interpolate
-    from/to 0. Each phase is renormalized to sum to 1."""
+    from/to 0. Each phase is renormalized to sum to 1.
+
+    Phase 0 is always the START mix (frac=0): a single-phase curriculum
+    returns the normalized ``start_weights``, matching the p=0 phase of
+    any multi-phase run; ``end_weights`` is reached only at the final
+    phase of an ``n_phases >= 2`` schedule."""
     if n_phases < 1:
         raise ValueError("n_phases must be >= 1")
     strata = sorted(set(start_weights) | set(end_weights))
     out: list[tuple[int, str, float]] = []
     for p in range(n_phases):
-        frac = p / (n_phases - 1) if n_phases > 1 else 1.0
+        frac = p / (n_phases - 1) if n_phases > 1 else 0.0
         raw = {
             s: start_weights.get(s, 0.0)
             + (end_weights.get(s, 0.0) - start_weights.get(s, 0.0)) * frac

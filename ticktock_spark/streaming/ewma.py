@@ -66,8 +66,12 @@ def _make_fn(alpha: float):
             pdf = pdf.sort_values(["us", "seq"])
             for us, seq, v in zip(pdf["us"], pdf["seq"], pdf["value"]):
                 us, seq, v = int(us), int(seq), float(v)
-                if st is not None and (us, seq) < (int(st[0]), int(st[1])):
-                    continue  # forward-only
+                if st is not None and (us, seq) <= (int(st[0]), int(st[1])):
+                    # forward-only, INCLUSIVE: a cross-batch replay of the
+                    # exact stored (us, seq) must be dropped, not re-applied
+                    # (it would double-update the EWMA and emit a duplicate
+                    # residual row)
+                    continue
                 if st is None:
                     st = (us, seq, v)  # seed, no residual emitted
                     continue

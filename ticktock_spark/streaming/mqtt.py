@@ -134,6 +134,19 @@ class MqttSpool:
                 self._on_message(topics, msg.topic, msg.payload)
 
             client = client_factory(spec["broker"], spec["port"], on_message)
+            # (re)subscribe on every CONNACK, mirroring the reference's
+            # on_connect handler (mqtt.cpp:255-269): with clean-session a
+            # broker auto-reconnect silently drops all subscriptions, so
+            # subscribing only at construction would stop ingest on the
+            # first disconnect. Injected test clients may lack on_connect;
+            # the constructor-time subscribe below keeps those working.
+            if hasattr(client, "on_connect"):
+
+                def on_connect(cl, _userdata, *_args, topics=topics):
+                    for name in topics:
+                        cl.subscribe(name)
+
+                client.on_connect = on_connect
             for name in topics:
                 client.subscribe(name)
             client.loop_start()
@@ -197,7 +210,15 @@ def _paho_client_factory(broker: str, port: int, on_message):
             "MqttSpool requires paho-mqtt (pip install paho-mqtt), or pass "
             "client_factory="
         ) from e
-    client = mqtt.Client(client_id="ticktockdb")  # mqtt.cpp:340
+    # paho-mqtt >= 2.0 requires a CallbackAPIVersion first argument and
+    # raises ValueError without one; VERSION1 keeps the v1 on_message /
+    # on_connect signatures used here.
+    if hasattr(mqtt, "CallbackAPIVersion"):
+        client = mqtt.Client(
+            mqtt.CallbackAPIVersion.VERSION1, client_id="ticktockdb"
+        )  # mqtt.cpp:340
+    else:
+        client = mqtt.Client(client_id="ticktockdb")  # mqtt.cpp:340
     client.on_message = on_message
     client.connect(broker, port, keepalive=10)  # mqtt.cpp:207-210
     return client

@@ -58,8 +58,10 @@ def _fn(
         pdf = pdf.sort_values(["us", "eid"])
         for us, eid, typ in zip(pdf["us"], pdf["eid"], pdf["typ"]):
             us, eid = int(us), int(eid)
-            if last is not None and (us, eid) < (int(last[0]), int(last[1])):
-                continue  # forward-only: drop stragglers behind state
+            if last is not None and (us, eid) <= (int(last[0]), int(last[1])):
+                # forward-only, INCLUSIVE: a replayed duplicate of the exact
+                # stored (us, eid) would otherwise emit a spurious self-pair
+                continue
             if last is not None:
                 users.append(user)
                 prevs.append(last[2])
