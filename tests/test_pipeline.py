@@ -2539,6 +2539,50 @@ def test_containment_pairs_catch_excerpts(spark):
     assert (1, 2) not in {(x["id_a"], x["id_b"]) for x in jac}
 
 
+def test_windowed_containment_catches_short_in_long(spark):
+    """Planted short-in-long fixture: a 24-word quote inside a 300-word
+    article. Whole-document LSH provably misses the pair (the quote
+    barely moves the article's signature); windowed=True tiles the long
+    side and catches it — with BOTH band-key engines, since the
+    tile covering the quote equals the quoted doc verbatim (identical
+    signatures under any hash family)."""
+    from ticktock_spark.pipeline.dedup import (
+        containment_pairs,
+        windowed_containment_candidates,
+    )
+
+    quote = " ".join(f"quoted{i} term" for i in range(12))  # 24 words
+    filler_a = " ".join(f"alpha{i} token" for i in range(12))  # 24 words
+    filler_b = " ".join(f"omega{i} words flowing here" for i in range(63))
+    article = f"{filler_a} {quote} {filler_b}"  # quote = words 25..48
+    docs = spark.createDataFrame(
+        [(1, article), (2, quote), (3, "an unrelated control document body")],
+        "doc_id long, text string",
+    )
+    plain = containment_pairs(docs, threshold=0.8).collect()
+    assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in plain}
+    out = containment_pairs(
+        docs, threshold=0.8, windowed=True, window_words=24, stride=12
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # the quote's shingles are a near-subset of the article's full set
+    assert r["contained"] == "b" and r["containment"] >= 0.9
+    # control doc never pairs
+    assert all(3 not in p for p in pairs)
+    # the JVM-native engine recovers the same planted pair
+    cand = windowed_containment_candidates(
+        docs, window_words=24, stride=12, engine="xxh64"
+    ).collect()
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in cand}
+    # bucket_cap backstop: a cap of 0 drops every key → no candidates
+    capped = windowed_containment_candidates(
+        docs, window_words=24, stride=12, bucket_cap=0
+    ).collect()
+    assert capped == []
+
+
 def test_dedup_threshold_sweep_monotone(spark):
     from ticktock_spark.pipeline.dedup import dedup_threshold_sweep
 

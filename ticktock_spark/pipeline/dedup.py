@@ -1263,6 +1263,146 @@ def cross_source_matrix(
     )
 
 
+def _band_keys_frame(
+    sh_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    engine: str,
+    parallelism: int,
+) -> DataFrame:
+    """(id, sh) shingle frame → (id, band, key) LSH band-key rows.
+
+    ``engine='sql'`` is the md5 specification (``minhash_signature`` +
+    ``band_keys``, with the repartition CollapseProject barrier the
+    interpreted-HOF hazard requires); ``'pandas'`` the Arrow/hashlib
+    engine producing BIT-IDENTICAL md5 keys (parity-tested — freely
+    mixable with 'sql' frames); ``'xxh64'`` the fused JVM-native family
+    (``banded_keys_xxh64``). xxh64 key types differ (long vs string) —
+    never join an xxh64 frame against an md5 one."""
+    rows = num_hashes // bands
+    sh = sh_df.filter(F.element_at(F.col("sh"), 1).isNotNull())
+    if engine == "pandas":
+        id_type = dict(sh_df.dtypes)[id_col]
+        return sh.mapInPandas(
+            _banded_pandas(num_hashes, bands, rows, id_col),
+            schema=f"{id_col} {id_type}, band int, key string",
+        )
+    if engine == "xxh64":
+        return sh.select(
+            id_col,
+            F.posexplode(
+                banded_keys_xxh64(F.col("sh"), num_hashes, bands)
+            ).alias("band", "key"),
+        )
+    sig = sh.repartition(parallelism, id_col).select(
+        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    return sig.select(
+        id_col,
+        F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key"),
+    )
+
+
+def windowed_containment_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    window_words: int = 24,
+    stride: int | None = None,
+    engine: str = "sql",
+    shingles_df: DataFrame | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Short-in-long candidate pairs that whole-document LSH misses.
+
+    A short document quoted inside a long one has containment ~1 but
+    tiny Jaccard, so the two WHOLE-document MinHash signatures almost
+    never band-collide. Fix (the chunk_dedup tiling idea applied to LSH):
+    slice every document longer than ``window_words`` words into
+    OVERLAPPING word windows (stride defaults to window_words/2 so a
+    quote is never split across all covering tiles), band-key each tile
+    like a standalone document, and join TILE keys against WHOLE-document
+    keys — the tile covering the quote is near-identical to the quoted
+    short doc, so they collide at full MinHash strength.
+
+    Output: (id_a < id_b) DISTINCT candidate pairs — feed to the same
+    exact containment verification as the plain pass (the short doc's
+    shingle set is nearly a subset of the long doc's FULL set, so
+    verification never needs the tiles; only candidate recall did).
+
+    Scale shape: tiling multiplies scan-side hash work by
+    ~words/stride (bounded, data-independent fan-out); the join is the
+    same banded-key hash join as LSH with ``bucket_cap`` available as
+    the viral-template backstop (cap enforced on whole-doc key
+    frequency — a hot template key is dropped from BOTH sides before
+    the join). ``engine='xxh64'`` keeps all tile hashing JVM-native for
+    the 100 TB path; 'sql' is the md5 cross-engine spec the DuckDB
+    oracle mirrors.
+    """
+    stride = int(stride) if stride else max(1, window_words // 2)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.filter(F.col(text_col).isNotNull())
+    if shingles_df is None:
+        shingles_df = base.repartition(par).select(
+            F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+        )
+    doc_keys = _band_keys_frame(
+        shingles_df, id_col, num_hashes, bands, engine, par
+    )
+    if bucket_cap is not None:
+        hot = (
+            doc_keys.groupBy("band", "key")
+            .agg(F.countDistinct(id_col).alias("_n"))
+            .filter(F.col("_n") > int(bucket_cap))
+            .select("band", "key")
+        )
+        doc_keys = doc_keys.join(hot, ["band", "key"], "left_anti")
+    toks = base.repartition(par).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    )
+    long_docs = toks.filter(F.size("_w") > int(window_words))
+    starts = F.sequence(F.lit(1), F.size("_w"), F.lit(stride))
+    tiles = (
+        long_docs.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda st: F.array_join(
+                        F.slice("_w", st, window_words), " "
+                    ),
+                )
+            ).alias("tile"),
+        )
+        .filter(F.length("tile") > 0)
+    )
+    tile_sh = tiles.select(
+        F.col(id_col), shingles(F.col("tile"), k).alias("sh")
+    )
+    tile_keys = _band_keys_frame(
+        tile_sh, id_col, num_hashes, bands, engine, par
+    ).distinct()
+    if bucket_cap is not None:
+        tile_keys = tile_keys.join(hot, ["band", "key"], "left_anti")
+    t = tile_keys.select(
+        F.col(id_col).alias("_tid"), "band", "key"
+    )
+    d = doc_keys.select(F.col(id_col).alias("_did"), "band", "key")
+    return (
+        t.join(d, ["band", "key"])
+        .filter(F.col("_tid") != F.col("_did"))
+        .select(
+            F.least("_tid", "_did").alias("id_a"),
+            F.greatest("_tid", "_did").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -1271,6 +1411,11 @@ def containment_pairs(
     k: int = 5,
     num_hashes: int = 8,
     bands: int = 4,
+    windowed: bool = False,
+    window_words: int = 24,
+    stride: int | None = None,
+    window_engine: str = "sql",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT detection: |A∩B| / min(|A|, |B|) >= t —
     the excerpt/quote relation Jaccard misses (a paragraph quoted inside
@@ -1280,11 +1425,16 @@ def containment_pairs(
     (``contained`` = 'a', 'b', or 'both' when sizes tie or each clears
     the bar relative to its own size).
 
-    Candidates come from the same LSH pass (MinHash recall for high
-    containment with skewed sizes is weaker than for high Jaccard —
-    callers screening short-in-long quotes at scale should shingle the
-    LONG side in windows, the chunk_dedup machinery); verification is
-    exact and candidate-bounded, sharing one persisted shingle frame.
+    Candidates come from the whole-document LSH pass, whose MinHash
+    recall for high containment with SKEWED sizes is weak (a 24-word
+    quote inside a 200-word article barely moves the article's
+    signature). ``windowed=True`` unions in
+    ``windowed_containment_candidates`` — overlapping word-window tiles
+    of the long side band-joined against whole-doc keys — which
+    recovers exactly those short-in-long pairs (pinned by a planted
+    fixture in tests/test_pipeline.py that the plain pass provably
+    misses). Verification is exact and candidate-bounded either way,
+    sharing one persisted shingle frame.
 
     Output: (id_a < id_b, inter, n_a, n_b, containment, contained).
     """
@@ -1296,7 +1446,17 @@ def containment_pairs(
     cand = minhash_lsh_candidates(
         df, text_col=text_col, id_col=id_col, k=k,
         num_hashes=num_hashes, bands=bands, shingles_df=sh,
-    )
+    ).select("id_a", "id_b")
+    if windowed:
+        cand = cand.union(
+            windowed_containment_candidates(
+                df, text_col=text_col, id_col=id_col, k=k,
+                num_hashes=num_hashes, bands=bands,
+                window_words=window_words, stride=stride,
+                engine=window_engine, shingles_df=sh,
+                bucket_cap=bucket_cap,
+            )
+        ).distinct()
     joined = (
         cand.select("id_a", "id_b")
         .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

@@ -5714,3 +5714,96 @@ def q166(spark, sf_dir):
     return out.select(
         "event_type", "quantile", "n", q6(F.col("pct")).alias("gap_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: windowed containment (short-in-long quote detection)
+# ---------------------------------------------------------------------------
+
+def _windowed_containment_sql(
+    window: int, stride: int, threshold: float
+) -> str:
+    """DuckDB twin of ``containment_pairs(windowed=True)``: the
+    whole-doc md5 MinHash cand CTE (``_minhash_cte``) unioned with
+    tile-level band keys — documents longer than ``window`` words are
+    sliced into overlapping word windows (start positions 1, 1+stride,
+    ...), each tile signed and banded exactly like a standalone doc,
+    and tile keys joined against whole-document keys."""
+    hs = ",\n             ".join(
+        f"list_aggregate([substr(c, {j * 8 + 1}, 8) for c in cats], 'min') AS h{j}"
+        for j in range(8)
+    )
+    tbands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, md5('b{b}:' || h{2*b} || h{2*b+1}) AS key FROM tsig"
+        for b in range(4)
+    )
+    tile_norm = _NORM.replace("lower(text)", "lower(tile)")
+    return _minhash_cte() + f"""
+    , wt AS (SELECT doc_id, str_split(text, ' ') AS w
+             FROM documents WHERE text IS NOT NULL),
+    lt AS (SELECT doc_id, w FROM wt WHERE len(w) > {window}),
+    rawtiles AS (
+      SELECT doc_id,
+             unnest([array_to_string(list_slice(w, st, st + {window - 1}), ' ')
+                     for st in range(1, len(w) + 1, {stride})]) AS tile
+      FROM lt
+    ),
+    tnorm AS (SELECT doc_id, {tile_norm} AS norm
+              FROM rawtiles WHERE length(tile) > 0),
+    tsh AS (SELECT doc_id, {_SHINGLES} AS sh FROM tnorm),
+    tct AS (SELECT doc_id, [md5('0:' || s) || md5('1:' || s) for s in sh] AS cats FROM tsh),
+    tsig AS (
+      SELECT doc_id,
+             {hs}
+      FROM tct
+    ),
+    tbands AS (
+      {tbands}
+    ),
+    tkeys AS (SELECT DISTINCT doc_id, band, key FROM tbands),
+    wcand AS (
+      SELECT DISTINCT least(t.doc_id, d.doc_id) AS id_a,
+                      greatest(t.doc_id, d.doc_id) AS id_b
+      FROM tkeys t JOIN bands d
+        ON t.band = d.band AND t.key = d.key AND t.doc_id != d.doc_id
+    ),
+    allc AS (SELECT id_a, id_b FROM cand
+             UNION SELECT id_a, id_b FROM wcand),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    iv AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM allc c JOIN ex a ON a.doc_id = c.id_a
+                  JOIN ex b ON b.doc_id = c.id_b AND a.s = b.s
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT iv.id_a, iv.id_b, CAST(iv.inter AS BIGINT) AS inter,
+             CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b,
+             CAST(iv.inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+      FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
+              JOIN sz sb ON sb.doc_id = iv.id_b
+    )
+    SELECT id_a, id_b, inter, n_a, n_b, containment,
+           CASE WHEN n_a < n_b THEN 'a'
+                WHEN n_b < n_a THEN 'b'
+                ELSE 'both' END AS contained
+    FROM j WHERE containment >= {threshold}
+    """
+
+
+@register("q169_containment_windowed", _windowed_containment_sql(24, 12, 0.8))
+def q169(spark, sf_dir):
+    """Windowed containment (pipeline/dedup.py containment_pairs with
+    windowed=True): q152's asymmetric |A∩B|/min(|A|,|B|) screen with the
+    short-in-long recall gap closed — documents longer than 24 words are
+    tiled into overlapping 24-word windows (stride 12), each tile
+    LSH-banded like a standalone doc, and tile keys joined against
+    whole-document keys, so a short doc quoted inside a long one
+    collides at full MinHash strength (plain whole-doc LSH provably
+    misses the planted fixture in tests). Verification stays exact on
+    FULL document shingle sets over the unioned candidate set."""
+    return dd.containment_pairs(
+        _table(spark, sf_dir, "documents"), threshold=0.8,
+        windowed=True, window_words=24, stride=12, window_engine="pandas",
+    )
