@@ -532,3 +532,122 @@ def test_self_metrics_timer_thread(spark):
     finally:
         srv.stop()
     assert srv._meter_thread is not None and not srv._meter_thread.is_alive()
+
+
+def test_http_analytics_endpoint(spark):
+    """/api/analytics exposes the round-6 analytics operators through
+    the OpenTSDB-shaped sink, and every op's numbers re-prove against
+    the SAME DuckDB oracles that pin the registry entries (metrics are
+    named click/error so q167/q168's oracle SQL applies verbatim —
+    the events view is rebuilt from the ingested datapoints)."""
+    import duckdb
+    import pandas as pd
+
+    import ticktock_spark.pipeline.queries  # noqa: F401 — registers q153
+    from ticktock_spark.queries import ORACLES
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200  # seconds; top of an hour
+    try:
+        # 4 hours of 1m points; error FOLLOWS click by one bucket
+        click = [round((i % 7) * 1.5 + (i % 13) * 0.25, 2) for i in range(240)]
+        error = [0.0] + [round(c * 0.8 + 3, 2) for c in click[:-1]]
+        lines = []
+        for i in range(240):
+            lines.append(f"put click {T0 + i * 60} {click[i]} host=h1")
+            lines.append(f"put error {T0 + i * 60} {error[i]} host=h1")
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == 480
+
+        con = duckdb.connect()
+        ev = pd.DataFrame(
+            {
+                "event_type": ["click"] * 240 + ["error"] * 240,
+                "ts": pd.to_datetime(
+                    [(T0 + i * 60) * 1000 for i in range(240)] * 2, unit="ms"
+                ),
+                "value": click + error,
+                "user_id": 0,
+                "event_id": range(480),
+            }
+        )
+        con.register("events", ev)
+
+        def odf(name):
+            return con.sql(ORACLES[name]).df()
+
+        # seasonal profile (q155 oracle)
+        res = _get(srv, "/api/analytics?op=seasonal_profile&m=click&m=error")
+        assert [r["metric"] for r in res] == ["click", "error"]
+        assert all(r["aggregateTags"] == ["host"] and r["tags"] == {} for r in res)
+        exp = odf("q155_seasonal_profile")
+        for r in res:
+            sub = exp[exp.metric == r["metric"]]
+            assert {int(h): v for h, v in zip(sub.hour_utc, sub.avg_value)} == {
+                int(k): v for k, v in r["dps"].items()
+            }
+
+        # rolling p95 (q153 oracle)
+        res = _get(srv, "/api/analytics?op=rolling_pct&q=95&m=click")
+        exp = odf("q153_rolling_p95")
+        sub = exp[exp.metric == "click"]
+        assert {int(t): v for t, v in zip(sub.ts, sub.pct)} == {
+            int(k): v for k, v in res[0]["dps"].items()
+        }
+
+        # anomaly ensemble (q157 oracle)
+        res = _get(srv, "/api/analytics?op=anomaly&m=click")
+        exp = odf("q157_anomaly_ensemble")
+        sub = exp[exp.metric == "click"]
+        assert {int(t): v for t, v in zip(sub.ts, sub.score)} == {
+            int(k): v for k, v in res[0]["dps"].items()
+        }
+
+        # EWMA baseline: alpha=0.5 is exact in binary; recompute the
+        # fold in plain python on the 1m bucket means (bucket mean ==
+        # the point value here: one point per bucket)
+        res = _get(srv, "/api/analytics?op=ewma&m=click&lookback=16")
+        got = {int(k): v for k, v in res[0]["dps"].items()}
+        import math
+
+        exp_ewma = {}
+        for i in range(1, 240):
+            lo = max(0, i - 16)
+            wts = [0.5 ** (i - j) for j in range(lo, i)]
+            raw = sum(w * v for w, v in zip(wts, click[lo:i])) / sum(wts)
+            exp_ewma[(T0 + i * 60) * 1000] = math.floor(raw * 1e6 + 0.5) / 1e6
+        assert got == exp_ewma
+
+        # exact Pearson (q167 oracle)
+        res = _get(srv, "/api/analytics?op=correlation&a=click&b=error")
+        exp = odf("q167_metric_correlation")
+        assert res[0]["metric"] == "corr(click,error)"
+        assert res[0]["dps"]["0"] == exp.pearson_r[0]
+
+        # lead-lag profile (q168 oracle): error = 0.8*click + 3 one
+        # bucket later -> r == 1.0 exactly at lag +1
+        res = _get(srv, "/api/analytics?op=leadlag&a=click&b=error&max_shift=2")
+        exp = odf("q168_lead_lag")
+        got = {int(k): v for k, v in res[0]["dps"].items()}
+        assert got == {int(l): v for l, v in zip(exp.lag_min, exp.pearson_r)}
+        assert got[1] == 1.0
+
+        # seasonal residual: value-minus-own-hour-mean sums to ~0 per hour
+        res = _get(srv, "/api/analytics?op=seasonal_residual&m=click")
+        resid = {int(k): v for k, v in res[0]["dps"].items()}
+        assert len(resid) == 240
+        by_hour = {}
+        for t, v in resid.items():
+            by_hour.setdefault((t // 3_600_000) % 24, []).append(v)
+        for vs in by_hour.values():
+            assert abs(sum(vs)) < 1e-3
+
+        # unknown op -> 400
+        import urllib.error
+
+        try:
+            _get(srv, "/api/analytics?op=nope")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()

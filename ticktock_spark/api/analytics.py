@@ -1,0 +1,333 @@
+"""`/api/analytics` — the round-6 TSDB analytics operators as product
+surface over the canonical datapoints table.
+
+The reference engine has no analytics endpoints (its protocol stops at
+`/api/query`); these operators existed here as library + benchmark
+surface (q155–q157, q153, q167, q168). This module makes them
+reachable through the HTTP API, shaped exactly like the OpenTSDB query
+sink (`plans/shape.py:26`): a JSON array of
+``{"metric", "tags", "aggregateTags", "dps"}`` so existing OpenTSDB
+dashboards/clients can render them unchanged.
+
+Semantics are IDENTICAL to the registry entries (same exact-decimal
+bucket means, same q6 micro-quantization, same integer-moment Pearson)
+— the test suite re-proves each op against the corresponding DuckDB
+oracle on datapoints ingested through `/api/put`.
+
+Every op aggregates ACROSS the tag series of a metric (the profile /
+baseline view an alerting rule wants), so ``tags`` is empty and
+``aggregateTags`` carries the aggregated-away tag keys, matching the
+cross-series aggregation convention (`operators/aggregate.py`).
+
+Scale shape: every op runs on per-metric 1m-bucket means (bucket-scale,
+not point-scale), bounded ROWS windows, and broadcast 24×|metrics|
+profile joins — the q157 plan shape; responses go through the same
+413-cap guard as `/api/query`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ticktock_spark.plans.planner import ResultSet
+from ticktock_spark.queries import q6
+
+MIN_MS = 60_000
+HOUR_MS = 3_600_000
+
+
+def _filtered(dps: DataFrame, metrics: list[str] | None) -> DataFrame:
+    return dps if not metrics else dps.filter(F.col("metric").isin(metrics))
+
+
+def _bucket_means(dps: DataFrame, bucket_ms: int) -> DataFrame:
+    """Per-metric bucket means with the engine's exact-decimal sum
+    discipline (q157's `b` CTE)."""
+    return dps.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % F.lit(bucket_ms)).alias("ts")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+
+
+def _hour_profile_of_buckets(b: DataFrame) -> DataFrame:
+    """Hour-of-day mean of bucket MEANS in exact integer micro-units
+    (q157's `p` CTE — partial-agg order-free)."""
+    hour = (F.expr("ts div 3600000") % 24).cast("int")
+    return b.groupBy("metric", hour.alias("hour_utc")).agg(
+        q6(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0)
+        ).alias("hour_avg")
+    )
+
+
+def _aggregate_tags(dps: DataFrame, metrics: list[str] | None) -> dict[str, list[str]]:
+    rows = (
+        _filtered(dps, metrics)
+        .select("metric", F.explode(F.map_keys("tags")).alias("k"))
+        .distinct()
+        .collect()
+    )
+    out: dict[str, list[str]] = {}
+    for r in rows:
+        out.setdefault(r["metric"], []).append(r["k"])
+    return {m: sorted(ks) for m, ks in out.items()}
+
+
+def _to_resultsets(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    agg_tags: dict[str, list[str]],
+) -> list[ResultSet]:
+    rows = df.collect()
+    by_metric: dict[str, dict] = {}
+    for r in rows:
+        by_metric.setdefault(r["metric"], {})[int(r[key_col])] = r[value_col]
+    return [
+        ResultSet(
+            metric=m,
+            tags={},
+            aggregate_tags=agg_tags.get(m, []),
+            dps=dict(sorted(dps.items())),
+        )
+        for m, dps in sorted(by_metric.items())
+    ]
+
+
+def seasonal_profile(
+    dps: DataFrame, metrics: list[str] | None = None
+) -> list[ResultSet]:
+    """q155: hour-of-day mean per metric; dps keys are hours 0–23."""
+    d = _filtered(dps, metrics)
+    hour = (F.expr("ts div 3600000") % 24).cast("int")
+    prof = d.groupBy("metric", hour.alias("hour_utc")).agg(
+        q6(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
+    return _to_resultsets(prof, "hour_utc", "avg_value", _aggregate_tags(dps, metrics))
+
+
+def seasonal_residual(
+    dps: DataFrame, metrics: list[str] | None = None, bucket_ms: int = MIN_MS
+) -> list[ResultSet]:
+    """De-seasonalized 1m-bucket series: bucket mean minus the metric's
+    same-hour-of-day profile mean (q156's residual on q157's bucket
+    means); dps keys are bucket timestamps."""
+    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    prof = _hour_profile_of_buckets(b)
+    hour = (F.expr("ts div 3600000") % 24).cast("int")
+    out = (
+        b.withColumn("hour_utc", hour)
+        .join(F.broadcast(prof), ["metric", "hour_utc"])
+        .select("metric", "ts", q6(F.col("value") - F.col("hour_avg")).alias("resid"))
+    )
+    return _to_resultsets(out, "ts", "resid", _aggregate_tags(dps, metrics))
+
+
+def ewma(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    alpha: float = 0.5,
+    lookback: int = 16,
+    bucket_ms: int = MIN_MS,
+    field: str = "ewma",
+) -> list[ResultSet]:
+    """Trailing EWMA baseline (field='ewma') or residual (field='resid')
+    over 1m-bucket means — q148/q157's recency baseline
+    (operators/rolling.py ewma_baseline); dps keys are bucket ts."""
+    from ticktock_spark.operators.rolling import ewma_baseline
+
+    if field not in ("ewma", "resid"):
+        raise ValueError(f"field must be 'ewma' or 'resid', got {field!r}")
+    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    ew = ewma_baseline(b, ["metric"], alpha=alpha, lookback=lookback)
+    return _to_resultsets(
+        ew.select("metric", "ts", field), "ts", field, _aggregate_tags(dps, metrics)
+    )
+
+
+def anomaly_score(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    alpha: float = 0.5,
+    lookback: int = 16,
+    bucket_ms: int = MIN_MS,
+) -> list[ResultSet]:
+    """q157's ensemble: |bucket mean − same-hour profile| + |bucket mean
+    − trailing EWMA| per 1m bucket; dps keys are bucket ts."""
+    from ticktock_spark.operators.rolling import ewma_baseline
+
+    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    prof = _hour_profile_of_buckets(b)
+    ew = ewma_baseline(b, ["metric"], alpha=alpha, lookback=lookback)
+    hour = (F.expr("ts div 3600000") % 24).cast("int")
+    out = (
+        ew.withColumn("hour_utc", hour)
+        .join(F.broadcast(prof), ["metric", "hour_utc"])
+        .select(
+            "metric",
+            "ts",
+            q6(
+                F.abs(F.col("value") - F.col("hour_avg")) + F.abs(F.col("resid"))
+            ).alias("score"),
+        )
+    )
+    return _to_resultsets(out, "ts", "score", _aggregate_tags(dps, metrics))
+
+
+def rolling_pct(
+    dps: DataFrame,
+    quantile: float = 95.0,
+    metrics: list[str] | None = None,
+    lookback: int = 16,
+    bucket_ms: int = MIN_MS,
+) -> list[ResultSet]:
+    """q153: rolling exact R-6 percentile over 1m-bucket means; dps keys
+    are bucket ts."""
+    from ticktock_spark.operators.rolling import rolling_percentile_r6
+
+    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    out = rolling_percentile_r6(b, ["metric"], quantile, lookback=lookback)
+    return _to_resultsets(
+        out.select("metric", "ts", "pct"), "ts", "pct", _aggregate_tags(dps, metrics)
+    )
+
+
+def _pearson_moments(jd: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Exact integer-moment Pearson over micro-unit (x, y) columns —
+    q167's DECIMAL(38) discipline, bit-identical across engines."""
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    g = jd.groupBy(*group_cols) if group_cols else jd.groupBy()
+    s = g.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        q6(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny))).alias("pearson_r"),
+    )
+
+
+def _micro_series(b: DataFrame, metric: str, out_col: str) -> DataFrame:
+    micro = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return b.filter(F.col("metric") == metric).select("ts", micro.alias(out_col))
+
+
+def correlation(
+    dps: DataFrame, metric_a: str, metric_b: str, bucket_ms: int = MIN_MS
+) -> list[ResultSet]:
+    """q167: exact Pearson r between two metrics' aligned bucket series.
+    One ResultSet, metric ``corr(a,b)``, dps ``{0: r}``."""
+    b = _bucket_means(_filtered(dps, [metric_a, metric_b]), bucket_ms)
+    jd = _micro_series(b, metric_a, "x").join(_micro_series(b, metric_b, "y"), "ts")
+    row = _pearson_moments(jd, []).first()
+    r = None if row is None else row["pearson_r"]
+    return [
+        ResultSet(
+            metric=f"corr({metric_a},{metric_b})",
+            tags={},
+            aggregate_tags=[],
+            dps={0: r},
+        )
+    ]
+
+
+def lead_lag(
+    dps: DataFrame,
+    metric_a: str,
+    metric_b: str,
+    max_shift: int = 2,
+    bucket_ms: int = MIN_MS,
+) -> list[ResultSet]:
+    """q168: Pearson r at bucket shifts −max_shift..+max_shift (does b
+    follow a?). One ResultSet, dps keyed by the shift in buckets."""
+    spark = dps.sparkSession
+    b = _bucket_means(_filtered(dps, [metric_a, metric_b]), bucket_ms)
+    a = _micro_series(b, metric_a, "x")
+    c = _micro_series(b, metric_b, "y")
+    lags = spark.range(-int(max_shift), int(max_shift) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    jd = a.crossJoin(F.broadcast(lags)).join(
+        c.select(F.col("ts").alias("__ots"), "y"),
+        F.col("__ots") == F.col("ts") + F.col("lag") * F.lit(bucket_ms),
+    )
+    rows = _pearson_moments(jd, ["lag"]).collect()
+    return [
+        ResultSet(
+            metric=f"leadlag({metric_a},{metric_b})",
+            tags={},
+            aggregate_tags=[],
+            dps={int(r["lag"]): r["pearson_r"] for r in sorted(rows, key=lambda r: r["lag"])},
+        )
+    ]
+
+
+def execute(dps: DataFrame, params: dict[str, list[str]]) -> list[ResultSet]:
+    """Dispatch an `/api/analytics` request (parsed query params) to the
+    operator. Unknown/missing op or bad numbers raise ValueError → 400."""
+
+    def one(name: str, default=None):
+        v = params.get(name)
+        return v[0] if v else default
+
+    op = one("op")
+    metrics = params.get("m")
+    bucket_ms = int(one("bucket_ms", MIN_MS))
+    if op == "seasonal_profile":
+        return seasonal_profile(dps, metrics)
+    if op == "seasonal_residual":
+        return seasonal_residual(dps, metrics, bucket_ms)
+    if op == "ewma":
+        return ewma(
+            dps,
+            metrics,
+            alpha=float(one("alpha", 0.5)),
+            lookback=int(one("lookback", 16)),
+            bucket_ms=bucket_ms,
+            field=one("field", "ewma"),
+        )
+    if op == "anomaly":
+        return anomaly_score(
+            dps,
+            metrics,
+            alpha=float(one("alpha", 0.5)),
+            lookback=int(one("lookback", 16)),
+            bucket_ms=bucket_ms,
+        )
+    if op == "rolling_pct":
+        return rolling_pct(
+            dps,
+            quantile=float(one("q", 95.0)),
+            metrics=metrics,
+            lookback=int(one("lookback", 16)),
+            bucket_ms=bucket_ms,
+        )
+    if op in ("correlation", "leadlag"):
+        a, b = one("a"), one("b")
+        if not a or not b:
+            raise ValueError("correlation/leadlag need a= and b= metrics")
+        if op == "correlation":
+            return correlation(dps, a, b, bucket_ms)
+        return lead_lag(dps, a, b, int(one("max_shift", 2)), bucket_ms)
+    raise ValueError(f"unknown analytics op: {op!r}")

@@ -399,6 +399,18 @@ class _Handler(BaseHTTPRequestHandler):
                 results = self.store.context().execute(top)
                 self.store.note_query((_t.perf_counter() - t0) * 1000.0)
                 self._send_query_results(results)
+            elif route == "/api/analytics":
+                import time as _t
+
+                from ticktock_spark.api import analytics
+
+                t0 = _t.perf_counter()
+                try:
+                    results = analytics.execute(self.store.dataframe(), params)
+                except ValueError as e:
+                    raise _BadRequest(str(e)) from e
+                self.store.note_query((_t.perf_counter() - t0) * 1000.0)
+                self._send_query_results(results)
             else:
                 self._send(404, {"error": f"no route {route}"})
         except _BadRequest:

@@ -1583,10 +1583,15 @@ def _bpe_train_local(
     )
     if min_count > 1:
         vocab = vocab.filter(F.col("wc") >= min_count)
-    rows = vocab.collect()  # vocab-bounded: unique words, not corpus rows
+    # vocab-bounded collect (unique words, not corpus rows) via Arrow:
+    # at the web-scale operating point (~10M unique words, SCALE.md)
+    # Row-object materialization is ~10× the memory and wall of the
+    # Arrow path, and this collect is the trainer's driver bound.
+    pdf = vocab.toPandas()
 
-    words: list[list] = [list(r["w"]) for r in rows]
-    wcs: list[int] = [r["wc"] for r in rows]
+    words: list[list] = [list(w) for w in pdf["w"]]
+    wcs: list[int] = [int(c) for c in pdf["wc"]]
+    del pdf
 
     def pair_positions(syms: list) -> dict:
         d: dict = {}
