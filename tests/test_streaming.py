@@ -1538,3 +1538,94 @@ def test_curation_gate_runs_on_streams(spark, tmp_path):
     assert flat, "no single-line docs to compare"
     for d in flat:
         assert got[d] == want[d], d
+
+
+def test_streaming_anomaly_matches_batch_ensemble(spark, tmp_path):
+    """The live anomaly stream (streaming EWMA x broadcast seasonal
+    profile) reproduces, across a micro-batch boundary, the score the
+    batch ensemble computes on the same replayed points: the seasonal
+    term joins the exact batch profile values, the recency term is the
+    sequential recursive EWMA (the streaming state form), and rows
+    whose (series, hour) has no profile row are dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.anomaly import streaming_anomaly
+
+    US_H = 3_600_000_000
+    # two series, points spread over two distinct hours-of-day
+    pts = []
+    vals = {"a": [10.0, 20.0, 40.0, 0.0, 16.0, 12.0], "b": [5.0, 5.0, 8.0, 2.0]}
+    for s, vs in vals.items():
+        for i, v in enumerate(vs):
+            us = 60_000_000 + i * 1_800_000_000  # monotone; hour flips every 2 pts
+            pts.append((s, us, i, v))
+    half = len(pts) // 2
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for bi, chunk in enumerate((pts[:half], pts[half:])):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{s} {us} {q} {v}" for s, us, q, v in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    # batch-side seasonal profile over the SAME points (q155's shape on
+    # hour-of-day), with series b given only hour 0 so hour-1 rows drop
+    prof_rows = {}
+    for s, us, _, v in pts:
+        h = (us // US_H) % 24
+        if s == "b" and h == 1:
+            continue
+        prof_rows.setdefault((s, h), []).append(v)
+    profile = spark.createDataFrame(
+        [(s, h, sum(vs) / len(vs)) for (s, h), vs in sorted(prof_rows.items())],
+        "series string, hour_utc int, hour_avg double",
+    )
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).alias("series"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(2).cast("long").alias("seq"),
+        p.getItem(3).cast("double").alias("value"),
+    )
+    q = (
+        streaming_anomaly(stream, profile, alpha=0.5)
+        .writeStream.format("memory")
+        .queryName("anomaly_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["series"], r["us"]): (r["ewma"], r["hour_avg"], r["score"])
+        for r in spark.sql("select * from anomaly_out").collect()
+    }
+    # sequential reference: recursive EWMA fold + the same profile means
+    want = {}
+    for s, vs in vals.items():
+        ew = None
+        for i, v in enumerate(vs):
+            us = 60_000_000 + i * 1_800_000_000
+            h = (us // US_H) % 24
+            if ew is None:
+                ew = v
+                continue
+            prev = ew
+            ew = 0.5 * v + 0.5 * prev
+            if (s, h) not in prof_rows:
+                continue  # no seasonal baseline -> dropped by inner join
+            avg = sum(prof_rows[(s, h)]) / len(prof_rows[(s, h)])
+            want[(s, us)] = (prev, avg, abs(v - avg) + abs(v - prev))
+    assert got == want
+    # the drop actually exercised: series b emitted hour-1 EWMA rows
+    assert any(s == "b" for (s, _us) in want) and len(want) < sum(
+        len(v) - 1 for v in vals.values()
+    )
