@@ -136,3 +136,79 @@ def test_zorder_key_bit_interleave(spark):
     )
     vals = [r["s"] for r in s.collect()]
     assert vals[0] == 0 and vals[2] == 65535 and 0 < vals[1] < 65535
+
+
+def test_zorder_key_n_generalizes(spark):
+    """zorder_key_n equals the 2-D mask-spread key bit-for-bit at
+    (n=2, bits=16), and at n=3 matches a per-bit reference interleave;
+    default widths keep the key positive (15 bits at n=4)."""
+    from ticktock_spark.operators.zorder import zorder_key, zorder_key_n
+
+    vals = [(0, 0, 0), (1, 2, 3), (65535, 0, 65535), (0b1010, 0b0101, 0b1111)]
+    df = spark.createDataFrame(vals, "a long, b long, c long")
+    two = df.select(
+        zorder_key(F.col("a"), F.col("b")).alias("k2"),
+        zorder_key_n([F.col("a"), F.col("b")]).alias("kn"),
+    ).collect()
+    assert all(r["k2"] == r["kn"] for r in two)
+
+    def interleave(dims, bits, n):
+        k = 0
+        for d, v in enumerate(dims):
+            for i in range(bits):
+                k |= ((v >> i) & 1) << (i * n + d)
+        return k
+
+    three = [
+        r["k"]
+        for r in df.select(
+            zorder_key_n([F.col("a"), F.col("b"), F.col("c")]).alias("k")
+        ).collect()
+    ]
+    assert three == [interleave(v, 16, 3) for v in vals]
+    four = df.select(
+        zorder_key_n([F.col("a"), F.col("b"), F.col("c"), F.col("a")]).alias("k")
+    ).collect()
+    assert all(0 <= r["k"] < (1 << 60) for r in four)
+
+
+def test_compact_partition_zorder_layout(spark, tmp_path):
+    """zorder=True compaction rewrites the day partition ordered by the
+    (series-hash, scaled-ts) Morton key — row content identical to the
+    linear-cluster rewrite, file order monotone in the z-key."""
+    from ticktock_spark.operators.zorder import scale_to_bits, zorder_key_n
+    from ticktock_spark.schema import series_skey_col
+
+    path = str(tmp_path / "t")
+    rows = []
+    for b in range(6):
+        for h in ("b", "a", "c"):
+            rows.append((f"put m {T0 + (17 * b % 7) * 1000} {float(b)} host={h}",))
+    for i in range(0, len(rows), 3):
+        lines = spark.createDataFrame(rows[i : i + 3], "value string")
+        dps = put_lines_to_datapoints(lines).withColumn(
+            "dt", F.to_date(F.timestamp_millis(F.col("ts")))
+        )
+        dps.write.mode("append").partitionBy("dt").parquet(path)
+    before = spark.read.parquet(path).collect()
+
+    n = compact_partition(spark, path, "2024-01-01", zorder=True)
+    assert n == len(rows)
+    after = spark.read.parquet(path)
+    assert sorted(map(str, before)) == sorted(map(str, after.collect()))
+    # physical order is monotone in the recomputed z-key
+    lohi = after.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    keys = [
+        r["k"]
+        for r in spark.read.parquet(f"{path}/dt=2024-01-01")
+        .select(
+            zorder_key_n(
+                [
+                    F.xxhash64(series_skey_col()).bitwiseAND(F.lit(0xFFFF)),
+                    scale_to_bits(F.col("ts"), float(lohi["lo"]), float(lohi["hi"])),
+                ]
+            ).alias("k")
+        )
+        .collect()
+    ]
+    assert keys == sorted(keys)

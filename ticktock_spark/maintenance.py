@@ -75,7 +75,7 @@ def retention_purge(
 
 def compact_partition(
     spark: SparkSession, table_path: str, dt_val: str, target_files: int = 1,
-    cluster: bool = True,
+    cluster: bool = True, zorder: bool = False,
 ) -> int:
     """Rewrite one day partition into ``target_files`` files
     (tsdb.cpp:3431-3658). Returns the row count rewritten.
@@ -95,6 +95,14 @@ def compact_partition(
     few row groups instead of every micro-batch file, and sorted
     metric/tag columns dictionary+RLE compress far better. ``cluster=False``
     keeps the plain coalesce for non-datapoints tables.
+
+    ``zorder=True`` swaps the (series, ts) linear sort for a Morton key
+    over (16-bit series-hash bucket, 16-bit min/max-scaled ts) —
+    `operators/zorder.py` — so row-group stats prune on BOTH a
+    series-equality predicate and a time-range predicate at once
+    (measured in SCALE.md). The linear sort remains the default: it is
+    strictly better when every query is series-first (the reference's
+    access pattern); the Z-layout is for mixed series/time-sliced scans.
     """
     part_dir = Path(table_path) / f"dt={dt_val}"
     old = part_dir.with_name(part_dir.name + ".compact-old")
@@ -115,12 +123,40 @@ def compact_partition(
     if cluster and {"metric", "tags", "ts"} <= set(df.columns):
         from ticktock_spark.schema import series_skey_col
 
-        df = (
-            df.withColumn("__skey", series_skey_col())
-            .repartitionByRange(target_files, "__skey", "ts")
-            .sortWithinPartitions("__skey", "ts")
-            .drop("__skey")
-        )
+        if zorder:
+            from pyspark.sql import functions as F
+
+            from ticktock_spark.operators.zorder import (
+                scale_to_bits,
+                zorder_key_n,
+            )
+
+            # ts bounds are partition-scoped (one day): two driver
+            # numbers, same discipline as the documents-side layout
+            lohi = df.agg(
+                F.min("ts").alias("lo"), F.max("ts").alias("hi")
+            ).first()
+            key = zorder_key_n(
+                [
+                    F.xxhash64(series_skey_col()).bitwiseAND(F.lit(0xFFFF)),
+                    scale_to_bits(
+                        F.col("ts"), float(lohi["lo"]), float(lohi["hi"])
+                    ),
+                ]
+            )
+            df = (
+                df.withColumn("__zk", key)
+                .repartitionByRange(target_files, "__zk")
+                .sortWithinPartitions("__zk")
+                .drop("__zk")
+            )
+        else:
+            df = (
+                df.withColumn("__skey", series_skey_col())
+                .repartitionByRange(target_files, "__skey", "ts")
+                .sortWithinPartitions("__skey", "ts")
+                .drop("__skey")
+            )
     else:
         df = df.coalesce(target_files)
     tmp = part_dir.with_name(part_dir.name + ".compact-tmp")

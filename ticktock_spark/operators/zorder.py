@@ -41,16 +41,52 @@ def zorder_key(dim_a: Column, dim_b: Column) -> Column:
     return _spread16(dim_a).bitwiseOR(F.shiftleft(_spread16(dim_b), 1))
 
 
-def scale_to_16bit(c: Column, lo: float, hi: float) -> Column:
-    """Linear min/max scaling of a numeric column to 0..65535 (lo/hi
-    are two driver-side numbers, e.g. from df.agg(min, max))."""
+def zorder_key_n(dims: list[Column], bits: int | None = None) -> Column:
+    """N-dimensional Morton key: interleave ``len(dims)`` integer
+    dimensions (each already scaled to ``bits`` bits; ``dims[0]`` gets
+    the lowest bit position). The default width is the largest that
+    keeps the key inside a POSITIVE signed 64-bit long — 16 bits
+    through 3 dims, 15 at 4 dims — so range-partitioning and parquet
+    min/max stats order the key correctly.
+
+    Built from explicit per-bit shift/OR expressions (b·n integer ops
+    per row, JVM-side, engine-exact and SQL-oracle-expressible); for
+    n=2, bits=16 it equals ``zorder_key`` bit-for-bit (pinned by test —
+    that path keeps the cheaper mask-spread form)."""
+    n = len(dims)
+    if n < 1:
+        raise ValueError("zorder_key_n needs at least one dimension")
+    if bits is None:
+        bits = min(16, 62 // n)
+    key = F.lit(0).cast("long")
+    for d, c in enumerate(dims):
+        x = c.cast("long")
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(x, i).bitwiseAND(F.lit(1)), i * n + d
+                )
+            )
+    return key
+
+
+def scale_to_bits(c: Column, lo: float, hi: float, bits: int = 16) -> Column:
+    """Linear min/max scaling of a numeric column to 0..2**bits-1
+    (lo/hi are two driver-side numbers, e.g. from df.agg(min, max))."""
+    top = (1 << bits) - 1
     if hi <= lo:
         return F.lit(0).cast("long")
     span = float(hi - lo)
-    scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(65535.0)
+    scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(float(top))
     return F.least(
-        F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(65535)
+        F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(top)
     )
+
+
+def scale_to_16bit(c: Column, lo: float, hi: float) -> Column:
+    """Linear min/max scaling of a numeric column to 0..65535 (lo/hi
+    are two driver-side numbers, e.g. from df.agg(min, max))."""
+    return scale_to_bits(c, lo, hi, 16)
 
 
 def write_zordered(
