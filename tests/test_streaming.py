@@ -1629,3 +1629,81 @@ def test_streaming_anomaly_matches_batch_ensemble(spark, tmp_path):
     assert any(s == "b" for (s, _us) in want) and len(want) < sum(
         len(v) - 1 for v in vals.values()
     )
+
+
+def test_mqtt_paho_factory_v2_compat_and_resubscribe(tmp_path):
+    """The real-broker path, broker-free: a stub paho module (the
+    container has neither paho nor mosquitto, and installs are out of
+    scope — the factory's client construction and the CONNACK
+    resubscribe contract are what a live broker would exercise) pins:
+    (1) paho >= 2.0 gets CallbackAPIVersion.VERSION1 as first arg,
+    v1 gets client_id only; (2) MqttSpool installs an on_connect that
+    re-issues every subscribe — the reference's mqtt.cpp:255-269
+    behavior that survives broker auto-reconnect with clean-session."""
+    import sys
+    import types
+
+    from ticktock_spark.streaming import mqtt as m
+
+    calls = {}
+
+    class StubClient:
+        def __init__(self, *args, **kwargs):
+            calls["ctor"] = (args, kwargs)
+            self.on_message = None
+            self.on_connect = None
+            self.subscribed = []
+
+        def connect(self, broker, port, keepalive=60):
+            calls["connect"] = (broker, port, keepalive)
+
+        def subscribe(self, topic):
+            self.subscribed.append(topic)
+
+        def loop_start(self):
+            pass
+
+        def disconnect(self):
+            pass
+
+    def install(with_v2: bool):
+        mod = types.ModuleType("paho.mqtt.client")
+        mod.Client = StubClient
+        if with_v2:
+            mod.CallbackAPIVersion = types.SimpleNamespace(VERSION1="V1")
+        pkg = types.ModuleType("paho")
+        pkg.mqtt = types.ModuleType("paho.mqtt")
+        pkg.mqtt.client = mod
+        sys.modules["paho"] = pkg
+        sys.modules["paho.mqtt"] = pkg.mqtt
+        sys.modules["paho.mqtt.client"] = mod
+
+    settings = (
+        '[{"broker": "localhost", "port": 1883,'
+        ' "topics": [{"topic": "t1", "format": "put"},'
+        '            {"topic": "t2", "format": "line"}]}]'
+    )
+    try:
+        # paho >= 2.0: CallbackAPIVersion passed positionally first
+        install(with_v2=True)
+        spool = m.MqttSpool(settings, str(tmp_path / "s1"))
+        args, kwargs = calls["ctor"]
+        assert args == ("V1",) and kwargs == {"client_id": "ticktockdb"}
+        assert calls["connect"] == ("localhost", 1883, 10)
+        client = spool._clients[0]
+        assert sorted(client.subscribed) == ["t1", "t2"]
+        # broker reconnect: CONNACK fires on_connect -> resubscribe
+        client.subscribed.clear()
+        client.on_connect(client, None, {}, 0)
+        assert sorted(client.subscribed) == ["t1", "t2"]
+        spool.stop()
+
+        # paho 1.x: no CallbackAPIVersion attribute -> client_id only
+        install(with_v2=False)
+        spool = m.MqttSpool(settings, str(tmp_path / "s2"))
+        args, kwargs = calls["ctor"]
+        assert args == () and kwargs == {"client_id": "ticktockdb"}
+        spool.stop()
+    finally:
+        for name in ("paho.mqtt.client", "paho.mqtt", "paho"):
+            sys.modules.pop(name, None)
