@@ -250,3 +250,75 @@ def test_rolling_percentile_r6_hand_computed(spark):
     assert out[3]["pct"] == 20.0 and out[3]["n_window"] == 3
     # t=4: trailing 3 = [20,30,40] -> 30
     assert out[4]["pct"] == 30.0
+
+
+def test_acf_periodic_series(spark):
+    """A perfectly periodic series autocorrelates at exactly 1.0 on the
+    period lag and below it elsewhere; a constant series yields NULL r
+    (zero variance guard)."""
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.operators.correlate import acf
+
+    rows = [("m", i * 60000, float([3.0, 7.0, 5.0][i % 3])) for i in range(60)]
+    rows += [("c", i * 60000, 4.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = {
+        (r["metric"], r["lag"]): r
+        for r in acf(df, ["metric"], max_lag=4, bucket_ms=60000).collect()
+    }
+    assert out[("m", 3)]["pearson_r"] == 1.0
+    assert all(
+        out[("m", lag)]["pearson_r"] < 1.0 for lag in (1, 2, 4)
+    )
+    # aligned-pair counts shrink with lag (no wraparound)
+    assert out[("m", 1)]["n"] == 59 and out[("m", 4)]["n"] == 56
+    assert all(out[("c", lag)]["pearson_r"] is None for lag in (1, 2, 3, 4))
+
+
+def test_mean_shift_score_planted_step(spark):
+    """A level step of height 6 produces its maximum score exactly at
+    the first point of the new level, equal to the step height; flat
+    regions score 0; edges without full windows are absent."""
+    from ticktock_spark.operators.rolling import mean_shift_score
+
+    rows = [("m", i * 1000, 2.0 if i < 20 else 8.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = {r["ts"]: r for r in mean_shift_score(df, ["metric"], window=8).collect()}
+    # rows 0-7 lack a full left window; rows 33+ lack a full right window
+    assert min(out) == 8 * 1000 and max(out) == 32 * 1000
+    best = max(out.values(), key=lambda r: r["shift_score"])
+    assert best["ts"] == 20 * 1000 and best["shift_score"] == 6.0
+    assert best["mean_before"] == 2.0 and best["mean_after"] == 8.0
+    assert out[10 * 1000]["shift_score"] == 0.0
+    assert out[30 * 1000]["shift_score"] == 0.0
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc quoting a benchmark n-gram is flagged with the
+    exact shared-gram count; clean docs are absent; hash_grams engine
+    flags the same docs."""
+    from ticktock_spark.pipeline.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris everyone knows")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "quiz answer the capital of france is paris obviously"),
+            (2, "completely unrelated text about gardening and soil"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, bench, n=5).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    # shared 5-grams: the 2 windows fully inside "the capital of france
+    # is paris" plus "of france is paris everyone"? no — 'everyone' is
+    # not in doc 1, so exactly 2: "the capital of france is",
+    # "capital of france is paris"
+    assert r["n_hits"] == 2 and r["n_grams"] == 5
+    assert abs(r["hit_ratio"] - 0.4) < 1e-12
+    hashed = decontaminate(train, bench, n=5, hash_grams=True).collect()
+    assert [(x["doc_id"], x["n_hits"]) for x in hashed] == [(1, 2)]

@@ -229,3 +229,70 @@ def rolling_percentile_r6(
             "pct"
         ),
     )
+
+
+def mean_shift_score(
+    df: DataFrame,
+    series_cols: list[str],
+    window: int = 8,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Window-contrast changepoint score per point: |mean of the next
+    ``window`` points − mean of the previous ``window`` points| — the
+    two-sided sliding mean-shift signal (the non-recursive core of
+    CUSUM-style level-change detection: a step change of height h makes
+    the score ramp to h exactly at the change point). Emitted only
+    where BOTH sides are full (``window`` points each), so every score
+    compares equal-sized samples; rank the output by score to shortlist
+    change points.
+
+    Numerics: each side's sum accumulates in DECIMAL(18,2) (order-free),
+    one cast to double, one division by the constant window — identical
+    op order in the SQL twin, bit-identical results.
+
+    Scale shape: ONE series-sorted window pass (two bounded ROWS frames
+    over the same sort — a single exchange + sort, no self-join); state
+    per row is 2·window values. Same duplicate-timestamp caveat as
+    ewma_baseline — pass ``tiebreak_cols`` if bucket keys can repeat.
+    """
+    order = [ts_col, *(tiebreak_cols or [])]
+    left = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*order)
+        .rowsBetween(-int(window), -1)
+    )
+    right = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*order)
+        .rowsBetween(0, int(window) - 1)
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    w = float(window)
+    lmean = F.sum(dec).over(left).cast("double") / F.lit(w)
+    rmean = F.sum(dec).over(right).cast("double") / F.lit(w)
+    out = df.select(
+        *series_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        F.count(F.lit(1)).over(left).alias("__ln"),
+        F.count(F.lit(1)).over(right).alias("__rn"),
+        lmean.alias("mean_before"),
+        rmean.alias("mean_after"),
+    ).filter((F.col("__ln") == int(window)) & (F.col("__rn") == int(window)))
+    return out.select(
+        *series_cols,
+        ts_col,
+        value_col,
+        "mean_before",
+        "mean_after",
+        (
+            F.floor(
+                F.abs(F.col("mean_after") - F.col("mean_before"))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1_000_000.0)
+        ).alias("shift_score"),
+    )

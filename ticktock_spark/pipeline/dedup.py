@@ -1621,3 +1621,63 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share any
+    word ``n``-gram with a benchmark/eval corpus — the GPT-3 appendix-C
+    / Llama eval-decontamination method (13-gram overlap; pass a
+    smaller ``n`` for short-document corpora). Exact-overlap screening
+    is the published standard because eval leakage is about literal
+    strings, not near-duplicates.
+
+    Output: one row per CONTAMINATED training doc
+    (id, n_hits = distinct shared n-grams, n_grams = the doc's distinct
+    n-gram count, hit_ratio) — anti-join the ids to drop, or audit the
+    ratios first (a single boilerplate collision ≠ a leaked test item).
+
+    Scale shape: the benchmark side collapses to DISTINCT n-grams (eval
+    suites are tiny next to a training corpus — typically broadcastable;
+    Spark/AQE picks broadcast vs shuffle from its measured size), the
+    corpus side is one scan + explode, and the join is a semi-style
+    inner join followed by a per-doc count. ``hash_grams=True`` swaps
+    n-gram strings for xxhash64 values on BOTH sides before the
+    shuffle — ~an-order-of-magnitude narrower exchange at 100 TB, with
+    the 64-bit collision caveat (a collision only ever ADDS a hit —
+    screening stays conservative). String grams are the cross-engine
+    spec the DuckDB oracle mirrors.
+    """
+    grams = lambda c: F.explode(word_shingles(c, n)).alias("gram")  # noqa: E731
+    doc_grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), grams(F.col(text_col)))
+        .distinct()
+    )
+    bench_grams = (
+        benchmark.filter(F.col(bench_text_col).isNotNull())
+        .select(grams(F.col(bench_text_col)))
+        .distinct()
+    )
+    if hash_grams:
+        doc_grams = doc_grams.select(id_col, F.xxhash64("gram").alias("gram"))
+        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        (F.col("n_hits").cast("double") / F.col("n_grams")).alias("hit_ratio"),
+    )

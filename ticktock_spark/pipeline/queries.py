@@ -5807,3 +5807,41 @@ def q169(spark, sf_dir):
         _table(spark, sf_dir, "documents"), threshold=0.8,
         windowed=True, window_words=24, stride=12, window_engine="pandas",
     )
+
+
+@register(
+    "q173_decontaminate",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents
+               WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, unnest((SELECT {_WORD_SHINGLES} FROM
+             (SELECT string_split_regex(norm, '\\s+') AS tk_w))) AS gram
+      FROM n
+    ),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 != 0),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+    h AS (
+      SELECT dg.doc_id, count(*) AS n_hits
+      FROM dg JOIN bg ON dg.gram = bg.gram
+      GROUP BY 1
+    )
+    SELECT h.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(h.n_hits AS DOUBLE) / t.n_grams AS hit_ratio
+    FROM h JOIN tot t ON t.doc_id = h.doc_id
+    """,
+)
+def q173(spark, sf_dir):
+    """Eval-set decontamination (pipeline/dedup.py decontaminate): the
+    GPT-3/Llama exact word-n-gram overlap screen — training docs sharing
+    any word 3-gram with the held-out benchmark slice (doc_id % 97 == 0
+    stands in for an eval suite; production n is 13, scaled to this
+    corpus's ~55-word docs). Benchmark side collapses to distinct
+    grams (broadcast-scale); corpus side is one scan + explode; output
+    is per-doc hit counts + ratio for audit-before-drop."""
+    d = _table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return dd.decontaminate(train, bench, n=3)

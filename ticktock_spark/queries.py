@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ticktock_spark.operators import (
     aggregate_across_series,
@@ -1627,4 +1627,175 @@ def q168(spark, sf_dir):
         "lag_min",
         F.col("n").cast("long").alias("n"),
         q6(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny))).alias("pearson_r"),
+    )
+
+
+_MOMENTS = """
+      CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+"""
+
+_PEARSON_R = _Q6.format(
+    x="""(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0))"""
+)
+
+
+@register(
+    "q170_acf",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    m AS (SELECT metric, ts, CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS x
+          FROM b),
+    l AS (SELECT unnest([1, 2, 3, 4, 5]) AS lag),
+    j AS (
+      SELECT m.metric, l.lag, m.x, o.x AS y
+      FROM l JOIN m ON true
+             JOIN m o ON o.metric = m.metric AND o.ts = m.ts + l.lag * 60000
+    ),
+    s AS (
+      SELECT metric, lag, {_MOMENTS}
+      FROM j GROUP BY 1, 2
+    )
+    SELECT metric, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+           {_PEARSON_R} AS pearson_r
+    FROM s
+    """,
+)
+def q170(spark, sf_dir):
+    """Autocorrelation function per metric (operators/correlate.py acf):
+    exact Pearson between each metric's 1m-bucket series and itself at
+    lags 1-5 — the memory/seasonality fingerprint read before choosing
+    EWMA alphas or rollup grains (q168's lead-lag machinery pointed at
+    a single series). Broadcast lag fan-out + one (metric, shifted-ts)
+    equi-join at bucket scale; DECIMAL(38) integer moments."""
+    from ticktock_spark.operators.correlate import acf
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    return acf(b, ["metric"], max_lag=5, bucket_ms=MIN_MS)
+
+
+@register(
+    "q171_changepoint",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT metric, ts, v,
+             count(*) OVER lw AS ln, count(*) OVER rw AS rn,
+             CAST(sum(CAST(v AS DECIMAL(18,2))) OVER lw AS DOUBLE) / 8.0
+               AS mean_before,
+             CAST(sum(CAST(v AS DECIMAL(18,2))) OVER rw AS DOUBLE) / 8.0
+               AS mean_after
+      FROM b
+      WINDOW lw AS (PARTITION BY metric ORDER BY ts
+                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+             rw AS (PARTITION BY metric ORDER BY ts
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+    )
+    SELECT metric, ts, {_Q6.format(x='v')} AS value, mean_before, mean_after,
+           {_Q6.format(x='abs(mean_after - mean_before)')} AS shift_score
+    FROM w WHERE ln = 8 AND rn = 8
+    """,
+)
+def q171(spark, sf_dir):
+    """Window-contrast changepoint score (operators/rolling.py
+    mean_shift_score): |mean of next 8 buckets − mean of previous 8|
+    per metric 1m bucket — the non-recursive level-change detector
+    behind "when did this metric step?"; both sides full, exact decimal
+    sums, one series-sorted window pass."""
+    from ticktock_spark.operators.rolling import mean_shift_score
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    out = mean_shift_score(b, ["metric"], window=8)
+    return out.select(
+        "metric",
+        "ts",
+        q6(F.col("value")).alias("value"),
+        "mean_before",
+        "mean_after",
+        "shift_score",
+    )
+
+
+@register(
+    "q172_burn_rate",
+    f"""
+    WITH b AS (
+      SELECT ts - ts % 300000 AS ts,
+             count(*) FILTER (metric = 'error') AS n_err,
+             count(*) AS n_tot
+      FROM {_EV} GROUP BY 1
+    ),
+    w AS (
+      SELECT ts, n_err, n_tot,
+             sum(n_err) OVER hw AS err_1h, sum(n_tot) OVER hw AS tot_1h
+      FROM b
+      WINDOW hw AS (ORDER BY ts RANGE BETWEEN 3300000 PRECEDING
+                    AND CURRENT ROW)
+    )
+    SELECT ts, CAST(n_err AS BIGINT) AS n_err, CAST(n_tot AS BIGINT) AS n_tot,
+           {_Q6.format(x='CAST(n_err AS DOUBLE) / n_tot')} AS ratio_5m,
+           CAST(err_1h AS BIGINT) AS err_1h, CAST(tot_1h AS BIGINT) AS tot_1h,
+           {_Q6.format(x='CAST(err_1h AS DOUBLE) / tot_1h')} AS ratio_1h,
+           CAST(n_err AS DOUBLE) / n_tot > 0.12
+             AND CAST(err_1h AS DOUBLE) / tot_1h > 0.12 AS alert
+    FROM w
+    """,
+)
+def q172(spark, sf_dir):
+    """Multi-window SLO burn-rate (the SRE-workbook alert shape): error
+    ratio over each 5m bucket AND over the trailing 1h (RANGE frame —
+    robust to missing buckets), alert when BOTH exceed the burn
+    threshold — fast windows catch, slow windows confirm. Exact integer
+    counts; one scan + one global bucket-timeline window (bucket-scale:
+    ~105k rows/year, safe as a single sorted partition)."""
+    d = _dps(spark, sf_dir)
+    b = d.groupBy((F.col("ts") - F.col("ts") % F.lit(300000)).alias("ts")).agg(
+        F.count(F.when(F.col("metric") == "error", 1)).alias("n_err"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    hw = Window.orderBy("ts").rangeBetween(-3300000, Window.currentRow)
+    w = b.select(
+        "ts",
+        "n_err",
+        "n_tot",
+        F.sum("n_err").over(hw).alias("err_1h"),
+        F.sum("n_tot").over(hw).alias("tot_1h"),
+    )
+    r5 = F.col("n_err").cast("double") / F.col("n_tot")
+    r1h = F.col("err_1h").cast("double") / F.col("tot_1h")
+    return w.select(
+        "ts",
+        F.col("n_err").cast("long").alias("n_err"),
+        F.col("n_tot").cast("long").alias("n_tot"),
+        q6(r5).alias("ratio_5m"),
+        F.col("err_1h").cast("long").alias("err_1h"),
+        F.col("tot_1h").cast("long").alias("tot_1h"),
+        q6(r1h).alias("ratio_1h"),
+        ((r5 > 0.12) & (r1h > 0.12)).alias("alert"),
     )
