@@ -651,3 +651,85 @@ def test_http_analytics_endpoint(spark):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_analytics_round7_ops(spark):
+    """acf / changepoint / histogram / trend / burn_rate through the
+    endpoint match the q170/q171/q174/q175/q172 oracles on the same
+    ingested datapoints."""
+    import duckdb
+    import pandas as pd
+
+    import ticktock_spark.pipeline.queries  # noqa: F401
+    from ticktock_spark.queries import ORACLES
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200
+    try:
+        click = [round((i % 5) * 2.0 + i * 0.05, 2) for i in range(240)]
+        error = [round(1.0 + (i % 11) * 0.3, 2) for i in range(240)]
+        lines = []
+        for i in range(240):
+            lines.append(f"put click {T0 + i * 60} {click[i]} host=h1")
+            lines.append(f"put error {T0 + i * 60} {error[i]} host=h1")
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == 480
+
+        con = duckdb.connect()
+        ev = pd.DataFrame(
+            {
+                "event_type": ["click"] * 240 + ["error"] * 240,
+                "ts": pd.to_datetime(
+                    [(T0 + i * 60) * 1000 for i in range(240)] * 2, unit="ms"
+                ),
+                "value": click + error,
+                "user_id": 0,
+                "event_id": range(480),
+            }
+        )
+        con.register("events", ev)
+
+        def odf(name):
+            return con.sql(ORACLES[name]).df()
+
+        res = _get(srv, "/api/analytics?op=acf&m=click&max_lag=5")
+        exp = odf("q170_acf")
+        sub = exp[exp.metric == "click"]
+        assert {int(l): v for l, v in zip(sub.lag, sub.pearson_r)} == {
+            int(k): v for k, v in res[0]["dps"].items()
+        }
+        # period-5 series: lag 5 autocorrelates near 1
+        assert res[0]["dps"]["5"] > 0.99
+
+        res = _get(srv, "/api/analytics?op=changepoint&m=error")
+        exp = odf("q171_changepoint")
+        sub = exp[exp.metric == "error"]
+        assert {int(t): v for t, v in zip(sub.ts, sub.shift_score)} == {
+            int(k): v for k, v in res[0]["dps"].items()
+        }
+
+        res = _get(srv, "/api/analytics?op=histogram&m=click&width=10")
+        exp = odf("q174_histogram")
+        sub = exp[exp.metric == "click"]
+        assert {int(b): float(n) for b, n in zip(sub.bin, sub.n)} == {
+            int(k): v for k, v in res[0]["dps"].items()
+        }
+
+        res = _get(srv, "/api/analytics?op=trend&m=click")
+        exp = odf("q175_trend")
+        sub = exp[exp.metric == "click"].iloc[0]
+        assert res[0]["metric"] == "trend(click)"
+        assert res[0]["dps"] == {
+            "0": sub.slope, "1": sub.intercept, "2": sub.pearson_r
+        }
+        # the planted +0.05/min drift is recovered
+        assert abs(res[0]["dps"]["0"] - 0.05) < 0.01
+
+        res = _get(srv, "/api/analytics?op=burn_rate")
+        exp = odf("q172_burn_rate")
+        fast = {int(t): v for t, v in zip(exp.ts, exp.ratio_5m)}
+        slow = {int(t): v for t, v in zip(exp.ts, exp.ratio_1h)}
+        assert res[0]["metric"] == "burn_rate_fast"
+        assert {int(k): v for k, v in res[0]["dps"].items()} == fast
+        assert {int(k): v for k, v in res[1]["dps"].items()} == slow
+    finally:
+        srv.stop()

@@ -283,6 +283,119 @@ def lead_lag(
     ]
 
 
+def acf_profile(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    max_lag: int = 5,
+    bucket_ms: int = MIN_MS,
+) -> list[ResultSet]:
+    """q170: autocorrelation per metric at lags 1..max_lag over bucket
+    means; dps keys are lags."""
+    from ticktock_spark.operators.correlate import acf
+
+    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    out = acf(b, ["metric"], max_lag=max_lag, bucket_ms=bucket_ms)
+    return _to_resultsets(
+        out.select("metric", "lag", "pearson_r"),
+        "lag",
+        "pearson_r",
+        _aggregate_tags(dps, metrics),
+    )
+
+
+def changepoint(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    window: int = 8,
+    bucket_ms: int = MIN_MS,
+) -> list[ResultSet]:
+    """q171: window-contrast mean-shift score per bucket; dps keys are
+    bucket ts."""
+    from ticktock_spark.operators.rolling import mean_shift_score
+
+    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    out = mean_shift_score(b, ["metric"], window=window)
+    return _to_resultsets(
+        out.select("metric", "ts", "shift_score"),
+        "ts",
+        "shift_score",
+        _aggregate_tags(dps, metrics),
+    )
+
+
+def burn_rate(
+    dps: DataFrame,
+    error_metric: str = "error",
+    bucket_ms: int = 300_000,
+    long_buckets: int = 12,
+) -> list[ResultSet]:
+    """q172: error ratio per short bucket and over the trailing long
+    window — two ResultSets (burn_rate_fast / burn_rate_slow), dps
+    keyed by bucket ts."""
+    b = dps.groupBy(
+        (F.col("ts") - F.col("ts") % F.lit(int(bucket_ms))).alias("ts")
+    ).agg(
+        F.count(F.when(F.col("metric") == error_metric, 1)).alias("n_err"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    span = int(bucket_ms) * (int(long_buckets) - 1)
+    hw = Window.orderBy("ts").rangeBetween(-span, Window.currentRow)
+    rows = b.select(
+        "ts",
+        q6(F.col("n_err").cast("double") / F.col("n_tot")).alias("fast"),
+        q6(
+            F.sum("n_err").over(hw).cast("double") / F.sum("n_tot").over(hw)
+        ).alias("slow"),
+    ).collect()
+    return [
+        ResultSet(
+            metric=f"burn_rate_{name}",
+            tags={},
+            aggregate_tags=[],
+            dps={int(r["ts"]): r[name] for r in sorted(rows, key=lambda r: r["ts"])},
+        )
+        for name in ("fast", "slow")
+    ]
+
+
+def histogram(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    width: float = 10.0,
+) -> list[ResultSet]:
+    """q174: per-metric value histogram; dps keys are bin indices
+    (lo = bin * width)."""
+    d = _filtered(dps, metrics)
+    b = F.floor(F.col("value") / F.lit(float(width)))
+    out = d.groupBy("metric", b.cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    return _to_resultsets(out, "bin", "n", _aggregate_tags(dps, metrics))
+
+
+def trend_fit(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    bucket_ms: int = MIN_MS,
+) -> list[ResultSet]:
+    """q175: least-squares fit per metric; dps is {0: slope-per-bucket,
+    1: intercept, 2: pearson_r} (documented fixed keys)."""
+    from ticktock_spark.operators.correlate import trend
+
+    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    rows = trend(b, ["metric"], bucket_ms=bucket_ms).collect()
+    tags = _aggregate_tags(dps, metrics)
+    return [
+        ResultSet(
+            metric=f"trend({r['metric']})",
+            tags={},
+            aggregate_tags=tags.get(r["metric"], []),
+            dps={0: r["slope"], 1: r["intercept"], 2: r["pearson_r"]},
+        )
+        for r in sorted(rows, key=lambda r: r["metric"])
+    ]
+
+
 def execute(dps: DataFrame, params: dict[str, list[str]]) -> list[ResultSet]:
     """Dispatch an `/api/analytics` request (parsed query params) to the
     operator. Unknown/missing op or bad numbers raise ValueError → 400."""
@@ -323,6 +436,25 @@ def execute(dps: DataFrame, params: dict[str, list[str]]) -> list[ResultSet]:
             lookback=int(one("lookback", 16)),
             bucket_ms=bucket_ms,
         )
+    if op == "acf":
+        return acf_profile(
+            dps, metrics, max_lag=int(one("max_lag", 5)), bucket_ms=bucket_ms
+        )
+    if op == "changepoint":
+        return changepoint(
+            dps, metrics, window=int(one("window", 8)), bucket_ms=bucket_ms
+        )
+    if op == "burn_rate":
+        return burn_rate(
+            dps,
+            error_metric=one("error_metric", "error"),
+            bucket_ms=int(one("bucket_ms", 300_000)),
+            long_buckets=int(one("long_buckets", 12)),
+        )
+    if op == "histogram":
+        return histogram(dps, metrics, width=float(one("width", 10.0)))
+    if op == "trend":
+        return trend_fit(dps, metrics, bucket_ms=bucket_ms)
     if op in ("correlation", "leadlag"):
         a, b = one("a"), one("b")
         if not a or not b:

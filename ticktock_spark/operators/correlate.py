@@ -89,3 +89,64 @@ def acf(
     cond.append(expanded["__tts"] == shifted["__ots"])
     jd = expanded.join(shifted, cond)
     return pearson_moments(jd, [*series_cols, "lag"])
+
+
+def trend(
+    df: DataFrame,
+    series_cols: list[str],
+    bucket_ms: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series least-squares linear trend over a bucketed series —
+    the capacity-forecast primitive ("at this slope, disk is full in N
+    days"). x is the integer bucket index from each series' own first
+    bucket (so moments stay small and the slope reads as value-units
+    per bucket); y is the micro-unit value.
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = (Σy − m·Σx)/n,
+    every moment exact DECIMAL(38,0) (order-free under partial agg),
+    final arithmetic a pinned sequence of double ops, q6-canonicalized
+    — the q167 discipline applied to regression. Series with one bucket
+    (or zero x-variance) yield NULL slope/intercept.
+
+    Output: (series..., n, slope, intercept, pearson_r).
+
+    Scale shape: one window-min per series (same exchange as the agg)
+    + one aggregation; no joins, no collection.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols)
+    base = df.select(
+        *series_cols,
+        ((F.col(ts_col) - F.min(ts_col).over(w)) / F.lit(int(bucket_ms)))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = base.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_micro = F.try_divide(num, denx)
+    intercept_micro = (
+        F.col("sy").cast("double") - slope_micro * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        *series_cols,
+        F.col("n").cast("long").alias("n"),
+        _q6(slope_micro / F.lit(1_000_000.0)).alias("slope"),
+        _q6(intercept_micro / F.lit(1_000_000.0)).alias("intercept"),
+        _q6(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny))).alias("pearson_r"),
+    )

@@ -1799,3 +1799,80 @@ def q172(spark, sf_dir):
         q6(r1h).alias("ratio_1h"),
         ((r5 > 0.12) & (r1h > 0.12)).alias("alert"),
     )
+
+
+@register(
+    "q174_histogram",
+    f"""
+    SELECT metric, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+           floor(value / 10.0) * 10.0 AS lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {_EV} GROUP BY 1, 2, 3
+    """,
+)
+def q174(spark, sf_dir):
+    """Per-metric value histogram in fixed-width bins (width 10) — the
+    value-distribution view behind latency heatmaps and SLO bucket
+    boundaries (newer OpenTSDB builds grew a histogram type; the
+    engine's raw points make it one exact aggregation). Bin edges are
+    floor(value/width) — engine-exact for the 2-decimal value domain.
+    One scan, one hash agg; output is bins × metrics (bounded)."""
+    d = _dps(spark, sf_dir)
+    b = F.floor(F.col("value") / F.lit(10.0))
+    return d.groupBy(
+        "metric",
+        b.cast("long").alias("bin"),
+        (b * F.lit(10.0)).alias("lo"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "q175_trend",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    xy AS (
+      SELECT metric,
+             (ts - min(ts) OVER (PARTITION BY metric)) // 60000 AS x,
+             CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS y
+      FROM b
+    ),
+    s AS (
+      SELECT metric, {_MOMENTS}
+      FROM xy GROUP BY 1
+    ),
+    f AS (
+      SELECT metric, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS m_micro,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             {_PEARSON_R} AS pearson_r
+      FROM s
+    )
+    SELECT metric, CAST(n AS BIGINT) AS n,
+           {_Q6.format(x='(m_micro / 1000000.0)')} AS slope,
+           {_Q6.format(x='((syd - m_micro * sxd) / CAST(n AS DOUBLE) / 1000000.0)')}
+             AS intercept,
+           pearson_r
+    FROM f
+    """,
+)
+def q175(spark, sf_dir):
+    """Least-squares linear trend per metric over 1m-bucket means
+    (operators/correlate.py trend) — slope in value-units per bucket
+    plus intercept and the fit's Pearson r, the capacity-forecast
+    primitive. Exact DECIMAL(38) moments over (bucket index, micro
+    value); one window-min + one aggregation, no joins."""
+    from ticktock_spark.operators.correlate import trend
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    return trend(b, ["metric"], bucket_ms=MIN_MS)
