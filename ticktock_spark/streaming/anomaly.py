@@ -1,37 +1,147 @@
-"""Live anomaly-score stream: streaming EWMA × static seasonal profile.
+"""Stateful streaming rolling z-score (applyInPandasWithState).
 
-The streaming twin of the q157 batch anomaly ensemble
-(`queries.py q157_anomaly_ensemble`): per point,
-``score = |v − same-hour-of-day mean| + |v − EWMA baseline|`` —
-seasonal-aware AND level-aware alerting, live.
+Streaming twin of ``operators.rolling.rolling_zscore``: each arriving
+point is scored against its own series' trailing ``window_ms`` of
+points, with the window carried across micro-batches in the state store.
 
-Composition (all existing machinery):
-  * the recency baseline comes from ``streaming/ewma.py`` —
-    applyInPandasWithState, O(1) state per series, recursive form (the
-    batch operator's bounded window converges to it; the difference is
-    documented there and in the parity test);
-  * the seasonal side is a STATIC broadcast profile — 24 × |series|
-    rows of hour-of-day means, computed offline from history (e.g.
-    ``api/analytics.seasonal_profile`` / q155's aggregation) and
-    refreshed on whatever cadence the caller re-plans the stream. A
-    stream-static broadcast hash join adds no shuffle and no state.
+State per series = the points inside the trailing window of the newest
+point seen (ts + value arrays) — bounded by window span × point rate,
+the same bound the batch RANGE frame holds in memory per row, NOT by
+stream length. The shuffle key is the series, matching the batch
+partitioning.
 
-Rows whose series lacks a profile row for that hour are DROPPED (inner
-join): a series with no history has no seasonal baseline — emitting a
-half-score would alert on the wrong scale. Use a left join + coalesce
-upstream if partial scores are wanted.
+Ordering mirrors streaming/rate.py: points are processed in event-time
+order within a batch and state advances monotonically; a point at or
+before the newest state ts (out-of-order across batches) is dropped —
+the batch path stays the authority for late data.
 
-Scale shape: the stateful stage is the measured streaming_ewma
-(SCALE.md sustains 400k lines/s ingest on this host); the profile join
-is broadcast (model-scale right side), so the added cost per row is one
-hash probe + two abs/adds.
+Numerics intentionally match the batch operator: moments accumulate over
+the frame as exact 2-decimal values (scaled integers — the same value
+domain the batch DECIMAL(18,2) casts enforce), then one float division
+chain (mean = s/n, var = (ss - s²/n)/n clamped at 0), so a point scored
+online equals the batch z-score for the same in-order frame.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from collections.abc import Iterator
 
-from ticktock_spark.streaming.ewma import streaming_ewma
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("ts", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),  # value * 100, exact
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("metric", StringType()),
+        StructField("series", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("roll_n", LongType()),
+        StructField("roll_mean", DoubleType()),
+        StructField("roll_std", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+
+def _make_zscore_fn(window_ms: int, min_points: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric, series = key
+        if state.exists:
+            w_ts, w_cents = list(state.get[0]), list(state.get[1])
+        else:
+            w_ts, w_cents = [], []
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ts = int(ts)
+                value = float(value)
+                if w_ts and ts <= w_ts[-1]:
+                    continue  # late/dup across batches: see module doc
+                cents = round(value * 100)
+                w_ts.append(ts)
+                w_cents.append(cents)
+                lo = ts - window_ms
+                while w_ts[0] < lo:
+                    w_ts.pop(0)
+                    w_cents.pop(0)
+                n = len(w_ts)
+                s = float(sum(w_cents)) / 100.0
+                ss = float(sum(c * c for c in w_cents)) / 10_000.0
+                mean = s / n
+                var = max((ss - s * s / n) / n, 0.0)
+                std = var**0.5
+                z = (
+                    (value - mean) / std
+                    if n >= min_points and std > 0
+                    else None
+                )
+                rows.append((metric, series, ts, value, n, mean, std, z))
+        state.update((w_ts, w_cents))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "metric", "series", "ts", "value",
+                    "roll_n", "roll_mean", "roll_std", "zscore",
+                ],
+            )
+
+    return fn
+
+
+def streaming_zscore(
+    dps: DataFrame, window_ms: int, min_points: int = 2
+) -> DataFrame:
+    """datapoints stream (metric, ts, value, tags) → per-point trailing
+    z-score stream. Output matches operators.rolling.rolling_zscore for
+    in-order data."""
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.plans.planner import canonical_series_key
+
+    keyed = dps.select(
+        "metric",
+        canonical_series_key(F.col("tags")).alias("series"),
+        "ts",
+        "value",
+    )
+    return keyed.groupBy("metric", "series").applyInPandasWithState(
+        _make_zscore_fn(window_ms, min_points),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Live anomaly-score stream (round 7): streaming EWMA x static seasonal
+# profile -> the q157 ensemble score, live. See streaming_anomaly below.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ticktock_spark.streaming.ewma import streaming_ewma  # noqa: E402
 
 US_PER_HOUR = 3_600_000_000
 
