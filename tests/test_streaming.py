@@ -1707,3 +1707,136 @@ def test_mqtt_paho_factory_v2_compat_and_resubscribe(tmp_path):
     finally:
         for name in ("paho.mqtt.client", "paho.mqtt", "paho"):
             sys.modules.pop(name, None)
+
+
+def test_streaming_cusum_matches_sequential_fold(spark, tmp_path):
+    """Two micro-batches reproduce the exact sequential two-sided CUSUM
+    (Page test): state carries both sides across the batch boundary, a
+    planted +6 level shift raises an 'up' alarm and resets that side,
+    and a replayed duplicate of the last (us, seq) is dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.cusum import streaming_cusum
+
+    vals = [10.0, 10.5, 9.5, 16.0, 16.5, 16.0, 10.0, 9.8]
+    rows = [("a", 1_000_000 * (i + 1), i, v) for i, v in enumerate(vals)]
+    half = len(rows) // 2
+    (tmp_path / "in").mkdir(exist_ok=True)
+    batches = (rows[:half], rows[half:] + [rows[half - 1]])  # replay last
+    for bi, chunk in enumerate(batches):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{s} {us} {q} {v}" for s, us, q, v in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).alias("series"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(2).cast("long").alias("seq"),
+        p.getItem(3).cast("double").alias("value"),
+    )
+    q = (
+        streaming_cusum(stream, target=10.0, slack=0.5, threshold=8.0)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [
+        (r["us"], r["s_pos"], r["s_neg"], r["alarm"])
+        for r in spark.sql("select * from cusum_out order by us").collect()
+    ]
+    # sequential reference
+    want = []
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        sp = max(0.0, sp + (v - 10.0 - 0.5))
+        sn = max(0.0, sn + (10.0 - v - 0.5))
+        alarm = None
+        if sp > 8.0:
+            alarm, sp = "up", 0.0
+        elif sn > 8.0:
+            alarm, sn = "down", 0.0
+        want.append((1_000_000 * (i + 1), sp, sn, alarm))
+    assert got == want
+    # the shift actually alarmed exactly once
+    assert [w[3] for w in want].count("up") == 1
+
+
+def test_streaming_seasonal_profile_matches_batch(spark, tmp_path):
+    """The update-mode profile aggregate converges to the exact batch
+    hour-of-day profile over the same replayed points (decimal-exact
+    means, state = 24 x |series| groups)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.anomaly import streaming_seasonal_profile
+
+    US_H = 3_600_000_000
+    rows = []
+    for s in ("a", "b"):
+        for i in range(12):
+            us = (i % 3) * US_H + i * 60_000_000
+            rows.append((s, us, i, float((i * 7) % 5) + 0.25))
+    half = len(rows) // 2
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for bi, chunk in enumerate((rows[:half], rows[half:])):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{s} {us} {q} {v}" for s, us, q, v in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).alias("series"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(3).cast("double").alias("value"),
+    )
+    q = (
+        streaming_seasonal_profile(stream)
+        .writeStream.format("memory")
+        .queryName("prof_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["hour_utc"]): (r["n"], r["hour_avg"])
+        for r in spark.sql("select * from prof_out").collect()
+    }
+    # batch twin on the same rows (exact decimal means)
+    batch = (
+        spark.createDataFrame(rows, "series string, us long, seq long, value double")
+        .groupBy(
+            "series", (F.expr("us div 3600000000") % 24).cast("int").alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg"),
+        )
+    )
+    want = {
+        (r["series"], r["h"]): (r["n"], r["avg"]) for r in batch.collect()
+    }
+    assert got == want and len(got) == 6

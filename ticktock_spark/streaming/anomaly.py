@@ -193,3 +193,42 @@ def streaming_anomaly(
             ).alias("score"),
         )
     )
+
+
+def streaming_seasonal_profile(
+    points: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incrementally-maintained hour-of-day seasonal profile — the
+    refresh path for ``streaming_anomaly``'s static side: run this
+    update-mode aggregate over the ingest stream into a profile table
+    (foreachBatch overwrite / memory sink), and re-plan the anomaly
+    stream on whatever cadence the profile should advance.
+
+    Built-in streaming aggregation, no custom state: group by
+    (series, hour-of-day), exact DECIMAL sums + counts, the same
+    q155/q157 discipline — the final hour_avg equals the batch profile
+    over the same points row for row (pinned by test). State is
+    24 × |series| groups, model-scale."""
+    hour = (F.expr(f"us div {US_PER_HOUR}") % 24).cast("int")
+    prepped = points.select(
+        F.col(series_col).cast("string").alias("series"),
+        F.col(ts_col).alias("us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return (
+        prepped.withColumn("hour_utc", hour)
+        .groupBy("series", "hour_utc")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum"),
+        )
+        .select(
+            "series",
+            "hour_utc",
+            "n",
+            (F.col("__sum").cast("double") / F.col("n")).alias("hour_avg"),
+        )
+    )
