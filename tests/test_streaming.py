@@ -1840,3 +1840,63 @@ def test_streaming_seasonal_profile_matches_batch(spark, tmp_path):
         (r["series"], r["h"]): (r["n"], r["avg"]) for r in batch.collect()
     }
     assert got == want and len(got) == 6
+
+
+def test_streaming_holt_matches_sequential_fold(spark, tmp_path):
+    """Holt level+trend recursion across a micro-batch boundary equals
+    the sequential reference fold, and on a pure linear ramp the
+    forecast residual converges toward 0 where plain EWMA's lags by a
+    constant offset."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.holt import streaming_holt
+
+    vals = [float(10 + 2 * i) for i in range(12)]  # exact ramp, slope 2
+    rows = [("a", 1_000_000 * (i + 1), i, v) for i, v in enumerate(vals)]
+    half = len(rows) // 2
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for bi, chunk in enumerate((rows[:half], rows[half:])):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{s} {us} {q} {v}" for s, us, q, v in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).alias("series"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(2).cast("long").alias("seq"),
+        p.getItem(3).cast("double").alias("value"),
+    )
+    q = (
+        streaming_holt(stream, alpha=0.5, beta=0.25)
+        .writeStream.format("memory")
+        .queryName("holt_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["us"], r["forecast"], r["resid"], r["level"], r["trend"])
+        for r in spark.sql("select * from holt_out order by us").collect()
+    ]
+    want = []
+    level, trend = vals[0], 0.0
+    for i, v in enumerate(vals[1:], start=1):
+        fc = level + trend
+        nl = 0.5 * v + 0.5 * fc
+        trend = 0.25 * (nl - level) + 0.75 * trend
+        level = nl
+        want.append((1_000_000 * (i + 1), fc, v - fc, level, trend))
+    assert got == want
+    # trend absorbed the ramp: the last residual is well under the
+    # constant 2-per-step lag a trendless EWMA would keep paying
+    assert abs(got[-1][2]) < 1.0 and got[-1][4] > 1.0

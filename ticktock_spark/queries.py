@@ -1876,3 +1876,66 @@ def q175(spark, sf_dir):
         ).alias("value")
     )
     return trend(b, ["metric"], bucket_ms=MIN_MS)
+
+
+@register(
+    "q176_error_budget",
+    f"""
+    WITH b AS (
+      SELECT ts - ts % 300000 AS ts,
+             count(*) FILTER (metric = 'error') AS n_err,
+             count(*) AS n_tot
+      FROM {_EV} GROUP BY 1
+    ),
+    w AS (
+      SELECT ts, ts - ts % 604800000 AS period, n_err, n_tot,
+             sum(n_err) OVER pw AS cum_err, sum(n_tot) OVER pw AS cum_tot
+      FROM b
+      WINDOW pw AS (PARTITION BY ts - ts % 604800000 ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT period, ts, CAST(cum_err AS BIGINT) AS cum_err,
+           CAST(cum_tot AS BIGINT) AS cum_tot,
+           {_Q6.format(x='CAST(cum_err AS DOUBLE) / cum_tot')} AS cum_ratio,
+           {_Q6.format(
+               x='(CAST(cum_err AS DOUBLE) / cum_tot / 0.12)')} AS budget_used,
+           {_Q6.format(
+               x='(1.0 - CAST(cum_err AS DOUBLE) / cum_tot / 0.12)')}
+             AS budget_remaining
+    FROM w
+    """,
+)
+def q176(spark, sf_dir):
+    """SLO error-budget tracker: per 5m bucket, the CUMULATIVE error
+    ratio since the start of its 7-day budget period and the fraction
+    of a 12% error budget consumed/remaining — the error-budget curve
+    an SRE burns alerts against (q172's burn rate is its derivative).
+    Exact integer cumulative counts (running window partitioned by
+    period, so state never spans periods); bucket-scale timeline."""
+    d = _dps(spark, sf_dir)
+    b = d.groupBy((F.col("ts") - F.col("ts") % F.lit(300000)).alias("ts")).agg(
+        F.count(F.when(F.col("metric") == "error", 1)).alias("n_err"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    period = (F.col("ts") - F.col("ts") % F.lit(604800000)).alias("period")
+    pw = (
+        Window.partitionBy(period)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = b.select(
+        period,
+        "ts",
+        F.sum("n_err").over(pw).alias("cum_err"),
+        F.sum("n_tot").over(pw).alias("cum_tot"),
+    )
+    ratio = F.col("cum_err").cast("double") / F.col("cum_tot")
+    return w.select(
+        "period",
+        "ts",
+        F.col("cum_err").cast("long").alias("cum_err"),
+        F.col("cum_tot").cast("long").alias("cum_tot"),
+        q6(ratio).alias("cum_ratio"),
+        q6(ratio / F.lit(0.12)).alias("budget_used"),
+        q6(F.lit(1.0) - ratio / F.lit(0.12)).alias("budget_remaining"),
+    )
