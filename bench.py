@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "q127_bpe_token_ids",         # arrow BPE id emission (packing input)
     "q137_hybrid_rrf",            # BM25 + dense fused by RRF (two scans)
     "q138_ppl_buckets",           # bigram-LM scoring + per-lang R-6 cuts
+    # round-7 additions
+    "q170_acf",                   # self-join Pearson at 5 lags (bucket scale)
+    "q171_changepoint",           # two-frame window contrast per series
+    "q173_decontaminate",         # word-3-gram overlap screen vs bench slice
 ]
 
 
