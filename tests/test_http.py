@@ -733,3 +733,58 @@ def test_http_analytics_round7_ops(spark):
         assert {int(k): v for k, v in res[1]["dps"].items()} == slow
     finally:
         srv.stop()
+
+
+def test_http_analytics_rollup_grain(spark):
+    """grain=1h routes bucket-mean ops through the materialized hourly
+    rollup: results equal the raw-scan path at the same hourly buckets
+    (values chosen exact-binary so both IEEE sums agree bit-for-bit);
+    asking for a grain before materialization is a 400."""
+    import urllib.error
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200
+    try:
+        # 48 hours, 4 points/hour across 2 hosts; exact-binary values
+        lines = []
+        for h in range(48):
+            for k in range(4):
+                v = (h % 7) + k * 0.25
+                lines.append(
+                    f"put cpu {T0 + h * 3600 + k * 600} {v} host=h{k % 2}"
+                )
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == len(lines)
+
+        # grain before materialization -> 400 with the admin hint
+        try:
+            _get(srv, "/api/analytics?op=ewma&m=cpu&grain=1h")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        assert _post(srv, "/api/admin?cmd=rollup", "") == {
+            "rollup": "materialized"
+        }
+        for q in (
+            "op=ewma&m=cpu&bucket_ms=3600000",
+            "op=anomaly&m=cpu&bucket_ms=3600000",
+            "op=trend&m=cpu&bucket_ms=3600000",
+            "op=acf&m=cpu&max_lag=3&bucket_ms=3600000",
+        ):
+            raw = _get(srv, f"/api/analytics?{q}")
+            rolled = _get(srv, f"/api/analytics?{q}&grain=1h")
+            assert rolled == raw, q
+        # bucket_ms must be a multiple of the grain
+        try:
+            _get(srv, "/api/analytics?op=ewma&m=cpu&grain=1h&bucket_ms=60000")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # unknown grain -> 400
+        try:
+            _get(srv, "/api/analytics?op=ewma&m=cpu&grain=5m")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()

@@ -53,6 +53,35 @@ def _bucket_means(dps: DataFrame, bucket_ms: int) -> DataFrame:
     )
 
 
+def _bucket_means_rollup(rollup: DataFrame, bucket_ms: int) -> DataFrame:
+    """Per-metric bucket means from a materialized rollup table
+    (ROLLUP_SCHEMA: metric, tags, bucket_ts, cnt, min, max, sum) —
+    Σsum / Σcnt across the metric's series is the TRUE mean of the raw
+    points in the bucket (sum-and-count rollups compose exactly; only
+    IEEE addition order differs from the raw-scan path). This is the
+    100 TB path: the analytics ops read |series| × |buckets| rollup
+    rows instead of every raw point. ``bucket_ms`` must be a multiple
+    of the rollup grain (coarser re-bucketing folds into the same
+    agg)."""
+    return rollup.groupBy(
+        "metric",
+        (F.col("bucket_ts") - F.col("bucket_ts") % F.lit(bucket_ms)).alias("ts"),
+    ).agg(
+        (F.sum("sum") / F.sum("cnt")).alias("value")
+    )
+
+
+def _bucket_source(
+    dps: DataFrame,
+    rollup: DataFrame | None,
+    metrics: list[str] | None,
+    bucket_ms: int,
+) -> DataFrame:
+    if rollup is not None:
+        return _bucket_means_rollup(_filtered(rollup, metrics), bucket_ms)
+    return _bucket_means(_filtered(dps, metrics), bucket_ms)
+
+
 def _hour_profile_of_buckets(b: DataFrame) -> DataFrame:
     """Hour-of-day mean of bucket MEANS in exact integer micro-units
     (q157's `p` CTE — partial-agg order-free)."""
@@ -120,12 +149,13 @@ def seasonal_profile(
 
 
 def seasonal_residual(
-    dps: DataFrame, metrics: list[str] | None = None, bucket_ms: int = MIN_MS
+    dps: DataFrame, metrics: list[str] | None = None, bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
 ) -> list[ResultSet]:
     """De-seasonalized 1m-bucket series: bucket mean minus the metric's
     same-hour-of-day profile mean (q156's residual on q157's bucket
     means); dps keys are bucket timestamps."""
-    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
     prof = _hour_profile_of_buckets(b)
     hour = (F.expr("ts div 3600000") % 24).cast("int")
     out = (
@@ -143,6 +173,7 @@ def ewma(
     lookback: int = 16,
     bucket_ms: int = MIN_MS,
     field: str = "ewma",
+    rollup: DataFrame | None = None,
 ) -> list[ResultSet]:
     """Trailing EWMA baseline (field='ewma') or residual (field='resid')
     over 1m-bucket means — q148/q157's recency baseline
@@ -151,7 +182,7 @@ def ewma(
 
     if field not in ("ewma", "resid"):
         raise ValueError(f"field must be 'ewma' or 'resid', got {field!r}")
-    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
     ew = ewma_baseline(b, ["metric"], alpha=alpha, lookback=lookback)
     return _to_resultsets(
         ew.select("metric", "ts", field), "ts", field, _aggregate_tags(dps, metrics)
@@ -164,12 +195,13 @@ def anomaly_score(
     alpha: float = 0.5,
     lookback: int = 16,
     bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
 ) -> list[ResultSet]:
     """q157's ensemble: |bucket mean − same-hour profile| + |bucket mean
     − trailing EWMA| per 1m bucket; dps keys are bucket ts."""
     from ticktock_spark.operators.rolling import ewma_baseline
 
-    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
     prof = _hour_profile_of_buckets(b)
     ew = ewma_baseline(b, ["metric"], alpha=alpha, lookback=lookback)
     hour = (F.expr("ts div 3600000") % 24).cast("int")
@@ -193,12 +225,13 @@ def rolling_pct(
     metrics: list[str] | None = None,
     lookback: int = 16,
     bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
 ) -> list[ResultSet]:
     """q153: rolling exact R-6 percentile over 1m-bucket means; dps keys
     are bucket ts."""
     from ticktock_spark.operators.rolling import rolling_percentile_r6
 
-    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
     out = rolling_percentile_r6(b, ["metric"], quantile, lookback=lookback)
     return _to_resultsets(
         out.select("metric", "ts", "pct"), "ts", "pct", _aggregate_tags(dps, metrics)
@@ -234,11 +267,12 @@ def _micro_series(b: DataFrame, metric: str, out_col: str) -> DataFrame:
 
 
 def correlation(
-    dps: DataFrame, metric_a: str, metric_b: str, bucket_ms: int = MIN_MS
+    dps: DataFrame, metric_a: str, metric_b: str, bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
 ) -> list[ResultSet]:
     """q167: exact Pearson r between two metrics' aligned bucket series.
     One ResultSet, metric ``corr(a,b)``, dps ``{0: r}``."""
-    b = _bucket_means(_filtered(dps, [metric_a, metric_b]), bucket_ms)
+    b = _bucket_source(dps, rollup, [metric_a, metric_b], bucket_ms)
     jd = _micro_series(b, metric_a, "x").join(_micro_series(b, metric_b, "y"), "ts")
     row = _pearson_moments(jd, []).first()
     r = None if row is None else row["pearson_r"]
@@ -258,11 +292,12 @@ def lead_lag(
     metric_b: str,
     max_shift: int = 2,
     bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
 ) -> list[ResultSet]:
     """q168: Pearson r at bucket shifts −max_shift..+max_shift (does b
     follow a?). One ResultSet, dps keyed by the shift in buckets."""
     spark = dps.sparkSession
-    b = _bucket_means(_filtered(dps, [metric_a, metric_b]), bucket_ms)
+    b = _bucket_source(dps, rollup, [metric_a, metric_b], bucket_ms)
     a = _micro_series(b, metric_a, "x")
     c = _micro_series(b, metric_b, "y")
     lags = spark.range(-int(max_shift), int(max_shift) + 1).select(
@@ -288,12 +323,13 @@ def acf_profile(
     metrics: list[str] | None = None,
     max_lag: int = 5,
     bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
 ) -> list[ResultSet]:
     """q170: autocorrelation per metric at lags 1..max_lag over bucket
     means; dps keys are lags."""
     from ticktock_spark.operators.correlate import acf
 
-    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
     out = acf(b, ["metric"], max_lag=max_lag, bucket_ms=bucket_ms)
     return _to_resultsets(
         out.select("metric", "lag", "pearson_r"),
@@ -308,12 +344,13 @@ def changepoint(
     metrics: list[str] | None = None,
     window: int = 8,
     bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
 ) -> list[ResultSet]:
     """q171: window-contrast mean-shift score per bucket; dps keys are
     bucket ts."""
     from ticktock_spark.operators.rolling import mean_shift_score
 
-    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
     out = mean_shift_score(b, ["metric"], window=window)
     return _to_resultsets(
         out.select("metric", "ts", "shift_score"),
@@ -377,12 +414,13 @@ def trend_fit(
     dps: DataFrame,
     metrics: list[str] | None = None,
     bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
 ) -> list[ResultSet]:
     """q175: least-squares fit per metric; dps is {0: slope-per-bucket,
     1: intercept, 2: pearson_r} (documented fixed keys)."""
     from ticktock_spark.operators.correlate import trend
 
-    b = _bucket_means(_filtered(dps, metrics), bucket_ms)
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
     rows = trend(b, ["metric"], bucket_ms=bucket_ms).collect()
     tags = _aggregate_tags(dps, metrics)
     return [
@@ -396,9 +434,24 @@ def trend_fit(
     ]
 
 
-def execute(dps: DataFrame, params: dict[str, list[str]]) -> list[ResultSet]:
+_GRAIN_MS = {"1h": HOUR_MS, "1d": 24 * HOUR_MS}
+
+
+def execute(
+    dps: DataFrame,
+    params: dict[str, list[str]],
+    rollups: dict[str, DataFrame] | None = None,
+) -> list[ResultSet]:
     """Dispatch an `/api/analytics` request (parsed query params) to the
-    operator. Unknown/missing op or bad numbers raise ValueError → 400."""
+    operator. Unknown/missing op or bad numbers raise ValueError → 400.
+
+    ``grain=1h``/``1d`` routes every bucket-mean-based op through the
+    matching materialized rollup table (``rollups`` as passed by the
+    HTTP store) — the 100 TB path: |series|×|buckets| rollup rows
+    instead of raw points, with ``bucket_ms`` defaulting to the grain
+    (coarser multiples allowed). Requires `POST /api/admin?cmd=rollup`
+    first; point-granularity ops (seasonal_profile over raw points,
+    histogram, burn_rate) always scan raw datapoints."""
 
     def one(name: str, default=None):
         v = params.get(name)
@@ -406,11 +459,24 @@ def execute(dps: DataFrame, params: dict[str, list[str]]) -> list[ResultSet]:
 
     op = one("op")
     metrics = params.get("m")
-    bucket_ms = int(one("bucket_ms", MIN_MS))
+    grain = one("grain")
+    rollup = None
+    if grain is not None:
+        if grain not in _GRAIN_MS:
+            raise ValueError(f"unknown grain {grain!r} (use 1h or 1d)")
+        rollup = (rollups or {}).get(grain)
+        if rollup is None:
+            raise ValueError(
+                f"rollup {grain} not materialized — POST /api/admin?cmd=rollup"
+            )
+    default_bucket = _GRAIN_MS[grain] if grain else MIN_MS
+    bucket_ms = int(one("bucket_ms", default_bucket))
+    if grain and bucket_ms % _GRAIN_MS[grain]:
+        raise ValueError("bucket_ms must be a multiple of the rollup grain")
     if op == "seasonal_profile":
         return seasonal_profile(dps, metrics)
     if op == "seasonal_residual":
-        return seasonal_residual(dps, metrics, bucket_ms)
+        return seasonal_residual(dps, metrics, bucket_ms, rollup=rollup)
     if op == "ewma":
         return ewma(
             dps,
@@ -419,6 +485,7 @@ def execute(dps: DataFrame, params: dict[str, list[str]]) -> list[ResultSet]:
             lookback=int(one("lookback", 16)),
             bucket_ms=bucket_ms,
             field=one("field", "ewma"),
+            rollup=rollup,
         )
     if op == "anomaly":
         return anomaly_score(
@@ -427,6 +494,7 @@ def execute(dps: DataFrame, params: dict[str, list[str]]) -> list[ResultSet]:
             alpha=float(one("alpha", 0.5)),
             lookback=int(one("lookback", 16)),
             bucket_ms=bucket_ms,
+            rollup=rollup,
         )
     if op == "rolling_pct":
         return rolling_pct(
@@ -435,14 +503,17 @@ def execute(dps: DataFrame, params: dict[str, list[str]]) -> list[ResultSet]:
             metrics=metrics,
             lookback=int(one("lookback", 16)),
             bucket_ms=bucket_ms,
+            rollup=rollup,
         )
     if op == "acf":
         return acf_profile(
-            dps, metrics, max_lag=int(one("max_lag", 5)), bucket_ms=bucket_ms
+            dps, metrics, max_lag=int(one("max_lag", 5)), bucket_ms=bucket_ms,
+            rollup=rollup,
         )
     if op == "changepoint":
         return changepoint(
-            dps, metrics, window=int(one("window", 8)), bucket_ms=bucket_ms
+            dps, metrics, window=int(one("window", 8)), bucket_ms=bucket_ms,
+            rollup=rollup,
         )
     if op == "burn_rate":
         return burn_rate(
@@ -454,12 +525,14 @@ def execute(dps: DataFrame, params: dict[str, list[str]]) -> list[ResultSet]:
     if op == "histogram":
         return histogram(dps, metrics, width=float(one("width", 10.0)))
     if op == "trend":
-        return trend_fit(dps, metrics, bucket_ms=bucket_ms)
+        return trend_fit(dps, metrics, bucket_ms=bucket_ms, rollup=rollup)
     if op in ("correlation", "leadlag"):
         a, b = one("a"), one("b")
         if not a or not b:
             raise ValueError("correlation/leadlag need a= and b= metrics")
         if op == "correlation":
-            return correlation(dps, a, b, bucket_ms)
-        return lead_lag(dps, a, b, int(one("max_shift", 2)), bucket_ms)
+            return correlation(dps, a, b, bucket_ms, rollup=rollup)
+        return lead_lag(
+            dps, a, b, int(one("max_shift", 2)), bucket_ms, rollup=rollup
+        )
     raise ValueError(f"unknown analytics op: {op!r}")

@@ -405,8 +405,18 @@ class _Handler(BaseHTTPRequestHandler):
                 from ticktock_spark.api import analytics
 
                 t0 = _t.perf_counter()
+                rollups = {
+                    g: df
+                    for g, df in (
+                        ("1h", self.store.rollup_1h),
+                        ("1d", self.store.rollup_1d),
+                    )
+                    if df is not None
+                }
                 try:
-                    results = analytics.execute(self.store.dataframe(), params)
+                    results = analytics.execute(
+                        self.store.dataframe(), params, rollups
+                    )
                 except ValueError as e:
                     raise _BadRequest(str(e)) from e
                 self.store.note_query((_t.perf_counter() - t0) * 1000.0)
