@@ -5809,9 +5809,7 @@ def q169(spark, sf_dir):
     )
 
 
-@register(
-    "q173_decontaminate",
-    f"""
+_DECON_SQL = f"""
     WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents
                WHERE text IS NOT NULL),
     g AS (
@@ -5831,8 +5829,10 @@ def q169(spark, sf_dir):
            CAST(t.n_grams AS BIGINT) AS n_grams,
            CAST(h.n_hits AS DOUBLE) / t.n_grams AS hit_ratio
     FROM h JOIN tot t ON t.doc_id = h.doc_id
-    """,
-)
+    """
+
+
+@register("q173_decontaminate", _DECON_SQL)
 def q173(spark, sf_dir):
     """Eval-set decontamination (pipeline/dedup.py decontaminate): the
     GPT-3/Llama exact word-n-gram overlap screen — training docs sharing
@@ -5845,3 +5845,64 @@ def q173(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return dd.decontaminate(train, bench, n=3)
+
+
+@register("q177_decontaminate_xxh64", _DECON_SQL)
+def q177(spark, sf_dir):
+    """decontaminate(hash_grams=True): the xxhash64 narrow-shuffle
+    engine — 8-byte gram keys instead of strings through the exchange,
+    the 100 TB preset. Structural oracle: must equal the q173 STRING
+    spec's per-doc hit counts exactly (a 64-bit gram collision would
+    surface as a diff; none exists on these corpora) — the q99
+    pin-the-JVM-engine pattern."""
+    d = _table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return dd.decontaminate(train, bench, n=3, hash_grams=True)
+
+
+@register(
+    "q178_containment_recall_audit",
+    _windowed_containment_sql(24, 12, 0.8).replace(
+        """
+    SELECT id_a, id_b, inter, n_a, n_b, containment,
+           CASE WHEN n_a < n_b THEN 'a'
+                WHEN n_b < n_a THEN 'b'
+                ELSE 'both' END AS contained
+    FROM j WHERE containment >= 0.8
+    """,
+        """
+    , plainv AS (
+      SELECT j.id_a, j.id_b FROM j
+      JOIN (SELECT DISTINCT id_a, id_b FROM cand) c
+        ON c.id_a = j.id_a AND c.id_b = j.id_b
+      WHERE j.containment >= 0.8
+    ),
+    allv AS (SELECT id_a, id_b FROM j WHERE containment >= 0.8)
+    SELECT CAST((SELECT count(*) FROM allv) AS BIGINT) AS n_total,
+           CAST((SELECT count(*) FROM plainv) AS BIGINT) AS n_plain,
+           CAST((SELECT count(*) FROM allv) -
+                (SELECT count(*) FROM plainv) AS BIGINT) AS n_windowed_only
+    """,
+    ),
+)
+def q178(spark, sf_dir):
+    """Windowed-containment recall audit (the q134 lsh_audit pattern
+    applied to q169): of all containment-verified pairs found by the
+    UNIONED candidate set, how many whole-doc LSH alone would have
+    surfaced and how many only the window tiling recovers — the
+    measured recall gap that justifies windowed=True for quote
+    screening. One shared shingle/verify pass; pair-scale counts."""
+    docs = _table(spark, sf_dir, "documents")
+    both = dd.containment_pairs(
+        docs, threshold=0.8, windowed=True, window_words=24, stride=12,
+        window_engine="pandas",
+    ).select("id_a", "id_b").persist()
+    plain_cand = dd.minhash_lsh_candidates(docs).select("id_a", "id_b")
+    plain = both.join(plain_cand, ["id_a", "id_b"], "left_semi")
+    n_total, n_plain = both.count(), plain.count()
+    both.unpersist()
+    return docs.sparkSession.createDataFrame(
+        [(n_total, n_plain, n_total - n_plain)],
+        "n_total long, n_plain long, n_windowed_only long",
+    )
