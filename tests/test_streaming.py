@@ -1900,3 +1900,76 @@ def test_streaming_holt_matches_sequential_fold(spark, tmp_path):
     # trend absorbed the ramp: the last residual is well under the
     # constant 2-per-step lag a trendless EWMA would keep paying
     assert abs(got[-1][2]) < 1.0 and got[-1][4] > 1.0
+
+
+def test_streaming_burn_rate_matches_batch(spark, tmp_path):
+    """The sliding-window burn-rate aggregate over two micro-batches
+    (with a late-but-inside-watermark point revising earlier windows)
+    matches the identical aggregation run as one batch query on the
+    full replayed data; the tumbling fast view is the same function at
+    length=slide."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.rollup import streaming_burn_rate
+
+    T0 = 1_704_067_200_000
+    rows = []
+    for i in range(24):  # 2 hours of 5m points
+        m = "error" if i % 4 == 0 else "ok"
+        rows.append((m, T0 + i * 300_000, 1.0))
+    late = [("error", T0 + 3 * 300_000, 1.0)]  # revises early windows
+    half = len(rows) // 2
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for bi, chunk in enumerate((rows[:half], rows[half:] + late)):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{m} {ts} {v}" for m, ts, v in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).alias("metric"),
+        p.getItem(1).cast("long").alias("ts"),
+        p.getItem(2).cast("double").alias("value"),
+    )
+    q = (
+        streaming_burn_rate(stream, watermark="3 hours")
+        .writeStream.format("memory")
+        .queryName("burn_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (r["n_err"], r["n_tot"], r["ratio"])
+        for r in spark.sql("select * from burn_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        rows + late, "metric string, ts long, value double"
+    )
+    win = F.window(F.timestamp_millis(F.col("ts")), "1 hour", "5 minutes")
+    is_err = (F.col("metric") == "error").cast("long")
+    want = {
+        r["ws"]: (r["n_err"], r["n_tot"], r["ratio"])
+        for r in batch_df.groupBy(win.alias("w"))
+        .agg(F.sum(is_err).alias("n_err"), F.count(F.lit(1)).alias("n_tot"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("ws"),
+            "n_err",
+            "n_tot",
+            (F.col("n_err").cast("double") / F.col("n_tot")).alias("ratio"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 20
+    # the late error actually moved a revised window's count
+    w_late = T0 + 3 * 300_000 - 3_300_000
+    assert got[w_late][0] == want[w_late][0] >= 2
