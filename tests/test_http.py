@@ -788,3 +788,40 @@ def test_http_analytics_rollup_grain(spark):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_analytics_post(spark):
+    """POST /api/analytics accepts a JSON body (the /api/query POST
+    parity): scalar and list params normalize to the GET semantics and
+    produce identical results; a non-object body is a 400."""
+    import urllib.error
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200
+    try:
+        lines = [
+            f"put cpu {T0 + i * 60} {float(i % 5)} host=h{i % 2}"
+            for i in range(60)
+        ]
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == 60
+        get_res = _get(srv, "/api/analytics?op=seasonal_profile&m=cpu")
+        post_res = _post(
+            srv,
+            "/api/analytics",
+            json.dumps({"op": "seasonal_profile", "m": ["cpu"]}),
+        )
+        assert post_res == get_res
+        post_res = _post(
+            srv,
+            "/api/analytics",
+            json.dumps({"op": "ewma", "m": "cpu", "lookback": 8}),
+        )
+        assert post_res == _get(srv, "/api/analytics?op=ewma&m=cpu&lookback=8")
+        for bad in ("[1,2]", "not json"):
+            try:
+                _post(srv, "/api/analytics", bad)
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()

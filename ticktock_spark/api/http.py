@@ -481,6 +481,41 @@ class _Handler(BaseHTTPRequestHandler):
                 results = self.store.context().execute(top)
                 self.store.note_query((_t.perf_counter() - t0) * 1000.0)
                 self._send_query_results(results)
+            elif route == "/api/analytics":
+                # POST twin of the GET route (the /api/query parity):
+                # a JSON object body; scalar values and lists both
+                # accepted, normalized to the GET parse_qs shape
+                import time as _t
+
+                from ticktock_spark.api import analytics
+
+                try:
+                    body_params = json.loads(body or b"{}")
+                    if not isinstance(body_params, dict):
+                        raise ValueError("analytics POST body must be an object")
+                    norm = {
+                        k: [str(x) for x in v] if isinstance(v, list) else [str(v)]
+                        for k, v in body_params.items()
+                    }
+                except (ValueError, json.JSONDecodeError) as e:
+                    raise _BadRequest(str(e)) from e
+                rollups = {
+                    g: df
+                    for g, df in (
+                        ("1h", self.store.rollup_1h),
+                        ("1d", self.store.rollup_1d),
+                    )
+                    if df is not None
+                }
+                t0 = _t.perf_counter()
+                try:
+                    results = analytics.execute(
+                        self.store.dataframe(), norm, rollups
+                    )
+                except ValueError as e:
+                    raise _BadRequest(str(e)) from e
+                self.store.note_query((_t.perf_counter() - t0) * 1000.0)
+                self._send_query_results(results)
             elif route == "/api/admin":
                 self._admin(params)
             else:
