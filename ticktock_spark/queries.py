@@ -1939,3 +1939,70 @@ def q176(spark, sf_dir):
         q6(ratio / F.lit(0.12)).alias("budget_used"),
         q6(F.lit(1.0) - ratio / F.lit(0.12)).alias("budget_remaining"),
     )
+
+
+@register(
+    "q179_dominant_period",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    m AS (SELECT metric, ts, CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS x
+          FROM b),
+    l AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS lag),
+    j AS (
+      SELECT m.metric, l.lag, m.x, o.x AS y
+      FROM l JOIN m ON true
+             JOIN m o ON o.metric = m.metric AND o.ts = m.ts + l.lag * 60000
+    ),
+    s AS (SELECT metric, lag, {_MOMENTS} FROM j GROUP BY 1, 2),
+    r AS (SELECT metric, lag, CAST(n AS BIGINT) AS n,
+                 {_PEARSON_R} AS pearson_r
+          FROM s),
+    rk AS (
+      SELECT metric, lag, n, pearson_r,
+             row_number() OVER (PARTITION BY metric
+                                ORDER BY pearson_r DESC NULLS LAST, lag)
+               AS rn
+      FROM r
+    )
+    SELECT metric, CAST(lag AS INT) AS period_buckets, n, pearson_r
+    FROM rk WHERE rn = 1
+    """,
+)
+def q179(spark, sf_dir):
+    """Dominant period per metric: the 1m-bucket lag (1–8) whose
+    autocorrelation is highest — the single-number answer "does this
+    metric cycle, and how fast" that picks rollup grains and seasonal
+    window lengths (q170's ACF reduced by a deterministic argmax;
+    ties break to the shortest lag, both engines quantize r to micro
+    units first so the argmax is engine-exact)."""
+    from pyspark.sql import Window as W
+
+    from ticktock_spark.operators.correlate import acf
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    r = acf(b, ["metric"], max_lag=8, bucket_ms=MIN_MS)
+    rn = F.row_number().over(
+        W.partitionBy("metric").orderBy(
+            F.col("pearson_r").desc_nulls_last(), "lag"
+        )
+    )
+    return (
+        r.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "metric",
+            F.col("lag").alias("period_buckets"),
+            "n",
+            "pearson_r",
+        )
+    )
