@@ -825,3 +825,44 @@ def test_http_analytics_post(spark):
                 assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_analytics_dominant_period(spark):
+    """op=dominant_period matches the q179 oracle on ingested points:
+    a planted period-4 series reports period_buckets=4."""
+    import duckdb
+    import pandas as pd
+
+    from ticktock_spark.queries import ORACLES
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200
+    try:
+        vals = [float([2, 9, 5, 7][i % 4]) + (i % 3) * 0.01 for i in range(96)]
+        lines = [
+            f"put click {T0 + i * 60} {vals[i]} host=h1" for i in range(96)
+        ]
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == 96
+        res = _get(srv, "/api/analytics?op=dominant_period&m=click")
+        assert res[0]["metric"] == "period(click)"
+        assert res[0]["dps"]["0"] == 4.0
+
+        con = duckdb.connect()
+        ev = pd.DataFrame(
+            {
+                "event_type": "click",
+                "ts": pd.to_datetime(
+                    [(T0 + i * 60) * 1000 for i in range(96)], unit="ms"
+                ),
+                "value": vals,
+                "user_id": 0,
+                "event_id": range(96),
+            }
+        )
+        con.register("events", ev)
+        exp = con.sql(ORACLES["q179_dominant_period"]).df().iloc[0]
+        assert res[0]["dps"] == {
+            "0": float(exp.period_buckets), "1": exp.pearson_r
+        }
+    finally:
+        srv.stop()

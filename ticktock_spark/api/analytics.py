@@ -434,6 +434,37 @@ def trend_fit(
     ]
 
 
+def dominant_period(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    max_lag: int = 8,
+    bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
+) -> list[ResultSet]:
+    """q179: per metric, the ACF-argmax lag (shortest-lag tiebreak on
+    micro-quantized r); dps is {0: period_buckets, 1: pearson_r}."""
+    from pyspark.sql import Window as W
+
+    from ticktock_spark.operators.correlate import acf
+
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    r = acf(b, ["metric"], max_lag=max_lag, bucket_ms=bucket_ms)
+    rn = F.row_number().over(
+        W.partitionBy("metric").orderBy(F.col("pearson_r").desc_nulls_last(), "lag")
+    )
+    rows = r.withColumn("rn", rn).filter(F.col("rn") == 1).collect()
+    tags = _aggregate_tags(dps, metrics)
+    return [
+        ResultSet(
+            metric=f"period({r['metric']})",
+            tags={},
+            aggregate_tags=tags.get(r["metric"], []),
+            dps={0: float(r["lag"]), 1: r["pearson_r"]},
+        )
+        for r in sorted(rows, key=lambda r: r["metric"])
+    ]
+
+
 _GRAIN_MS = {"1h": HOUR_MS, "1d": 24 * HOUR_MS}
 
 
@@ -526,6 +557,11 @@ def execute(
         return histogram(dps, metrics, width=float(one("width", 10.0)))
     if op == "trend":
         return trend_fit(dps, metrics, bucket_ms=bucket_ms, rollup=rollup)
+    if op == "dominant_period":
+        return dominant_period(
+            dps, metrics, max_lag=int(one("max_lag", 8)),
+            bucket_ms=bucket_ms, rollup=rollup,
+        )
     if op in ("correlation", "leadlag"):
         a, b = one("a"), one("b")
         if not a or not b:
