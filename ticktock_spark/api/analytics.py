@@ -14,10 +14,21 @@ bucket means, same q6 micro-quantization, same integer-moment Pearson)
 — the test suite re-proves each op against the corresponding DuckDB
 oracle on datapoints ingested through `/api/put`.
 
-Every op aggregates ACROSS the tag series of a metric (the profile /
-baseline view an alerting rule wants), so ``tags`` is empty and
-``aggregateTags`` carries the aggregated-away tag keys, matching the
-cross-series aggregation convention (`operators/aggregate.py`).
+By default every op aggregates ACROSS the tag series of a metric (the
+profile / baseline view an alerting rule wants), so ``tags`` is empty
+and ``aggregateTags`` carries the aggregated-away tag keys, matching
+the cross-series aggregation convention (`operators/aggregate.py`).
+Two `/api/query`-parity refinements:
+
+- ``m=cpu{host=web*}`` — each metric may carry an OpenTSDB tag-filter
+  group; the full filter family (`plans/tagfilter.py`, mirroring
+  `src/utils/tag.cpp:692-796`) is compiled into the datapoint scan, so
+  profiles/residuals can be scoped to a host fleet.
+- ``by_series=true`` — group by the full series (metric + canonical
+  tag set) instead of collapsing across series: one ResultSet per
+  series with its ``tags`` populated and ``aggregateTags`` empty,
+  exactly how `/api/query` shapes grouped results. Not meaningful for
+  the cross-metric ops (burn_rate, correlation, leadlag) → 400.
 
 Scale shape: every op runs on per-metric 1m-bucket means (bucket-scale,
 not point-scale), bounded ROWS windows, and broadcast 24×|metrics|
@@ -29,15 +40,75 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ticktock_spark.plans.planner import ResultSet
+from ticktock_spark.operators.correlate import pearson_moments
+from ticktock_spark.plans.planner import ResultSet, canonical_series_key
+from ticktock_spark.plans.parser import _parse_tag_group
+from ticktock_spark.plans.tagfilter import compile_tag_filters
 from ticktock_spark.queries import q6
 
 MIN_MS = 60_000
 HOUR_MS = 3_600_000
 
+_MAP_T = "map<string,string>"
 
-def _filtered(dps: DataFrame, metrics: list[str] | None) -> DataFrame:
-    return dps if not metrics else dps.filter(F.col("metric").isin(metrics))
+
+def _parse_mspecs(ms: list[str] | None) -> list[tuple[str, dict[str, str]]] | None:
+    """``m=`` values → (metric, tag-filter dict) pairs; ``cpu{host=web*}``
+    carries the same `{...}` group grammar as `/api/query`."""
+    if not ms:
+        return None
+    out = []
+    for m in ms:
+        b = m.find("{")
+        if b >= 0:
+            out.append((m[:b], _parse_tag_group(m[b:])))
+        else:
+            out.append((m, {}))
+    return out
+
+
+def _filtered(dps: DataFrame, metrics) -> DataFrame:
+    """Scan predicate for a metric list — plain names or
+    (name, tag-filters) pairs; the tag filters compile into the scan
+    (Catalyst pushes the conjunction down, `plans/tagfilter.py`)."""
+    if not metrics:
+        return dps
+    pred = None
+    for m in metrics:
+        name, filt = m if isinstance(m, tuple) else (m, {})
+        p = F.col("metric") == name
+        if filt:
+            p = p & compile_tag_filters(F.col("tags"), filt)
+        pred = p if pred is None else (pred | p)
+    return dps.filter(pred)
+
+
+def _per_series(df: DataFrame) -> DataFrame:
+    """Rewrite ``metric`` to the composite series label
+    ``metric{k=v,...}`` (canonical sorted tag string) so every
+    metric-grouped op becomes per-series with zero plan changes; tags
+    are nulled (nothing is aggregated away in this mode)."""
+    return df.withColumn(
+        "metric",
+        F.concat(
+            F.col("metric"),
+            F.lit("{"),
+            canonical_series_key(F.col("tags")),
+            F.lit("}"),
+        ),
+    ).withColumn("tags", F.lit(None).cast(_MAP_T))
+
+
+def _split_series_label(m: str) -> tuple[str, dict[str, str]]:
+    """Composite ``metric{k=v,...}`` label → (metric, tags dict); plain
+    labels pass through with empty tags."""
+    b, e = m.find("{"), m.rfind("}")
+    if b < 0 or e < b:
+        return m, {}
+    tags = dict(
+        kv.split("=", 1) for kv in m[b + 1 : e].split(",") if "=" in kv
+    )
+    return m[:b] + m[e + 1 :], tags
 
 
 def _bucket_means(dps: DataFrame, bucket_ms: int) -> DataFrame:
@@ -56,13 +127,14 @@ def _bucket_means(dps: DataFrame, bucket_ms: int) -> DataFrame:
 def _bucket_means_rollup(rollup: DataFrame, bucket_ms: int) -> DataFrame:
     """Per-metric bucket means from a materialized rollup table
     (ROLLUP_SCHEMA: metric, tags, bucket_ts, cnt, min, max, sum) —
-    Σsum / Σcnt across the metric's series is the TRUE mean of the raw
-    points in the bucket (sum-and-count rollups compose exactly; only
-    IEEE addition order differs from the raw-scan path). This is the
-    100 TB path: the analytics ops read |series| × |buckets| rollup
-    rows instead of every raw point. ``bucket_ms`` must be a multiple
-    of the rollup grain (coarser re-bucketing folds into the same
-    agg)."""
+    Σsum / Σcnt across the metric's series is the mean of the raw
+    points in the bucket. Exactness caveat: ROLLUP_SCHEMA stores sum as
+    an IEEE double while the raw path sums decimal(18,2) exactly, so
+    grain-routed results can differ from a raw scan by floating-point
+    rounding — the rollup path trades that last-ulp exactness for
+    reading |series| × |buckets| rows instead of every raw point (the
+    100 TB path). ``bucket_ms`` must be a multiple of the rollup grain
+    (coarser re-bucketing folds into the same agg)."""
     return rollup.groupBy(
         "metric",
         (F.col("bucket_ts") - F.col("bucket_ts") % F.lit(bucket_ms)).alias("ts"),
@@ -99,9 +171,16 @@ def _hour_profile_of_buckets(b: DataFrame) -> DataFrame:
     )
 
 
-def _aggregate_tags(dps: DataFrame, metrics: list[str] | None) -> dict[str, list[str]]:
+def _aggregate_tags(
+    dps: DataFrame, metrics, rollup: DataFrame | None = None
+) -> dict[str, list[str]]:
+    """Distinct tag KEYS per metric (the aggregated-away set). When a
+    rollup frame is supplied, answer from IT — the rollup preserves the
+    full series dimension, so the key sets are identical and the raw
+    fact table is never touched on the rollup path."""
+    src = rollup if rollup is not None else dps
     rows = (
-        _filtered(dps, metrics)
+        _filtered(src, metrics)
         .select("metric", F.explode(F.map_keys("tags")).alias("k"))
         .distinct()
         .collect()
@@ -122,15 +201,18 @@ def _to_resultsets(
     by_metric: dict[str, dict] = {}
     for r in rows:
         by_metric.setdefault(r["metric"], {})[int(r[key_col])] = r[value_col]
-    return [
-        ResultSet(
-            metric=m,
-            tags={},
-            aggregate_tags=agg_tags.get(m, []),
-            dps=dict(sorted(dps.items())),
+    out = []
+    for m, dps in sorted(by_metric.items()):
+        name, series_tags = _split_series_label(m)
+        out.append(
+            ResultSet(
+                metric=name,
+                tags=series_tags,
+                aggregate_tags=agg_tags.get(m, []),
+                dps=dict(sorted(dps.items())),
+            )
         )
-        for m, dps in sorted(by_metric.items())
-    ]
+    return out
 
 
 def seasonal_profile(
@@ -163,7 +245,7 @@ def seasonal_residual(
         .join(F.broadcast(prof), ["metric", "hour_utc"])
         .select("metric", "ts", q6(F.col("value") - F.col("hour_avg")).alias("resid"))
     )
-    return _to_resultsets(out, "ts", "resid", _aggregate_tags(dps, metrics))
+    return _to_resultsets(out, "ts", "resid", _aggregate_tags(dps, metrics, rollup))
 
 
 def ewma(
@@ -185,7 +267,8 @@ def ewma(
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
     ew = ewma_baseline(b, ["metric"], alpha=alpha, lookback=lookback)
     return _to_resultsets(
-        ew.select("metric", "ts", field), "ts", field, _aggregate_tags(dps, metrics)
+        ew.select("metric", "ts", field), "ts", field,
+        _aggregate_tags(dps, metrics, rollup),
     )
 
 
@@ -216,7 +299,7 @@ def anomaly_score(
             ).alias("score"),
         )
     )
-    return _to_resultsets(out, "ts", "score", _aggregate_tags(dps, metrics))
+    return _to_resultsets(out, "ts", "score", _aggregate_tags(dps, metrics, rollup))
 
 
 def rolling_pct(
@@ -234,30 +317,8 @@ def rolling_pct(
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
     out = rolling_percentile_r6(b, ["metric"], quantile, lookback=lookback)
     return _to_resultsets(
-        out.select("metric", "ts", "pct"), "ts", "pct", _aggregate_tags(dps, metrics)
-    )
-
-
-def _pearson_moments(jd: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Exact integer-moment Pearson over micro-unit (x, y) columns —
-    q167's DECIMAL(38) discipline, bit-identical across engines."""
-    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
-    g = jd.groupBy(*group_cols) if group_cols else jd.groupBy()
-    s = g.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(dec("x")).alias("sx"),
-        F.sum(dec("y")).alias("sy"),
-        F.sum(dec("x") * dec("y")).alias("sxy"),
-        F.sum(dec("x") * dec("x")).alias("sxx"),
-        F.sum(dec("y") * dec("y")).alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return s.select(
-        *group_cols,
-        F.col("n").cast("long").alias("n"),
-        q6(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny))).alias("pearson_r"),
+        out.select("metric", "ts", "pct"), "ts", "pct",
+        _aggregate_tags(dps, metrics, rollup),
     )
 
 
@@ -274,7 +335,7 @@ def correlation(
     One ResultSet, metric ``corr(a,b)``, dps ``{0: r}``."""
     b = _bucket_source(dps, rollup, [metric_a, metric_b], bucket_ms)
     jd = _micro_series(b, metric_a, "x").join(_micro_series(b, metric_b, "y"), "ts")
-    row = _pearson_moments(jd, []).first()
+    row = pearson_moments(jd, []).first()
     r = None if row is None else row["pearson_r"]
     return [
         ResultSet(
@@ -307,7 +368,7 @@ def lead_lag(
         c.select(F.col("ts").alias("__ots"), "y"),
         F.col("__ots") == F.col("ts") + F.col("lag") * F.lit(bucket_ms),
     )
-    rows = _pearson_moments(jd, ["lag"]).collect()
+    rows = pearson_moments(jd, ["lag"]).collect()
     return [
         ResultSet(
             metric=f"leadlag({metric_a},{metric_b})",
@@ -335,7 +396,7 @@ def acf_profile(
         out.select("metric", "lag", "pearson_r"),
         "lag",
         "pearson_r",
-        _aggregate_tags(dps, metrics),
+        _aggregate_tags(dps, metrics, rollup),
     )
 
 
@@ -356,7 +417,7 @@ def changepoint(
         out.select("metric", "ts", "shift_score"),
         "ts",
         "shift_score",
-        _aggregate_tags(dps, metrics),
+        _aggregate_tags(dps, metrics, rollup),
     )
 
 
@@ -422,16 +483,33 @@ def trend_fit(
 
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
     rows = trend(b, ["metric"], bucket_ms=bucket_ms).collect()
-    tags = _aggregate_tags(dps, metrics)
-    return [
-        ResultSet(
-            metric=f"trend({r['metric']})",
-            tags={},
-            aggregate_tags=tags.get(r["metric"], []),
-            dps={0: r["slope"], 1: r["intercept"], 2: r["pearson_r"]},
+    tags = _aggregate_tags(dps, metrics, rollup)
+    out = []
+    for r in sorted(rows, key=lambda r: r["metric"]):
+        name, series_tags = _split_series_label(r["metric"])
+        out.append(
+            ResultSet(
+                metric=f"trend({name})",
+                tags=series_tags,
+                aggregate_tags=tags.get(r["metric"], []),
+                dps={0: r["slope"], 1: r["intercept"], 2: r["pearson_r"]},
+            )
         )
-        for r in sorted(rows, key=lambda r: r["metric"])
-    ]
+    return out
+
+
+def suggest_rollup_grain(period_ms: int) -> str:
+    """Map a dominant cycle length to the coarsest materialized rollup
+    grain that still resolves it — the reference's answer-from-rollup
+    decision (`src/core/query.cpp:1032-1091` picks the coarsest rollup
+    whose bucket fits the query's downsample interval) made data-driven:
+    a grain resolves a cycle when ≥2 rollup buckets fit per period
+    (Nyquist), so a daily cycle reads from rollup_1h, a multi-day cycle
+    from rollup_1d, and a sub-2h cycle must scan raw."""
+    for grain in ("1d", "1h"):
+        if 2 * _GRAIN_MS[grain] <= period_ms:
+            return grain
+    return "raw"
 
 
 def dominant_period(
@@ -440,9 +518,14 @@ def dominant_period(
     max_lag: int = 8,
     bucket_ms: int = MIN_MS,
     rollup: DataFrame | None = None,
+    suggest_grain: bool = False,
 ) -> list[ResultSet]:
     """q179: per metric, the ACF-argmax lag (shortest-lag tiebreak on
-    micro-quantized r); dps is {0: period_buckets, 1: pearson_r}."""
+    micro-quantized r); dps is {0: period_buckets, 1: pearson_r}.
+    ``suggest_grain=True`` additionally carries the rollup-grain advice
+    (:func:`suggest_rollup_grain` of lag×bucket_ms) in
+    ``tags["suggested_grain"]`` — string-valued advice rides in the tag
+    map so the OpenTSDB response shape stays unchanged."""
     from pyspark.sql import Window as W
 
     from ticktock_spark.operators.correlate import acf
@@ -453,19 +536,49 @@ def dominant_period(
         W.partitionBy("metric").orderBy(F.col("pearson_r").desc_nulls_last(), "lag")
     )
     rows = r.withColumn("rn", rn).filter(F.col("rn") == 1).collect()
-    tags = _aggregate_tags(dps, metrics)
-    return [
-        ResultSet(
-            metric=f"period({r['metric']})",
-            tags={},
-            aggregate_tags=tags.get(r["metric"], []),
-            dps={0: float(r["lag"]), 1: r["pearson_r"]},
+    tags = _aggregate_tags(dps, metrics, rollup)
+    out = []
+    for r in sorted(rows, key=lambda r: r["metric"]):
+        name, series_tags = _split_series_label(r["metric"])
+        if suggest_grain:
+            series_tags = {
+                **series_tags,
+                "suggested_grain": suggest_rollup_grain(
+                    int(r["lag"]) * int(bucket_ms)
+                ),
+            }
+        out.append(
+            ResultSet(
+                metric=f"period({name})",
+                tags=series_tags,
+                aggregate_tags=tags.get(r["metric"], []),
+                dps={0: float(r["lag"]), 1: r["pearson_r"]},
+            )
         )
-        for r in sorted(rows, key=lambda r: r["metric"])
-    ]
+    return out
 
 
 _GRAIN_MS = {"1h": HOUR_MS, "1d": 24 * HOUR_MS}
+
+# ops that can answer from a materialized rollup (bucket-mean-based);
+# the rest always scan raw datapoints and REJECT grain= rather than
+# silently ignoring it (a raw scan dressed up as rollup-routed is the
+# worse failure at 100 TB)
+_ROLLUP_OPS = {
+    "seasonal_residual",
+    "ewma",
+    "anomaly",
+    "rolling_pct",
+    "acf",
+    "changepoint",
+    "trend",
+    "dominant_period",
+    "correlation",
+    "leadlag",
+}
+_RAW_ONLY_OPS = {"seasonal_profile", "burn_rate", "histogram"}
+# ops whose semantics span metrics — per-series grouping is undefined
+_CROSS_METRIC_OPS = {"burn_rate", "correlation", "leadlag"}
 
 
 def execute(
@@ -489,10 +602,20 @@ def execute(
         return v[0] if v else default
 
     op = one("op")
-    metrics = params.get("m")
+    if op not in _ROLLUP_OPS and op not in _RAW_ONLY_OPS:
+        raise ValueError(f"unknown analytics op: {op!r}")
+    metrics = _parse_mspecs(params.get("m"))
+    by_series = (one("by_series") or "").lower() in ("true", "1", "yes")
     grain = one("grain")
     rollup = None
     if grain is not None:
+        # grain/rollup checks apply only to ops that CAN answer from a
+        # rollup; a raw-only op with grain= is a caller error, not a
+        # silent raw scan
+        if op not in _ROLLUP_OPS:
+            raise ValueError(
+                f"op {op!r} always scans raw datapoints — omit grain"
+            )
         if grain not in _GRAIN_MS:
             raise ValueError(f"unknown grain {grain!r} (use 1h or 1d)")
         rollup = (rollups or {}).get(grain)
@@ -504,6 +627,16 @@ def execute(
     bucket_ms = int(one("bucket_ms", default_bucket))
     if grain and bucket_ms % _GRAIN_MS[grain]:
         raise ValueError("bucket_ms must be a multiple of the rollup grain")
+    if by_series:
+        if op in _CROSS_METRIC_OPS:
+            raise ValueError(f"by_series is not meaningful for op {op!r}")
+        # filter first (plain metric names), then fold each series'
+        # canonical tag string into the metric label — every
+        # metric-grouped op below becomes per-series unchanged
+        dps = _per_series(_filtered(dps, metrics))
+        if rollup is not None:
+            rollup = _per_series(_filtered(rollup, metrics))
+        metrics = None
     if op == "seasonal_profile":
         return seasonal_profile(dps, metrics)
     if op == "seasonal_residual":
@@ -561,14 +694,15 @@ def execute(
         return dominant_period(
             dps, metrics, max_lag=int(one("max_lag", 8)),
             bucket_ms=bucket_ms, rollup=rollup,
+            suggest_grain=(one("suggest_grain") or "").lower()
+            in ("true", "1", "yes"),
         )
-    if op in ("correlation", "leadlag"):
-        a, b = one("a"), one("b")
-        if not a or not b:
-            raise ValueError("correlation/leadlag need a= and b= metrics")
-        if op == "correlation":
-            return correlation(dps, a, b, bucket_ms, rollup=rollup)
-        return lead_lag(
-            dps, a, b, int(one("max_shift", 2)), bucket_ms, rollup=rollup
-        )
-    raise ValueError(f"unknown analytics op: {op!r}")
+    # correlation / leadlag (op membership already validated above)
+    a, b = one("a"), one("b")
+    if not a or not b:
+        raise ValueError("correlation/leadlag need a= and b= metrics")
+    if op == "correlation":
+        return correlation(dps, a, b, bucket_ms, rollup=rollup)
+    return lead_lag(
+        dps, a, b, int(one("max_shift", 2)), bucket_ms, rollup=rollup
+    )

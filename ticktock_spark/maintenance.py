@@ -123,7 +123,8 @@ def compact_partition(
     if cluster and {"metric", "tags", "ts"} <= set(df.columns):
         from ticktock_spark.schema import series_skey_col
 
-        if zorder:
+        use_zorder = zorder
+        if use_zorder:
             from pyspark.sql import functions as F
 
             from ticktock_spark.operators.zorder import (
@@ -136,21 +137,28 @@ def compact_partition(
             lohi = df.agg(
                 F.min("ts").alias("lo"), F.max("ts").alias("hi")
             ).first()
-            key = zorder_key_n(
-                [
-                    F.xxhash64(series_skey_col()).bitwiseAND(F.lit(0xFFFF)),
-                    scale_to_bits(
-                        F.col("ts"), float(lohi["lo"]), float(lohi["hi"])
-                    ),
-                ]
-            )
-            df = (
-                df.withColumn("__zk", key)
-                .repartitionByRange(target_files, "__zk")
-                .sortWithinPartitions("__zk")
-                .drop("__zk")
-            )
-        else:
+            if n == 0 or lohi["lo"] is None:
+                # empty (but existing) partition: no ts range to scale —
+                # fall through to the linear path, which handles it
+                use_zorder = False
+            else:
+                key = zorder_key_n(
+                    [
+                        F.xxhash64(series_skey_col()).bitwiseAND(
+                            F.lit(0xFFFF)
+                        ),
+                        scale_to_bits(
+                            F.col("ts"), float(lohi["lo"]), float(lohi["hi"])
+                        ),
+                    ]
+                )
+                df = (
+                    df.withColumn("__zk", key)
+                    .repartitionByRange(target_files, "__zk")
+                    .sortWithinPartitions("__zk")
+                    .drop("__zk")
+                )
+        if not use_zorder:
             df = (
                 df.withColumn("__skey", series_skey_col())
                 .repartitionByRange(target_files, "__skey", "ts")

@@ -1647,8 +1647,11 @@ def decontaminate(
     Scale shape: the benchmark side collapses to DISTINCT n-grams (eval
     suites are tiny next to a training corpus — typically broadcastable;
     Spark/AQE picks broadcast vs shuffle from its measured size), the
-    corpus side is one scan + explode, and the join is a semi-style
-    inner join followed by a per-doc count. ``hash_grams=True`` swaps
+    corpus side is ONE scan + explode + distinct: the bench grams
+    LEFT-join onto the doc grams with a hit marker, and a single per-doc
+    groupBy reads both ``n_grams`` (count of all grams) and ``n_hits``
+    (count of marked grams) from that one pass — no re-execution of the
+    corpus subtree for the totals. ``hash_grams=True`` swaps
     n-gram strings for xxhash64 values on BOTH sides before the
     shuffle — ~an-order-of-magnitude narrower exchange at 100 TB, with
     the 64-bit collision caveat (a collision only ever ADDS a hit —
@@ -1669,15 +1672,25 @@ def decontaminate(
     if hash_grams:
         doc_grams = doc_grams.select(id_col, F.xxhash64("gram").alias("gram"))
         bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
-    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        doc_grams.join(bench_grams, "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # single corpus pass: bench grams are distinct, so the left join is
+    # 1:≤1 per doc gram — count(*) is the doc's gram total and
+    # count(__hit) its shared-gram count, from the same groupBy
+    marked = doc_grams.join(
+        bench_grams.withColumn("__hit", F.lit(1)), "gram", "left"
     )
-    return hits.join(totals, id_col).select(
-        id_col,
-        F.col("n_hits").cast("long").alias("n_hits"),
-        F.col("n_grams").cast("long").alias("n_grams"),
-        (F.col("n_hits").cast("double") / F.col("n_grams")).alias("hit_ratio"),
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("__hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            id_col,
+            "n_hits",
+            "n_grams",
+            (F.col("n_hits").cast("double") / F.col("n_grams")).alias(
+                "hit_ratio"
+            ),
+        )
     )
