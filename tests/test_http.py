@@ -866,3 +866,146 @@ def test_http_analytics_dominant_period(spark):
         }
     finally:
         srv.stop()
+
+
+def test_http_analytics_tag_filter_and_by_series(spark):
+    """Round-8 `/api/query` parity on the analytics surface:
+    ``m=cpu{host=web*}`` compiles the reference tag-filter family
+    (tag.cpp:692-796 semantics via plans/tagfilter.py) into the
+    datapoint scan, and ``by_series=true`` emits one ResultSet per
+    series (its tags populated, aggregateTags empty). Both the
+    tag-scoped aggregate and the per-series profiles are re-proven
+    against a DuckDB oracle over the same ingested points."""
+    import urllib.error
+
+    import duckdb
+    import pandas as pd
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200
+    try:
+        hosts = ["web1", "web2", "db1"]
+        lines, recs = [], []
+        for i in range(240):
+            for hi, h in enumerate(hosts):
+                v = round((i % (5 + hi)) * 1.5 + hi * 0.25, 2)
+                lines.append(f"put cpu {T0 + i * 60} {v} host={h} dc=east")
+                recs.append((h, (T0 + i * 60) * 1000, v))
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == len(lines)
+
+        con = duckdb.connect()
+        con.register(
+            "pts", pd.DataFrame(recs, columns=["host", "ts", "value"])
+        )
+        q6avg = (
+            "floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+            " / count(*)) * 1000000.0 + 0.5) / 1000000.0"
+        )
+
+        def profile_oracle(where: str) -> dict[int, float]:
+            rows = con.sql(
+                "SELECT CAST((ts // 3600000) % 24 AS INT) AS hour_utc, "
+                f"{q6avg} AS avg_value FROM pts {where} GROUP BY 1"
+            ).fetchall()
+            return {int(h): v for h, v in rows}
+
+        enc = "m=cpu%7Bhost%3Dweb*%7D"  # m=cpu{host=web*}
+
+        # tag-scoped aggregate: only web1+web2 contribute
+        res = _get(srv, f"/api/analytics?op=seasonal_profile&{enc}")
+        assert len(res) == 1 and res[0]["metric"] == "cpu"
+        assert res[0]["tags"] == {}
+        assert res[0]["aggregateTags"] == ["dc", "host"]
+        got = {int(k): v for k, v in res[0]["dps"].items()}
+        assert got == profile_oracle("WHERE host LIKE 'web%'")
+        assert got != profile_oracle("")  # the filter actually bit
+
+        # per-series: one ResultSet per (host) series, tags populated
+        res = _get(srv, "/api/analytics?op=seasonal_profile&m=cpu&by_series=true")
+        assert len(res) == 3
+        assert [r["metric"] for r in res] == ["cpu"] * 3
+        assert [r["tags"]["host"] for r in res] == ["db1", "web1", "web2"]
+        assert all(r["tags"]["dc"] == "east" for r in res)
+        assert all(r["aggregateTags"] == [] for r in res)
+        for r in res:
+            got = {int(k): v for k, v in r["dps"].items()}
+            assert got == profile_oracle(f"WHERE host = '{r['tags']['host']}'")
+
+        # filter + per-series compose: only the two web series remain
+        res = _get(
+            srv, f"/api/analytics?op=seasonal_profile&{enc}&by_series=true"
+        )
+        assert [r["tags"]["host"] for r in res] == ["web1", "web2"]
+
+        # literal_or filter through a bucket-mean op (changepoint):
+        # rows equal the single-host run, proving the compiled filter
+        # reaches the bucket source too
+        enc_lit = "m=cpu%7Bhost%3Dliteral_or(db1)%7D"
+        res = _get(srv, f"/api/analytics?op=changepoint&{enc_lit}")
+        by_host = _get(
+            srv, "/api/analytics?op=changepoint&m=cpu&by_series=true"
+        )
+        db1 = next(r for r in by_host if r["tags"]["host"] == "db1")
+        assert res[0]["dps"] == db1["dps"]
+
+        # per-series trend: the composite label splits back cleanly
+        res = _get(srv, "/api/analytics?op=trend&m=cpu&by_series=true")
+        assert [r["metric"] for r in res] == ["trend(cpu)"] * 3
+        assert [r["tags"]["host"] for r in res] == ["db1", "web1", "web2"]
+
+        # by_series on a cross-metric op -> 400
+        try:
+            _get(srv, "/api/analytics?op=burn_rate&by_series=true")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # grain on a raw-only op -> 400 (rejected, not silently ignored)
+        try:
+            _get(srv, "/api/analytics?op=histogram&m=cpu&grain=1h")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+
+
+def test_http_analytics_suggest_grain(spark):
+    """suggest_grain=true on dominant_period maps the detected cycle to
+    the coarsest rollup grain that still resolves it (Nyquist: >=2
+    rollup buckets per period) — the reference's use_rollup decision
+    (query.cpp:1032-1091) made data-driven."""
+    from ticktock_spark.api.analytics import suggest_rollup_grain
+
+    HOUR = 3_600_000
+    assert suggest_rollup_grain(24 * HOUR) == "1h"  # daily cycle
+    assert suggest_rollup_grain(7 * 24 * HOUR) == "1d"  # weekly cycle
+    assert suggest_rollup_grain(2 * HOUR) == "1h"  # exactly 2 buckets
+    assert suggest_rollup_grain(HOUR) == "raw"  # sub-2h: scan raw
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200
+    try:
+        # period-24 cycle on HOURLY points => dominant period = 24 h
+        vals = [float((i % 24) % 7) * 2 + 1 for i in range(96)]
+        lines = [
+            f"put load {T0 + i * 3600} {vals[i]} host=h1" for i in range(96)
+        ]
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == 96
+        res = _get(
+            srv,
+            "/api/analytics?op=dominant_period&m=load&bucket_ms=3600000"
+            "&max_lag=30&suggest_grain=true",
+        )
+        assert res[0]["metric"] == "period(load)"
+        assert res[0]["dps"]["0"] == 24.0
+        # 24 h cycle: rollup_1d (2*1d > 24h) cannot resolve it, rollup_1h can
+        assert res[0]["tags"]["suggested_grain"] == "1h"
+        # without the flag the advice is absent and tags stay empty
+        res = _get(
+            srv,
+            "/api/analytics?op=dominant_period&m=load&bucket_ms=3600000"
+            "&max_lag=30",
+        )
+        assert res[0]["tags"] == {}
+    finally:
+        srv.stop()

@@ -212,3 +212,19 @@ def test_compact_partition_zorder_layout(spark, tmp_path):
         .collect()
     ]
     assert keys == sorted(keys)
+
+
+def test_compact_partition_zorder_empty_partition(spark, tmp_path):
+    """zorder=True on an empty (but existing) day partition must not
+    raise on the NULL ts min/max — it falls back to the linear path,
+    which handles zero rows (compact_partition's empty-range guard)."""
+    path = str(tmp_path / "t")
+    lines = spark.createDataFrame(
+        [(f"put m {T0} 1.0 host=a",)], "value string"
+    )
+    dps = put_lines_to_datapoints(lines)
+    # a schema-only partition dir: zero rows, real parquet footer
+    dps.limit(0).write.parquet(f"{path}/dt=2024-01-05")
+    n = compact_partition(spark, path, "2024-01-05", zorder=True)
+    assert n == 0
+    assert spark.read.parquet(path).count() == 0
