@@ -1009,3 +1009,49 @@ def test_http_analytics_suggest_grain(spark):
         assert res[0]["tags"] == {}
     finally:
         srv.stop()
+
+
+def test_http_concurrent_query_mix(spark):
+    """The reference's whole concurrency story is listener/responder
+    thread pools (conf/tt.conf; test/int_test3.py drives multi-threaded
+    clients); here the ThreadingHTTPServer + shared TsdbStore is driven
+    by 8 parallel clients mixing /api/query, /api/analytics and
+    /api/suggest, and every concurrent response must be byte-identical
+    to its single-threaded reference — no cross-request state bleed
+    through the shared store or SparkSession."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200
+    try:
+        lines = []
+        for i in range(120):
+            for h in ("h1", "h2"):
+                v = round((i % 7) * 1.5 + (0.25 if h == "h2" else 0.0), 2)
+                lines.append(f"put cpu {T0 + i * 60} {v} host={h}")
+            lines.append(f"put err {T0 + i * 60} {float(i % 3)} host=h1")
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == len(lines)
+
+        reqs = [
+            f"/api/query?start={T0}&end={T0 + 7200}&m=sum:cpu",
+            f"/api/query?start={T0}&end={T0 + 7200}&m=avg:10m-avg:cpu%7Bhost=h1%7D",
+            "/api/analytics?op=seasonal_profile&m=cpu",
+            "/api/analytics?op=histogram&m=err&width=1",
+            "/api/suggest?type=metrics&q=c&max=5",
+        ]
+        expected = [_get(srv, r) for r in reqs]
+
+        def worker(w: int):
+            out = []
+            for k in range(len(reqs)):
+                idx = (w + k) % len(reqs)  # each worker a different order
+                out.append((idx, _get(srv, reqs[idx])))
+            return out
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(worker, range(8)))
+        for w, out in enumerate(results):
+            for idx, res in out:
+                assert res == expected[idx], f"worker {w} request {reqs[idx]}"
+    finally:
+        srv.stop()
