@@ -20,15 +20,16 @@ def _registry():
     return q
 
 
-def _verified_history() -> tuple[set[str], set[str], set[str]]:
-    """(green-in-latest, red-in-latest, ever-verified) name sets from
-    CORRECTNESS_r{N}.json. The driver verifies a 50-entry window of the
-    registry in iteration order, so ordering is coverage policy:
+def _verified_history() -> tuple[set[str], set[str], set[str], dict]:
+    """(green-in-latest, red-in-latest, ever-verified, last-seen-round)
+    from CORRECTNESS_r{N}.json. The driver verifies a 50-entry window of
+    the registry in iteration order, so ordering is coverage policy:
     never-verified entries go absolutely first (no driver evidence at
     all), then entries that were attempted but NOT green last round
     (they must re-prove immediately — a red row left outside the window
     stays red forever), then entries merely absent from the latest
-    round (rotation: consecutive rounds re-prove both halves), then the
+    round — STALEST FIRST by the round they last appeared in, so the
+    window always burns the oldest rotation debt — then the
     recently-proven rest. Everything rotated out stays pinned locally
     by tests/test_oracle.py, which runs ALL entries against DuckDB."""
     import glob
@@ -50,6 +51,7 @@ def _verified_history() -> tuple[set[str], set[str], set[str]]:
     green: set[str] = set()
     red: set[str] = set()
     ever: set[str] = set()
+    last_seen: dict[str, int] = {}
     for i, path in enumerate(files):
         try:
             with open(path) as f:
@@ -57,20 +59,23 @@ def _verified_history() -> tuple[set[str], set[str], set[str]]:
         except (OSError, ValueError):
             continue
         ever |= set(data)
+        for k in data:
+            last_seen[k] = i
         if i == len(files) - 1:
             green = {k for k, rec in data.items() if _green(rec)}
             red = set(data) - green
-    return green, red, ever
+    return green, red, ever, last_seen
 
 
 def _reorder(mapping: dict) -> dict:
-    green, red, ever = _verified_history()
+    green, red, ever, last_seen = _verified_history()
     never = {k: v for k, v in mapping.items() if k not in ever}
     failed = {k: v for k, v in mapping.items() if k in red and k not in never}
-    rotated = {
-        k: v for k, v in mapping.items()
-        if k in ever and k not in green and k not in red
-    }
+    rotated_names = sorted(
+        (k for k in mapping if k in ever and k not in green and k not in red),
+        key=lambda k: last_seen.get(k, -1),
+    )
+    rotated = {k: mapping[k] for k in rotated_names}
     rest = {k: v for k, v in mapping.items() if k in green}
     return {**never, **failed, **rotated, **rest}
 
