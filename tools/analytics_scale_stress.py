@@ -63,9 +63,33 @@ def main() -> None:
         ev_paths[tag] = p
 
     docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    # fresh ids AND a per-copy Caesar shift of the letters: copies of
+    # one doc then share (almost) no k-gram shingle — no artificial n^2
+    # exact-duplicate ground truth — while every within-copy
+    # near-dup/containment relation replicates intact (the shift is a
+    # bijection on the alphabet, so shingle-set equalities/overlaps are
+    # preserved exactly inside a copy). True pairs grow ~N x; the
+    # candidate fan-out under bucket_cap is what's being measured.
+    # (A first attempt interleaved a copy token between words — that
+    # INJECTED shared filler char-grams across unrelated docs and
+    # manufactured tens of millions of fake 0.8-containment pairs.)
+    import string
+
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    pert = F.col("text")
+    for c in range(1, n):
+        sh = c * 3 % 25 + 1  # distinct nonzero shift per copy
+        pert = F.when(
+            F.col("copy") == c,
+            F.translate(
+                F.col("text"),
+                lo + up,
+                lo[sh:] + lo[:sh] + up[sh:] + up[:sh],
+            ),
+        ).otherwise(pert)
     big_docs = docs.crossJoin(copies).select(
         (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
-        "text",
+        pert.alias("text"),
     )
     doc_paths = {}
     for tag, frame in (("1", docs.select("doc_id", "text")), (str(n), big_docs)):
@@ -124,6 +148,31 @@ def main() -> None:
     res["ratio"] = round(res[f"t{n}x"] / max(res["t1x"], 1e-9), 1)
     out["ops"]["decontaminate_xxh64"] = res
     print("decontaminate_xxh64", res, flush=True)
+    # q169 windowed containment: the one new op with data-dependent
+    # fan-out (window tiles x bands); bucket_cap bounds viral buckets
+    from ticktock_spark.pipeline.dedup import (
+        containment_pairs,
+        windowed_containment_candidates,
+    )
+
+    res = {}
+    for tag in ("1", str(n)):
+        d = spark.read.parquet(doc_paths[tag])
+        t0 = time.monotonic()
+        cand = windowed_containment_candidates(
+            d, engine="pandas", window_words=24, stride=12, bucket_cap=256
+        ).count()
+        res[f"cand{tag}x"] = cand
+        pairs = containment_pairs(
+            d, threshold=0.8, windowed=True, window_words=24, stride=12,
+            window_engine="pandas", bucket_cap=256,
+        ).count()
+        res[f"t{tag}x"] = round(time.monotonic() - t0, 2)
+        res[f"rows{tag}x"] = pairs
+    res["ratio"] = round(res[f"t{n}x"] / max(res["t1x"], 1e-9), 1)
+    res["cand_ratio"] = round(res[f"cand{n}x"] / max(res["cand1x"], 1), 1)
+    out["ops"]["windowed_containment"] = res
+    print("windowed_containment", res, flush=True)
     print(json.dumps(out))
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
