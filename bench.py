@@ -115,6 +115,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(times.values()), 4)
+    # cold timings go to STDERR: the driver tail-captures ~2000 chars of
+    # stdout, and warm+cold for 33 queries overflows that — the contract
+    # line must stay compact enough to parse whole
+    import sys
+
+    print(json.dumps({"cold": cold}), file=sys.stderr)
     print(
         json.dumps(
             {
@@ -122,7 +128,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "cold": cold,
                 "sf": sf,
             }
         )
