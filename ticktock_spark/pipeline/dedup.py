@@ -1623,14 +1623,33 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def benchmark_grams(
+    benchmark: DataFrame,
+    n: int = 13,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """The benchmark side of ``decontaminate`` on its own: the eval
+    suite collapsed to DISTINCT word n-grams (one STRING ``gram``
+    column). Derive once per eval-suite version, persist (or write to
+    parquet) and hand to ``decontaminate(bench_grams_df=...)`` — eval
+    suites are model-scale next to a training corpus, so this is the
+    natural broadcast-side artifact to cache."""
+    return (
+        benchmark.filter(F.col(bench_text_col).isNotNull())
+        .select(F.explode(word_shingles(F.col(bench_text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
 def decontaminate(
     df: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     hash_grams: bool = False,
+    bench_grams_df: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-set decontamination: flag training documents that share any
     word ``n``-gram with a benchmark/eval corpus — the GPT-3 appendix-C
@@ -1657,6 +1676,12 @@ def decontaminate(
     the 64-bit collision caveat (a collision only ever ADDS a hit —
     screening stays conservative). String grams are the cross-engine
     spec the DuckDB oracle mirrors.
+
+    ``bench_grams_df`` (a distinct STRING ``gram`` column, e.g. from
+    ``benchmark_grams``) replaces the internal benchmark derivation —
+    for callers that screen many corpora/micro-batches against one eval
+    suite and want the bench side derived once and persisted, not
+    recomputed per call. ``benchmark`` is ignored when it is given.
     """
     grams = lambda c: F.explode(word_shingles(c, n)).alias("gram")  # noqa: E731
     doc_grams = (
@@ -1665,9 +1690,9 @@ def decontaminate(
         .distinct()
     )
     bench_grams = (
-        benchmark.filter(F.col(bench_text_col).isNotNull())
-        .select(grams(F.col(bench_text_col)))
-        .distinct()
+        benchmark_grams(benchmark, n=n, bench_text_col=bench_text_col)
+        if bench_grams_df is None
+        else bench_grams_df.select("gram")
     )
     if hash_grams:
         doc_grams = doc_grams.select(id_col, F.xxhash64("gram").alias("gram"))
