@@ -5863,7 +5863,16 @@ def q177(spark, sf_dir):
 
 @register(
     "q178_containment_recall_audit",
-    _windowed_containment_sql(24, 12, 0.8).replace(
+    # MATERIALIZED: this audit consumes j twice (allv + plainv) and cand
+    # twice (allc + plainv); DuckDB inlines multiply-referenced CTEs, so
+    # without the hint the whole tile-minhash subtree executes twice —
+    # at sf0.1 that doubled footprint OOM'd/filled 200 GB of spill.
+    # With the hints the oracle's cost is one q169 pass + pair-scale
+    # counts. Semantics unchanged (re-proven sf0.001/sf0.01/fuzz).
+    _windowed_containment_sql(24, 12, 0.8)
+    .replace("cand AS (", "cand AS MATERIALIZED (", 1)
+    .replace("j AS (", "j AS MATERIALIZED (", 1)
+    .replace(
         """
     SELECT id_a, id_b, inter, n_a, n_b, containment,
            CASE WHEN n_a < n_b THEN 'a'

@@ -49,6 +49,11 @@ def main():
             # whose recursive-CTE oracle is quadratic at sf0.1)
             skips += [p for p in a[len("--skip="):].split(",") if p]
     con = duckdb.connect()
+    # let heavy oracles (q169/q178's tile-minhash SQL at sf0.1) spill
+    # instead of dying on a bad allocation: an in-memory connection has
+    # NO temp_directory by default, so exceeding memory_limit is fatal
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET memory_limit='48GB'")
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     spark = get_spark()
