@@ -1304,6 +1304,56 @@ def _band_keys_frame(
     )
 
 
+def tile_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    window_words: int = 24,
+    stride: int | None = None,
+    engine: str = "sql",
+) -> DataFrame:
+    """(id, band, key) LSH band keys for the overlapping word-window
+    TILES of every document longer than ``window_words`` words — each
+    tile signed and banded exactly like a standalone document (the
+    windowed-containment candidate unit). DISTINCT per (id, band, key):
+    adjacent tiles of a repetitive doc often share keys.
+
+    Factored out of ``windowed_containment_candidates`` so standing
+    corpus tile indexes can be built once and joined against arriving
+    documents (streaming/containment.py)."""
+    stride = int(stride) if stride else max(1, window_words // 2)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.filter(F.col(text_col).isNotNull())
+    toks = base.repartition(par).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    )
+    long_docs = toks.filter(F.size("_w") > int(window_words))
+    starts = F.sequence(F.lit(1), F.size("_w"), F.lit(stride))
+    tiles = (
+        long_docs.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda st: F.array_join(
+                        F.slice("_w", st, window_words), " "
+                    ),
+                )
+            ).alias("tile"),
+        )
+        .filter(F.length("tile") > 0)
+    )
+    tile_sh = tiles.select(
+        F.col(id_col), shingles(F.col("tile"), k).alias("sh")
+    )
+    return _band_keys_frame(
+        tile_sh, id_col, num_hashes, bands, engine, par
+    ).distinct()
+
+
 def windowed_containment_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -1361,31 +1411,17 @@ def windowed_containment_candidates(
             .select("band", "key")
         )
         doc_keys = doc_keys.join(hot, ["band", "key"], "left_anti")
-    toks = base.repartition(par).select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    tile_keys = tile_band_keys(
+        base,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        window_words=window_words,
+        stride=stride,
+        engine=engine,
     )
-    long_docs = toks.filter(F.size("_w") > int(window_words))
-    starts = F.sequence(F.lit(1), F.size("_w"), F.lit(stride))
-    tiles = (
-        long_docs.select(
-            id_col,
-            F.explode(
-                F.transform(
-                    starts,
-                    lambda st: F.array_join(
-                        F.slice("_w", st, window_words), " "
-                    ),
-                )
-            ).alias("tile"),
-        )
-        .filter(F.length("tile") > 0)
-    )
-    tile_sh = tiles.select(
-        F.col(id_col), shingles(F.col("tile"), k).alias("sh")
-    )
-    tile_keys = _band_keys_frame(
-        tile_sh, id_col, num_hashes, bands, engine, par
-    ).distinct()
     if bucket_cap is not None:
         tile_keys = tile_keys.join(hot, ["band", "key"], "left_anti")
     t = tile_keys.select(
