@@ -184,3 +184,83 @@ def embedding_drift(
         ).alias("centroid_cosine"),
         q6(F.sqrt(F.col("d2"))).alias("centroid_l2"),
     )
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    side_a: Column,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Exact two-sample 1-Wasserstein (earth-mover) distance between the
+    ``side_a`` slice and the rest: W1 = ∫|F_a(v) − F_b(v)| dv — the
+    magnitude-aware complement of ``ks_drift`` (KS says the CDFs differ
+    somewhere; W1 says by how much value-mass moved, in value units, so
+    a 2× latency regression scores 2× a 1.01× one).
+
+    ``value_scale`` is the input's decimal resolution (100 = the
+    driver's 2-decimal value contract): values are snapped to that
+    integer grid, making every term exact — per-value counts, integer
+    CDF numerators |ca·tb − cb·ta|, integer grid gaps — accumulated in
+    DECIMAL(38,0) and divided out once at the end. Bit-identical across
+    engines and aggregation orders, like ks_drift.
+
+    One row per group: n_a, n_b, w1 (6-decimal, value units).
+
+    Scale shape: identical to ks_drift — the shuffle carries one row
+    per distinct (group, value); the cumulative window runs over the
+    distinct-value table, vocab-bounded for quantized domains.
+    """
+    groups = list(group_cols or [])
+    v_int = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(value_scale)) + F.lit(0.5)
+    ).cast("long")
+    sided = df.select(
+        *groups, v_int.alias("v"), side_a.alias("is_a")
+    ).filter(F.col("v").isNotNull() & F.col("is_a").isNotNull())
+    per_v = sided.groupBy(*groups, "v").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("na"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*groups)
+    lead = Window.partitionBy(*groups).orderBy("v")
+    cum = per_v.select(
+        *groups,
+        "v",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        F.sum("na").over(tot).alias("ta"),
+        F.sum("nb").over(tot).alias("tb"),
+        (F.lead("v").over(lead) - F.col("v")).alias("gap"),
+    )
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("ca").cast(dec) * F.col("tb").cast(dec)
+        - F.col("cb").cast(dec) * F.col("ta").cast(dec)
+    )
+    terms = cum.filter(
+        (F.col("ta") > 0) & (F.col("tb") > 0) & F.col("gap").isNotNull()
+    ).select(
+        *groups,
+        "ta",
+        "tb",
+        (num * F.col("gap").cast(dec)).alias("term"),
+    )
+    agg = terms.groupBy(*groups, "ta", "tb").agg(F.sum("term").alias("s"))
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    w1 = F.col("s").cast("double") / (
+        (F.col("ta").cast(dec) * F.col("tb").cast(dec)).cast("double")
+        * F.lit(float(value_scale))
+    )
+    return agg.select(
+        *groups,
+        F.col("ta").cast("bigint").alias("n_a"),
+        F.col("tb").cast("bigint").alias("n_b"),
+        q6(w1).alias("w1"),
+    )

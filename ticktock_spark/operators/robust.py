@@ -1,0 +1,223 @@
+"""Robust statistics over bucketed series: median/MAD outliers,
+Theil–Sen trend, and seasonal-strength scoring.
+
+These are the alerting-side complements of `operators/correlate.py`:
+where trend/ACF/Pearson are moment-based (and an outlier drags every
+moment), the operators here are ORDER-STATISTIC based — a single bad
+datapoint moves a median by at most one rank, so scores stay meaningful
+exactly when the data is at its worst.
+
+Cross-engine exactness discipline (the q167/q170 contract):
+
+- values enter as rounded integer micro-units (``floor(v*1e6 + 0.5)``);
+- medians run on those integers — both Spark's exact ``percentile`` and
+  DuckDB's ``quantile_cont`` interpolate the same rank ``(n+1)/2`` at
+  p=0.5, and the midpoint of two integers is an exact IEEE double — so
+  group medians are bit-identical across engines and across Spark's
+  partial-aggregation orders;
+- sums of squares accumulate in DECIMAL(38,0) (order-free);
+- the final score is a handful of IEEE ops in pinned order, then the
+  6-decimal canonicalization.
+
+All three operators assume a BUCKETED input frame (one row per
+(series, bucket), e.g. a downsample/bucket-mean result), so their cost
+is bucket-scale: the quadratic Theil–Sen pair fan-out is bounded by
+(time-range / bucket_ms)², never by raw-datapoint count — the same
+bound-the-expensive-thing-by-buckets shape as `acf`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _q6(c):
+    return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+
+
+def _micro(value_col: str):
+    return F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
+
+def mad_outliers(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-series outliers via the modified z-score
+    0.6745·(v − median)/MAD (Iglewicz–Hoaglin), |score| ≥ ``threshold``
+    (3.5 is the published cutoff). Unlike mean/stddev z-scores (q84),
+    the baseline itself is outlier-proof: one wild datapoint cannot
+    inflate the deviation scale and mask itself.
+
+    Output: (series..., ts, value, score) — only the flagged buckets.
+    Zero-MAD series (constant, or >50% one value) yield NULL scores and
+    are dropped (no finite robust scale exists).
+
+    Scale shape: two bucket-scale aggregations (median, then MAD of the
+    residuals) joined back broadcast — group cardinality is the series
+    count, never the bucket count; no window state, no collect.
+    """
+    base = df.select(
+        *series_cols,
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        _micro(value_col).alias("y"),
+    )
+    med = base.groupBy(*series_cols).agg(
+        F.percentile("y", F.lit(0.5)).alias("med")
+    )
+    dev = base.join(F.broadcast(med), series_cols).withColumn(
+        "dev", F.abs(F.col("y") - F.col("med"))
+    )
+    mad = dev.groupBy(*series_cols).agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    score = F.lit(0.6745) * (F.col("y") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), series_cols)
+        .filter(F.col("mad") > 0)
+        .filter(F.abs(score) >= F.lit(threshold))
+        .select(
+            *series_cols,
+            "ts",
+            _q6(F.col("value")).alias("value"),
+            _q6(score).alias("score"),
+        )
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    series_cols: list[str],
+    bucket_ms: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil–Sen slope per series: the MEDIAN of all pairwise slopes
+    (y_j − y_i)/(x_j − x_i) over bucket indices — the robust twin of
+    `correlate.trend`'s least-squares slope (breakdown point ~29%: up
+    to a third of the buckets can be garbage before the estimate
+    moves, where one spike already bends an OLS line).
+
+    Output: (series..., n [buckets], n_pairs, slope) — slope in
+    value-units per bucket, 6-decimal.
+
+    Scale shape: the pair fan-out is an equi-join on the series key
+    with an inequality residual, O(buckets²) per series — bounded by
+    (time-range / bucket_ms)², independent of raw datapoint volume
+    (744² ≈ 0.5M pairs for a month of hourly buckets). Pair slopes are
+    integer-ratio doubles (micro-unit Δy over integer Δx — identical
+    in any engine); the median interpolates at most the midpoint of
+    two of them, also pinned IEEE.
+    """
+    w = Window.partitionBy(*series_cols)
+    delta = F.col(ts_col) - F.min(ts_col).over(w)
+    # exact integer bucket index (no float division near boundaries)
+    x = (delta - delta % F.lit(bucket_ms)) / F.lit(bucket_ms)
+    base = df.select(
+        *series_cols,
+        x.cast("long").alias("x"),
+        _micro(value_col).alias("y"),
+    )
+    lhs = base.select(
+        *series_cols, F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    rhs = base.select(
+        *series_cols, F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    pairs = lhs.join(rhs, series_cols).filter(F.col("x2") > F.col("x1"))
+    sp = (F.col("y2") - F.col("y1")).cast("double") / (
+        F.col("x2") - F.col("x1")
+    ).cast("double")
+    stats = base.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    slopes = pairs.select(*series_cols, sp.alias("sp")).groupBy(
+        *series_cols
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile("sp", F.lit(0.5)).alias("med_sp"),
+    )
+    return stats.join(slopes, series_cols).select(
+        *series_cols,
+        "n",
+        "n_pairs",
+        _q6(F.col("med_sp") / F.lit(1_000_000.0)).alias("slope"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    period_ms: int = 86_400_000,
+    phase_ms: int = 3_600_000,
+) -> DataFrame:
+    """Fraction of a series' variance explained by its seasonal profile:
+    1 − SS_resid/SS_total, where the profile is the per-phase mean
+    (hour-of-day by default — q155's matrix) — the one number that says
+    whether seasonal-baseline alerting (q156) will actually beat a flat
+    threshold for this metric, and whether a daily rollup can stand in
+    for raw data in capacity models.
+
+    Output: (series..., n, n_phases, strength) — strength in [~0, 1],
+    6-decimal; NULL for zero-variance series.
+
+    Exactness: phase means round to integer micro-units (the q157
+    pattern), residuals are then integer subtractions, and both sums of
+    squares accumulate in DECIMAL(38,0) — order-free, bit-identical
+    across engines. Scale shape: one bucket-scale scan, two broadcast
+    profile joins (phases × series and series rows), one final agg.
+    """
+    # integer `div`, not float '/': a double quotient can round across
+    # the phase boundary for epoch values near a multiple of phase_ms
+    phase = F.expr(
+        f"CAST((({ts_col} % {period_ms}) div {phase_ms}) AS LONG)"
+    )
+    base = df.select(
+        *series_cols, phase.alias("phase"), _micro(value_col).alias("y")
+    )
+    dec = F.col("y").cast("decimal(38,0)")
+    prof = base.groupBy(*series_cols, "phase").agg(
+        F.floor(
+            F.sum(dec).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ph_mean")
+    )
+    grand = base.groupBy(*series_cols).agg(
+        F.floor(
+            F.sum(dec).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("g_mean")
+    )
+    r = (F.col("y") - F.col("ph_mean")).cast("decimal(38,0)")
+    t = (F.col("y") - F.col("g_mean")).cast("decimal(38,0)")
+    ss = (
+        base.join(F.broadcast(prof), [*series_cols, "phase"])
+        .join(F.broadcast(grand), series_cols)
+        .groupBy(*series_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("phase").cast("long").alias("n_phases"),
+            F.sum(r * r).alias("ss_resid"),
+            F.sum(t * t).alias("ss_total"),
+        )
+    )
+    return ss.select(
+        *series_cols,
+        "n",
+        "n_phases",
+        _q6(
+            F.lit(1.0)
+            - F.try_divide(
+                F.col("ss_resid").cast("double"),
+                F.col("ss_total").cast("double"),
+            )
+        ).alias("strength"),
+    )

@@ -233,3 +233,45 @@ def leakage_safe_split(
     return split_assign(
         labeled, weights, id_col="cluster_id", seed=seed, out_col=out_col
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Measure the leakage a NAIVE per-document hash split would commit:
+    assign every doc independently via ``sample.split_assign`` (exactly
+    q45's rule), then count verified near-dup pairs by the (unordered)
+    pair of splits their endpoints land in. Off-diagonal rows — a
+    train/test or train/valid pair — are eval items whose near-copy
+    would be trained on; ``leakage_safe_split`` exists to drive them to
+    zero, and this audit is the evidence (run it on both assignments:
+    cluster-keyed splitting yields no off-diagonal rows by
+    construction).
+
+    Output: (split_lo, split_hi, n_pairs) — split names ordered
+    lexically within the pair so the matrix is triangular.
+
+    Scale shape: the split is a scan-side md5 expression; the audit
+    joins the PAIR table (candidate-verified, pair-scale — orders of
+    magnitude below corpus scale) twice against the tiny (id, split)
+    projection, then one count per split-pair cell.
+    """
+    from ticktock_spark.pipeline.sample import split_assign
+
+    s = split_assign(
+        docs.select(F.col(id_col)), weights, id_col=id_col, seed=seed
+    ).select(F.col(id_col).alias("node"), F.col("split"))
+    a = s.select(F.col("node").alias("id_a"), F.col("split").alias("sa"))
+    b = s.select(F.col("node").alias("id_b"), F.col("split").alias("sb"))
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -1755,3 +1755,175 @@ def decontaminate(
             ),
         )
     )
+
+
+def _doc_grams(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """One row per (doc, DISTINCT word n-gram) — the shared base of the
+    corpus-internal gram statistics below (one scan + explode)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def gram_duplication(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-internal duplicated-text mass per document: of a doc's
+    distinct word ``n``-grams, the fraction that also occur in at least
+    one OTHER document — the signal behind exact-substring training-data
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): a doc can be nobody's near-duplicate (q34/q88 see
+    nothing) yet be assembled almost entirely from corpus-common
+    boilerplate, and this ratio is what catches it.
+
+    Output: one row per non-null-text doc
+    (id, n_grams, n_dup, dup_ratio).
+
+    Scale shape: one corpus scan + explode to distinct (doc, gram);
+    gram document-frequencies from ONE groupBy on the gram key (the
+    same vocabulary-bounded shuffle as tfidf/df); DFs join back onto
+    the (doc, gram) table by gram, then a per-doc count — no pairwise
+    comparison anywhere, so cost is corpus-linear where pair-based
+    dedup is quadratic in cluster size.
+    """
+    dg = _doc_grams(df, n, text_col, id_col)
+    dfc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    return (
+        dg.join(dfc, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.when(F.col("gdf") >= 2, 1)).cast("long").alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_grams")).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+def gram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-occurrence novelty per document: the fraction of a doc's
+    distinct word ``n``-grams whose FIRST appearance (minimum doc id —
+    ingest order under monotone ids) is this document. The incremental-
+    curation gate: when a crawl batch lands, high-novelty docs add new
+    text while low-novelty ones restate what the corpus already has —
+    the intake twin of ``gram_duplication`` (which is symmetric and
+    order-free).
+
+    Output: one row per non-null-text doc
+    (id, n_grams, n_new, novelty).
+
+    Scale shape: identical to gram_duplication with min(id) in place of
+    the frequency count — one gram-keyed groupBy + join-back, corpus
+    linear.
+    """
+    dg = _doc_grams(df, n, text_col, id_col)
+    first = dg.groupBy("gram").agg(F.min(id_col).alias("first_id"))
+    return (
+        dg.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.when(F.col("first_id") == F.col(id_col), 1))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_new",
+            (F.col("n_new").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def decontaminate_rarity(
+    df: DataFrame,
+    benchmark: DataFrame | None,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_grams_df: DataFrame | None = None,
+) -> DataFrame:
+    """Rarity-weighted decontamination: like ``decontaminate``, but each
+    gram carries an integer inverse-document-frequency weight
+    ``1_000_000 // df`` (df = the gram's training-corpus document
+    frequency), so sharing a RARE gram with the benchmark — a verbatim
+    test item — dominates sharing ubiquitous boilerplate n-grams that
+    hit half the corpus. The unweighted hit_ratio treats both alike;
+    the weighted ratio is the audit-before-drop ranking that surfaces
+    true leaks first.
+
+    Integer weights (floor division), not ln-based IDF: exact, engine-
+    independent, and order-free under summation — the same discipline
+    as the micro-unit sums elsewhere.
+
+    Output: one row per CONTAMINATED training doc
+    (id, n_hits, w_hits, w_grams, rarity_ratio = w_hits/w_grams,
+    6-decimal).
+
+    Scale shape: ``decontaminate``'s single corpus pass plus ONE extra
+    gram-keyed groupBy for the document frequencies (vocabulary-bounded,
+    reused from the same (doc, gram) table — the corpus is still
+    scanned once); bench grams stay broadcast-scale.
+    """
+    dg = _doc_grams(df, n, text_col, id_col)
+    bench = (
+        benchmark_grams(benchmark, n=n, bench_text_col=bench_text_col)
+        if bench_grams_df is None
+        else bench_grams_df.select("gram")
+    )
+    dfc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    weighted = dg.join(dfc, "gram").withColumn(
+        "w", F.expr("CAST(1000000 AS BIGINT) div gdf")
+    )
+    marked = weighted.join(
+        bench.withColumn("__hit", F.lit(1)), "gram", "left"
+    )
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("__hit").cast("long").alias("n_hits"),
+            F.coalesce(
+                F.sum(F.when(F.col("__hit").isNotNull(), F.col("w"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("w_hits"),
+            F.sum("w").cast("long").alias("w_grams"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            id_col,
+            "n_hits",
+            "w_hits",
+            "w_grams",
+            q6(
+                F.col("w_hits").cast("double") / F.col("w_grams").cast("double")
+            ).alias("rarity_ratio"),
+        )
+    )

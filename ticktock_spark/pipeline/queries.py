@@ -5920,3 +5920,149 @@ def q178(spark, sf_dir):
         "n_plain",
         (F.col("n_total") - F.col("n_plain")).alias("n_windowed_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: corpus-internal gram statistics + split-leakage audit
+# ---------------------------------------------------------------------------
+
+_DG_CTE = f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents
+               WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, unnest((SELECT {_WORD_SHINGLES} FROM
+             (SELECT string_split_regex(norm, '\\s+') AS tk_w))) AS gram
+      FROM n
+    ),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g)
+"""
+
+
+@register(
+    "q184_dup_gram_fraction",
+    _DG_CTE
+    + """
+    , c AS (SELECT gram, count(*) AS gdf FROM dg GROUP BY 1)
+    SELECT dg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (c.gdf >= 2) AS BIGINT) AS n_dup,
+           CAST(count(*) FILTER (c.gdf >= 2) AS DOUBLE) / count(*)
+             AS dup_ratio
+    FROM dg JOIN c ON dg.gram = c.gram
+    GROUP BY 1
+    """,
+)
+def q184(spark, sf_dir):
+    """Corpus-internal duplicated-text mass per doc (pipeline/dedup.py
+    gram_duplication): the fraction of a doc's distinct word 3-grams
+    that occur in ≥1 OTHER document — the exact-substring-duplication
+    signal (Lee et al. 2022) that catches boilerplate-assembled docs no
+    pairwise near-dup screen (q34/q88) flags. One scan + one
+    vocabulary-bounded gram groupBy + join-back; corpus-linear where
+    pair-based dedup is quadratic in cluster size."""
+    return dd.gram_duplication(_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "q185_gram_novelty",
+    _DG_CTE
+    + """
+    , f AS (SELECT gram, min(doc_id) AS first_id FROM dg GROUP BY 1)
+    SELECT dg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (f.first_id = dg.doc_id) AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (f.first_id = dg.doc_id) AS DOUBLE) / count(*)
+             AS novelty
+    FROM dg JOIN f ON dg.gram = f.gram
+    GROUP BY 1
+    """,
+)
+def q185(spark, sf_dir):
+    """First-occurrence novelty per doc (pipeline/dedup.py
+    gram_novelty): the fraction of a doc's distinct word 3-grams whose
+    first appearance (min doc_id = ingest order) is this doc — the
+    intake-curation gate: a new crawl batch's low-novelty docs restate
+    what the corpus already holds. Same corpus-linear shape as q184
+    with min(id) in place of the frequency count."""
+    return dd.gram_novelty(_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "q186_rarity_decontaminate",
+    _DG_CTE.replace(
+        "dg AS (SELECT DISTINCT doc_id, gram FROM g)",
+        "dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 != 0),\n"
+        "    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)",
+    )
+    + f"""
+    , c AS (SELECT gram, count(*) AS gdf FROM dg GROUP BY 1),
+    w AS (SELECT dg.doc_id, dg.gram, 1000000 // c.gdf AS w
+          FROM dg JOIN c ON dg.gram = c.gram),
+    m AS (SELECT w.doc_id, w.w, bg.gram IS NOT NULL AS hit
+          FROM w LEFT JOIN bg ON w.gram = bg.gram)
+    SELECT doc_id,
+           CAST(count(*) FILTER (hit) AS BIGINT) AS n_hits,
+           CAST(coalesce(sum(w) FILTER (hit), 0) AS BIGINT) AS w_hits,
+           CAST(sum(w) AS BIGINT) AS w_grams,
+           {_Q6.format(
+               x='(CAST(coalesce(sum(w) FILTER (hit), 0) AS DOUBLE)'
+                 ' / CAST(sum(w) AS DOUBLE))')} AS rarity_ratio
+    FROM m GROUP BY 1 HAVING count(*) FILTER (hit) > 0
+    """,
+)
+def q186(spark, sf_dir):
+    """Rarity-weighted decontamination (pipeline/dedup.py
+    decontaminate_rarity): q173's screen with each gram weighted by the
+    integer inverse document frequency 1_000_000 // df, so sharing a
+    RARE gram with the benchmark — a verbatim test item — outranks
+    ubiquitous boilerplate hits. Integer weights (floor division, no
+    ln): exact and order-free. One corpus pass + one extra
+    vocabulary-bounded groupBy for the DFs."""
+    d = _table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return dd.decontaminate_rarity(train, bench, n=3)
+
+
+@register(
+    "q187_split_leakage_audit",
+    _minhash_cte()
+    + f"""
+    , j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jac
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ),
+    pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+    s AS (SELECT doc_id, {_split_case()} AS split FROM documents),
+    lab AS (
+      SELECT p.id_a, p.id_b, sa.split AS sa, sb.split AS sb
+      FROM pairs p JOIN s sa ON sa.doc_id = p.id_a
+                   JOIN s sb ON sb.doc_id = p.id_b
+    )
+    SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def q187(spark, sf_dir):
+    """Split-leakage audit (pipeline/cluster.py split_leakage_audit):
+    assign docs by q45's NAIVE per-id hash split, then count verified
+    near-dup pairs (Jaccard ≥ 0.5) per unordered split-pair cell.
+    Off-diagonal rows are eval items whose near-copy the naive split
+    would train on — the measured leakage q82's cluster-keyed split
+    drives to zero by construction. Pair-scale joins against a tiny
+    (id, split) projection."""
+    from ticktock_spark.pipeline import cluster as cl
+    from ticktock_spark.pipeline.queries import _WEIGHTS
+
+    d = _table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(d, num_hashes=8, bands=4)
+    verified = dd.verify_jaccard(d, cand, threshold=0.5)
+    return cl.split_leakage_audit(
+        d, verified.select("id_a", "id_b"), _WEIGHTS
+    )

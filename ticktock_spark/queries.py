@@ -2006,3 +2006,205 @@ def q179(spark, sf_dir):
             "pearson_r",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: robust statistics (operators/robust.py, operators/drift.py)
+# ---------------------------------------------------------------------------
+
+_BUCKET_MEANS_1M = f"""
+      SELECT metric, ts - ts % 60000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} GROUP BY 1, 2
+"""
+
+
+@register(
+    "q180_mad_outliers",
+    f"""
+    WITH b AS ({_BUCKET_MEANS_1M}),
+    y AS (SELECT metric, ts, v,
+                 CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS y FROM b),
+    m AS (SELECT metric, median(y) AS med FROM y GROUP BY 1),
+    d AS (SELECT y.metric, y.ts, y.v, y.y, m.med, abs(y.y - m.med) AS dev
+          FROM y JOIN m ON y.metric = m.metric),
+    s AS (SELECT metric, median(dev) AS mad FROM d GROUP BY 1)
+    SELECT d.metric, d.ts, {_Q6.format(x='d.v')} AS value,
+           {_Q6.format(x='(0.6745 * (d.y - d.med) / s.mad)')} AS score
+    FROM d JOIN s ON d.metric = s.metric
+    WHERE s.mad > 0 AND abs(0.6745 * (d.y - d.med) / s.mad) >= 3.5
+    """,
+)
+def q180(spark, sf_dir):
+    """Robust per-metric outliers over 1m bucket means: modified z-score
+    0.6745·(v − median)/MAD ≥ 3.5 (operators/robust.py mad_outliers) —
+    the order-statistic alternative to q84's mean/stddev z-score, whose
+    baseline a single wild datapoint can inflate to mask itself.
+    Medians run on integer micro-units (midpoints of integers are exact
+    IEEE — engine-identical); two bucket-scale aggs + broadcast
+    join-backs, no windows."""
+    from ticktock_spark.operators.robust import mad_outliers
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    return mad_outliers(b, ["metric"], threshold=3.5)
+
+
+@register(
+    "q181_theilsen_trend",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 3600000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    y AS (SELECT metric,
+                 (ts - min(ts) OVER (PARTITION BY metric)) // 3600000 AS x,
+                 CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS y
+          FROM b),
+    p AS (SELECT a.metric,
+                 CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sp
+          FROM y a JOIN y b ON a.metric = b.metric AND b.x > a.x),
+    st AS (SELECT metric, count(*) AS n FROM y GROUP BY 1),
+    sl AS (SELECT metric, count(*) AS n_pairs, median(sp) AS med_sp
+           FROM p GROUP BY 1)
+    SELECT st.metric, CAST(st.n AS BIGINT) AS n,
+           CAST(sl.n_pairs AS BIGINT) AS n_pairs,
+           {_Q6.format(x='(sl.med_sp / 1000000.0)')} AS slope
+    FROM st JOIN sl ON st.metric = sl.metric
+    """,
+)
+def q181(spark, sf_dir):
+    """Theil–Sen robust trend per metric over hourly bucket means: the
+    MEDIAN of all pairwise slopes (operators/robust.py theil_sen) —
+    q175's OLS line bends under one spike; this one holds until ~29% of
+    the buckets are garbage. The quadratic pair fan-out is bucket-
+    bounded ((time-range/1h)², independent of datapoint volume — the
+    q170 bound-by-buckets shape); pair slopes are integer-ratio doubles
+    and the median midpoint is pinned IEEE in both engines."""
+    from ticktock_spark.operators.robust import theil_sen
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % HOUR_MS).alias("ts")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    return theil_sen(b, ["metric"], bucket_ms=HOUR_MS)
+
+
+@register(
+    "q182_seasonal_strength",
+    f"""
+    WITH b AS ({_BUCKET_MEANS_1M}),
+    y AS (SELECT metric, (ts % 86400000) // 3600000 AS phase,
+                 CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS y FROM b),
+    p AS (SELECT metric, phase,
+                 CAST(floor(CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) / count(*)
+                            + 0.5) AS BIGINT) AS ph_mean
+          FROM y GROUP BY 1, 2),
+    g AS (SELECT metric,
+                 CAST(floor(CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) / count(*)
+                            + 0.5) AS BIGINT) AS g_mean
+          FROM y GROUP BY 1),
+    ss AS (
+      SELECT y.metric, count(*) AS n, count(DISTINCT y.phase) AS n_phases,
+             CAST(sum(CAST(y.y - p.ph_mean AS HUGEINT)
+                      * CAST(y.y - p.ph_mean AS HUGEINT)) AS HUGEINT)
+               AS ss_resid,
+             CAST(sum(CAST(y.y - g.g_mean AS HUGEINT)
+                      * CAST(y.y - g.g_mean AS HUGEINT)) AS HUGEINT)
+               AS ss_total
+      FROM y JOIN p ON y.metric = p.metric AND y.phase = p.phase
+             JOIN g ON y.metric = g.metric
+      GROUP BY 1
+    )
+    SELECT metric, CAST(n AS BIGINT) AS n, CAST(n_phases AS BIGINT) AS n_phases,
+           {_Q6.format(
+               x='(1.0 - CAST(ss_resid AS DOUBLE)'
+                 ' / NULLIF(CAST(ss_total AS DOUBLE), 0.0))')} AS strength
+    FROM ss
+    """,
+)
+def q182(spark, sf_dir):
+    """Seasonal strength per metric: 1 − SS_resid/SS_total against the
+    hour-of-day profile (operators/robust.py seasonal_strength) — the
+    one number that says whether q156's seasonal-baseline alerting
+    beats a flat threshold for this metric, and whether an hourly
+    rollup can stand in for raw data in capacity models. Phase means
+    round to integer micro-units (q157's pattern); both sums of squares
+    accumulate order-free in DECIMAL(38)/HUGEINT."""
+    from ticktock_spark.operators.robust import seasonal_strength
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    return seasonal_strength(b, ["metric"])
+
+
+@register(
+    "q183_wasserstein_drift",
+    f"""
+    WITH s AS (
+      SELECT metric, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+             ts < {T_MID} AS is_a
+      FROM {_EV} WHERE value IS NOT NULL
+    ),
+    pv AS (
+      SELECT metric, v,
+             count(*) FILTER (is_a) AS na,
+             count(*) FILTER (NOT is_a) AS nb
+      FROM s GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT metric, v,
+             sum(na) OVER cw AS ca, sum(nb) OVER cw AS cb,
+             sum(na) OVER (PARTITION BY metric) AS ta,
+             sum(nb) OVER (PARTITION BY metric) AS tb,
+             lead(v) OVER (PARTITION BY metric ORDER BY v) - v AS gap
+      FROM pv
+      WINDOW cw AS (PARTITION BY metric ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    t AS (
+      SELECT metric, ta, tb,
+             abs(CAST(ca AS HUGEINT) * CAST(tb AS HUGEINT)
+                 - CAST(cb AS HUGEINT) * CAST(ta AS HUGEINT))
+               * CAST(gap AS HUGEINT) AS term
+      FROM c WHERE ta > 0 AND tb > 0 AND gap IS NOT NULL
+    ),
+    a AS (SELECT metric, ta, tb, sum(term) AS s FROM t GROUP BY 1, 2, 3)
+    SELECT metric, CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           {_Q6.format(
+               x='(CAST(s AS DOUBLE)'
+                 ' / (CAST(CAST(ta AS HUGEINT) * CAST(tb AS HUGEINT) AS DOUBLE)'
+                 ' * 100.0))')} AS w1
+    FROM a
+    """,
+)
+def q183(spark, sf_dir):
+    """Per-metric 1-Wasserstein value drift between the month's first
+    and second half (operators/drift.py wasserstein_drift): the
+    magnitude-aware complement of q121's KS — KS says the distributions
+    differ somewhere, W1 says how much value-mass moved and how far, in
+    value units. Exact on the 2-decimal value grid: integer CDF
+    numerators × integer grid gaps accumulate in DECIMAL(38)/HUGEINT;
+    the shuffle carries one row per distinct (metric, value)."""
+    from ticktock_spark.operators.drift import wasserstein_drift
+
+    d = _dps(spark, sf_dir)
+    return wasserstein_drift(
+        d, F.col("ts") < F.lit(T_MID), group_cols=["metric"]
+    ).select("metric", "n_a", "n_b", "w1")
