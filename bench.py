@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "q170_acf",                   # self-join Pearson at 5 lags (bucket scale)
     "q171_changepoint",           # two-frame window contrast per series
     "q173_decontaminate",         # word-3-gram overlap screen vs bench slice
+    # round-8 additions
+    "q180_mad_outliers",          # median/MAD robust z (two bucket-scale aggs)
+    "q181_theilsen_trend",        # pairwise-slope median (bucket-bounded join)
+    "q183_wasserstein_drift",     # exact W1 (distinct-value bounded window)
+    "q184_dup_gram_fraction",     # corpus-internal gram duplication mass
+    "q186_rarity_decontaminate",  # integer-IDF weighted benchmark overlap
 ]
 
 

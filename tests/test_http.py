@@ -770,6 +770,9 @@ def test_http_analytics_rollup_grain(spark):
             "op=anomaly&m=cpu&bucket_ms=3600000",
             "op=trend&m=cpu&bucket_ms=3600000",
             "op=acf&m=cpu&max_lag=3&bucket_ms=3600000",
+            "op=mad&m=cpu&bucket_ms=3600000&threshold=0.5",
+            "op=theilsen&m=cpu&bucket_ms=3600000",
+            "op=seasonal_strength&m=cpu&bucket_ms=3600000",
         ):
             raw = _get(srv, f"/api/analytics?{q}")
             rolled = _get(srv, f"/api/analytics?{q}&grain=1h")
@@ -1053,5 +1056,105 @@ def test_http_concurrent_query_mix(spark):
         for w, out in enumerate(results):
             for idx, res in out:
                 assert res == expected[idx], f"worker {w} request {reqs[idx]}"
+    finally:
+        srv.stop()
+
+
+def test_http_analytics_round8_ops(spark):
+    """mad / theilsen / seasonal_strength / wasserstein through the
+    endpoint match the q180/q181/q182/q183 oracles on the same ingested
+    datapoints."""
+    import duckdb
+    import pandas as pd
+
+    import ticktock_spark.pipeline.queries  # noqa: F401
+    from ticktock_spark.queries import ORACLES, T_MID
+
+    srv = TsdbHttpServer(spark).start()
+    base = T_MID // 1000 - 7200  # 2h before the q183 split boundary
+    try:
+        click = [round((i % 5) * 2.0 + i * 0.05, 2) for i in range(240)]
+        click[37] = 400.0  # the planted outlier mad must flag
+        error = [round(1.0 + (i % 11) * 0.3 + (i >= 120) * 5.0, 2)
+                 for i in range(240)]  # level shift across the boundary
+        lines = []
+        for i in range(240):
+            lines.append(f"put click {base + i * 60} {click[i]} host=h1")
+            lines.append(f"put error {base + i * 60} {error[i]} host=h1")
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == 480
+
+        con = duckdb.connect()
+        ev = pd.DataFrame(
+            {
+                "event_type": ["click"] * 240 + ["error"] * 240,
+                "ts": pd.to_datetime(
+                    [(base + i * 60) * 1000 for i in range(240)] * 2,
+                    unit="ms",
+                ),
+                "value": click + error,
+                "user_id": 0,
+                "event_id": range(480),
+            }
+        )
+        con.register("events", ev)
+
+        def odf(name):
+            return con.sql(ORACLES[name]).df()
+
+        res = _get(srv, "/api/analytics?op=mad&m=click")
+        exp = odf("q180_mad_outliers")
+        sub = exp[exp.metric == "click"]
+        assert {int(t): v for t, v in zip(sub.ts, sub.score)} == {
+            int(k): v for k, v in res[0]["dps"].items()
+        }
+        # exactly the planted spike, at its bucket timestamp
+        assert list(res[0]["dps"]) == [str((base + 37 * 60) * 1000)]
+
+        res = _get(srv, "/api/analytics?op=theilsen&m=click")
+        exp = odf("q181_theilsen_trend")
+        sub = exp[exp.metric == "click"].iloc[0]
+        assert res[0]["metric"] == "theilsen(click)"
+        assert res[0]["dps"] == {
+            "0": sub.slope, "1": float(sub.n), "2": float(sub.n_pairs)
+        }
+        # the spike corrupts one of only FOUR hourly buckets (25% of the
+        # data — at the ~29% breakdown edge): the slope must still carry
+        # the planted upward drift's sign, even if attenuated
+        assert res[0]["dps"]["0"] > 0
+
+        res = _get(srv, "/api/analytics?op=seasonal_strength&m=error")
+        exp = odf("q182_seasonal_strength")
+        sub = exp[exp.metric == "error"].iloc[0]
+        assert res[0]["metric"] == "seasonal_strength(error)"
+        assert res[0]["dps"] == {
+            "0": sub.strength, "1": float(sub.n), "2": float(sub.n_phases)
+        }
+
+        res = _get(
+            srv, f"/api/analytics?op=wasserstein&m=error&split_ts={T_MID}"
+        )
+        exp = odf("q183_wasserstein_drift")
+        sub = exp[exp.metric == "error"].iloc[0]
+        assert res[0]["metric"] == "w1(error)"
+        assert res[0]["dps"] == {
+            "0": sub.w1, "1": float(sub.n_a), "2": float(sub.n_b)
+        }
+        # the planted +5.0 level shift dominates the cycle noise
+        assert res[0]["dps"]["0"] > 3.0
+        # raw-only op: grain= is a caller error, not a silent raw scan
+        import urllib.error
+
+        try:
+            _get(srv, f"/api/analytics?op=wasserstein&m=error"
+                      f"&split_ts={T_MID}&grain=1h")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # missing split_ts -> 400
+        try:
+            _get(srv, "/api/analytics?op=wasserstein&m=error")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         srv.stop()

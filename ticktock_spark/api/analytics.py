@@ -575,8 +575,11 @@ _ROLLUP_OPS = {
     "dominant_period",
     "correlation",
     "leadlag",
+    "mad",
+    "theilsen",
+    "seasonal_strength",
 }
-_RAW_ONLY_OPS = {"seasonal_profile", "burn_rate", "histogram"}
+_RAW_ONLY_OPS = {"seasonal_profile", "burn_rate", "histogram", "wasserstein"}
 # ops whose semantics span metrics — per-series grouping is undefined
 _CROSS_METRIC_OPS = {"burn_rate", "correlation", "leadlag"}
 
@@ -690,6 +693,32 @@ def execute(
         return histogram(dps, metrics, width=float(one("width", 10.0)))
     if op == "trend":
         return trend_fit(dps, metrics, bucket_ms=bucket_ms, rollup=rollup)
+    if op == "mad":
+        return mad_outlier_op(
+            dps,
+            metrics,
+            bucket_ms=bucket_ms,
+            threshold=float(one("threshold", 3.5)),
+            rollup=rollup,
+        )
+    if op == "theilsen":
+        # default hourly buckets: the pair fan-out is quadratic in
+        # bucket count, so the coarse default is the safe one
+        return theilsen_fit(
+            dps,
+            metrics,
+            bucket_ms=int(one("bucket_ms", _GRAIN_MS[grain] if grain else HOUR_MS)),
+            rollup=rollup,
+        )
+    if op == "seasonal_strength":
+        return seasonal_strength_op(
+            dps, metrics, bucket_ms=bucket_ms, rollup=rollup
+        )
+    if op == "wasserstein":
+        split = one("split_ts")
+        if split is None:
+            raise ValueError("wasserstein needs split_ts= (epoch ms)")
+        return wasserstein_op(dps, int(split), metrics)
     if op == "dominant_period":
         return dominant_period(
             dps, metrics, max_lag=int(one("max_lag", 8)),
@@ -706,3 +735,119 @@ def execute(
     return lead_lag(
         dps, a, b, int(one("max_shift", 2)), bucket_ms, rollup=rollup
     )
+
+
+def mad_outlier_op(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    bucket_ms: int = MIN_MS,
+    threshold: float = 3.5,
+    rollup: DataFrame | None = None,
+) -> list[ResultSet]:
+    """q180 through the API: robust per-metric outlier buckets (modified
+    z-score 0.6745·(v − median)/MAD ≥ threshold over bucket means); dps
+    keys are bucket timestamps, values the signed score — only flagged
+    buckets are returned, so the payload is alert-sized regardless of
+    scan size."""
+    from ticktock_spark.operators.robust import mad_outliers
+
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    out = mad_outliers(b, ["metric"], threshold=threshold).select(
+        "metric", "ts", "score"
+    )
+    return _to_resultsets(
+        out, "ts", "score", _aggregate_tags(dps, metrics, rollup)
+    )
+
+
+def theilsen_fit(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    bucket_ms: int = HOUR_MS,
+    rollup: DataFrame | None = None,
+) -> list[ResultSet]:
+    """q181 through the API: Theil–Sen robust slope per metric; dps is
+    {0: slope-per-bucket, 1: n buckets, 2: n pairs} (fixed keys, the
+    trend() convention). The robust line to read when op=trend looks
+    implausible — one spike bends OLS but not this."""
+    from ticktock_spark.operators.robust import theil_sen
+
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    rows = theil_sen(b, ["metric"], bucket_ms=bucket_ms).collect()
+    tags = _aggregate_tags(dps, metrics, rollup)
+    out = []
+    for r in sorted(rows, key=lambda r: r["metric"]):
+        name, series_tags = _split_series_label(r["metric"])
+        out.append(
+            ResultSet(
+                metric=f"theilsen({name})",
+                tags=series_tags,
+                aggregate_tags=tags.get(r["metric"], []),
+                dps={0: r["slope"], 1: float(r["n"]), 2: float(r["n_pairs"])},
+            )
+        )
+    return out
+
+
+def seasonal_strength_op(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
+) -> list[ResultSet]:
+    """q182 through the API: variance explained by the hour-of-day
+    profile per metric; dps is {0: strength, 1: n buckets, 2: n phases}
+    (fixed keys). Read it before trusting op=seasonal_residual alerting
+    or answering capacity questions from a daily rollup."""
+    from ticktock_spark.operators.robust import seasonal_strength
+
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    rows = seasonal_strength(b, ["metric"]).collect()
+    tags = _aggregate_tags(dps, metrics, rollup)
+    out = []
+    for r in sorted(rows, key=lambda r: r["metric"]):
+        name, series_tags = _split_series_label(r["metric"])
+        out.append(
+            ResultSet(
+                metric=f"seasonal_strength({name})",
+                tags=series_tags,
+                aggregate_tags=tags.get(r["metric"], []),
+                dps={
+                    0: r["strength"],
+                    1: float(r["n"]),
+                    2: float(r["n_phases"]),
+                },
+            )
+        )
+    return out
+
+
+def wasserstein_op(
+    dps: DataFrame,
+    split_ts: int,
+    metrics: list[str] | None = None,
+) -> list[ResultSet]:
+    """q183 through the API: exact 1-Wasserstein distance per metric
+    between raw values before and after ``split_ts`` — "how much did
+    the distribution move across this deploy/incident boundary", in
+    value units; dps is {0: w1, 1: n_before, 2: n_after} (fixed keys).
+    Raw-point op (two-sample over values, not bucket means)."""
+    from ticktock_spark.operators.drift import wasserstein_drift
+
+    d = _filtered(dps, metrics)
+    rows = wasserstein_drift(
+        d, F.col("ts") < F.lit(int(split_ts)), group_cols=["metric"]
+    ).collect()
+    tags = _aggregate_tags(dps, metrics)
+    out = []
+    for r in sorted(rows, key=lambda r: r["metric"]):
+        name, series_tags = _split_series_label(r["metric"])
+        out.append(
+            ResultSet(
+                metric=f"w1({name})",
+                tags=series_tags,
+                aggregate_tags=tags.get(r["metric"], []),
+                dps={0: r["w1"], 1: float(r["n_a"]), 2: float(r["n_b"])},
+            )
+        )
+    return out
