@@ -103,49 +103,78 @@ def theil_sen(
     moves, where one spike already bends an OLS line).
 
     Output: (series..., n [buckets], n_pairs, slope) — slope in
-    value-units per bucket, 6-decimal.
+    value-units per bucket, 6-decimal. Series with a single bucket have
+    no pairwise slope and are dropped.
 
-    Scale shape: the pair fan-out is an equi-join on the series key
-    with an inequality residual, O(buckets²) per series — bounded by
-    (time-range / bucket_ms)², independent of raw datapoint volume
-    (744² ≈ 0.5M pairs for a month of hourly buckets). Pair slopes are
-    integer-ratio doubles (micro-unit Δy over integer Δx — identical
-    in any engine); the median interpolates at most the midpoint of
-    two of them, also pinned IEEE.
+    Scale shape: ONE scan — buckets collect into a per-series sorted
+    array (bucket-scale: bounded by time-range / bucket_ms, e.g. 744
+    structs for a month of hourly buckets) and the O(buckets²) pair
+    fan-out happens INSIDE whole-stage-codegen higher-order functions
+    (transform/flatten/array_sort), never as a self-join: no second or
+    third scan of the input subtree, no window sort, no shuffle of a
+    pair table. Per-series memory is (span/bucket_ms)²·8 bytes — ~2 MB
+    for a month of hours; for longer horizons coarsen ``bucket_ms``
+    (the estimator's resolution knob, which is exactly what bounds the
+    quadratic). Pair slopes are integer-ratio doubles (micro-unit Δy
+    over integer Δx — identical in any engine); the median interpolates
+    at most lower + (upper − lower)·0.5, also pinned IEEE.
     """
-    w = Window.partitionBy(*series_cols)
-    delta = F.col(ts_col) - F.min(ts_col).over(w)
-    # exact integer bucket index (no float division near boundaries)
-    x = (delta - delta % F.lit(bucket_ms)) / F.lit(bucket_ms)
-    base = df.select(
+    b = df.select(
         *series_cols,
-        x.cast("long").alias("x"),
-        _micro(value_col).alias("y"),
+        F.struct(
+            F.col(ts_col).alias("ts"), _micro(value_col).alias("y")
+        ).alias("p"),
     )
-    lhs = base.select(
-        *series_cols, F.col("x").alias("x1"), F.col("y").alias("y1")
+    g = (
+        b.groupBy(*series_cols)
+        .agg(F.array_sort(F.collect_list("p")).alias("arr"))
+        .filter(F.size("arr") >= 2)
     )
-    rhs = base.select(
-        *series_cols, F.col("x").alias("x2"), F.col("y").alias("y2")
-    )
-    pairs = lhs.join(rhs, series_cols).filter(F.col("x2") > F.col("x1"))
-    sp = (F.col("y2") - F.col("y1")).cast("double") / (
-        F.col("x2") - F.col("x1")
-    ).cast("double")
-    stats = base.groupBy(*series_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    slopes = pairs.select(*series_cols, sp.alias("sp")).groupBy(
-        *series_cols
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.percentile("sp", F.lit(0.5)).alias("med_sp"),
-    )
-    return stats.join(slopes, series_cols).select(
+    t0 = F.element_at(F.col("arr"), 1)["ts"]
+
+    def x_of(e):
+        # exact integer bucket index (no float division near boundaries)
+        delta = e["ts"] - t0
+        return (delta - delta % F.lit(bucket_ms)) / F.lit(bucket_ms)
+
+    # hoist the bucket index out of the O(B²) inner lambda: one O(B)
+    # pass computes (x, y) per bucket, pairs then read it by rank
+    g = g.select(
         *series_cols,
-        "n",
-        "n_pairs",
-        _q6(F.col("med_sp") / F.lit(1_000_000.0)).alias("slope"),
+        F.size("arr").alias("n"),
+        F.transform(
+            F.col("arr"),
+            lambda e: F.struct(x_of(e).alias("x"), e["y"].alias("y")),
+        ).alias("xy"),
+    )
+
+    def slopes_from(i):
+        a = F.element_at(F.col("xy"), i)
+        return F.transform(
+            F.slice(F.col("xy"), i + 1, F.size("xy") - i),
+            lambda e: (e["y"] - a["y"]).cast("double")
+            / (e["x"] - a["x"]).cast("double"),
+        )
+
+    sp = F.array_sort(
+        F.flatten(
+            F.transform(F.sequence(F.lit(1), F.size("xy") - 1), slopes_from)
+        )
+    )
+    g = g.select(*series_cols, "n", sp.alias("sp"))
+    m = F.size("sp")
+    # 1-based ranks of the middle pair, in INT arithmetic ('/' on ints
+    # is double division in Spark SQL)
+    lower = F.element_at(F.col("sp"), F.floor((m + 1) / 2).cast("int"))
+    upper = F.element_at(F.col("sp"), (F.floor(m / 2) + 1).cast("int"))
+    # quantile_cont's interpolation, pinned: lower + (upper - lower)/2
+    # (odd m: both indices land on the middle element)
+    med = lower + (upper - lower) * F.lit(0.5)
+    return g.select(
+        *series_cols,
+        F.col("n").cast("long").alias("n"),
+        m.cast("long").alias("n_pairs"),
+        _q6(med / F.lit(1_000_000.0)).alias("slope"),
     )
 
 
