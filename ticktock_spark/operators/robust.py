@@ -56,29 +56,27 @@ def mad_outliers(
     Zero-MAD series (constant, or >50% one value) yield NULL scores and
     are dropped (no finite robust scale exists).
 
-    Scale shape: two bucket-scale aggregations (median, then MAD of the
-    residuals) joined back broadcast — group cardinality is the series
-    count, never the bucket count; no window state, no collect.
+    Scale shape: ONE scan — both medians are unordered-frame window
+    aggregates over the same per-series partitioning (no orderBy → no
+    sort; two Window nodes share one exchange), so the input subtree is
+    never re-executed the way a groupBy + join-back would re-scan it.
+    The window partition is a series' BUCKETS (bounded by
+    time-range / bucket_ms), never its raw datapoints.
     """
+    w = Window.partitionBy(*series_cols)
     base = df.select(
         *series_cols,
         F.col(ts_col).alias("ts"),
         F.col(value_col).alias("value"),
         _micro(value_col).alias("y"),
     )
-    med = base.groupBy(*series_cols).agg(
-        F.percentile("y", F.lit(0.5)).alias("med")
-    )
-    dev = base.join(F.broadcast(med), series_cols).withColumn(
-        "dev", F.abs(F.col("y") - F.col("med"))
-    )
-    mad = dev.groupBy(*series_cols).agg(
-        F.percentile("dev", F.lit(0.5)).alias("mad")
-    )
+    dev = base.withColumn(
+        "med", F.percentile("y", F.lit(0.5)).over(w)
+    ).withColumn("dev", F.abs(F.col("y") - F.col("med")))
+    scored = dev.withColumn("mad", F.percentile("dev", F.lit(0.5)).over(w))
     score = F.lit(0.6745) * (F.col("y") - F.col("med")) / F.col("mad")
     return (
-        dev.join(F.broadcast(mad), series_cols)
-        .filter(F.col("mad") > 0)
+        scored.filter(F.col("mad") > 0)
         .filter(F.abs(score) >= F.lit(threshold))
         .select(
             *series_cols,
@@ -199,8 +197,11 @@ def seasonal_strength(
     Exactness: phase means round to integer micro-units (the q157
     pattern), residuals are then integer subtractions, and both sums of
     squares accumulate in DECIMAL(38,0) — order-free, bit-identical
-    across engines. Scale shape: one bucket-scale scan, two broadcast
-    profile joins (phases × series and series rows), one final agg.
+    across engines. Scale shape: ONE scan — both means are
+    unordered-frame window aggregates over the single bucket lineage
+    (per (series, phase) and per series), then one final per-series
+    agg that reuses the series partitioning; no joins, no re-executed
+    subtree.
     """
     # integer `div`, not float '/': a double quotient can round across
     # the phase boundary for epoch values near a multiple of phase_ms
@@ -211,32 +212,24 @@ def seasonal_strength(
         *series_cols, phase.alias("phase"), _micro(value_col).alias("y")
     )
     dec = F.col("y").cast("decimal(38,0)")
-    prof = base.groupBy(*series_cols, "phase").agg(
+    wp = Window.partitionBy(*series_cols, "phase")
+    wg = Window.partitionBy(*series_cols)
+    mean_over = lambda w: (  # noqa: E731
         F.floor(
-            F.sum(dec).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("ph_mean")
+            F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w)
+            + F.lit(0.5)
+        ).cast("long")
     )
-    grand = base.groupBy(*series_cols).agg(
-        F.floor(
-            F.sum(dec).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("g_mean")
+    withm = base.withColumn("ph_mean", mean_over(wp)).withColumn(
+        "g_mean", mean_over(wg)
     )
     r = (F.col("y") - F.col("ph_mean")).cast("decimal(38,0)")
     t = (F.col("y") - F.col("g_mean")).cast("decimal(38,0)")
-    ss = (
-        base.join(F.broadcast(prof), [*series_cols, "phase"])
-        .join(F.broadcast(grand), series_cols)
-        .groupBy(*series_cols)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.countDistinct("phase").cast("long").alias("n_phases"),
-            F.sum(r * r).alias("ss_resid"),
-            F.sum(t * t).alias("ss_total"),
-        )
+    ss = withm.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("phase").cast("long").alias("n_phases"),
+        F.sum(r * r).alias("ss_resid"),
+        F.sum(t * t).alias("ss_total"),
     )
     return ss.select(
         *series_cols,

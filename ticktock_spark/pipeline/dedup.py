@@ -1789,17 +1789,21 @@ def gram_duplication(
     Output: one row per non-null-text doc
     (id, n_grams, n_dup, dup_ratio).
 
-    Scale shape: one corpus scan + explode to distinct (doc, gram);
-    gram document-frequencies from ONE groupBy on the gram key (the
-    same vocabulary-bounded shuffle as tfidf/df); DFs join back onto
-    the (doc, gram) table by gram, then a per-doc count — no pairwise
-    comparison anywhere, so cost is corpus-linear where pair-based
-    dedup is quadratic in cluster size.
+    Scale shape: ONE corpus scan + explode to distinct (doc, gram);
+    gram document-frequencies are an unordered-frame window count over
+    the gram key on that same lineage (one shuffle, the same
+    vocabulary-bounded exchange a groupBy would need — but with no
+    join-back and no re-executed corpus subtree), then a per-doc count.
+    No pairwise comparison anywhere, so cost is corpus-linear where
+    pair-based dedup is quadratic in cluster size.
     """
+    from pyspark.sql import Window
+
     dg = _doc_grams(df, n, text_col, id_col)
-    dfc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
     return (
-        dg.join(dfc, "gram")
+        dg.withColumn(
+            "gdf", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
@@ -1834,13 +1838,16 @@ def gram_novelty(
     (id, n_grams, n_new, novelty).
 
     Scale shape: identical to gram_duplication with min(id) in place of
-    the frequency count — one gram-keyed groupBy + join-back, corpus
-    linear.
+    the frequency count — one scan, one gram-keyed window exchange,
+    corpus linear.
     """
+    from pyspark.sql import Window
+
     dg = _doc_grams(df, n, text_col, id_col)
-    first = dg.groupBy("gram").agg(F.min(id_col).alias("first_id"))
     return (
-        dg.join(first, "gram")
+        dg.withColumn(
+            "first_id", F.min(id_col).over(Window.partitionBy("gram"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
@@ -1885,21 +1892,23 @@ def decontaminate_rarity(
     (id, n_hits, w_hits, w_grams, rarity_ratio = w_hits/w_grams,
     6-decimal).
 
-    Scale shape: ``decontaminate``'s single corpus pass plus ONE extra
-    gram-keyed groupBy for the document frequencies (vocabulary-bounded,
-    reused from the same (doc, gram) table — the corpus is still
-    scanned once); bench grams stay broadcast-scale.
+    Scale shape: ``decontaminate``'s single corpus pass with the
+    document frequencies computed as a window count over the gram key
+    on the same lineage (the window's hash partitioning then feeds the
+    bench join directly — one gram exchange total, no count branch
+    re-scanning the corpus); bench grams stay broadcast-scale.
     """
+    from pyspark.sql import Window
+
     dg = _doc_grams(df, n, text_col, id_col)
     bench = (
         benchmark_grams(benchmark, n=n, bench_text_col=bench_text_col)
         if bench_grams_df is None
         else bench_grams_df.select("gram")
     )
-    dfc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
-    weighted = dg.join(dfc, "gram").withColumn(
-        "w", F.expr("CAST(1000000 AS BIGINT) div gdf")
-    )
+    weighted = dg.withColumn(
+        "gdf", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).withColumn("w", F.expr("CAST(1000000 AS BIGINT) div gdf"))
     marked = weighted.join(
         bench.withColumn("__hit", F.lit(1)), "gram", "left"
     )
