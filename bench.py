@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "q183_wasserstein_drift",     # exact W1 (distinct-value bounded window)
     "q184_dup_gram_fraction",     # corpus-internal gram duplication mass
     "q186_rarity_decontaminate",  # integer-IDF weighted benchmark overlap
+    "q188_fano_burstiness",       # spine-free dispersion moments
+    "q190_knn_label_agreement",   # all-pairs numpy block kernel + rank
+    "q192_source_word_entropy",   # vocab-bounded micro-nat entropy
 ]
 
 

@@ -1,0 +1,189 @@
+"""Semantic tests for the round-8 batch-2 statistics: Fano burstiness,
+daily top movers, length Gini, source word entropy, 1-NN label
+agreement — handcrafted inputs with known answers (cross-engine
+exactness is pinned by test_oracle.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+DAY = 86_400_000
+MIN = 60_000
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(metric=m, ts=ts, value=float(v)) for m, ts, v in rows]
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 fano — via the registry callable shape (operator is inline)
+# ---------------------------------------------------------------------------
+
+def _fano(spark, counts_per_bucket):
+    """Build a metric with the given per-1m-bucket event counts and
+    read back its Fano factor through the same aggregation as q188."""
+    rows = []
+    for b, c in enumerate(counts_per_bucket):
+        for k in range(c):
+            rows.append(("m", b * MIN + k, 1.0))
+    d = _events(spark, rows)
+    b = d.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % MIN).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    m = b.groupBy("metric").agg(
+        ((F.max("b") - F.min("b")) / F.lit(MIN) + F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("sc"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sc2"),
+    )
+    fano = (F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sc")).cast("double")
+    return m.select(fano.alias("f")).first()["f"]
+
+
+def test_fano_regular_arrivals_below_one(spark):
+    # perfectly regular: 2 events every bucket → variance 0 → fano 0
+    assert _fano(spark, [2] * 10) == 0.0
+
+
+def test_fano_bursty_above_one(spark):
+    # nearly all events in the last bucket, one anchoring the span start
+    burst = [1] + [0] * 8 + [19]
+    f = _fano(spark, burst)
+    # var/mean = (n·Σc²−(Σc)²)/(n·Σc) = (10·362−400)/200 = 16.1
+    assert f > 10
+    assert f == pytest.approx(16.1)
+
+
+def test_fano_counts_empty_buckets_inside_span(spark):
+    # [1, gap, 1]: the empty middle bucket must enter n via min/max
+    f = _fano(spark, [1, 0, 1])
+    # n=3, sc=2, sc2=2 → (6−4)/6 = 1/3
+    assert f == pytest.approx(1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# q189 top movers
+# ---------------------------------------------------------------------------
+
+def test_daily_top_movers_finds_the_planted_jump(spark):
+    from ticktock_spark.queries import QUERIES  # noqa: F401 — shape ref
+
+    # 6 days flat at 10, then a +50 jump, then flat
+    rows = []
+    for d in range(8):
+        v = 10.0 if d < 6 else 60.0
+        rows.append(("m", d * DAY, v))
+    d = _events(spark, rows)
+    from pyspark.sql import Window as W
+
+    day = (F.col("ts") - F.col("ts") % F.lit(DAY)).alias("day")
+    dd = d.groupBy("metric", day).agg(
+        F.floor(F.avg("value") * 1e6 + 0.5).cast("long").alias("m")
+    )
+    w = W.partitionBy("metric").orderBy("day")
+    l = dd.select(
+        "metric", "day", "m",
+        F.lag("day").over(w).alias("pday"), F.lag("m").over(w).alias("pm"),
+    ).filter(F.col("pday") == F.col("day") - F.lit(DAY))
+    top = (
+        l.orderBy(F.abs(F.col("m") - F.col("pm")).desc(), "day").first()
+    )
+    assert top["day"] == 6 * DAY
+    assert (top["m"] - top["pm"]) / 1e6 == pytest.approx(50.0)
+
+
+# ---------------------------------------------------------------------------
+# q191 gini
+# ---------------------------------------------------------------------------
+
+def _docs_sized(spark, sizes, source="s"):
+    return spark.createDataFrame(
+        [Row(doc_id=i, source=source, n_chars=int(x))
+         for i, x in enumerate(sizes)]
+    )
+
+
+def test_gini_equal_sizes_zero(spark):
+    from ticktock_spark.pipeline.text import length_gini
+
+    out = length_gini(_docs_sized(spark, [50] * 8)).first()
+    assert out["gini"] == 0.0
+
+
+def test_gini_concentration_approaches_one(spark):
+    from ticktock_spark.pipeline.text import length_gini
+
+    # one doc holds (almost) all mass among n=10 → G ≈ (n−1)/n = 0.9
+    out = length_gini(_docs_sized(spark, [0] * 9 + [1000])).first()
+    assert out["gini"] == pytest.approx(0.9, abs=1e-6)
+
+
+def test_gini_orders_sources_by_inequality(spark):
+    from ticktock_spark.pipeline.text import length_gini
+
+    even = _docs_sized(spark, [100] * 10, "even")
+    skew = _docs_sized(spark, [10] * 9 + [910], "skew")
+    out = {r["source"]: r["gini"]
+           for r in length_gini(even.union(skew)).collect()}
+    assert out["even"] == 0.0 and out["skew"] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# q192 entropy
+# ---------------------------------------------------------------------------
+
+def test_entropy_uniform_vs_template(spark):
+    from ticktock_spark.pipeline.text import source_word_entropy
+
+    # diverse: 16 distinct words once each → H = ln 16
+    # template: one word 16 times → H = 0
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, source="diverse",
+             text=" ".join(f"w{i}" for i in range(16))),
+         Row(doc_id=1, source="template", text=" ".join(["spam"] * 16))]
+    )
+    out = {r["source"]: r for r in source_word_entropy(docs).collect()}
+    assert out["diverse"]["vocab"] == 16
+    assert out["diverse"]["entropy"] == pytest.approx(math.log(16), abs=1e-5)
+    assert out["template"]["vocab"] == 1
+    assert out["template"]["entropy"] == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# q190 1-NN label agreement
+# ---------------------------------------------------------------------------
+
+def test_knn_agreement_separated_clusters(spark):
+    from ticktock_spark.pipeline.similarity import cosine_scores
+    from pyspark.sql import Window
+
+    # two tight, orthogonal clusters → every 1-NN stays in-cluster
+    rows = []
+    for i in range(4):
+        rows.append(Row(vec_id=i, embedding=[10.0 + i, 0.0, 0.1 * i],
+                        label=0))
+        rows.append(Row(vec_id=10 + i, embedding=[0.0, 10.0 + i, 0.1 * i],
+                        label=1))
+    e = spark.createDataFrame(rows)
+    scored = cosine_scores(
+        e, e.select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    ql = e.select(F.col("vec_id").alias("query_id"), "label")
+    nl = e.select("vec_id", F.col("label").alias("nn_label"))
+    j = nn.join(ql, "query_id").join(nl, "vec_id")
+    agree = j.filter(F.col("label") == F.col("nn_label")).count()
+    assert agree == 8  # perfect agreement in both clusters

@@ -6066,3 +6066,143 @@ def q187(spark, sf_dir):
     return cl.split_leakage_audit(
         d, verified.select("id_a", "id_b"), _WEIGHTS
     )
+
+
+@register(
+    "q190_knn_label_agreement",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             {_Q6.format(x=f'({_DOT}) / ({_NRM_C} * {_NRM_Q})')} AS cosine
+      FROM embeddings c, embeddings q
+      WHERE c.vec_id <> q.vec_id
+    ),
+    nn AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT ql.label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (nl.label = ql.label) AS BIGINT) AS n_match,
+           {_Q6.format(
+               x='(CAST(count(*) FILTER (nl.label = ql.label) AS DOUBLE)'
+                 ' / count(*))')} AS agreement
+    FROM nn JOIN embeddings ql ON ql.vec_id = nn.query_id
+            JOIN embeddings nl ON nl.vec_id = nn.vec_id
+    GROUP BY 1
+    """,
+)
+def q190(spark, sf_dir):
+    """1-NN label agreement per class: for every embedding, does its
+    cosine nearest neighbor share its label — the standard
+    label-noise / embedding-quality probe (high agreement = classes
+    form cosine-coherent regions; a low class flags mislabeled or
+    poorly-embedded data before anyone trains on it). Brute-force
+    all-pairs IS the spec — this is an eval-sample metric (run it on a
+    held-out sample at scale; q41/q43's ANN stacks are the production
+    search path). Scoring reuses the numpy block kernel
+    (fold-order-exact vs the SQL fold); ranking on the quantized cosine
+    with vec_id tiebreak, agreement joined from the label column."""
+    from pyspark.sql import Window
+
+    e = _table(spark, sf_dir, "embeddings")
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+    scored = sim.cosine_scores(e, q)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id")
+    )
+    ql = e.select(F.col("vec_id").alias("query_id"), F.col("label"))
+    nl = e.select(
+        F.col("vec_id").alias("vec_id"), F.col("label").alias("nn_label")
+    )
+    j = nn.join(ql, "query_id").join(nl, "vec_id")
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("nn_label") == F.col("label"), 1))
+        .cast("long")
+        .alias("n_match"),
+        q6(
+            F.count(F.when(F.col("nn_label") == F.col("label"), 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("agreement"),
+    )
+
+
+@register(
+    "q191_length_gini",
+    """
+    WITH r AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ),
+    m AS (
+      SELECT source, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+               AS si
+      FROM r GROUP BY 1
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(sx AS BIGINT) AS sum,
+           floor((CAST(2 * si - (n + 1) * sx AS DOUBLE)
+                  / CAST(n * sx AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+             AS gini
+    FROM m WHERE sx > 0
+    """,
+)
+def q191(spark, sf_dir):
+    """Document-size inequality per source (pipeline/text.py
+    length_gini): Gini of n_chars — a source whose mass sits in a few
+    giant docs behaves differently under doc-level sampling/packing
+    than one spread evenly at the same mean (q119/q140 can't tell them
+    apart). Exact integer rank-weighted sums; tie order is
+    Σ-invariant."""
+    return tx.length_gini(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q192_source_word_entropy",
+    f"""
+    WITH nm AS (SELECT source, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT source, unnest(string_split_regex(norm, '\\s+')) AS tok
+      FROM nm WHERE length(norm) > 0
+    ),
+    c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+    m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS t,
+             CAST(sum(CAST(c AS HUGEINT)
+                      * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                             AS HUGEINT)) AS HUGEINT) AS sl
+      FROM c GROUP BY 1
+    )
+    SELECT source, CAST(t AS BIGINT) AS n_tokens, vocab,
+           {_Q6.format(
+               x='(ln(CAST(t AS DOUBLE))'
+                 ' - CAST(sl AS DOUBLE) / (CAST(t AS DOUBLE) * 1000000.0))')}
+             AS entropy
+    FROM m
+    """,
+)
+def q192(spark, sf_dir):
+    """Word-unigram Shannon entropy per source (pipeline/text.py
+    source_word_entropy): the corpus-level diversity number q62's
+    per-doc TTR can't see — a source repeating ten templates scores far
+    below one with genuine variety at the same vocab size. H = ln T −
+    (Σ c·⌊ln c·1e6⌉)/(T·1e6): per-word logs floored to integer
+    micro-nats (the zipf_alpha discipline) so the weighted sum is
+    order-free and engine-exact."""
+    return tx.source_word_entropy(_table(spark, sf_dir, "documents"))

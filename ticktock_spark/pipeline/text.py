@@ -2316,3 +2316,99 @@ def script_report(
         letters.cast("long").alias("n_letters"),
         script.alias("script"),
     )
+
+
+def length_gini(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gini coefficient of a size column per group — the inequality
+    number behind mixture design: a source whose token mass sits in a
+    few giant documents behaves very differently under doc-level
+    sampling/packing than one with the same total spread evenly, and
+    per-group means (q119/q140) cannot tell them apart.
+
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the group's docs sorted by
+    (value, id). All three sums are exact integers (DECIMAL(38)); ties
+    in the value make Σ i·xᵢ invariant to tiebreak order, so the rank
+    join is engine-stable. One scan + one per-group window sort + one
+    agg; window partitions are group-sized.
+
+    Output: (group, n_docs, sum, gini) — gini in [0, 1), 6-decimal;
+    zero-mass groups are dropped.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    dec = "decimal(38,0)"
+    r = df.select(
+        group_col,
+        F.col(value_col).cast("long").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    m = r.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("i").cast(dec) * F.col("x").cast(dec)).alias("si"),
+    )
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    gini = (
+        F.lit(2) * F.col("si") - (F.col("n") + F.lit(1)) * F.col("sx")
+    ).cast("double") / (F.col("n") * F.col("sx")).cast("double")
+    return m.filter(F.col("sx") > 0).select(
+        group_col,
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("sx").cast("long").alias("sum"),
+        q6(gini).alias("gini"),
+    )
+
+
+def source_word_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy (nats) of the word-unigram distribution per
+    group — the diversity number that separates a source repeating ten
+    templates from one with genuine variety at the same vocabulary size
+    (q62's per-doc TTR can't see across documents; this is the
+    corpus-level complement).
+
+    H = ln T − (Σ_w c_w·⌊ln c_w·10⁶⌉)/（T·10⁶) with the per-word log
+    FLOORED to integer micro-nats before the (DECIMAL(38), order-free)
+    weighted sum — the zipf_alpha discipline that keeps Σ c·ln c
+    bit-identical across engines and aggregation orders; the micro-
+    quantization of each ln is part of the spec (error < 1e-6 nat per
+    term). One scan + one vocabulary-bounded (group, word) groupBy +
+    one group-sized reduction.
+
+    Output: (group, n_tokens, vocab, entropy).
+    """
+    toks = F.explode(
+        F.split(normalize_text(F.col(text_col)), r"\s+")
+    ).alias("tok")
+    t = df.filter(
+        F.length(normalize_text(F.col(text_col))) > 0
+    ).select(group_col, toks)
+    c = t.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    ln_micro = F.floor(
+        F.log(F.col("c").cast("double")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast(dec)
+    m = c.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c").cast(dec)).alias("t"),
+        F.sum(F.col("c").cast(dec) * ln_micro).alias("sl"),
+    )
+    q6 = lambda col: F.floor(col * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    ent = F.log(F.col("t").cast("double")) - F.col("sl").cast("double") / (
+        F.col("t").cast("double") * F.lit(1_000_000.0)
+    )
+    return m.select(
+        group_col,
+        F.col("t").cast("long").alias("n_tokens"),
+        "vocab",
+        q6(ent).alias("entropy"),
+    )

@@ -2208,3 +2208,137 @@ def q183(spark, sf_dir):
     return wasserstein_drift(
         d, F.col("ts") < F.lit(T_MID), group_cols=["metric"]
     ).select("metric", "n_a", "n_b", "w1")
+
+
+@register(
+    "q188_fano_burstiness",
+    f"""
+    WITH b AS (
+      SELECT metric, ts - ts % 60000 AS b, count(*) AS c
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT metric,
+             (max(b) - min(b)) // 60000 + 1 AS n,
+             CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sc,
+             CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT)
+               AS sc2
+      FROM b GROUP BY 1
+    )
+    SELECT metric, CAST(n AS BIGINT) AS n_buckets,
+           CAST(sc AS BIGINT) AS n_events,
+           {_Q6.format(
+               x='(CAST(CAST(n AS HUGEINT) * sc2 - sc * sc AS DOUBLE)'
+                 ' / CAST(CAST(n AS HUGEINT) * sc AS DOUBLE))')} AS fano
+    FROM m WHERE sc > 0
+    """,
+)
+def q188(spark, sf_dir):
+    """Arrival burstiness per metric: the Fano factor (index of
+    dispersion) of per-1m-bucket event COUNTS over the metric's active
+    span — 1.0 for a Poisson arrival process, >1 bursty, <1
+    dispatcher-regular. The capacity-planning number behind queue
+    sizing that rates/means can't show. Empty buckets inside the span
+    count as zeros WITHOUT materializing a spine: they contribute
+    nothing to Σc/Σc², so n = span/bucket + 1 from min/max alone — one
+    scan, one bucket agg, one per-metric reduction, exact
+    DECIMAL(38)/HUGEINT moments."""
+    d = _dps(spark, sf_dir)
+    b = d.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    m = b.groupBy("metric").agg(
+        (
+            (F.max("b") - F.min("b")) / F.lit(MIN_MS) + F.lit(1)
+        ).cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("sc"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sc2"),
+    )
+    fano = (F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sc")).cast("double")
+    return m.filter(F.col("sc") > 0).select(
+        "metric",
+        F.col("n").cast("long").alias("n_buckets"),
+        F.col("sc").cast("long").alias("n_events"),
+        q6(fano).alias("fano"),
+    )
+
+
+@register(
+    "q189_daily_top_movers",
+    f"""
+    WITH d AS (
+      SELECT metric, ts - ts % 86400000 AS day,
+             CAST(floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*)) * 1000000.0 + 0.5) AS BIGINT) AS m
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT metric, day, m,
+             lag(day) OVER w AS pday, lag(m) OVER w AS pm
+      FROM d WINDOW w AS (PARTITION BY metric ORDER BY day)
+    ),
+    e AS (SELECT metric, day, pm, m, m - pm AS delta
+          FROM l WHERE pday = day - 86400000),
+    r AS (
+      SELECT metric, day, pm, m, delta,
+             row_number() OVER (PARTITION BY metric
+                                ORDER BY abs(delta) DESC, day) AS rank
+      FROM e
+    )
+    SELECT metric, day AS ts, CAST(rank AS BIGINT) AS rank,
+           pm / 1000000.0 AS prev_mean, m / 1000000.0 AS mean,
+           delta / 1000000.0 AS delta
+    FROM r WHERE rank <= 3
+    """,
+)
+def q189(spark, sf_dir):
+    """Daily top movers: for each metric, the 3 largest
+    day-over-day jumps of the daily mean (adjacent calendar days only —
+    a gap day breaks the comparison rather than faking a jump). The
+    release-triage view: 'what changed most, and when'. Daily means
+    quantize to integer micro-units BEFORE the delta and the ranking,
+    so |Δ| ordering is pure integer comparison — engine-exact, no
+    float-rank ambiguity. One scan + one per-metric window + top-3."""
+    from pyspark.sql import Window as W
+
+    d = _dps(spark, sf_dir)
+    day = (F.col("ts") - F.col("ts") % F.lit(DAY_MS)).alias("day")
+    dd = d.groupBy("metric", day).agg(
+        F.floor(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    w = W.partitionBy("metric").orderBy("day")
+    l = dd.select(
+        "metric",
+        "day",
+        "m",
+        F.lag("day").over(w).alias("pday"),
+        F.lag("m").over(w).alias("pm"),
+    ).filter(F.col("pday") == F.col("day") - F.lit(DAY_MS))
+    r = l.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("metric").orderBy(
+                F.abs(F.col("m") - F.col("pm")).desc(), "day"
+            )
+        ),
+    ).filter(F.col("rank") <= 3)
+    return r.select(
+        "metric",
+        F.col("day").alias("ts"),
+        F.col("rank").cast("long").alias("rank"),
+        (F.col("pm") / F.lit(1_000_000.0)).alias("prev_mean"),
+        (F.col("m") / F.lit(1_000_000.0)).alias("mean"),
+        ((F.col("m") - F.col("pm")) / F.lit(1_000_000.0)).alias("delta"),
+    )
