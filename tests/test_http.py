@@ -1158,3 +1158,84 @@ def test_http_analytics_round8_ops(spark):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_analytics_fano_top_movers(spark):
+    """op=fano / op=top_movers through the endpoint match the
+    q188/q189 oracles on the same ingested datapoints."""
+    import duckdb
+    import pandas as pd
+
+    import ticktock_spark.pipeline.queries  # noqa: F401
+    from ticktock_spark.queries import ORACLES
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200
+    DAY = 86_400
+    try:
+        # 8 days of clicks: regular 1/min for 30 min each day, except a
+        # burst day; daily mean jumps +50 on day 6
+        lines, ts_all, v_all = [], [], []
+        for d in range(8):
+            base_v = 10.0 if d < 6 else 60.0
+            for i in range(30):
+                t = T0 + d * DAY + i * 60
+                v = round(base_v + (i % 3), 2)
+                lines.append(f"put click {t} {v} host=h1")
+                ts_all.append(t)
+                v_all.append(v)
+        # burst: 20 extra events inside one minute on day 2
+        for k in range(20):
+            t = T0 + 2 * DAY + 3600 + k
+            lines.append(f"put click {t} 5.0 host=h1")
+            ts_all.append(t)
+            v_all.append(5.0)
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == len(lines)
+
+        con = duckdb.connect()
+        ev = pd.DataFrame(
+            {
+                "event_type": ["click"] * len(ts_all),
+                "ts": pd.to_datetime([t * 1000 for t in ts_all], unit="ms"),
+                "value": v_all,
+                "user_id": 0,
+                "event_id": range(len(ts_all)),
+            }
+        )
+        con.register("events", ev)
+
+        def odf(name):
+            return con.sql(ORACLES[name]).df()
+
+        res = _get(srv, "/api/analytics?op=fano&m=click")
+        exp = odf("q188_fano_burstiness")
+        sub = exp[exp.metric == "click"].iloc[0]
+        assert res[0]["metric"] == "fano(click)"
+        assert res[0]["dps"] == {
+            "0": sub.fano,
+            "1": float(sub.n_buckets),
+            "2": float(sub.n_events),
+        }
+        assert res[0]["dps"]["0"] > 1.0  # the planted burst shows
+
+        res = _get(srv, "/api/analytics?op=top_movers&m=click")
+        exp = odf("q189_daily_top_movers")
+        sub = exp[exp.metric == "click"]
+        assert {int(t): v for t, v in zip(sub.ts, sub.delta)} == {
+            int(k): v for k, v in res[0]["dps"].items()
+        }
+        # rank-1 mover is the planted +50 jump at day 6
+        best = sub[sub["rank"] == 1].iloc[0]
+        assert int(best.ts) == (T0 + 6 * DAY) * 1000
+        assert abs(best.delta - 50.0) < 1e-6
+        # raw-only: grain= is a caller error
+        import urllib.error
+
+        for q in ("op=fano&m=click&grain=1h", "op=top_movers&m=click&grain=1h"):
+            try:
+                _get(srv, f"/api/analytics?{q}")
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()

@@ -579,7 +579,14 @@ _ROLLUP_OPS = {
     "theilsen",
     "seasonal_strength",
 }
-_RAW_ONLY_OPS = {"seasonal_profile", "burn_rate", "histogram", "wasserstein"}
+_RAW_ONLY_OPS = {
+    "seasonal_profile",
+    "burn_rate",
+    "histogram",
+    "wasserstein",
+    "fano",        # arrival COUNTS by definition — a rollup stores means
+    "top_movers",  # exact-decimal daily means are the raw-path spec
+}
 # ops whose semantics span metrics — per-series grouping is undefined
 _CROSS_METRIC_OPS = {"burn_rate", "correlation", "leadlag"}
 
@@ -719,6 +726,10 @@ def execute(
         if split is None:
             raise ValueError("wasserstein needs split_ts= (epoch ms)")
         return wasserstein_op(dps, int(split), metrics)
+    if op == "fano":
+        return fano_op(dps, metrics, bucket_ms=bucket_ms)
+    if op == "top_movers":
+        return top_movers_op(dps, metrics, k=int(one("k", 3)))
     if op == "dominant_period":
         return dominant_period(
             dps, metrics, max_lag=int(one("max_lag", 8)),
@@ -851,3 +862,110 @@ def wasserstein_op(
             )
         )
     return out
+
+
+def fano_op(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    bucket_ms: int = MIN_MS,
+) -> list[ResultSet]:
+    """q188 through the API: Fano factor (index of dispersion) of
+    per-bucket event counts over each metric's active span; dps is
+    {0: fano, 1: n_buckets, 2: n_events} (fixed keys). 1.0 = Poisson
+    arrivals, >1 bursty, <1 regular — the queue-sizing number. Raw
+    point counts by definition (a rollup stores means, not arrival
+    counts), so this op always scans raw datapoints."""
+    d = _filtered(dps, metrics)
+    b = d.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % F.lit(bucket_ms)).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    m = b.groupBy("metric").agg(
+        ((F.max("b") - F.min("b")) / F.lit(bucket_ms) + F.lit(1))
+        .cast(dec)
+        .alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("sc"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sc2"),
+    )
+    fano = (F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sc")).cast("double")
+    rows = (
+        m.filter(F.col("sc") > 0)
+        .select(
+            "metric",
+            F.col("n").cast("long").alias("n_buckets"),
+            F.col("sc").cast("long").alias("n_events"),
+            q6(fano).alias("fano"),
+        )
+        .collect()
+    )
+    tags = _aggregate_tags(dps, metrics)
+    out = []
+    for r in sorted(rows, key=lambda r: r["metric"]):
+        name, series_tags = _split_series_label(r["metric"])
+        out.append(
+            ResultSet(
+                metric=f"fano({name})",
+                tags=series_tags,
+                aggregate_tags=tags.get(r["metric"], []),
+                dps={
+                    0: r["fano"],
+                    1: float(r["n_buckets"]),
+                    2: float(r["n_events"]),
+                },
+            )
+        )
+    return out
+
+
+def top_movers_op(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    k: int = 3,
+) -> list[ResultSet]:
+    """q189 through the API: the k largest adjacent-day jumps of the
+    daily mean per metric; dps keys are the day timestamps, values the
+    signed delta — the release-triage view. Daily means micro-quantize
+    before delta and rank, so ordering is integer-exact."""
+    from pyspark.sql import Window as W
+
+    DAY_MS = 86_400_000
+    d = _filtered(dps, metrics)
+    day = (F.col("ts") - F.col("ts") % F.lit(DAY_MS)).alias("day")
+    dd = d.groupBy("metric", day).agg(
+        F.floor(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    w = W.partitionBy("metric").orderBy("day")
+    lagged = dd.select(
+        "metric",
+        "day",
+        "m",
+        F.lag("day").over(w).alias("pday"),
+        F.lag("m").over(w).alias("pm"),
+    ).filter(F.col("pday") == F.col("day") - F.lit(DAY_MS))
+    ranked = lagged.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("metric").orderBy(
+                F.abs(F.col("m") - F.col("pm")).desc(), "day"
+            )
+        ),
+    ).filter(F.col("rank") <= int(k))
+    out_rows = ranked.select(
+        "metric",
+        "day",
+        ((F.col("m") - F.col("pm")) / F.lit(1_000_000.0)).alias("delta"),
+    )
+    return _to_resultsets(
+        out_rows, "day", "delta", _aggregate_tags(dps, metrics)
+    )
