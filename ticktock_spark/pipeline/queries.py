@@ -6107,18 +6107,18 @@ def q190(spark, sf_dir):
     search path). Scoring reuses the numpy block kernel
     (fold-order-exact vs the SQL fold); ranking on the quantized cosine
     with vec_id tiebreak, agreement joined from the label column."""
-    from pyspark.sql import Window
-
     e = _table(spark, sf_dir, "embeddings")
     q = e.select(F.col("vec_id").alias("query_id"), "embedding")
     scored = sim.cosine_scores(e, q)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    nn = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "vec_id")
+    # argmax via max_by on (cosine, -vec_id), NOT a row_number window:
+    # the aggregate combines map-side, so the N x N score table never
+    # sort-shuffles -- only |queries| rows cross the exchange. The
+    # struct order (quantized cosine desc, vec_id asc) is exactly the
+    # window's tiebreak.
+    nn = scored.groupBy("query_id").agg(
+        F.max_by(
+            "vec_id", F.struct(F.col("cosine"), (-F.col("vec_id")))
+        ).alias("vec_id")
     )
     ql = e.select(F.col("vec_id").alias("query_id"), F.col("label"))
     nl = e.select(
