@@ -63,8 +63,10 @@ BENCH_QUERIES = [
     "q184_dup_gram_fraction",     # corpus-internal gram duplication mass
     "q186_rarity_decontaminate",  # integer-IDF weighted benchmark overlap
     "q188_fano_burstiness",       # spine-free dispersion moments
-    "q190_knn_label_agreement",   # all-pairs numpy block kernel + rank
+    "q190_knn_label_agreement",   # all-pairs numpy block kernel + max_by
     "q192_source_word_entropy",   # vocab-bounded micro-nat entropy
+    "q193_centroid_agreement",    # broadcast-centroid probe (q190's scale path)
+    "q194_histogram_quantile",    # O(bins) percentile estimation
 ]
 
 

@@ -187,3 +187,78 @@ def test_knn_agreement_separated_clusters(spark):
     j = nn.join(ql, "query_id").join(nl, "vec_id")
     agree = j.filter(F.col("label") == F.col("nn_label")).count()
     assert agree == 8  # perfect agreement in both clusters
+
+
+# ---------------------------------------------------------------------------
+# q193 nearest-centroid agreement / q194 histogram quantile
+# ---------------------------------------------------------------------------
+
+def test_centroid_probe_linear_clusters(spark):
+    # two tight orthogonal clusters: centroid probe is perfect
+    import ticktock_spark.pipeline.queries  # noqa: F401 — registers q193
+    from ticktock_spark.queries import QUERIES as Q
+
+    import tempfile, os
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + i, 0.0, 0.0], 0))
+        rows.append((10 + i, [0.0, 10.0 + i, 0.0], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    root = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(root, "embeddings.parquet"))
+    out = {r["label"]: r for r in
+           Q["q193_centroid_agreement"](spark, root).collect()}
+    assert out[0]["agreement"] == 1.0 and out[1]["agreement"] == 1.0
+
+
+def test_centroid_probe_sees_multimodal_gap(spark):
+    # label 0 is BIMODAL (two opposite lobes): its centroid collapses
+    # toward the origin and loses to label 1's coherent cluster for one
+    # lobe, while 1-NN (q190's relation) would stay in-lobe — the
+    # diagnostic gap the docstring promises
+    import ticktock_spark.pipeline.queries  # noqa: F401 — registers q193
+    from ticktock_spark.queries import QUERIES as Q
+
+    import tempfile, os
+    rows = []
+    for i in range(4):
+        rows.append((i, [10.0, float(i), 0.0], 0))          # lobe A
+        rows.append((10 + i, [-10.0, -float(i), 0.0], 0))   # lobe B
+        rows.append((20 + i, [0.0, 0.0, 10.0 + i], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    root = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(root, "embeddings.parquet"))
+    out = {r["label"]: r for r in
+           Q["q193_centroid_agreement"](spark, root).collect()}
+    assert out[1]["agreement"] == 1.0       # coherent class unaffected
+    assert out[0]["agreement"] < 1.0        # bimodal class leaks
+
+
+def test_histogram_quantile_exact_on_known_bins(spark):
+    # 100 values 0..99 → bins 0..9 of 10 each; p50: target 50 lands at
+    # bin 5's boundary: cum(bin4)=50 >= 50 → est = 40 + 10*(50-40)/10 = 50
+    from ticktock_spark.queries import QUERIES as Q
+
+    import tempfile, os
+    rows = [("m", 1_704_067_200_000 + i * 1000, float(i), 1, i)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, value double, user_id long,"
+              " event_id long"
+    ).select(
+        "event_type",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        "user_id", "value", "event_id",
+    )
+    root = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(root, "events.parquet"))
+    out = {r["q"]: r["est"]
+           for r in Q["q194_histogram_quantile"](spark, root).collect()}
+    assert out[0.5] == 50.0
+    assert out[0.9] == 90.0
+    # p99: target 99 → bin 9 (cum 100, prev 90): 90 + 10*(99-90)/10 = 99
+    assert out[0.99] == 99.0

@@ -6206,3 +6206,122 @@ def q192(spark, sf_dir):
     micro-nats (the zipf_alpha discipline) so the weighted sum is
     order-free and engine-exact."""
     return tx.source_word_entropy(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q193_centroid_agreement",
+    f"""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
+      FROM ex GROUP BY 1, 2
+    ),
+    ca AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv
+           FROM cent GROUP BY 1),
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             list_sum([CAST(e.embedding[i] AS DOUBLE) * c.cv[i]
+                       for i in generate_series(1, len(e.embedding))]) AS dot,
+             sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(e.embedding[i] AS DOUBLE)
+                            for i in generate_series(1, len(e.embedding))]))
+               AS ne,
+             sqrt(list_sum([c.cv[i] * c.cv[i]
+                            for i in generate_series(1, len(c.cv))])) AS nc
+      FROM embeddings e CROSS JOIN ca c
+    ),
+    sc2 AS (
+      SELECT vec_id, label, c_label,
+             floor(dot / (ne * nc) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      FROM scored WHERE ne > 0 AND nc > 0
+    ),
+    best AS (
+      SELECT vec_id, label, c_label AS pred FROM (
+        SELECT vec_id, label, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, c_label) AS rn
+        FROM sc2
+      ) WHERE rn = 1
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (pred = label) AS BIGINT) AS n_match,
+           {_Q6.format(
+               x='(CAST(count(*) FILTER (pred = label) AS DOUBLE)'
+                 ' / count(*))')} AS agreement
+    FROM best GROUP BY 1
+    """,
+)
+def q193(spark, sf_dir):
+    """Nearest-CENTROID label agreement (Rocchio probe): assign every
+    embedding to the label whose mean vector it is cosine-closest to,
+    then score agreement per true label — q190's scale-path twin: the
+    1-NN probe is O(N²) by spec, this is O(N·L) with L broadcast
+    centroids and dimension-bounded centroid aggregation (the
+    embedding_drift shuffle shape) — the probe you can afford on the
+    FULL corpus, not just an eval sample. Gap between q190 and q193
+    agreement is itself diagnostic: 1-NN high + centroid low = classes
+    are cosine-coherent but not linearly separable (multi-modal)."""
+    from pyspark.sql import Window  # noqa: F401  (parity with q190 imports)
+
+    e = _table(spark, sf_dir, "embeddings")
+    dim = e.select(F.size("embedding").alias("d")).first()["d"]
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    ev = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    )
+    # sequential left folds mirror DuckDB's list_sum (q41's kernel rule)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(F.zip_with("ed", "cv", lambda a, b: a * b))
+    n_e = F.sqrt(fold(F.transform("ed", lambda a: a * a)))
+    n_c = F.sqrt(fold(F.transform("cv", lambda b: b * b)))
+    # zero-norm guard on BOTH sides (an all-zero embedding, or a
+    # centroid whose lobes cancel exactly): such pairs carry no cosine
+    # direction and are excluded rather than divided by zero
+    scored = (
+        ev.crossJoin(F.broadcast(cent))
+        .withColumn("__ne", n_e)
+        .withColumn("__nc", n_c)
+        .filter((F.col("__ne") > 0) & (F.col("__nc") > 0))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            q6(dot / (F.col("__ne") * F.col("__nc"))).alias("cosine"),
+        )
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max_by(
+            "c_label", F.struct(F.col("cosine"), (-F.col("c_label")))
+        ).alias("pred")
+    )
+    return best.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("pred") == F.col("label"), 1))
+        .cast("long")
+        .alias("n_match"),
+        q6(
+            F.count(F.when(F.col("pred") == F.col("label"), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("agreement"),
+    )

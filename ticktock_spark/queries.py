@@ -2342,3 +2342,73 @@ def q189(spark, sf_dir):
         (F.col("m") / F.lit(1_000_000.0)).alias("mean"),
         ((F.col("m") - F.col("pm")) / F.lit(1_000_000.0)).alias("delta"),
     )
+
+
+@register(
+    "q194_histogram_quantile",
+    f"""
+    WITH h AS (
+      SELECT metric, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS c
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    cw AS (
+      SELECT metric, bin, c,
+             sum(c) OVER (PARTITION BY metric ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY metric) AS n
+      FROM h
+    ),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    cand AS (
+      SELECT cw.metric, qs.q, cw.bin, cw.c, cw.cum, cw.n,
+             row_number() OVER (PARTITION BY cw.metric, qs.q
+                                ORDER BY cw.bin) AS rn
+      FROM cw JOIN qs ON cw.cum >= qs.q * cw.n
+    )
+    SELECT metric, q, CAST(n AS BIGINT) AS n,
+           {_Q6.format(
+               x='(bin * 10.0 + 10.0 * (q * n - (cum - c)) / c)')} AS est
+    FROM cand WHERE rn = 1
+    """,
+)
+def q194(spark, sf_dir):
+    """Histogram-quantile estimation (the Prometheus histogram_quantile
+    semantics over q174's fixed-width bins): p50/p90/p99 read from
+    cumulative bin counts with linear interpolation inside the landing
+    bin — the O(bins) percentile path for 100 TB dashboards, next to
+    the exact R-6 machinery (q05/q85/q102) whose cost is value-scale.
+    Integer bin counts; the interpolation is four pinned IEEE ops; the
+    shuffle carries one row per (metric, bin)."""
+    from pyspark.sql import Window as W
+
+    d = _dps(spark, sf_dir)
+    h = d.groupBy(
+        "metric", F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cw = h.select(
+        "metric",
+        "bin",
+        "c",
+        F.sum("c")
+        .over(W.partitionBy("metric").orderBy("bin"))
+        .alias("cum"),
+        F.sum("c").over(W.partitionBy("metric")).alias("n"),
+    )
+    qs = d.sparkSession.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "q double"
+    )
+    cand = cw.join(
+        F.broadcast(qs), F.col("cum") >= F.col("q") * F.col("n")
+    )
+    first = cand.groupBy("metric", "q", "n").agg(
+        F.min_by(F.struct("bin", "c", "cum"), F.col("bin")).alias("s")
+    )
+    s = F.col("s")
+    est = s["bin"] * F.lit(10.0) + F.lit(10.0) * (
+        F.col("q") * F.col("n") - (s["cum"] - s["c"])
+    ) / s["c"]
+    return first.select(
+        "metric",
+        "q",
+        F.col("n").cast("long").alias("n"),
+        q6(est).alias("est"),
+    )
