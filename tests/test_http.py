@@ -1239,3 +1239,60 @@ def test_http_analytics_fano_top_movers(spark):
                 assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_analytics_histogram_quantile(spark):
+    """op=histogram_quantile matches the q194 oracle on the same
+    ingested datapoints; quantiles ride as permille dps keys."""
+    import duckdb
+    import pandas as pd
+
+    import ticktock_spark.pipeline.queries  # noqa: F401
+    from ticktock_spark.queries import ORACLES
+
+    srv = TsdbHttpServer(spark).start()
+    T0 = 1_704_067_200
+    try:
+        vals = [round(i * 0.97, 2) for i in range(200)]  # spread bins
+        lines = [f"put lat {T0 + i * 60} {vals[i]} host=h1"
+                 for i in range(200)]
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == 200
+
+        con = duckdb.connect()
+        ev = pd.DataFrame(
+            {
+                "event_type": ["lat"] * 200,
+                "ts": pd.to_datetime(
+                    [(T0 + i * 60) * 1000 for i in range(200)], unit="ms"
+                ),
+                "value": vals,
+                "user_id": 0,
+                "event_id": range(200),
+            }
+        )
+        con.register("events", ev)
+        exp = con.sql(ORACLES["q194_histogram_quantile"]).df()
+        sub = exp[exp.metric == "lat"]
+        res = _get(srv, "/api/analytics?op=histogram_quantile&m=lat")
+        assert res[0]["metric"] == "lat"
+        assert {int(q * 1000): est for q, est in zip(sub.q, sub.est)} == {
+            int(k): v for k, v in res[0]["dps"].items()
+        }
+        # custom quantile list + width
+        res = _get(
+            srv, "/api/analytics?op=histogram_quantile&m=lat&q=0.25&q=0.75"
+        )
+        assert sorted(res[0]["dps"]) == ["250", "750"]
+        # estimates bracket the true quartiles of the uniform ramp
+        assert abs(res[0]["dps"]["250"] - 48.5) < 10
+        assert abs(res[0]["dps"]["750"] - 145.0) < 10
+        # raw-only: grain= is a 400
+        import urllib.error
+
+        try:
+            _get(srv, "/api/analytics?op=histogram_quantile&m=lat&grain=1h")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()

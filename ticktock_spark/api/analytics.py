@@ -586,6 +586,7 @@ _RAW_ONLY_OPS = {
     "wasserstein",
     "fano",        # arrival COUNTS by definition — a rollup stores means
     "top_movers",  # exact-decimal daily means are the raw-path spec
+    "histogram_quantile",  # needs the raw value distribution
 }
 # ops whose semantics span metrics — per-series grouping is undefined
 _CROSS_METRIC_OPS = {"burn_rate", "correlation", "leadlag"}
@@ -730,6 +731,11 @@ def execute(
         return fano_op(dps, metrics, bucket_ms=bucket_ms)
     if op == "top_movers":
         return top_movers_op(dps, metrics, k=int(one("k", 3)))
+    if op == "histogram_quantile":
+        qlist = [float(v) for v in params.get("q", [])] or None
+        return histogram_quantile_op(
+            dps, metrics, width=float(one("width", 10.0)), quantiles=qlist
+        )
     if op == "dominant_period":
         return dominant_period(
             dps, metrics, max_lag=int(one("max_lag", 8)),
@@ -968,4 +974,55 @@ def top_movers_op(
     )
     return _to_resultsets(
         out_rows, "day", "delta", _aggregate_tags(dps, metrics)
+    )
+
+
+def histogram_quantile_op(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    width: float = 10.0,
+    quantiles: list[float] | None = None,
+) -> list[ResultSet]:
+    """q194 through the API: p-quantile estimates from fixed-width
+    value histograms (Prometheus histogram_quantile semantics —
+    cumulative bin counts + within-bin linear interpolation); dps keys
+    are the quantiles in permille (500 → p50), values the estimates.
+    The O(bins) dashboard path; op=rolling_pct's exact R-6 machinery is
+    the value-scale twin. Raw points by definition (a rollup's
+    min/max/sum can't reconstruct the value distribution)."""
+    from pyspark.sql import Window as W
+
+    qs_list = quantiles or [0.5, 0.9, 0.99]
+    d = _filtered(dps, metrics)
+    h = d.groupBy(
+        "metric",
+        F.floor(F.col("value") / F.lit(float(width))).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cw = h.select(
+        "metric",
+        "bin",
+        "c",
+        F.sum("c").over(W.partitionBy("metric").orderBy("bin")).alias("cum"),
+        F.sum("c").over(W.partitionBy("metric")).alias("n"),
+    )
+    qs = d.sparkSession.createDataFrame(
+        [(float(q),) for q in qs_list], "q double"
+    )
+    cand = cw.join(F.broadcast(qs), F.col("cum") >= F.col("q") * F.col("n"))
+    first = cand.groupBy("metric", "q", "n").agg(
+        F.min_by(F.struct("bin", "c", "cum"), F.col("bin")).alias("s")
+    )
+    s = F.col("s")
+    est = s["bin"] * F.lit(float(width)) + F.lit(float(width)) * (
+        F.col("q") * F.col("n") - (s["cum"] - s["c"])
+    ) / s["c"]
+    out_rows = first.select(
+        "metric",
+        F.floor(F.col("q") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("permille"),
+        q6(est).alias("est"),
+    )
+    return _to_resultsets(
+        out_rows, "permille", "est", _aggregate_tags(dps, metrics)
     )
