@@ -86,6 +86,10 @@ def main() -> None:
         "/api/analytics?op=seasonal_profile&m=click",
         "/api/analytics?op=histogram&m=error&width=50",
         "/api/analytics?op=trend&m=click&bucket_ms=3600000",
+        "/api/analytics?op=mad&m=purchase&bucket_ms=3600000",
+        "/api/analytics?op=theilsen&m=view",
+        "/api/analytics?op=histogram_quantile&m=error&q=0.5&q=0.99",
+        "/api/analytics?op=fano&m=click&bucket_ms=3600000",
         "/api/suggest?type=metrics&q=c&max=10",
     ]
     try:
