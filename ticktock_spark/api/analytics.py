@@ -881,31 +881,11 @@ def fano_op(
     arrivals, >1 bursty, <1 regular — the queue-sizing number. Raw
     point counts by definition (a rollup stores means, not arrival
     counts), so this op always scans raw datapoints."""
-    d = _filtered(dps, metrics)
-    b = d.groupBy(
-        "metric", (F.col("ts") - F.col("ts") % F.lit(bucket_ms)).alias("b")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    dec = "decimal(38,0)"
-    m = b.groupBy("metric").agg(
-        ((F.max("b") - F.min("b")) / F.lit(bucket_ms) + F.lit(1))
-        .cast(dec)
-        .alias("n"),
-        F.sum(F.col("c").cast(dec)).alias("sc"),
-        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sc2"),
-    )
-    fano = (F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")).cast(
-        "double"
-    ) / (F.col("n") * F.col("sc")).cast("double")
-    rows = (
-        m.filter(F.col("sc") > 0)
-        .select(
-            "metric",
-            F.col("n").cast("long").alias("n_buckets"),
-            F.col("sc").cast("long").alias("n_events"),
-            q6(fano).alias("fano"),
-        )
-        .collect()
-    )
+    from ticktock_spark.operators.summary import fano_factor
+
+    rows = fano_factor(
+        _filtered(dps, metrics), ["metric"], bucket_ms=bucket_ms
+    ).collect()
     tags = _aggregate_tags(dps, metrics)
     out = []
     for r in sorted(rows, key=lambda r: r["metric"]):
@@ -934,46 +914,13 @@ def top_movers_op(
     daily mean per metric; dps keys are the day timestamps, values the
     signed delta — the release-triage view. Daily means micro-quantize
     before delta and rank, so ordering is integer-exact."""
-    from pyspark.sql import Window as W
+    from ticktock_spark.operators.summary import daily_top_movers
 
-    DAY_MS = 86_400_000
-    d = _filtered(dps, metrics)
-    day = (F.col("ts") - F.col("ts") % F.lit(DAY_MS)).alias("day")
-    dd = d.groupBy("metric", day).agg(
-        F.floor(
-            (
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1))
-            )
-            * F.lit(1_000_000.0)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("m")
-    )
-    w = W.partitionBy("metric").orderBy("day")
-    lagged = dd.select(
-        "metric",
-        "day",
-        "m",
-        F.lag("day").over(w).alias("pday"),
-        F.lag("m").over(w).alias("pm"),
-    ).filter(F.col("pday") == F.col("day") - F.lit(DAY_MS))
-    ranked = lagged.withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("metric").orderBy(
-                F.abs(F.col("m") - F.col("pm")).desc(), "day"
-            )
-        ),
-    ).filter(F.col("rank") <= int(k))
-    out_rows = ranked.select(
-        "metric",
-        "day",
-        ((F.col("m") - F.col("pm")) / F.lit(1_000_000.0)).alias("delta"),
-    )
+    out_rows = daily_top_movers(
+        _filtered(dps, metrics), ["metric"], k=int(k)
+    ).select("metric", "ts", "delta")
     return _to_resultsets(
-        out_rows, "day", "delta", _aggregate_tags(dps, metrics)
+        out_rows, "ts", "delta", _aggregate_tags(dps, metrics)
     )
 
 
@@ -990,38 +937,19 @@ def histogram_quantile_op(
     The O(bins) dashboard path; op=rolling_pct's exact R-6 machinery is
     the value-scale twin. Raw points by definition (a rollup's
     min/max/sum can't reconstruct the value distribution)."""
-    from pyspark.sql import Window as W
+    from ticktock_spark.operators.summary import (
+        histogram_quantiles,
+        value_histogram,
+    )
 
     qs_list = quantiles or [0.5, 0.9, 0.99]
-    d = _filtered(dps, metrics)
-    h = d.groupBy(
-        "metric",
-        F.floor(F.col("value") / F.lit(float(width))).cast("long").alias("bin"),
-    ).agg(F.count(F.lit(1)).alias("c"))
-    cw = h.select(
-        "metric",
-        "bin",
-        "c",
-        F.sum("c").over(W.partitionBy("metric").orderBy("bin")).alias("cum"),
-        F.sum("c").over(W.partitionBy("metric")).alias("n"),
-    )
-    qs = d.sparkSession.createDataFrame(
-        [(float(q),) for q in qs_list], "q double"
-    )
-    cand = cw.join(F.broadcast(qs), F.col("cum") >= F.col("q") * F.col("n"))
-    first = cand.groupBy("metric", "q", "n").agg(
-        F.min_by(F.struct("bin", "c", "cum"), F.col("bin")).alias("s")
-    )
-    s = F.col("s")
-    est = s["bin"] * F.lit(float(width)) + F.lit(float(width)) * (
-        F.col("q") * F.col("n") - (s["cum"] - s["c"])
-    ) / s["c"]
-    out_rows = first.select(
+    h = value_histogram(_filtered(dps, metrics), ["metric"], width=width)
+    out_rows = histogram_quantiles(h, qs_list, width=width).select(
         "metric",
         F.floor(F.col("q") * F.lit(1000.0) + F.lit(0.5))
         .cast("long")
         .alias("permille"),
-        q6(est).alias("est"),
+        "est",
     )
     return _to_resultsets(
         out_rows, "permille", "est", _aggregate_tags(dps, metrics)

@@ -2243,27 +2243,9 @@ def q188(spark, sf_dir):
     nothing to Σc/Σc², so n = span/bucket + 1 from min/max alone — one
     scan, one bucket agg, one per-metric reduction, exact
     DECIMAL(38)/HUGEINT moments."""
-    d = _dps(spark, sf_dir)
-    b = d.groupBy(
-        "metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("b")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    dec = "decimal(38,0)"
-    m = b.groupBy("metric").agg(
-        (
-            (F.max("b") - F.min("b")) / F.lit(MIN_MS) + F.lit(1)
-        ).cast(dec).alias("n"),
-        F.sum(F.col("c").cast(dec)).alias("sc"),
-        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sc2"),
-    )
-    fano = (F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")).cast(
-        "double"
-    ) / (F.col("n") * F.col("sc")).cast("double")
-    return m.filter(F.col("sc") > 0).select(
-        "metric",
-        F.col("n").cast("long").alias("n_buckets"),
-        F.col("sc").cast("long").alias("n_events"),
-        q6(fano).alias("fano"),
-    )
+    from ticktock_spark.operators.summary import fano_factor
+
+    return fano_factor(_dps(spark, sf_dir), ["metric"], bucket_ms=MIN_MS)
 
 
 @register(
@@ -2302,46 +2284,9 @@ def q189(spark, sf_dir):
     quantize to integer micro-units BEFORE the delta and the ranking,
     so |Δ| ordering is pure integer comparison — engine-exact, no
     float-rank ambiguity. One scan + one per-metric window + top-3."""
-    from pyspark.sql import Window as W
+    from ticktock_spark.operators.summary import daily_top_movers
 
-    d = _dps(spark, sf_dir)
-    day = (F.col("ts") - F.col("ts") % F.lit(DAY_MS)).alias("day")
-    dd = d.groupBy("metric", day).agg(
-        F.floor(
-            (
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1))
-            )
-            * F.lit(1_000_000.0)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("m")
-    )
-    w = W.partitionBy("metric").orderBy("day")
-    l = dd.select(
-        "metric",
-        "day",
-        "m",
-        F.lag("day").over(w).alias("pday"),
-        F.lag("m").over(w).alias("pm"),
-    ).filter(F.col("pday") == F.col("day") - F.lit(DAY_MS))
-    r = l.withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("metric").orderBy(
-                F.abs(F.col("m") - F.col("pm")).desc(), "day"
-            )
-        ),
-    ).filter(F.col("rank") <= 3)
-    return r.select(
-        "metric",
-        F.col("day").alias("ts"),
-        F.col("rank").cast("long").alias("rank"),
-        (F.col("pm") / F.lit(1_000_000.0)).alias("prev_mean"),
-        (F.col("m") / F.lit(1_000_000.0)).alias("mean"),
-        ((F.col("m") - F.col("pm")) / F.lit(1_000_000.0)).alias("delta"),
-    )
+    return daily_top_movers(_dps(spark, sf_dir), ["metric"], k=3)
 
 
 @register(
@@ -2378,37 +2323,10 @@ def q194(spark, sf_dir):
     the exact R-6 machinery (q05/q85/q102) whose cost is value-scale.
     Integer bin counts; the interpolation is four pinned IEEE ops; the
     shuffle carries one row per (metric, bin)."""
-    from pyspark.sql import Window as W
+    from ticktock_spark.operators.summary import (
+        histogram_quantiles,
+        value_histogram,
+    )
 
-    d = _dps(spark, sf_dir)
-    h = d.groupBy(
-        "metric", F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bin")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    cw = h.select(
-        "metric",
-        "bin",
-        "c",
-        F.sum("c")
-        .over(W.partitionBy("metric").orderBy("bin"))
-        .alias("cum"),
-        F.sum("c").over(W.partitionBy("metric")).alias("n"),
-    )
-    qs = d.sparkSession.createDataFrame(
-        [(0.5,), (0.9,), (0.99,)], "q double"
-    )
-    cand = cw.join(
-        F.broadcast(qs), F.col("cum") >= F.col("q") * F.col("n")
-    )
-    first = cand.groupBy("metric", "q", "n").agg(
-        F.min_by(F.struct("bin", "c", "cum"), F.col("bin")).alias("s")
-    )
-    s = F.col("s")
-    est = s["bin"] * F.lit(10.0) + F.lit(10.0) * (
-        F.col("q") * F.col("n") - (s["cum"] - s["c"])
-    ) / s["c"]
-    return first.select(
-        "metric",
-        "q",
-        F.col("n").cast("long").alias("n"),
-        q6(est).alias("est"),
-    )
+    h = value_histogram(_dps(spark, sf_dir), ["metric"], width=10.0)
+    return histogram_quantiles(h, [0.5, 0.9, 0.99], width=10.0)

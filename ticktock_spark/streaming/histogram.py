@@ -24,11 +24,12 @@ per-window histogram (watermarked, late data revises its window) —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-
-def _q6(c):
-    return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+from ticktock_spark.operators.summary import (  # noqa: F401 — re-export
+    histogram_quantiles,
+    value_histogram,
+)
 
 
 def streaming_histogram(
@@ -45,9 +46,7 @@ def streaming_histogram(
     """
     b = F.floor(F.col("value") / F.lit(float(width))).cast("long").alias("bin")
     if window_length is None:
-        return dps.groupBy("metric", b).agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        )
+        return value_histogram(dps, ["metric"], width=width)
     with_ts = dps.withColumn(
         "event_time", F.timestamp_millis(F.col("ts"))
     ).withWatermark("event_time", watermark)
@@ -61,42 +60,4 @@ def streaming_histogram(
             "bin",
             "n",
         )
-    )
-
-
-def histogram_quantiles(
-    hist: DataFrame,
-    quantiles: list[float],
-    width: float = 10.0,
-    group_cols: list[str] | None = None,
-) -> DataFrame:
-    """q194's interpolation over a (group..., bin, n) histogram frame —
-    batch or the parquet sink of :func:`streaming_histogram`; the SAME
-    four pinned IEEE ops, so live reads match the batch entry exactly.
-
-    Output: (group..., q, n, est)."""
-    groups = list(group_cols or ["metric"])
-    cw = hist.select(
-        *groups,
-        "bin",
-        F.col("n").alias("c"),
-        F.sum("n").over(W.partitionBy(*groups).orderBy("bin")).alias("cum"),
-        F.sum("n").over(W.partitionBy(*groups)).alias("nn"),
-    )
-    qs = hist.sparkSession.createDataFrame(
-        [(float(q),) for q in quantiles], "q double"
-    )
-    cand = cw.join(F.broadcast(qs), F.col("cum") >= F.col("q") * F.col("nn"))
-    first = cand.groupBy(*groups, "q", "nn").agg(
-        F.min_by(F.struct("bin", "c", "cum"), F.col("bin")).alias("s")
-    )
-    s = F.col("s")
-    est = s["bin"] * F.lit(float(width)) + F.lit(float(width)) * (
-        F.col("q") * F.col("nn") - (s["cum"] - s["c"])
-    ) / s["c"]
-    return first.select(
-        *groups,
-        "q",
-        F.col("nn").cast("long").alias("n"),
-        _q6(est).alias("est"),
     )
