@@ -26,25 +26,15 @@ def _events(spark, rows):
 
 def _fano(spark, counts_per_bucket):
     """Build a metric with the given per-1m-bucket event counts and
-    read back its Fano factor through the same aggregation as q188."""
+    read back its Fano factor through the PRODUCT operator."""
+    from ticktock_spark.operators.summary import fano_factor
+
     rows = []
     for b, c in enumerate(counts_per_bucket):
         for k in range(c):
             rows.append(("m", b * MIN + k, 1.0))
-    d = _events(spark, rows)
-    b = d.groupBy(
-        "metric", (F.col("ts") - F.col("ts") % MIN).alias("b")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    dec = "decimal(38,0)"
-    m = b.groupBy("metric").agg(
-        ((F.max("b") - F.min("b")) / F.lit(MIN) + F.lit(1)).cast(dec).alias("n"),
-        F.sum(F.col("c").cast(dec)).alias("sc"),
-        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sc2"),
-    )
-    fano = (F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")).cast(
-        "double"
-    ) / (F.col("n") * F.col("sc")).cast("double")
-    return m.select(fano.alias("f")).first()["f"]
+    out = fano_factor(_events(spark, rows), ["metric"], bucket_ms=MIN)
+    return out.first()["fano"]
 
 
 def test_fano_regular_arrivals_below_one(spark):
@@ -73,30 +63,22 @@ def test_fano_counts_empty_buckets_inside_span(spark):
 # ---------------------------------------------------------------------------
 
 def test_daily_top_movers_finds_the_planted_jump(spark):
-    from ticktock_spark.queries import QUERIES  # noqa: F401 — shape ref
+    from ticktock_spark.operators.summary import daily_top_movers
 
-    # 6 days flat at 10, then a +50 jump, then flat
+    # 6 days flat at 10, then a +50 jump, then flat; a GAP day (day 3
+    # missing) must break the comparison, not fake a jump
     rows = []
     for d in range(8):
+        if d == 3:
+            continue
         v = 10.0 if d < 6 else 60.0
         rows.append(("m", d * DAY, v))
-    d = _events(spark, rows)
-    from pyspark.sql import Window as W
-
-    day = (F.col("ts") - F.col("ts") % F.lit(DAY)).alias("day")
-    dd = d.groupBy("metric", day).agg(
-        F.floor(F.avg("value") * 1e6 + 0.5).cast("long").alias("m")
-    )
-    w = W.partitionBy("metric").orderBy("day")
-    l = dd.select(
-        "metric", "day", "m",
-        F.lag("day").over(w).alias("pday"), F.lag("m").over(w).alias("pm"),
-    ).filter(F.col("pday") == F.col("day") - F.lit(DAY))
-    top = (
-        l.orderBy(F.abs(F.col("m") - F.col("pm")).desc(), "day").first()
-    )
-    assert top["day"] == 6 * DAY
-    assert (top["m"] - top["pm"]) / 1e6 == pytest.approx(50.0)
+    out = daily_top_movers(_events(spark, rows), ["metric"], k=3).collect()
+    top = next(r for r in out if r["rank"] == 1)
+    assert top["ts"] == 6 * DAY
+    assert top["delta"] == pytest.approx(50.0)
+    # days 3/4 have no adjacent-day rows (the gap breaks both sides)
+    assert all(r["ts"] not in (3 * DAY, 4 * DAY) for r in out)
 
 
 # ---------------------------------------------------------------------------
@@ -161,32 +143,27 @@ def test_entropy_uniform_vs_template(spark):
 # ---------------------------------------------------------------------------
 
 def test_knn_agreement_separated_clusters(spark):
-    from ticktock_spark.pipeline.similarity import cosine_scores
-    from pyspark.sql import Window
+    # two tight, orthogonal clusters → every 1-NN stays in-cluster;
+    # exercised through the REGISTRY callable (the product path)
+    import os
+    import tempfile
 
-    # two tight, orthogonal clusters → every 1-NN stays in-cluster
+    import ticktock_spark.pipeline.queries  # noqa: F401 — registers q190
+    from ticktock_spark.queries import QUERIES as Q
+
     rows = []
     for i in range(4):
-        rows.append(Row(vec_id=i, embedding=[10.0 + i, 0.0, 0.1 * i],
-                        label=0))
-        rows.append(Row(vec_id=10 + i, embedding=[0.0, 10.0 + i, 0.1 * i],
-                        label=1))
-    e = spark.createDataFrame(rows)
-    scored = cosine_scores(
-        e, e.select(F.col("vec_id").alias("query_id"), "embedding")
+        rows.append((i, [10.0 + i, 0.0, 0.1 * i], 0))
+        rows.append((10 + i, [0.0, 10.0 + i, 0.1 * i], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    nn = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
-    ql = e.select(F.col("vec_id").alias("query_id"), "label")
-    nl = e.select("vec_id", F.col("label").alias("nn_label"))
-    j = nn.join(ql, "query_id").join(nl, "vec_id")
-    agree = j.filter(F.col("label") == F.col("nn_label")).count()
-    assert agree == 8  # perfect agreement in both clusters
+    root = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(root, "embeddings.parquet"))
+    out = {r["label"]: r
+           for r in Q["q190_knn_label_agreement"](spark, root).collect()}
+    assert out[0]["agreement"] == 1.0 and out[1]["agreement"] == 1.0
+    assert out[0]["n"] == 4 and out[1]["n"] == 4
 
 
 # ---------------------------------------------------------------------------

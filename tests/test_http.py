@@ -1294,5 +1294,13 @@ def test_http_analytics_histogram_quantile(spark):
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+        # out-of-range quantiles are caller errors, not silent empties
+        for bad_q in ("50", "0", "-0.1", "1.5"):
+            try:
+                _get(srv,
+                     f"/api/analytics?op=histogram_quantile&m=lat&q={bad_q}")
+                raise AssertionError(f"q={bad_q} should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
     finally:
         srv.stop()

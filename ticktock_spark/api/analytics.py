@@ -215,6 +215,35 @@ def _to_resultsets(
     return out
 
 
+def _fixed_key_resultsets(
+    rows,
+    name_fmt: str,
+    fields: list[str],
+    agg_tags: dict[str, list[str]],
+) -> list[ResultSet]:
+    """One ResultSet per row with FIXED dps keys 0..len(fields)-1 (the
+    trend() convention) — the shared shaping loop of every scalar-ish
+    op (trend/theilsen/seasonal_strength/wasserstein/fano), so the
+    label/tag handling can never drift between them. Integral field
+    values ride as floats (dps values are numbers in the sink shape)."""
+    out = []
+    for r in sorted(rows, key=lambda r: r["metric"]):
+        name, series_tags = _split_series_label(r["metric"])
+        dps = {}
+        for i, f in enumerate(fields):
+            v = r[f]
+            dps[i] = float(v) if isinstance(v, int) else v
+        out.append(
+            ResultSet(
+                metric=name_fmt.format(name),
+                tags=series_tags,
+                aggregate_tags=agg_tags.get(r["metric"], []),
+                dps=dps,
+            )
+        )
+    return out
+
+
 def seasonal_profile(
     dps: DataFrame, metrics: list[str] | None = None
 ) -> list[ResultSet]:
@@ -463,11 +492,11 @@ def histogram(
 ) -> list[ResultSet]:
     """q174: per-metric value histogram; dps keys are bin indices
     (lo = bin * width)."""
-    d = _filtered(dps, metrics)
-    b = F.floor(F.col("value") / F.lit(float(width)))
-    out = d.groupBy("metric", b.cast("long").alias("bin")).agg(
-        F.count(F.lit(1)).cast("double").alias("n")
-    )
+    from ticktock_spark.operators.summary import value_histogram
+
+    out = value_histogram(
+        _filtered(dps, metrics), ["metric"], width=width
+    ).select("metric", "bin", F.col("n").cast("double").alias("n"))
     return _to_resultsets(out, "bin", "n", _aggregate_tags(dps, metrics))
 
 
@@ -483,19 +512,10 @@ def trend_fit(
 
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
     rows = trend(b, ["metric"], bucket_ms=bucket_ms).collect()
-    tags = _aggregate_tags(dps, metrics, rollup)
-    out = []
-    for r in sorted(rows, key=lambda r: r["metric"]):
-        name, series_tags = _split_series_label(r["metric"])
-        out.append(
-            ResultSet(
-                metric=f"trend({name})",
-                tags=series_tags,
-                aggregate_tags=tags.get(r["metric"], []),
-                dps={0: r["slope"], 1: r["intercept"], 2: r["pearson_r"]},
-            )
-        )
-    return out
+    return _fixed_key_resultsets(
+        rows, "trend({})", ["slope", "intercept", "pearson_r"],
+        _aggregate_tags(dps, metrics, rollup),
+    )
 
 
 def suggest_rollup_grain(period_ms: int) -> str:
@@ -733,6 +753,14 @@ def execute(
         return top_movers_op(dps, metrics, k=int(one("k", 3)))
     if op == "histogram_quantile":
         qlist = [float(v) for v in params.get("q", [])] or None
+        for v in qlist or []:
+            # the endpoint's caller-error convention: out-of-range
+            # quantiles are a 400, not a silently-empty 200
+            if not (0.0 < v <= 1.0):
+                raise ValueError(
+                    f"quantile q={v} out of range (use fractions in"
+                    " (0, 1], e.g. q=0.99 for p99)"
+                )
         return histogram_quantile_op(
             dps, metrics, width=float(one("width", 10.0)), quantiles=qlist
         )
@@ -791,19 +819,10 @@ def theilsen_fit(
 
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
     rows = theil_sen(b, ["metric"], bucket_ms=bucket_ms).collect()
-    tags = _aggregate_tags(dps, metrics, rollup)
-    out = []
-    for r in sorted(rows, key=lambda r: r["metric"]):
-        name, series_tags = _split_series_label(r["metric"])
-        out.append(
-            ResultSet(
-                metric=f"theilsen({name})",
-                tags=series_tags,
-                aggregate_tags=tags.get(r["metric"], []),
-                dps={0: r["slope"], 1: float(r["n"]), 2: float(r["n_pairs"])},
-            )
-        )
-    return out
+    return _fixed_key_resultsets(
+        rows, "theilsen({})", ["slope", "n", "n_pairs"],
+        _aggregate_tags(dps, metrics, rollup),
+    )
 
 
 def seasonal_strength_op(
@@ -820,23 +839,10 @@ def seasonal_strength_op(
 
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
     rows = seasonal_strength(b, ["metric"]).collect()
-    tags = _aggregate_tags(dps, metrics, rollup)
-    out = []
-    for r in sorted(rows, key=lambda r: r["metric"]):
-        name, series_tags = _split_series_label(r["metric"])
-        out.append(
-            ResultSet(
-                metric=f"seasonal_strength({name})",
-                tags=series_tags,
-                aggregate_tags=tags.get(r["metric"], []),
-                dps={
-                    0: r["strength"],
-                    1: float(r["n"]),
-                    2: float(r["n_phases"]),
-                },
-            )
-        )
-    return out
+    return _fixed_key_resultsets(
+        rows, "seasonal_strength({})", ["strength", "n", "n_phases"],
+        _aggregate_tags(dps, metrics, rollup),
+    )
 
 
 def wasserstein_op(
@@ -855,19 +861,9 @@ def wasserstein_op(
     rows = wasserstein_drift(
         d, F.col("ts") < F.lit(int(split_ts)), group_cols=["metric"]
     ).collect()
-    tags = _aggregate_tags(dps, metrics)
-    out = []
-    for r in sorted(rows, key=lambda r: r["metric"]):
-        name, series_tags = _split_series_label(r["metric"])
-        out.append(
-            ResultSet(
-                metric=f"w1({name})",
-                tags=series_tags,
-                aggregate_tags=tags.get(r["metric"], []),
-                dps={0: r["w1"], 1: float(r["n_a"]), 2: float(r["n_b"])},
-            )
-        )
-    return out
+    return _fixed_key_resultsets(
+        rows, "w1({})", ["w1", "n_a", "n_b"], _aggregate_tags(dps, metrics)
+    )
 
 
 def fano_op(
@@ -886,23 +882,10 @@ def fano_op(
     rows = fano_factor(
         _filtered(dps, metrics), ["metric"], bucket_ms=bucket_ms
     ).collect()
-    tags = _aggregate_tags(dps, metrics)
-    out = []
-    for r in sorted(rows, key=lambda r: r["metric"]):
-        name, series_tags = _split_series_label(r["metric"])
-        out.append(
-            ResultSet(
-                metric=f"fano({name})",
-                tags=series_tags,
-                aggregate_tags=tags.get(r["metric"], []),
-                dps={
-                    0: r["fano"],
-                    1: float(r["n_buckets"]),
-                    2: float(r["n_events"]),
-                },
-            )
-        )
-    return out
+    return _fixed_key_resultsets(
+        rows, "fano({})", ["fano", "n_buckets", "n_events"],
+        _aggregate_tags(dps, metrics),
+    )
 
 
 def top_movers_op(

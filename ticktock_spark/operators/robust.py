@@ -93,6 +93,7 @@ def theil_sen(
     bucket_ms: int,
     value_col: str = "value",
     ts_col: str = "ts",
+    max_buckets: int = 5_000,
 ) -> DataFrame:
     """Theil–Sen slope per series: the MEDIAN of all pairwise slopes
     (y_j − y_i)/(x_j − x_i) over bucket indices — the robust twin of
@@ -127,6 +128,27 @@ def theil_sen(
         b.groupBy(*series_cols)
         .agg(F.array_sort(F.collect_list("p")).alias("arr"))
         .filter(F.size("arr") >= 2)
+    )
+    # runtime guard, lazily in the plan (no extra job): B buckets fan
+    # out to B²/2 slopes inside ONE array value — beyond ``max_buckets``
+    # that is a multi-GB unsplittable row heading for an executor OOM,
+    # and the correct move is a coarser ``bucket_ms`` (the estimator's
+    # resolution knob), not a bigger heap. Fail loudly instead.
+    g = g.withColumn(
+        "arr",
+        F.when(F.size("arr") <= F.lit(int(max_buckets)), F.col("arr")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("theil_sen: series has "),
+                    F.size("arr").cast("string"),
+                    F.lit(
+                        f" buckets > max_buckets={int(max_buckets)}"
+                        " — coarsen bucket_ms (pairs grow as buckets²)"
+                        " or raise max_buckets explicitly"
+                    ),
+                )
+            )
+        ),
     )
     t0 = F.element_at(F.col("arr"), 1)["ts"]
 

@@ -6266,62 +6266,4 @@ def q193(spark, sf_dir):
     FULL corpus, not just an eval sample. Gap between q190 and q193
     agreement is itself diagnostic: 1-NN high + centroid low = classes
     are cosine-coherent but not linearly separable (multi-modal)."""
-    from pyspark.sql import Window  # noqa: F401  (parity with q190 imports)
-
-    e = _table(spark, sf_dir, "embeddings")
-    dim = e.select(F.size("embedding").alias("d")).first()["d"]
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("c_label"), "cv")
-    )
-    ev = e.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
-    )
-    # sequential left folds mirror DuckDB's list_sum (q41's kernel rule)
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0.0), lambda acc, x: acc + x
-    )
-    dot = fold(F.zip_with("ed", "cv", lambda a, b: a * b))
-    n_e = F.sqrt(fold(F.transform("ed", lambda a: a * a)))
-    n_c = F.sqrt(fold(F.transform("cv", lambda b: b * b)))
-    # zero-norm guard on BOTH sides (an all-zero embedding, or a
-    # centroid whose lobes cancel exactly): such pairs carry no cosine
-    # direction and are excluded rather than divided by zero
-    scored = (
-        ev.crossJoin(F.broadcast(cent))
-        .withColumn("__ne", n_e)
-        .withColumn("__nc", n_c)
-        .filter((F.col("__ne") > 0) & (F.col("__nc") > 0))
-        .select(
-            "vec_id",
-            "label",
-            "c_label",
-            q6(dot / (F.col("__ne") * F.col("__nc"))).alias("cosine"),
-        )
-    )
-    best = scored.groupBy("vec_id", "label").agg(
-        F.max_by(
-            "c_label", F.struct(F.col("cosine"), (-F.col("c_label")))
-        ).alias("pred")
-    )
-    return best.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.count(F.when(F.col("pred") == F.col("label"), 1))
-        .cast("long")
-        .alias("n_match"),
-        q6(
-            F.count(F.when(F.col("pred") == F.col("label"), 1)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("agreement"),
-    )
+    return sim.centroid_label_agreement(_table(spark, sf_dir, "embeddings"))

@@ -1515,3 +1515,81 @@ def embedding_hygiene(
             / F.lit(1_000_000.0),
         ).alias("mean_norm"),
     )
+
+
+def centroid_label_agreement(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) label agreement per class: assign every
+    vector to the label whose mean vector it is cosine-closest to, then
+    score agreement per true label — the O(N·L) full-corpus probe next
+    to the O(N²) 1-NN probe (q190), with the agreement gap between the
+    two diagnosing multi-modal classes.
+
+    Cosines use the sequential left folds the DuckDB oracles mirror
+    (list_sum semantics); the quantized-cosine argmax tiebreaks to the
+    smallest label via max_by on (cosine, -label). Zero-norm vectors or
+    centroids (an all-zero embedding, or a centroid whose lobes cancel
+    exactly) carry no direction and are excluded rather than divided by.
+
+    Output: (label, n, n_match, agreement). Scale shape: centroid
+    aggregation is dimension-bounded (the embedding_drift shuffle);
+    scoring is one scan × L broadcast centroids; no pair table.
+    """
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    cent = (
+        df.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        .select(F.col(label_col).alias("c_label"), "cv")
+    )
+    ev = df.select(
+        id_col,
+        label_col,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("ed"),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(F.zip_with("ed", "cv", lambda a, b: a * b))
+    n_e = F.sqrt(fold(F.transform("ed", lambda a: a * a)))
+    n_c = F.sqrt(fold(F.transform("cv", lambda b: b * b)))
+    scored = (
+        ev.crossJoin(F.broadcast(cent))
+        .withColumn("__ne", n_e)
+        .withColumn("__nc", n_c)
+        .filter((F.col("__ne") > 0) & (F.col("__nc") > 0))
+        .select(
+            id_col,
+            label_col,
+            "c_label",
+            q6(dot / (F.col("__ne") * F.col("__nc"))).alias("cosine"),
+        )
+    )
+    best = scored.groupBy(id_col, label_col).agg(
+        F.max_by(
+            "c_label", F.struct(F.col("cosine"), (-F.col("c_label")))
+        ).alias("pred")
+    )
+    return best.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("pred") == F.col(label_col), 1))
+        .cast("long")
+        .alias("n_match"),
+        q6(
+            F.count(F.when(F.col("pred") == F.col(label_col), 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("agreement"),
+    )

@@ -95,11 +95,35 @@ def streaming_novelty_gate(
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        try:
-            index_df = spark.read.parquet(index_path).filter(
-                F.col("__epoch") < F.lit(epoch_id)
-            )
-        except Exception:
+        # existence check through the Hadoop FS (works for s3://hdfs://
+        # too), NOT a broad except around the read: a transient read
+        # failure must fail the epoch (and be retried by the stream),
+        # never be mistaken for "no index yet" — that mistake would
+        # score every gram as novel AND rewrite already-indexed grams
+        # with wrong first_ids, permanently.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            full_index = spark.read.parquet(index_path)
+            # checkpoint/index lifetime guard: an index partition from a
+            # FUTURE epoch means the checkpoint was reset while the
+            # index was kept — epoch ids restarted at 0 and the
+            # partition overwrites below would clobber standing history
+            ahead = full_index.filter(
+                F.col("__epoch") > F.lit(epoch_id)
+            ).limit(1)
+            if ahead.count() > 0:
+                raise RuntimeError(
+                    f"novelty index at {index_path} holds epochs beyond"
+                    f" {epoch_id}: the checkpoint was reset while the"
+                    " index was kept. The index and checkpoint share a"
+                    " lifetime — restart with a fresh index_path (or"
+                    " restore the checkpoint) instead of silently"
+                    " rewriting first-doc attributions."
+                )
+            index_df = full_index.filter(F.col("__epoch") < F.lit(epoch_id))
+        else:
             index_df = None  # first epoch: no index yet
         batch.persist()
         report, new_grams = batch_novelty(

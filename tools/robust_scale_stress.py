@@ -186,28 +186,28 @@ def main() -> None:
     )
 
     # q194 histogram_quantile: TIMELINE axis (bins are value-bounded, so
-    # 8x the points must be ~flat beyond the scan)
-    from pyspark.sql import Window as W
+    # 8x the points must be ~flat beyond the scan) — the PRODUCT
+    # operators, not a copy
+    from ticktock_spark.operators.summary import (
+        histogram_quantiles,
+        value_histogram,
+    )
 
-    def hist_quant(d, _):
-        h = d.groupBy(
-            "metric", F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bin")
-        ).agg(F.count(F.lit(1)).alias("c"))
-        cw = h.select(
-            "metric", "bin", "c",
-            F.sum("c").over(W.partitionBy("metric").orderBy("bin")).alias("cum"),
-            F.sum("c").over(W.partitionBy("metric")).alias("nn"),
-        )
-        qs = d.sparkSession.createDataFrame([(0.5,), (0.99,)], "q double")
-        cand = cw.join(F.broadcast(qs), F.col("cum") >= F.col("q") * F.col("nn"))
-        return cand.groupBy("metric", "q", "nn").agg(
-            F.min_by(F.struct("bin", "c", "cum"), F.col("bin")).alias("s")
-        )
-
-    measure("histogram_quantile_timeline", hist_quant, "ev_1", f"ev_shift_{n}")
+    measure(
+        "histogram_quantile_timeline",
+        lambda d, _: histogram_quantiles(
+            value_histogram(d, ["metric"], width=10.0),
+            [0.5, 0.99],
+            width=10.0,
+        ),
+        "ev_1",
+        f"ev_shift_{n}",
+    )
 
     # q193 centroid probe: EMBEDDINGS axis (fresh-id copies, labels kept
     # -- centroids average over 8x the vectors, scoring is O(N*L))
+    from ticktock_spark.pipeline.similarity import centroid_label_agreement
+
     emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
     big_emb = emb.crossJoin(copies).select(
         (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
@@ -219,43 +219,12 @@ def main() -> None:
         frame.repartition(32).write.mode("overwrite").parquet(p2)
         paths[tag] = p2
 
-    def centroid_probe(d, _):
-        cent = (
-            d.select("label", F.posexplode("embedding").alias("pos", "x"))
-            .groupBy("label", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("label")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda st: st["m"],
-                ).alias("cv")
-            )
-            .select(F.col("label").alias("c_label"), "cv")
-        )
-        ev2 = d.select(
-            "vec_id", "label",
-            F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
-        )
-        fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
-        dot = fold(F.zip_with("ed", "cv", lambda a, b: a * b))
-        n_e = F.sqrt(fold(F.transform("ed", lambda a: a * a)))
-        n_c = F.sqrt(fold(F.transform("cv", lambda b: b * b)))
-        scored = (
-            ev2.crossJoin(F.broadcast(cent))
-            .withColumn("__ne", n_e).withColumn("__nc", n_c)
-            .filter((F.col("__ne") > 0) & (F.col("__nc") > 0))
-            .select(
-                "vec_id", "label", "c_label",
-                (dot / (F.col("__ne") * F.col("__nc"))).alias("cosine"),
-            )
-        )
-        best = scored.groupBy("vec_id", "label").agg(
-            F.max_by("c_label", F.struct(F.col("cosine"), (-F.col("c_label")))).alias("pred")
-        )
-        return best.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-
-    measure("centroid_probe_embeddings", centroid_probe, "emb_1", f"emb_{n}")
+    measure(
+        "centroid_probe_embeddings",
+        lambda d, _: centroid_label_agreement(d),
+        "emb_1",
+        f"emb_{n}",
+    )
     print(json.dumps(out))
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
