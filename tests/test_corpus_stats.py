@@ -239,3 +239,26 @@ def test_histogram_quantile_exact_on_known_bins(spark):
     assert out[0.9] == 90.0
     # p99: target 99 → bin 9 (cum 100, prev 90): 90 + 10*(99-90)/10 = 99
     assert out[0.99] == 99.0
+
+
+def test_centroid_probe_string_labels_and_tiebreak(spark):
+    # label_col is a generic parameter: STRING labels must work, and an
+    # exact cosine tie must resolve to the LEXICALLY smallest label —
+    # the min_by over (−cosine, label) is an ascending MIN comparison,
+    # orderable for any type (the old struct(cosine, −label) tiebreak
+    # was numeric-only and raised AnalysisException on strings)
+    from ticktock_spark.pipeline.similarity import centroid_label_agreement
+
+    rows = [
+        (1, [1.0, 0.0], "news"), (2, [1.0, 0.0], "news"),
+        # "blog"'s centroid is IDENTICAL to "news"'s direction → every
+        # vector ties between the two centroids → pred = "blog" (< "news")
+        (3, [2.0, 0.0], "blog"), (4, [2.0, 0.0], "blog"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r["label"]: r for r in centroid_label_agreement(df).collect()}
+    assert out["blog"]["agreement"] == 1.0   # ties resolve to "blog"
+    assert out["news"]["agreement"] == 0.0   # ...so "news" loses them
+    assert out["news"]["n"] == 2

@@ -312,3 +312,118 @@ def test_prepare_corpus_single_scan(spark):
     plan = _plan(spark, "q110_prepare_corpus")
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def _scan_counts_by_path(plan: str) -> dict[str, int]:
+    """Count `Scan parquet` nodes per source file path in a formatted
+    plan — the per-TABLE twin of the single-scan asserts above, for
+    operators that legitimately read two different tables."""
+    import re
+
+    counts: dict[str, int] = {}
+    scans = re.findall(r"^\(\d+\) Scan parquet ?.*\n(?:.+\n)*?Location:.*\[(.*?)\]",
+                       plan, re.M)
+    for loc in scans:
+        key = loc.rsplit("/", 1)[-1] or loc
+        counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+def test_decontaminate_separate_tables_single_corpus_scan(spark, tmp_path):
+    """The deployed decontamination shape is a TRAINING corpus screened
+    against a SEPARATE eval-suite table (q173/q186's fixture derives
+    both sides from one documents.parquet, which is why PLANS.md shows
+    that entry scanning it twice — fixture construction, not operator
+    cost). Pin the operator's own shape: with two distinct parquet
+    tables, the corpus side scans exactly ONCE and the bench side
+    exactly once."""
+    from ticktock_spark.pipeline.dedup import decontaminate
+
+    corpus_p = str(tmp_path / "corpus.parquet")
+    bench_p = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(corpus_p)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta doc 7")],
+        "doc_id long, text string",
+    ).write.parquet(bench_p)
+
+    out = decontaminate(
+        spark.read.parquet(corpus_p), spark.read.parquet(bench_p), n=3
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    counts = _scan_counts_by_path(plan)
+    assert counts.get("corpus.parquet") == 1, counts
+    assert counts.get("bench.parquet") == 1, counts
+    assert out.count() >= 1  # the planted bench doc is flagged
+
+
+def test_rarity_decontaminate_separate_tables_two_corpus_scans_max(spark, tmp_path):
+    """decontaminate_rarity's skew-hardened shape: document frequencies
+    come from a map-side-combinable groupBy joined back on the gram key
+    (AQE-splittable), which re-executes the 2-column gram explode — so
+    the pinned bound is corpus scans == 2 (NOT growing back to the
+    fixture's apparent ×N), bench scans == 1."""
+    from ticktock_spark.pipeline.dedup import decontaminate_rarity
+
+    corpus_p = str(tmp_path / "corpus_r.parquet")
+    bench_p = str(tmp_path / "bench_r.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(corpus_p)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta doc 7")],
+        "doc_id long, text string",
+    ).write.parquet(bench_p)
+
+    out = decontaminate_rarity(
+        spark.read.parquet(corpus_p), spark.read.parquet(bench_p), n=3
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    counts = _scan_counts_by_path(plan)
+    assert counts.get("corpus_r.parquet") == 2, counts
+    assert counts.get("bench_r.parquet") == 1, counts
+
+
+def test_split_leakage_audit_separate_pair_table_single_doc_scan(spark, tmp_path):
+    """split_leakage_audit's deployed shape takes an ALREADY-VERIFIED
+    pair table (pair-scale parquet, orders of magnitude below corpus
+    scale) — q187's fixture recomputes the MinHash pipeline inline,
+    which is where PLANS.md's ×7 documents scans come from. Pin the
+    operator itself: a separate pairs table joins against the (id,
+    split) projection with the docs table scanned exactly TWICE (once
+    per join side of the pair endpoints — each a 1-column md5
+    projection), the pairs table once."""
+    from ticktock_spark.pipeline.cluster import split_leakage_audit
+
+    docs_p = str(tmp_path / "docs_s.parquet")
+    pairs_p = str(tmp_path / "pairs_s.parquet")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    ).write.parquet(docs_p)
+    spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    ).write.parquet(pairs_p)
+
+    out = split_leakage_audit(
+        spark.read.parquet(docs_p),
+        spark.read.parquet(pairs_p),
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    counts = _scan_counts_by_path(plan)
+    assert counts.get("docs_s.parquet") == 2, counts
+    assert counts.get("pairs_s.parquet") == 1, counts
+    assert out.count() >= 1

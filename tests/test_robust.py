@@ -261,3 +261,38 @@ def test_split_leakage_audit_cluster_split_is_diagonal(spark):
         .count()
     )
     assert crossed == 0
+
+
+def test_theilsen_duplicate_bucket_rows_skip_equal_x_pairs(spark):
+    # un-bucketed input (two rows inside one bucket) must NOT divide by
+    # zero: equal-x pairings are skipped, exactly the pairs the q181
+    # oracle's `b.x > a.x` join excludes — both remaining pairs pair the
+    # two bucket-0 rows against the bucket-1 row
+    rows = [Row(metric="m", ts=0, value=1.0),
+            Row(metric="m", ts=10, value=2.0),
+            Row(metric="m", ts=HOUR, value=5.0)]
+    out = theil_sen(spark.createDataFrame(rows), ["metric"], HOUR).first()
+    assert out["n"] == 3 and out["n_pairs"] == 2
+    assert out["slope"] == pytest.approx(3.5, abs=1e-6)  # median(3, 4)
+
+
+def test_theilsen_all_rows_in_one_bucket_dropped(spark):
+    # a series whose rows all share ONE bucket has no valid pair: it is
+    # dropped (the oracle's pair join yields no group either), not a
+    # DIVIDE_BY_ZERO — and the guard is the O(1) span precondition on
+    # `arr`, not a filter on the O(B²) slope array (see theil_sen body)
+    rows = [Row(metric="m", ts=0, value=1.0),
+            Row(metric="m", ts=10, value=2.0)]
+    assert theil_sen(spark.createDataFrame(rows), ["metric"], HOUR).count() == 0
+
+
+def test_wasserstein_single_distinct_value_group_reports_zero(spark):
+    # a group whose rows all share one distinct value must surface with
+    # w1 = 0 and its counts, not silently vanish from the drift report
+    rows = [Row(g="x", value=7.0, a=True), Row(g="x", value=7.0, a=False),
+            Row(g="y", value=1.0, a=True), Row(g="y", value=2.0, a=False)]
+    out = {r["g"]: r for r in wasserstein_drift(
+        spark.createDataFrame(rows), F.col("a"), group_cols=["g"]
+    ).collect()}
+    assert out["x"]["w1"] == 0.0 and out["x"]["n_a"] == 1 and out["x"]["n_b"] == 1
+    assert out["y"]["w1"] == pytest.approx(1.0, abs=1e-6)

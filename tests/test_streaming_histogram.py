@@ -97,3 +97,55 @@ def test_streaming_histogram_windowed_late_data(spark, tmp_path):
     # every window covers 5 minutes and bins are non-negative counts
     assert all(r["window_end"] - r["window_start"] == 300_000 for r in out)
     assert sum(r["n"] for r in out) == 11
+
+
+def test_late_data_revises_quantile_reads_to_batch(spark, tmp_path):
+    """The r8 verdict's OOO ask: out-of-order points arriving WITHIN the
+    watermark must revise not just the bins (test above) but the
+    QUANTILE READS — the final live state's histogram_quantile estimates
+    must equal, bit-for-bit, the batch answer computed over all points
+    including the late ones (same state, same q194 arithmetic — the
+    reference's whole out-of-order story in SURVEY §1.3 is that late
+    data lands in its timestamp's bucket, not its arrival's)."""
+    # epoch 1: in-order ramp across two 5-minute windows
+    rows = [("m", T0 + i * 30_000, float(3 * i)) for i in range(20)]
+    # epoch 2: late points targeting WINDOW 0 (ts inside [T0, T0+5m)),
+    # values chosen to move window 0's p50/p99 visibly
+    late = [("m", T0 + 90_000, 200.0), ("m", T0 + 120_000, 210.0),
+            ("m", T0 + 150_000, 220.0)]
+    stream = _stream(spark, tmp_path, (rows, late))
+    q = (
+        streaming_histogram(
+            stream, width=10.0, window_length="5 minutes", watermark="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName("qrev_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    live = spark.table("qrev_out")
+
+    from ticktock_spark.operators.summary import value_histogram
+
+    batch = spark.createDataFrame(
+        rows + late, "metric string, ts long, value double"
+    ).withColumn("window_start", (F.col("ts") - F.col("ts") % 300_000))
+    bhist = value_histogram(batch, ["metric", "window_start"], width=10.0)
+
+    def reads(hist):
+        return {
+            (r["metric"], r["window_start"], r["q"]): (r["n"], r["est"])
+            for r in histogram_quantiles(
+                hist, [0.5, 0.99], width=10.0,
+                group_cols=["metric", "window_start"],
+            ).collect()
+        }
+
+    got = reads(live.select("metric", "window_start", "bin", "n"))
+    want = reads(bhist)
+    assert got == want  # bit-exact revision, late points included
+    # and the late data actually moved window 0's p99 (sanity that the
+    # assertion above is not vacuous)
+    assert got[("m", T0, 0.99)][1] > 200.0

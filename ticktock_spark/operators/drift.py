@@ -244,13 +244,16 @@ def wasserstein_drift(
         F.col("ca").cast(dec) * F.col("tb").cast(dec)
         - F.col("cb").cast(dec) * F.col("ta").cast(dec)
     )
-    terms = cum.filter(
-        (F.col("ta") > 0) & (F.col("tb") > 0) & F.col("gap").isNotNull()
-    ).select(
+    # the last distinct value per group has no successor (gap NULL);
+    # coalesce it to a zero-width term instead of filtering the row, so
+    # a group whose rows all share ONE distinct value still surfaces
+    # (w1 = 0 with its n_a/n_b) rather than silently vanishing from the
+    # drift report
+    terms = cum.filter((F.col("ta") > 0) & (F.col("tb") > 0)).select(
         *groups,
         "ta",
         "tb",
-        (num * F.col("gap").cast(dec)).alias("term"),
+        (num * F.coalesce(F.col("gap"), F.lit(0)).cast(dec)).alias("term"),
     )
     agg = terms.groupBy(*groups, "ta", "tb").agg(F.sum("term").alias("s"))
     q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731

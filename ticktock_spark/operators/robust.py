@@ -128,6 +128,21 @@ def theil_sen(
         b.groupBy(*series_cols)
         .agg(F.array_sort(F.collect_list("p")).alias("arr"))
         .filter(F.size("arr") >= 2)
+        # x is monotone in ts (arr is ts-sorted), so at least one valid
+        # x_j > x_i pair exists iff the LAST row's bucket differs from
+        # the FIRST's — an O(1) precondition that drops a series whose
+        # rows all share one bucket (un-bucketed input would otherwise
+        # hit an empty slope set: the oracle's `b.x > a.x` pair join
+        # yields no group for it either). Deliberately pinned HERE, on
+        # the cheap `arr` column: a filter on the O(B²) slope array
+        # downstream gets predicate-pushed below the projection and
+        # re-evaluates the whole pair fan-out per row (measured ~100×
+        # on q181 before this was moved).
+        .filter(
+            F.element_at(F.col("arr"), -1)["ts"]
+            - F.element_at(F.col("arr"), 1)["ts"]
+            >= F.lit(int(bucket_ms))
+        )
     )
     # runtime guard, lazily in the plan (no extra job): B buckets fan
     # out to B²/2 slopes inside ONE array value — beyond ``max_buckets``
@@ -169,9 +184,17 @@ def theil_sen(
     )
 
     def slopes_from(i):
+        # skip equal-x partners (two input rows landing in one bucket —
+        # un-bucketed input) instead of emitting a divide-by-zero: the
+        # pair set stays exactly the x_j > x_i triangle the oracle's
+        # `b.x > a.x` join defines, so parity holds even on malformed
+        # input
         a = F.element_at(F.col("xy"), i)
         return F.transform(
-            F.slice(F.col("xy"), i + 1, F.size("xy") - i),
+            F.filter(
+                F.slice(F.col("xy"), i + 1, F.size("xy") - i),
+                lambda e: e["x"] > a["x"],
+            ),
             lambda e: (e["y"] - a["y"]).cast("double")
             / (e["x"] - a["x"]).cast("double"),
         )
@@ -181,6 +204,8 @@ def theil_sen(
             F.transform(F.sequence(F.lit(1), F.size("xy") - 1), slopes_from)
         )
     )
+    # sp is provably non-empty here: the span precondition above
+    # guarantees x_last > x_first, so (first, last) alone is a valid pair
     g = g.select(*series_cols, "n", sp.alias("sp"))
     m = F.size("sp")
     # 1-based ranks of the middle pair, in INT arithmetic ('/' on ints

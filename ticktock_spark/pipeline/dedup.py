@@ -1789,33 +1789,44 @@ def gram_duplication(
     Output: one row per non-null-text doc
     (id, n_grams, n_dup, dup_ratio).
 
-    Scale shape: ONE corpus scan + explode to distinct (doc, gram);
-    gram document-frequencies are an unordered-frame window count over
-    the gram key on that same lineage (one shuffle, the same
-    vocabulary-bounded exchange a groupBy would need — but with no
-    join-back and no re-executed corpus subtree), then a per-doc count.
-    No pairwise comparison anywhere, so cost is corpus-linear where
-    pair-based dedup is quadratic in cluster size.
+    Scale shape — SKEW-FREE by construction: a gram is duplicated
+    (df ≥ 2) exactly when it is NOT unique to one doc, so
+    n_dup = n_grams − (# grams whose ONLY holder is this doc). Both
+    sides are map-side-combinable groupBys over the exploded lineage:
+    per-doc gram counts key on the doc id (bounded rows per doc), and
+    the unique-gram side keys on the gram — partial aggregation folds a
+    stop-word gram present in 1% of 10¹⁰ docs down to ONE row per map
+    task before the exchange, where the previous
+    `count() over (partition by gram)` window form put all ~10⁸
+    occurrences of that hot gram through a single un-splittable window
+    task (AQE splits skewed joins, not window partitions). The final
+    join is doc-keyed at document cardinality. No pairwise comparison
+    anywhere, so cost is corpus-linear where pair-based dedup is
+    quadratic in cluster size. Skew proof: tools/robust_scale_stress.py
+    plants one gram in 50% of docs at 8× — SCALE.md gram-skew row.
     """
-    from pyspark.sql import Window
-
     dg = _doc_grams(df, n, text_col, id_col)
-    return (
-        dg.withColumn(
-            "gdf", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-        )
-        .groupBy(id_col)
+    per_doc = dg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    uniq = (
+        dg.groupBy("gram")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.count(F.when(F.col("gdf") >= 2, 1)).cast("long").alias("n_dup"),
+            F.count(F.lit(1)).alias("gdf"),
+            F.min(id_col).alias("only_doc"),
         )
+        .filter(F.col("gdf") == 1)
+        .groupBy(F.col("only_doc").alias(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_uniq"))
+    )
+    n_dup = F.col("n_grams") - F.coalesce(F.col("n_uniq"), F.lit(0))
+    return (
+        per_doc.join(uniq, id_col, "left")
         .select(
             id_col,
             "n_grams",
-            "n_dup",
-            (F.col("n_dup").cast("double") / F.col("n_grams")).alias(
-                "dup_ratio"
-            ),
+            n_dup.cast("long").alias("n_dup"),
+            (n_dup.cast("double") / F.col("n_grams")).alias("dup_ratio"),
         )
     )
 
@@ -1837,31 +1848,34 @@ def gram_novelty(
     Output: one row per non-null-text doc
     (id, n_grams, n_new, novelty).
 
-    Scale shape: identical to gram_duplication with min(id) in place of
-    the frequency count — one scan, one gram-keyed window exchange,
-    corpus linear.
+    Scale shape — SKEW-FREE, same construction as gram_duplication: a
+    doc's n_new is the count of grams whose corpus-wide min(id) IS this
+    doc, and min(id) per gram is a map-side-combinable groupBy — a hot
+    gram folds to one row per map task before the exchange (the
+    previous `min() over (partition by gram)` window put every
+    occurrence of a stop-word gram through one un-splittable window
+    task). Re-keying that per-gram result by its first_id doc gives the
+    per-doc novelty counts at document cardinality; the final join is
+    doc-keyed. One gram exchange + one doc exchange, corpus linear.
     """
-    from pyspark.sql import Window
-
     dg = _doc_grams(df, n, text_col, id_col)
+    per_doc = dg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    firsts = (
+        dg.groupBy("gram")
+        .agg(F.min(id_col).alias("first_id"))
+        .groupBy(F.col("first_id").alias(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new0"))
+    )
+    n_new = F.coalesce(F.col("n_new0"), F.lit(0)).cast("long")
     return (
-        dg.withColumn(
-            "first_id", F.min(id_col).over(Window.partitionBy("gram"))
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.count(F.when(F.col("first_id") == F.col(id_col), 1))
-            .cast("long")
-            .alias("n_new"),
-        )
+        per_doc.join(firsts, id_col, "left")
         .select(
             id_col,
             "n_grams",
-            "n_new",
-            (F.col("n_new").cast("double") / F.col("n_grams")).alias(
-                "novelty"
-            ),
+            n_new.alias("n_new"),
+            (n_new.cast("double") / F.col("n_grams")).alias("novelty"),
         )
     )
 
@@ -1886,29 +1900,42 @@ def decontaminate_rarity(
 
     Integer weights (floor division), not ln-based IDF: exact, engine-
     independent, and order-free under summation — the same discipline
-    as the micro-unit sums elsewhere.
+    as the micro-unit sums elsewhere. The weight clamps to ≥ 1
+    (``greatest(1, 1_000_000 div gdf)``): past a million-doc document
+    frequency the unclamped floor reaches 0, and a contaminated doc
+    built ONLY of such grams would divide w_hits by a zero w_grams —
+    an ANSI DIVIDE_BY_ZERO job failure at exactly the corpus scale
+    this module targets (NaN in DuckDB — a parity divergence too).
 
     Output: one row per CONTAMINATED training doc
     (id, n_hits, w_hits, w_grams, rarity_ratio = w_hits/w_grams,
     6-decimal).
 
-    Scale shape: ``decontaminate``'s single corpus pass with the
-    document frequencies computed as a window count over the gram key
-    on the same lineage (the window's hash partitioning then feeds the
-    bench join directly — one gram exchange total, no count branch
-    re-scanning the corpus); bench grams stay broadcast-scale.
+    Scale shape: document frequencies come from a map-side-combinable
+    ``groupBy(gram).count()`` — a hot stop-word gram folds to one row
+    per map task before the exchange — joined back onto the exploded
+    lineage on the gram key, where AQE's skew-join handling CAN split
+    the hot gram's partition (it cannot split a window partition, which
+    is why the previous `count() over (partition by gram)` form was the
+    one 100×-design watch item in the r8 review). The join-back does
+    re-execute the gram explode (two corpus scans of a 2-column
+    projection) — the price of a splittable plan, and the cheaper side
+    of the trade at web scale where one straggling window task costs
+    minutes. Bench grams stay broadcast-scale.
     """
-    from pyspark.sql import Window
-
     dg = _doc_grams(df, n, text_col, id_col)
     bench = (
         benchmark_grams(benchmark, n=n, bench_text_col=bench_text_col)
         if bench_grams_df is None
         else bench_grams_df.select("gram")
     )
-    weighted = dg.withColumn(
-        "gdf", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    ).withColumn("w", F.expr("CAST(1000000 AS BIGINT) div gdf"))
+    gdf = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    weighted = dg.join(gdf, "gram").withColumn(
+        "w",
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), CAST(1000000 AS BIGINT) div gdf)"
+        ),
+    )
     marked = weighted.join(
         bench.withColumn("__hit", F.lit(1)), "gram", "left"
     )

@@ -5957,9 +5957,11 @@ def q184(spark, sf_dir):
     gram_duplication): the fraction of a doc's distinct word 3-grams
     that occur in ≥1 OTHER document — the exact-substring-duplication
     signal (Lee et al. 2022) that catches boilerplate-assembled docs no
-    pairwise near-dup screen (q34/q88) flags. One scan + one
-    vocabulary-bounded gram groupBy + join-back; corpus-linear where
-    pair-based dedup is quadratic in cluster size."""
+    pairwise near-dup screen (q34/q88) flags. Skew-free shape:
+    n_dup = n_grams − (# grams unique to the doc), both sides map-side-
+    combinable groupBys (a hot stop-word gram folds to one row per map
+    task before the exchange), final join doc-keyed; corpus-linear
+    where pair-based dedup is quadratic in cluster size."""
     return dd.gram_duplication(_table(spark, sf_dir, "documents"), n=3)
 
 
@@ -5996,7 +5998,7 @@ def q185(spark, sf_dir):
     )
     + f"""
     , c AS (SELECT gram, count(*) AS gdf FROM dg GROUP BY 1),
-    w AS (SELECT dg.doc_id, dg.gram, 1000000 // c.gdf AS w
+    w AS (SELECT dg.doc_id, dg.gram, greatest(1, 1000000 // c.gdf) AS w
           FROM dg JOIN c ON dg.gram = c.gram),
     m AS (SELECT w.doc_id, w.w, bg.gram IS NOT NULL AS hit
           FROM w LEFT JOIN bg ON w.gram = bg.gram)
@@ -6015,9 +6017,11 @@ def q186(spark, sf_dir):
     decontaminate_rarity): q173's screen with each gram weighted by the
     integer inverse document frequency 1_000_000 // df, so sharing a
     RARE gram with the benchmark — a verbatim test item — outranks
-    ubiquitous boilerplate hits. Integer weights (floor division, no
-    ln): exact and order-free. One corpus pass + one extra
-    vocabulary-bounded groupBy for the DFs."""
+    ubiquitous boilerplate hits. Integer weights (floor division,
+    clamped ≥ 1 so a >1M-doc gram frequency can't zero a doc's weight
+    mass, no ln): exact and order-free. DFs via map-side-combinable
+    groupBy joined back on the gram key (AQE-splittable where a window
+    partition is not)."""
     d = _table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
@@ -6218,7 +6222,14 @@ def q192(spark, sf_dir):
       FROM embeddings
     ),
     cent AS (
-      SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
+      -- micro-unit quantize + HUGEINT sum + ONE divide: order-free and
+      -- bit-identical to the Spark side's DECIMAL(38,0) accumulation —
+      -- a plain avg() over doubles is partial-aggregation-order
+      -- dependent and could flip an argmax tiebreak near a boundary
+      SELECT label, pos,
+             floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5)
+                                 AS HUGEINT)) AS DOUBLE)
+                   / count(*) + 0.5) / 1000000.0 AS m
       FROM ex GROUP BY 1, 2
     ),
     ca AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv

@@ -1531,9 +1531,18 @@ def centroid_label_agreement(
 
     Cosines use the sequential left folds the DuckDB oracles mirror
     (list_sum semantics); the quantized-cosine argmax tiebreaks to the
-    smallest label via max_by on (cosine, -label). Zero-norm vectors or
+    smallest label via min_by on (−cosine, label) — an ascending MIN
+    comparison, so the tiebreak works for ANY orderable label type
+    (strings included), not just numeric labels. Zero-norm vectors or
     centroids (an all-zero embedding, or a centroid whose lobes cancel
     exactly) carry no direction and are excluded rather than divided by.
+
+    Centroid components are order-free: each float component quantizes
+    to integer micro-units, sums accumulate in DECIMAL(38,0), and the
+    mean divides+rounds ONCE (the q157 phase-mean pattern) — a plain
+    F.avg over doubles depends on partial-aggregation order, and a
+    centroid cosine an ulp from a quantization boundary could flip the
+    argmax between runs/engines.
 
     Output: (label, n, n_match, agreement). Scale shape: centroid
     aggregation is dimension-bounded (the embedding_drift shuffle);
@@ -1543,7 +1552,24 @@ def centroid_label_agreement(
     cent = (
         df.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
         .groupBy(label_col, "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("x").cast("double") * 1000000.0 + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            label_col,
+            "pos",
+            (
+                F.floor(
+                    F.col("s").cast("double") / F.col("c") + F.lit(0.5)
+                )
+                / F.lit(1_000_000.0)
+            ).alias("m"),
+        )
         .groupBy(label_col)
         .agg(
             F.transform(
@@ -1577,8 +1603,9 @@ def centroid_label_agreement(
         )
     )
     best = scored.groupBy(id_col, label_col).agg(
-        F.max_by(
-            "c_label", F.struct(F.col("cosine"), (-F.col("c_label")))
+        F.min_by(
+            "c_label",
+            F.struct((-F.col("cosine")).alias("nc"), F.col("c_label")),
         ).alias("pred")
     )
     return best.groupBy(label_col).agg(

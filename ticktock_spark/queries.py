@@ -2182,8 +2182,8 @@ def q182(spark, sf_dir):
       SELECT metric, ta, tb,
              abs(CAST(ca AS HUGEINT) * CAST(tb AS HUGEINT)
                  - CAST(cb AS HUGEINT) * CAST(ta AS HUGEINT))
-               * CAST(gap AS HUGEINT) AS term
-      FROM c WHERE ta > 0 AND tb > 0 AND gap IS NOT NULL
+               * CAST(coalesce(gap, 0) AS HUGEINT) AS term
+      FROM c WHERE ta > 0 AND tb > 0
     ),
     a AS (SELECT metric, ta, tb, sum(term) AS s FROM t GROUP BY 1, 2, 3)
     SELECT metric, CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
