@@ -290,3 +290,47 @@ def seasonal_strength(
             )
         ).alias("strength"),
     )
+
+
+def seasonal_envelope(
+    df: DataFrame,
+    series_cols: list[str],
+    quantiles: list[float] | None = None,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    period_ms: int = 86_400_000,
+    phase_ms: int = 3_600_000,
+) -> DataFrame:
+    """Seasonal percentile envelope per series: exact R-6 percentiles of
+    the bucket values grouped by phase-of-period (hour-of-day by
+    default) — the p10/p50/p90 band a seasonal-baseline alert
+    (rolling.ewma / q156) draws around "normal for 3am", and the
+    capacity-planning curve ("p90 load by hour") read straight off the
+    data. seasonal_strength (above) says WHETHER the profile explains a
+    series; this is the profile itself, with spread.
+
+    Output: (series..., phase, quantile, n, pct) — long format, pct
+    6-decimal.
+
+    Exactness: the phase index is integer `div` (q182's boundary rule);
+    ranks and interpolation run on 6-decimal-canonical values through
+    operators/percentile.group_percentiles_r6, both-engine-pinned.
+
+    Scale shape: one scan → per-(series, phase) rank windows — the
+    partition holds one phase's BUCKETS (span/period_ms rows, e.g. 365
+    for a year of daily periods), never raw datapoints, provided the
+    input is bucketed (the module contract above).
+    """
+    from ticktock_spark.operators.percentile import group_percentiles_r6
+
+    qs = quantiles if quantiles is not None else [10.0, 50.0, 90.0]
+    phase = F.expr(
+        f"CAST((({ts_col} % {int(period_ms)}) div {int(phase_ms)}) AS LONG)"
+    )
+    base = df.select(
+        *series_cols, phase.alias("phase"), _q6(F.col(value_col)).alias("v")
+    )
+    out = group_percentiles_r6(base, [*series_cols, "phase"], "v", qs)
+    return out.select(
+        *series_cols, "phase", "quantile", "n", _q6(F.col("pct")).alias("pct")
+    )

@@ -162,3 +162,345 @@ def histogram_quantiles(
         F.col("nn").cast("long").alias("n"),
         _q6(est).alias("est"),
     )
+
+
+def interarrival_percentiles(
+    df: DataFrame,
+    series_cols: list[str],
+    quantiles: list[float] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Inter-arrival-time percentiles per series: the distribution of
+    deltas between CONSECUTIVE DISTINCT timestamps — p50 is the series'
+    native reporting interval (the number `/api/analytics?op=
+    suggest_grain` wants to know, read from the data instead of
+    configuration: a p50 of 15_000 ms says scrape interval 15 s, so any
+    downsample below 15 s fabricates buckets), p95 exposes jitter and
+    collection stalls.
+
+    Output: (series..., quantile, n, pct) — long format, one row per
+    (series, quantile); ``pct`` in ms. Deltas are exact integer ms and
+    the exact R-6 interpolation runs through
+    operators/percentile.group_percentiles_r6 (rank + two-row
+    interpolation, both-engine-pinned).
+
+    Scale shape: distinct (series, ts) → one per-series ordered window
+    for the lag — the same single series-sort exchange `rate` pays, and
+    the percentile machinery reuses that partitioning. No collect, no
+    per-series array.
+    """
+    from ticktock_spark.operators.percentile import group_percentiles_r6
+
+    qs = quantiles if quantiles is not None else [50.0, 95.0]
+    w = W.partitionBy(*series_cols).orderBy(ts_col)
+    deltas = (
+        df.select(*series_cols, ts_col)
+        .distinct()
+        .select(
+            *series_cols,
+            (F.col(ts_col) - F.lag(ts_col).over(w)).alias("delta"),
+        )
+        .filter(F.col("delta").isNotNull())
+    )
+    return group_percentiles_r6(deltas, series_cols, "delta", qs)
+
+
+def flatline_runs(
+    df: DataFrame,
+    series_cols: list[str],
+    min_run: int = 10,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stuck-sensor audit per series: the longest run of CONSECUTIVE
+    buckets with an identical value, and how many runs reach
+    ``min_run`` — a gauge frozen at its last reading looks perfectly
+    healthy to every mean/percentile monitor (zero variance is not an
+    anomaly to a z-score), and a run-length is the only signal that
+    catches it. Input contract: one row per (series, bucket), e.g. a
+    1m bucket-mean frame; equality is exact on integer micro-units.
+
+    Output: (series..., n_buckets, n_runs, longest_run,
+    n_flat_runs >= min_run).
+
+    Scale shape: gaps-and-islands — two row_numbers over the SAME
+    per-series bucket sort (one exchange, one sort: same partitioning,
+    subtracting ranks labels each constant island), then two
+    bucket-scale groupBys. Window partitions hold a series' BUCKETS,
+    never raw datapoints (the operators/robust.py contract).
+    """
+    y = F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    ws = W.partitionBy(*series_cols).orderBy(ts_col)
+    wv = W.partitionBy(*series_cols, "y").orderBy(ts_col)
+    runs = (
+        df.select(*series_cols, ts_col, y.alias("y"))
+        .select(
+            *series_cols,
+            "y",
+            (F.row_number().over(ws) - F.row_number().over(wv)).alias(
+                "island"
+            ),
+        )
+        .groupBy(*series_cols, "y", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy(*series_cols).agg(
+        F.sum("run_len").cast("long").alias("n_buckets"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.count(F.when(F.col("run_len") >= int(min_run), 1))
+        .cast("long")
+        .alias("n_flat_runs"),
+    )
+
+
+def gap_report(
+    df: DataFrame,
+    series_cols: list[str],
+    bucket_ms: int = MIN_MS,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Data-completeness report per series: expected vs present buckets
+    over the series' own active span, plus the single longest gap — the
+    first question an on-call asks of a silent metric ("did it stop, or
+    did it never report there?") and the coverage denominator behind
+    availability SLOs. Complements fano_factor (which treats missing
+    buckets as zeros in the dispersion): this names them.
+
+    Output: (series..., n_expected, n_present, n_missing,
+    longest_gap_ms) — longest_gap_ms = the widest distance between
+    consecutive PRESENT bucket timestamps minus one bucket (0 when
+    dense).
+
+    Scale shape: bucket-distinct, then ONE per-series ordered window for
+    the lead delta and a per-series agg on the same partitioning —
+    bucket-scale everywhere (span/bucket_ms rows per series), no spine
+    materialization: expected-bucket count comes from min/max alone,
+    exactly the fano_factor trick.
+    """
+    b = (
+        df.select(
+            *series_cols,
+            (F.col(ts_col) - F.col(ts_col) % F.lit(int(bucket_ms))).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    w = W.partitionBy(*series_cols).orderBy("b")
+    d = b.select(
+        *series_cols,
+        "b",
+        (F.lead("b").over(w) - F.col("b") - F.lit(int(bucket_ms))).alias(
+            "gap"
+        ),
+    )
+    return d.groupBy(*series_cols).agg(
+        (
+            (F.max("b") - F.min("b")) / F.lit(int(bucket_ms)) + F.lit(1)
+        )
+        .cast("long")
+        .alias("n_expected"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        (
+            (F.max("b") - F.min("b")) / F.lit(int(bucket_ms))
+            + F.lit(1)
+            - F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("n_missing"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias(
+            "longest_gap_ms"
+        ),
+    )
+
+
+def value_precision_audit(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str = "value",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Decimal-precision histogram per series on the ``value_scale``
+    grid (100 = 2-decimal): what fraction of values are whole integers,
+    at most 1-decimal, and full-grid — the numbers that size a
+    compressed store before migration (the reference's value
+    compression keys on repeated/low-precision values:
+    /root/reference/src/core/compress.cpp XOR-encodes doubles, and
+    integer-valued series compress an order of magnitude tighter) and
+    that justify a wasserstein/ks ``value_scale`` choice from data
+    rather than convention.
+
+    Output: (series..., n, frac_integer, frac_1dp, frac_2dp) —
+    fractions 6-decimal; frac_2dp counts values needing the FULL grid.
+
+    Scale shape: one scan, one map-side-combinable per-series groupBy.
+    """
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(value_scale))
+        + F.lit(0.5)
+    ).cast("long")
+    scale = int(value_scale)
+    agg = (
+        df.select(*series_cols, v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy(*series_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("v") % scale == 0, 1)).alias("n_int"),
+            F.count(F.when(F.col("v") % (scale // 10) == 0, 1)).alias(
+                "n_1dp"
+            ),
+        )
+    )
+    frac = lambda c: _q6(c.cast("double") / F.col("n"))  # noqa: E731
+    return agg.select(
+        *series_cols,
+        "n",
+        frac(F.col("n_int")).alias("frac_integer"),
+        frac(F.col("n_1dp")).alias("frac_1dp"),
+        frac(F.col("n") - F.col("n_1dp")).alias("frac_2dp"),
+    )
+
+
+def compressibility_audit(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Gorilla-compressibility audit per series: the fraction of points
+    whose timestamp delta-of-delta is zero (regular cadence → the
+    reference's timestamp encoding spends ~1 bit/point,
+    /root/reference/src/core/compress.cpp Compressor_v2) and the
+    fraction whose value repeats the previous value exactly on the
+    2-decimal grid (the XOR-equal case → 1 bit/point). Together they
+    predict the on-disk bytes/point a TickTock-style store — or
+    Parquet delta/RLE encodings — will achieve for this series, from a
+    plain scan of the data.
+
+    Output: (series..., n, frac_ts_regular, frac_val_repeat) —
+    fractions 6-decimal over the points that HAVE the required lags
+    (n ≥ 3 series only).
+
+    Scale shape: one per-series ordered window (two lags share the one
+    sort exchange) + a map-side-combinable per-series agg.
+    """
+    order = ["__ts"] + (["__seq"] if seq_col else [])
+    w = W.partitionBy(*series_cols).orderBy(*order)
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    base = df.select(
+        *series_cols,
+        F.col(ts_col).alias("__ts"),
+        v.alias("__v"),
+        *([F.col(seq_col).alias("__seq")] if seq_col else []),
+    )
+    lagged = base.select(
+        *series_cols,
+        (
+            F.col("__ts") - 2 * F.lag("__ts", 1).over(w)
+            + F.lag("__ts", 2).over(w)
+        ).alias("dod"),
+        (F.col("__v") == F.lag("__v").over(w)).alias("rep"),
+    )
+    agg = lagged.groupBy(*series_cols).agg(
+        F.count(F.when(F.col("dod").isNotNull(), 1)).alias("n_dod"),
+        F.count(F.when(F.col("dod") == 0, 1)).alias("n_dod0"),
+        F.count(F.when(F.col("rep").isNotNull(), 1)).alias("n_rep"),
+        F.count(F.when(F.col("rep"), 1)).alias("n_rep1"),
+    )
+    return agg.filter(F.col("n_dod") > 0).select(
+        *series_cols,
+        (F.col("n_dod") + F.lit(2)).cast("long").alias("n"),
+        _q6(F.col("n_dod0").cast("double") / F.col("n_dod")).alias(
+            "frac_ts_regular"
+        ),
+        _q6(F.col("n_rep1").cast("double") / F.col("n_rep")).alias(
+            "frac_val_repeat"
+        ),
+    )
+
+
+def rollup_error_audit(
+    df: DataFrame,
+    series_cols: list[str],
+    fine_ms: int = 3_600_000,
+    coarse_ms: int = DAY_MS,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rollup-bias audit per series: how far the avg-of-hourly-avgs
+    (what a rollup-routed query computes) drifts from the exact
+    raw-data average per day — the two differ whenever bucket
+    populations are uneven (a busy hour counts once in the rollup but
+    thousands of times in the raw mean), which is exactly the error a
+    user accepts when `/api/query` routes to the rollup table
+    (plans/planner.py rollupUsage). Read this before trusting a grain.
+
+    Output: (series..., n_coarse, max_abs_err, mean_abs_err) — errors
+    in value units, 6-decimal.
+
+    Exactness: fine-bucket means round to integer micro-units (the q157
+    pattern) so the naive coarse mean is an order-free long sum ÷
+    count; the exact coarse mean divides DECIMAL(38,2) sums once. Both
+    error aggregates are then max/mean over per-coarse-bucket doubles
+    computed in pinned order.
+
+    Scale shape: ONE scan → fine-bucket groupBy (map-side combinable)
+    → coarse groupBy on the same keys → per-series agg. No window, no
+    join, bucket-scale after the first agg.
+    """
+    fine = (
+        df.groupBy(
+            *series_cols,
+            (F.col(ts_col) - F.col(ts_col) % F.lit(int(fine_ms))).alias(
+                "fb"
+            ),
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            *series_cols,
+            (F.col("fb") - F.col("fb") % F.lit(int(coarse_ms))).alias("cb"),
+            "s",
+            "c",
+            F.floor(
+                F.col("s").cast("double") / F.col("c") * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("m_micro"),
+        )
+    )
+    coarse = fine.groupBy(*series_cols, "cb").agg(
+        (
+            F.sum("m_micro").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0)
+        ).alias("naive"),
+        (F.sum("s").cast("double") / F.sum("c")).alias("exact"),
+    )
+    # per-coarse errors quantize to micro-units BEFORE the cross-row
+    # aggregates: max over longs and a long sum ÷ count are order-free,
+    # where summing raw doubles would depend on partial-agg order
+    err_u = F.floor(
+        F.abs(F.col("naive") - F.col("exact")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    pre = coarse.select(*series_cols, err_u.alias("e"))
+    return pre.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_coarse"),
+        (F.max("e") / F.lit(1_000_000.0)).alias("max_abs_err"),
+        _q6(
+            F.sum("e").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0)
+        ).alias("mean_abs_err"),
+    )

@@ -1963,3 +1963,71 @@ def decontaminate_rarity(
             ).alias("rarity_ratio"),
         )
     )
+
+
+def dedup_yield_curve(
+    df: DataFrame,
+    thresholds: list[float] | None = None,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Dedup strictness → yield curve: for each Jaccard threshold, how
+    many verified near-dup pairs exist, how many docs participate, and
+    how many the greedy keep-smallest-id rule would REMOVE — the table a
+    curation run reads before committing to a threshold (0.9 trims true
+    mirrors; 0.5 starts eating paraphrases; the curve shows where the
+    knee is). One candidate+verify pass at the LOOSEST threshold, then
+    pure re-binning: the expensive MinHash/LSH work is never repeated
+    per threshold.
+
+    ``n_removable`` is the one-pass rule "drop every doc that has ANY
+    smaller-id verified partner" — deterministic, exact for clique-like
+    clusters, and a CONSERVATIVE (lower-bound) estimate in general: a
+    component's minimum id never qualifies, so the rule removes at most
+    the m−1 the cluster-exact path would. That exact path is connected
+    components (cluster.py / q77), which costs an iterative join this
+    report deliberately avoids.
+
+    Output: (threshold, n_pairs, n_docs, n_removable) — one row per
+    threshold, ascending.
+
+    Scale shape: minhash_lsh_candidates' banded-key joins (never
+    all-pairs) + verify_jaccard's broadcast-pair exact check, computed
+    ONCE at min(thresholds); the per-threshold re-bin is a 3-row
+    broadcast fan-out over the pair table (pair-scale, orders of
+    magnitude under corpus scale).
+    """
+    ts = sorted(thresholds) if thresholds else [0.5, 0.7, 0.9]
+    cand = minhash_lsh_candidates(
+        df, num_hashes=num_hashes, bands=bands, text_col=text_col,
+        id_col=id_col, k=k,
+    )
+    verified = verify_jaccard(
+        df, cand, text_col=text_col, id_col=id_col, k=k, threshold=min(ts)
+    )
+    t_df = df.sparkSession.createDataFrame(
+        [(float(t),) for t in ts], "threshold double"
+    )
+    binned = verified.join(
+        F.broadcast(t_df), F.col("jaccard") >= F.col("threshold")
+    )
+    # distinct participants / removables per threshold: ids are already
+    # pair-scale, so the distinct agg is cheap; id_b > id_a by the
+    # candidate convention, so removable = distinct greater endpoint
+    pairs = binned.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct("id_b").cast("long").alias("n_removable"),
+    )
+    docs = (
+        binned.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("id")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("id").cast("long").alias("n_docs"))
+    )
+    return pairs.join(docs, "threshold").select(
+        "threshold", "n_pairs", "n_docs", "n_removable"
+    )

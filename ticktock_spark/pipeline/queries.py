@@ -6278,3 +6278,97 @@ def q193(spark, sf_dir):
     agreement is itself diagnostic: 1-NN high + centroid low = classes
     are cosine-coherent but not linearly separable (multi-modal)."""
     return sim.centroid_label_agreement(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q199_vocab_coverage",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (
+      SELECT unnest(string_split_regex(norm, '\\s+')) AS tok
+      FROM nm WHERE length(norm) > 0
+    ),
+    wc AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+    cc AS (SELECT c, count(*) AS n_words, count(*) * c AS mass
+           FROM wc GROUP BY 1),
+    cum AS (
+      SELECT c, n_words,
+             sum(n_words) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+               AS cw,
+             sum(mass) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS cm,
+             sum(n_words) OVER () AS vocab,
+             sum(mass) OVER () AS total
+      FROM cc
+    ),
+    k AS (SELECT CAST(unnest([1000, 10000, 50000]) AS BIGINT) AS k),
+    hit AS (
+      SELECT k.k, cum.*, least(k.k, cum.vocab) AS kk
+      FROM k JOIN cum
+        ON cum.cw - cum.n_words < least(k.k, cum.vocab)
+       AND least(k.k, cum.vocab) <= cum.cw
+    ),
+    cov AS (SELECT k, vocab, total,
+                   cm - n_words * c + (kk - (cw - n_words)) * c AS covered
+            FROM hit)
+    SELECT k, CAST(vocab AS BIGINT) AS vocab_size,
+           CAST(total AS BIGINT) AS total_tokens,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           {_Q6.format(
+               x='(CAST(covered AS DOUBLE) / CAST(total AS DOUBLE))')}
+             AS coverage
+    FROM cov
+    """,
+)
+def q199(spark, sf_dir):
+    """Tokenizer-sizing coverage curve (pipeline/text.py
+    vocab_coverage): the exact token-mass fraction the top-K words
+    cover, for K ∈ {{1k, 10k, 50k}} — "50k words cover 97% of tokens"
+    is the number that picks a vocab budget / char-fallback rate before
+    any BPE train (q112) runs. NO global vocabulary sort: word counts
+    reduce to the count-of-counts frame (one row per distinct
+    frequency — log-bounded under Zipf), a window walks THAT, and each
+    K resolves against its boundary tier exactly (tied words contribute
+    identical mass, so tie order cannot change coverage)."""
+    return tx.vocab_coverage(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q200_dedup_yield",
+    _minhash_cte()
+    + f"""
+    , j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jac
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ),
+    t AS (SELECT CAST(unnest([0.5, 0.7, 0.9]) AS DOUBLE) AS threshold),
+    b AS (SELECT t.threshold, j.id_a, j.id_b
+          FROM t JOIN j ON j.jac >= t.threshold),
+    p AS (SELECT threshold, count(*) AS n_pairs,
+                 count(DISTINCT id_b) AS n_removable
+          FROM b GROUP BY 1),
+    d AS (SELECT threshold, count(DISTINCT id) AS n_docs FROM (
+            SELECT threshold, id_a AS id FROM b
+            UNION ALL SELECT threshold, id_b FROM b)
+          GROUP BY 1)
+    SELECT p.threshold, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_removable AS BIGINT) AS n_removable
+    FROM p JOIN d USING (threshold)
+    """,
+)
+def q200(spark, sf_dir):
+    """Dedup strictness → yield curve (pipeline/dedup.py
+    dedup_yield_curve): verified near-dup pairs, participating docs,
+    and greedy-removable docs at Jaccard ∈ {{0.5, 0.7, 0.9}} — the
+    table a curation run reads to pick a threshold (0.9 trims mirrors,
+    0.5 starts eating paraphrases; the knee is in this curve). The
+    MinHash/LSH candidate+verify pass runs ONCE at the loosest
+    threshold; per-threshold rows are a 3-row broadcast re-bin of the
+    pair table. n_removable is the one-pass smaller-id rule — a
+    conservative bound; the cluster-exact path is q77's components."""
+    return dd.dedup_yield_curve(_table(spark, sf_dir, "documents"))

@@ -2412,3 +2412,78 @@ def source_word_entropy(
         "vocab",
         q6(ent).alias("entropy"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    ks: list[int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-sizing curve: for each vocabulary budget K, the exact
+    fraction of the corpus' TOKEN MASS covered by the K most frequent
+    words (ties by word, which cannot change the mass — tied words
+    contribute identical counts). vocab_size_stats says how many types
+    exist; this says what a budget BUYS: "50k words cover 97.3% of
+    tokens" is the number that picks a vocab size / character-fallback
+    rate before a BPE train (q112) is ever run.
+
+    Output: (k, vocab_size, total_tokens, covered_tokens, coverage) —
+    one row per K, coverage 6-decimal; covered_tokens is exact.
+
+    Scale shape — NO global vocabulary sort: word counts reduce to the
+    COUNT-OF-COUNTS frame (one row per distinct frequency value — a few
+    thousand rows under any Zipf-ish corpus, log-bounded), the
+    cumulative walk runs a window over that tiny frame, and each K
+    resolves against its boundary frequency tier: every word inside a
+    tier has the same count, so coverage(K) = mass of all
+    higher-frequency tiers + (K − words_above) × tier_count. Exact
+    integer arithmetic end-to-end; the single-partition window is over
+    the count-of-counts frame only, never the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    ks = list(ks) if ks is not None else [1_000, 10_000, 50_000]
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cc = counts.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        (F.count(F.lit(1)) * F.col("c")).alias("mass"),
+    )
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cc.select(
+        "c",
+        "n_words",
+        F.sum("n_words").over(w).alias("cw"),
+        F.sum("mass").over(w).alias("cm"),
+        F.sum("n_words").over(Window.partitionBy()).alias("vocab"),
+        F.sum(F.col("mass")).over(Window.partitionBy()).alias("total"),
+    )
+    ks_df = df.sparkSession.createDataFrame([(int(k),) for k in ks], "k long")
+    # boundary tier for K: the unique row with cw − n_words < K ≤ cw
+    # (clamped to the last tier when K ≥ vocab)
+    kk = F.least(F.col("k"), F.col("vocab"))
+    hit = cum.join(
+        F.broadcast(ks_df),
+        (F.col("cw") - F.col("n_words") < F.least(F.col("k"), F.col("vocab")))
+        & (F.least(F.col("k"), F.col("vocab")) <= F.col("cw")),
+    )
+    covered = (
+        F.col("cm")
+        - F.col("n_words") * F.col("c")
+        + (kk - (F.col("cw") - F.col("n_words"))) * F.col("c")
+    )
+    q6 = lambda x: F.floor(x * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return hit.select(
+        "k",
+        F.col("vocab").cast("long").alias("vocab_size"),
+        F.col("total").cast("long").alias("total_tokens"),
+        covered.cast("long").alias("covered_tokens"),
+        q6(covered.cast("double") / F.col("total").cast("double")).alias(
+            "coverage"
+        ),
+    )

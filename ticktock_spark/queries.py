@@ -2041,8 +2041,10 @@ def q180(spark, sf_dir):
     the order-statistic alternative to q84's mean/stddev z-score, whose
     baseline a single wild datapoint can inflate to mask itself.
     Medians run on integer micro-units (midpoints of integers are exact
-    IEEE — engine-identical); two bucket-scale aggs + broadcast
-    join-backs, no windows."""
+    IEEE — engine-identical); both medians are unordered-frame window
+    aggregates sharing ONE per-series exchange over bucket-scale
+    partitions (operators/robust.py mad_outliers — this docstring
+    previously claimed "no windows", stale since the r8 rewrite)."""
     from ticktock_spark.operators.robust import mad_outliers
 
     d = _dps(spark, sf_dir)
@@ -2330,3 +2332,280 @@ def q194(spark, sf_dir):
 
     h = value_histogram(_dps(spark, sf_dir), ["metric"], width=10.0)
     return histogram_quantiles(h, [0.5, 0.9, 0.99], width=10.0)
+
+
+# R-6 threshold interpolation over a DuckDB sorted list (the q59/q138
+# fragment; vals/idx/n must be in scope).
+_R6_LIST_SQL = """CASE WHEN n = 1 THEN vals[1]
+             WHEN idx < 1 THEN vals[1]
+             WHEN idx >= n THEN vals[n]
+             ELSE vals[CAST(floor(idx) AS INTEGER)]
+                  + (idx - floor(idx))
+                    * (vals[CAST(floor(idx) AS INTEGER) + 1]
+                       - vals[CAST(floor(idx) AS INTEGER)]) END"""
+
+_R6_IDX_SQL = """CASE WHEN quantile <= 0 THEN 0.0
+                  WHEN quantile >= 100 THEN CAST(n AS DOUBLE)
+                  ELSE quantile / 100.0 * (n + 1) END"""
+
+_BUCKET_MEANS_1H = f"""
+      SELECT metric, ts - ts % 3600000 AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM {_EV} GROUP BY 1, 2
+"""
+
+
+@register(
+    "q195_interarrival",
+    f"""
+    WITH t AS (SELECT DISTINCT metric, ts FROM {_EV}),
+    d AS (SELECT metric,
+                 ts - lag(ts) OVER (PARTITION BY metric ORDER BY ts) AS delta
+          FROM t),
+    v AS (SELECT metric, CAST(delta AS DOUBLE) AS v FROM d
+          WHERE delta IS NOT NULL),
+    g AS (SELECT metric, list_sort(list(v)) AS vals, count(*) AS n
+          FROM v GROUP BY 1),
+    e AS (SELECT metric, vals, n, unnest([50.0, 95.0]) AS quantile FROM g),
+    cx AS (SELECT metric, quantile, n, vals, {_R6_IDX_SQL} AS idx FROM e)
+    SELECT metric, quantile, CAST(n AS BIGINT) AS n, {_R6_LIST_SQL} AS pct
+    FROM cx
+    """,
+)
+def q195(spark, sf_dir):
+    """Inter-arrival percentiles per metric (operators/summary.py
+    interarrival_percentiles): p50 of the deltas between consecutive
+    distinct timestamps IS the series' native reporting interval — the
+    number op=suggest_grain wants read from the data, not configuration
+    (tsdb.h:160-164 hard-codes it per TSDB; here it is measured) — and
+    p95 exposes collection jitter/stalls. Deltas are exact integer ms;
+    R-6 interpolation via the rank machinery (no per-series arrays).
+    One distinct + the same single series-sort exchange rate pays."""
+    from ticktock_spark.operators.summary import interarrival_percentiles
+
+    return interarrival_percentiles(_dps(spark, sf_dir), ["metric"])
+
+
+@register(
+    "q196_flatline_runs",
+    f"""
+    WITH b AS ({_BUCKET_MEANS_1M}),
+    y AS (SELECT metric, ts, CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS y
+          FROM b),
+    i AS (SELECT metric, y,
+                 row_number() OVER (PARTITION BY metric ORDER BY ts)
+               - row_number() OVER (PARTITION BY metric, y ORDER BY ts)
+                   AS island
+          FROM y),
+    r AS (SELECT metric, y, island, count(*) AS run_len
+          FROM i GROUP BY 1, 2, 3)
+    SELECT metric, CAST(sum(run_len) AS BIGINT) AS n_buckets,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(count(*) FILTER (run_len >= 10) AS BIGINT) AS n_flat_runs
+    FROM r GROUP BY 1
+    """,
+)
+def q196(spark, sf_dir):
+    """Stuck-sensor audit per metric (operators/summary.py
+    flatline_runs): longest run of consecutive 1m buckets with an
+    IDENTICAL mean, and how many runs reach 10 buckets — a gauge frozen
+    at its last reading has zero variance, so every z-score/percentile
+    monitor calls it healthy; run-length is the signal that catches it.
+    Gaps-and-islands on micro-unit equality: two row_numbers sharing one
+    per-series bucket sort, then bucket-scale groupBys."""
+    from ticktock_spark.operators.summary import flatline_runs
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    return flatline_runs(b, ["metric"], min_run=10)
+
+
+@register(
+    "q197_gap_report",
+    f"""
+    WITH b AS (SELECT DISTINCT metric, ts - ts % 60000 AS b FROM {_EV}),
+    d AS (SELECT metric, b,
+                 lead(b) OVER (PARTITION BY metric ORDER BY b) - b - 60000
+                   AS gap
+          FROM b)
+    SELECT metric,
+           CAST((max(b) - min(b)) // 60000 + 1 AS BIGINT) AS n_expected,
+           CAST(count(*) AS BIGINT) AS n_present,
+           CAST((max(b) - min(b)) // 60000 + 1 - count(*) AS BIGINT)
+             AS n_missing,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap_ms
+    FROM d GROUP BY 1
+    """,
+)
+def q197(spark, sf_dir):
+    """Data-completeness report per metric (operators/summary.py
+    gap_report): expected vs present 1m buckets over the metric's own
+    active span plus the single longest gap — "did it stop, or never
+    report there?" is the first on-call question of a silent metric,
+    and the coverage denominator behind availability SLOs. No spine
+    materialization: expected-bucket count from min/max alone (the
+    fano_factor trick), one bucket-distinct + one per-series lead."""
+    from ticktock_spark.operators.summary import gap_report
+
+    return gap_report(_dps(spark, sf_dir), ["metric"], bucket_ms=MIN_MS)
+
+
+@register(
+    "q198_seasonal_envelope",
+    f"""
+    WITH b AS ({_BUCKET_MEANS_1H}),
+    y AS (SELECT metric, (ts % 86400000) // 3600000 AS phase,
+                 floor(v * 1000000.0 + 0.5) / 1000000.0 AS v
+          FROM b),
+    g AS (SELECT metric, phase, list_sort(list(v)) AS vals, count(*) AS n
+          FROM y GROUP BY 1, 2),
+    e AS (SELECT metric, phase, vals, n,
+                 unnest([10.0, 50.0, 90.0]) AS quantile
+          FROM g),
+    cx AS (SELECT metric, phase, quantile, n, vals, {_R6_IDX_SQL} AS idx
+           FROM e)
+    SELECT metric, phase, quantile, CAST(n AS BIGINT) AS n,
+           {_Q6.format(x=_R6_LIST_SQL)} AS pct
+    FROM cx
+    """,
+)
+def q198(spark, sf_dir):
+    """Seasonal percentile envelope per metric (operators/robust.py
+    seasonal_envelope): exact R-6 p10/p50/p90 of the hourly bucket
+    means grouped by hour-of-day — the "normal for 3am" band a
+    seasonal-baseline alert draws, and the p90-load-by-hour curve
+    capacity plans read. q182 says WHETHER the daily profile explains a
+    metric; this is the profile itself, with spread. Rank windows over
+    one phase's buckets (span/period rows), never raw datapoints."""
+    from ticktock_spark.operators.robust import seasonal_envelope
+
+    d = _dps(spark, sf_dir)
+    b = d.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % HOUR_MS).alias("ts")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    return seasonal_envelope(b, ["metric"])
+
+
+@register(
+    "q201_rollup_error",
+    f"""
+    WITH f AS (
+      SELECT metric, ts - ts % 3600000 AS fb,
+             sum(CAST(value AS DECIMAL(18,2))) AS s, count(*) AS c
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    f2 AS (SELECT metric, fb - fb % 86400000 AS cb, s, c,
+                  CAST(floor(CAST(s AS DOUBLE) / c * 1000000.0 + 0.5)
+                       AS BIGINT) AS m
+           FROM f),
+    co AS (SELECT metric, cb,
+                  CAST(sum(m) AS DOUBLE) / count(*) / 1000000.0 AS naive,
+                  CAST(sum(s) AS DOUBLE) / sum(c) AS exact
+           FROM f2 GROUP BY 1, 2),
+    e AS (SELECT metric,
+                 CAST(floor(abs(naive - exact) * 1000000.0 + 0.5) AS BIGINT)
+                   AS e
+          FROM co)
+    SELECT metric, CAST(count(*) AS BIGINT) AS n_coarse,
+           max(e) / 1000000.0 AS max_abs_err,
+           {_Q6.format(
+               x='(CAST(sum(e) AS DOUBLE) / count(*) / 1000000.0)')}
+             AS mean_abs_err
+    FROM e GROUP BY 1
+    """,
+)
+def q201(spark, sf_dir):
+    """Rollup-bias audit per metric (operators/summary.py
+    rollup_error_audit): |avg-of-hourly-avgs − exact raw daily avg| per
+    day, reduced to max/mean — the error a query accepts when the
+    planner routes it to the hourly rollup (plans/planner.py
+    rollupUsage; the reference applies the same substitution,
+    tsdb.cpp rollup query path) and bucket populations are uneven.
+    Read this before trusting a grain. One scan, two map-side
+    groupBys, micro-unit order-free error aggregation."""
+    from ticktock_spark.operators.summary import rollup_error_audit
+
+    return rollup_error_audit(_dps(spark, sf_dir), ["metric"])
+
+
+@register(
+    "q202_value_precision",
+    f"""
+    WITH v AS (SELECT metric, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+               FROM {_EV} WHERE value IS NOT NULL),
+    a AS (SELECT metric, count(*) AS n,
+                 count(*) FILTER (v % 100 = 0) AS ni,
+                 count(*) FILTER (v % 10 = 0) AS n1
+          FROM v GROUP BY 1)
+    SELECT metric, CAST(n AS BIGINT) AS n,
+           {_Q6.format(x='(CAST(ni AS DOUBLE) / n)')} AS frac_integer,
+           {_Q6.format(x='(CAST(n1 AS DOUBLE) / n)')} AS frac_1dp,
+           {_Q6.format(x='(CAST(n - n1 AS DOUBLE) / n)')} AS frac_2dp
+    FROM a
+    """,
+)
+def q202(spark, sf_dir):
+    """Value-precision histogram per metric (operators/summary.py
+    value_precision_audit): fractions of values that are whole
+    integers / ≤1-decimal / full 2-decimal on the value grid — the
+    numbers that size a compressed store before migration (the
+    reference XOR-encodes doubles, compress.cpp Compressor_v2: integer-
+    valued series compress an order of magnitude tighter) and that
+    justify a ks/wasserstein value_scale from data. One scan, one
+    map-side groupBy."""
+    from ticktock_spark.operators.summary import value_precision_audit
+
+    return value_precision_audit(_dps(spark, sf_dir), ["metric"])
+
+
+@register(
+    "q203_compress_audit",
+    f"""
+    WITH s AS (SELECT metric, ts,
+                      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v, seq
+               FROM {_EV}),
+    l AS (SELECT metric,
+                 ts - 2 * lag(ts, 1) OVER w + lag(ts, 2) OVER w AS dod,
+                 v = lag(v, 1) OVER w AS rep
+          FROM s WINDOW w AS (PARTITION BY metric ORDER BY ts, seq)),
+    a AS (SELECT metric,
+                 count(*) FILTER (dod IS NOT NULL) AS n_dod,
+                 count(*) FILTER (dod = 0) AS n_dod0,
+                 count(*) FILTER (rep IS NOT NULL) AS n_rep,
+                 count(*) FILTER (rep) AS n_rep1
+          FROM l GROUP BY 1)
+    SELECT metric, CAST(n_dod + 2 AS BIGINT) AS n,
+           {_Q6.format(x='(CAST(n_dod0 AS DOUBLE) / n_dod)')}
+             AS frac_ts_regular,
+           {_Q6.format(x='(CAST(n_rep1 AS DOUBLE) / n_rep)')}
+             AS frac_val_repeat
+    FROM a WHERE n_dod > 0
+    """,
+)
+def q203(spark, sf_dir):
+    """Gorilla-compressibility audit per metric (operators/summary.py
+    compressibility_audit): fraction of points whose timestamp
+    delta-of-delta is zero (regular cadence → ~1 bit/point in the
+    reference's timestamp encoding, compress.cpp Compressor_v2) and
+    whose value repeats exactly on the 2-decimal grid (the XOR-equal
+    1-bit case) — predicts bytes/point for a TickTock-style store or
+    Parquet delta/RLE encodings from a plain scan. One per-series
+    ordered window (two lags share the sort), one map-side agg."""
+    from ticktock_spark.operators.summary import compressibility_audit
+
+    return compressibility_audit(
+        _dps(spark, sf_dir), ["metric"], seq_col="seq"
+    )
