@@ -1304,3 +1304,140 @@ def test_http_analytics_histogram_quantile(spark):
                 assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_analytics_round9_ops(spark):
+    """interarrival / flatline / gaps / seasonal_envelope /
+    value_precision / compress_audit / rollup_error through the endpoint
+    match the q195–q198/q201–q203 oracles on the same ingested
+    datapoints (the round-8 test's shape)."""
+    import urllib.error
+
+    import duckdb
+    import pandas as pd
+
+    import ticktock_spark.pipeline.queries  # noqa: F401
+    from ticktock_spark.queries import ORACLES
+
+    srv = TsdbHttpServer(spark).start()
+    base = 1_704_067_200  # seconds
+    try:
+        # 48 hours of 10-minute points: hour-of-day cycle + a 2h frozen
+        # stretch + one 50-minute silence in the middle
+        lines, vals, ts_list = [], [], []
+        for i in range(288):
+            t = base + i * 600
+            if 100 <= i < 105:      # silence: drop 5 points (~50 min)
+                continue
+            if 120 <= i < 132:      # 2h flatline at a fixed value
+                v = 42.0
+            else:
+                v = round(10.0 + ((t // 3600) % 24) + (i % 3) * 0.25, 2)
+            lines.append(f"put cpu {t} {v} host=h1")
+            ts_list.append(t * 1000)
+            vals.append(v)
+        assert _post(srv, "/api/put", "\n".join(lines))["success"] == len(lines)
+
+        con = duckdb.connect()
+        ev = pd.DataFrame(
+            {
+                "event_type": "cpu",
+                "ts": pd.to_datetime(ts_list, unit="ms"),
+                "value": vals,
+                "user_id": 0,
+                "event_id": range(len(vals)),
+            }
+        )
+        con.register("events", ev)
+
+        def odf(name):
+            return con.sql(ORACLES[name]).df()
+
+        # interarrival: p50 = native 10-minute cadence, p95 sees the gap
+        res = _get(srv, "/api/analytics?op=interarrival&m=cpu")
+        exp = odf("q195_interarrival")
+        p50 = exp[(exp.metric == "cpu") & (exp["quantile"] == 50.0)].iloc[0]
+        p95 = exp[(exp.metric == "cpu") & (exp["quantile"] == 95.0)].iloc[0]
+        assert res[0]["metric"] == "interarrival(cpu)"
+        assert res[0]["dps"] == {
+            "0": p50.pct, "1": p95.pct, "2": float(p50.n)
+        }
+        assert res[0]["dps"]["0"] == 600_000.0
+
+        # flatline over 1m buckets (10-min points → 1 bucket each):
+        # the 12-point frozen stretch is the longest identical run
+        res = _get(srv, "/api/analytics?op=flatline&m=cpu")
+        exp = odf("q196_flatline_runs")
+        sub = exp[exp.metric == "cpu"].iloc[0]
+        assert res[0]["metric"] == "flatline(cpu)"
+        assert res[0]["dps"] == {
+            "0": float(sub.longest_run), "1": float(sub.n_flat_runs),
+            "2": float(sub.n_runs), "3": float(sub.n_buckets),
+        }
+        assert res[0]["dps"]["0"] == 12.0 and res[0]["dps"]["1"] == 1.0
+
+        # gaps: 5 dropped 10-min points = one 49-minute hole in 1m buckets
+        res = _get(srv, "/api/analytics?op=gaps&m=cpu")
+        exp = odf("q197_gap_report")
+        sub = exp[exp.metric == "cpu"].iloc[0]
+        assert res[0]["metric"] == "gaps(cpu)"
+        assert res[0]["dps"] == {
+            "0": float(sub.n_expected), "1": float(sub.n_present),
+            "2": float(sub.n_missing), "3": float(sub.longest_gap_ms),
+        }
+        assert res[0]["dps"]["3"] >= 49 * 60_000.0
+
+        # seasonal envelope at q=90 over hourly buckets == the q198
+        # oracle's quantile=90 rows, keyed by phase
+        res = _get(
+            srv, "/api/analytics?op=seasonal_envelope&m=cpu&bucket_ms=3600000&q=90"
+        )
+        exp = odf("q198_seasonal_envelope")
+        sub = exp[(exp.metric == "cpu") & (exp["quantile"] == 90.0)]
+        assert res[0]["metric"] == "cpu"
+        assert {int(p): v for p, v in zip(sub.phase, sub.pct)} == {
+            int(k): v for k, v in res[0]["dps"].items()
+        }
+
+        # value precision: every value is on the 2-decimal grid; the
+        # .25-cycle makes integers a strict subset
+        res = _get(srv, "/api/analytics?op=value_precision&m=cpu")
+        exp = odf("q202_value_precision")
+        sub = exp[exp.metric == "cpu"].iloc[0]
+        assert res[0]["dps"] == {
+            "0": sub.frac_integer, "1": sub.frac_1dp, "2": sub.frac_2dp,
+            "3": float(sub.n),
+        }
+
+        # compressibility: regular 10-min cadence except around the gap
+        res = _get(srv, "/api/analytics?op=compress_audit&m=cpu")
+        exp = odf("q203_compress_audit")
+        sub = exp[exp.metric == "cpu"].iloc[0]
+        assert res[0]["dps"] == {
+            "0": sub.frac_ts_regular, "1": sub.frac_val_repeat,
+            "2": float(sub.n),
+        }
+        assert res[0]["dps"]["0"] > 0.9
+
+        # rollup error: hourly means of a within-hour .25-cycle vs raw
+        res = _get(srv, "/api/analytics?op=rollup_error&m=cpu")
+        exp = odf("q201_rollup_error")
+        sub = exp[exp.metric == "cpu"].iloc[0]
+        assert res[0]["dps"] == {
+            "0": sub.max_abs_err, "1": sub.mean_abs_err,
+            "2": float(sub.n_coarse),
+        }
+
+        # raw-only ops reject grain=; envelope validates q range
+        for bad in (
+            "op=interarrival&m=cpu&grain=1h",
+            "op=rollup_error&m=cpu&grain=1h",
+            "op=seasonal_envelope&m=cpu&q=101",
+        ):
+            try:
+                _get(srv, f"/api/analytics?{bad}")
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()

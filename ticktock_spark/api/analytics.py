@@ -598,6 +598,9 @@ _ROLLUP_OPS = {
     "mad",
     "theilsen",
     "seasonal_strength",
+    "flatline",           # run-lengths of bucket means — rollup rows ARE them
+    "gaps",               # bucket presence — a rollup stores exactly that
+    "seasonal_envelope",  # percentiles of bucket means
 }
 _RAW_ONLY_OPS = {
     "seasonal_profile",
@@ -607,6 +610,10 @@ _RAW_ONLY_OPS = {
     "fano",        # arrival COUNTS by definition — a rollup stores means
     "top_movers",  # exact-decimal daily means are the raw-path spec
     "histogram_quantile",  # needs the raw value distribution
+    "interarrival",      # raw timestamp deltas — buckets erase cadence
+    "value_precision",   # precision of RAW values — means destroy it
+    "compress_audit",    # raw cadence + raw value repeats
+    "rollup_error",      # measures rollup bias FROM raw, by definition
 }
 # ops whose semantics span metrics — per-series grouping is undefined
 _CROSS_METRIC_OPS = {"burn_rate", "correlation", "leadlag"}
@@ -749,6 +756,32 @@ def execute(
         return wasserstein_op(dps, int(split), metrics)
     if op == "fano":
         return fano_op(dps, metrics, bucket_ms=bucket_ms)
+    if op == "interarrival":
+        return interarrival_op(dps, metrics)
+    if op == "flatline":
+        return flatline_op(
+            dps,
+            metrics,
+            bucket_ms=bucket_ms,
+            min_run=int(one("min_run", 10)),
+            rollup=rollup,
+        )
+    if op == "gaps":
+        return gaps_op(dps, metrics, bucket_ms=bucket_ms, rollup=rollup)
+    if op == "seasonal_envelope":
+        return seasonal_envelope_op(
+            dps,
+            metrics,
+            bucket_ms=bucket_ms,
+            quantile=float(one("q", 90.0)),
+            rollup=rollup,
+        )
+    if op == "value_precision":
+        return value_precision_op(dps, metrics)
+    if op == "compress_audit":
+        return compress_audit_op(dps, metrics)
+    if op == "rollup_error":
+        return rollup_error_op(dps, metrics)
     if op == "top_movers":
         return top_movers_op(dps, metrics, k=int(one("k", 3)))
     if op == "histogram_quantile":
@@ -936,4 +969,155 @@ def histogram_quantile_op(
     )
     return _to_resultsets(
         out_rows, "permille", "est", _aggregate_tags(dps, metrics)
+    )
+
+
+def interarrival_op(
+    dps: DataFrame, metrics: list[str] | None = None
+) -> list[ResultSet]:
+    """q195 through the API: the series' measured reporting interval —
+    dps is {0: p50 delta ms (the native interval), 1: p95 delta ms (the
+    jitter/stall tail), 2: n deltas} (the trend() fixed-key convention).
+    Raw timestamps by definition: bucketing erases cadence."""
+    from ticktock_spark.operators.summary import interarrival_percentiles
+
+    rows = interarrival_percentiles(
+        _filtered(dps, metrics), ["metric"], quantiles=[50.0, 95.0]
+    ).collect()
+    by_m: dict[str, dict] = {}
+    for r in rows:
+        d = by_m.setdefault(r["metric"], {"metric": r["metric"]})
+        d["p50" if r["quantile"] == 50.0 else "p95"] = r["pct"]
+        d["n"] = r["n"]
+    return _fixed_key_resultsets(
+        list(by_m.values()),
+        "interarrival({})",
+        ["p50", "p95", "n"],
+        _aggregate_tags(dps, metrics),
+    )
+
+
+def flatline_op(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    bucket_ms: int = MIN_MS,
+    min_run: int = 10,
+    rollup: DataFrame | None = None,
+) -> list[ResultSet]:
+    """q196 through the API: stuck-sensor audit over bucket means — dps
+    is {0: longest run of identical buckets, 1: runs ≥ min_run,
+    2: total runs, 3: buckets}. Rollup-routable: rollup rows ARE the
+    bucket means the runs are measured on."""
+    from ticktock_spark.operators.summary import flatline_runs
+
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    rows = flatline_runs(b, ["metric"], min_run=min_run).collect()
+    return _fixed_key_resultsets(
+        rows,
+        "flatline({})",
+        ["longest_run", "n_flat_runs", "n_runs", "n_buckets"],
+        _aggregate_tags(dps, metrics, rollup),
+    )
+
+
+def gaps_op(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    bucket_ms: int = MIN_MS,
+    rollup: DataFrame | None = None,
+) -> list[ResultSet]:
+    """q197 through the API: completeness report — dps is
+    {0: expected buckets over the active span, 1: present, 2: missing,
+    3: longest gap ms}. Rollup-routable: bucket PRESENCE is exactly
+    what a rollup table stores."""
+    from ticktock_spark.operators.summary import gap_report
+
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    rows = gap_report(b, ["metric"], bucket_ms=bucket_ms).collect()
+    return _fixed_key_resultsets(
+        rows,
+        "gaps({})",
+        ["n_expected", "n_present", "n_missing", "longest_gap_ms"],
+        _aggregate_tags(dps, metrics, rollup),
+    )
+
+
+def seasonal_envelope_op(
+    dps: DataFrame,
+    metrics: list[str] | None = None,
+    bucket_ms: int = MIN_MS,
+    quantile: float = 90.0,
+    rollup: DataFrame | None = None,
+) -> list[ResultSet]:
+    """q198 through the API: one percentile of the hour-of-day envelope
+    per metric — dps keys are phases 0–23 (the seasonal_profile key
+    shape), values the exact R-6 percentile of that hour's bucket
+    means. Call with q=10/50/90 to draw the band."""
+    from ticktock_spark.operators.robust import seasonal_envelope
+
+    if not (0.0 <= quantile <= 100.0):
+        raise ValueError(
+            f"quantile q={quantile} out of range (R-6 percent in [0, 100])"
+        )
+    b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    out = seasonal_envelope(b, ["metric"], quantiles=[float(quantile)]).select(
+        "metric", "phase", "pct"
+    )
+    return _to_resultsets(
+        out, "phase", "pct", _aggregate_tags(dps, metrics, rollup)
+    )
+
+
+def value_precision_op(
+    dps: DataFrame, metrics: list[str] | None = None
+) -> list[ResultSet]:
+    """q202 through the API: decimal-precision mix of the RAW values —
+    dps is {0: frac integer, 1: frac ≤1-decimal, 2: frac full-grid,
+    3: n}. Raw-only: bucket means destroy the precision signature."""
+    from ticktock_spark.operators.summary import value_precision_audit
+
+    rows = value_precision_audit(_filtered(dps, metrics), ["metric"]).collect()
+    return _fixed_key_resultsets(
+        rows,
+        "value_precision({})",
+        ["frac_integer", "frac_1dp", "frac_2dp", "n"],
+        _aggregate_tags(dps, metrics),
+    )
+
+
+def compress_audit_op(
+    dps: DataFrame, metrics: list[str] | None = None
+) -> list[ResultSet]:
+    """q203 through the API: Gorilla-compressibility of the raw stream —
+    dps is {0: frac of points with zero timestamp delta-of-delta,
+    1: frac repeating the previous value, 2: n}. Raw-only by
+    definition."""
+    from ticktock_spark.operators.summary import compressibility_audit
+
+    rows = compressibility_audit(
+        _filtered(dps, metrics), ["metric"], seq_col="seq"
+    ).collect()
+    return _fixed_key_resultsets(
+        rows,
+        "compress_audit({})",
+        ["frac_ts_regular", "frac_val_repeat", "n"],
+        _aggregate_tags(dps, metrics),
+    )
+
+
+def rollup_error_op(
+    dps: DataFrame, metrics: list[str] | None = None
+) -> list[ResultSet]:
+    """q201 through the API: the avg-of-hourly-avgs bias vs the exact
+    raw daily mean — dps is {0: max abs error, 1: mean abs error,
+    2: days}. Raw-only by definition (it MEASURES what routing to a
+    rollup would cost); read it before trusting grain=1h."""
+    from ticktock_spark.operators.summary import rollup_error_audit
+
+    rows = rollup_error_audit(_filtered(dps, metrics), ["metric"]).collect()
+    return _fixed_key_resultsets(
+        rows,
+        "rollup_error({})",
+        ["max_abs_err", "mean_abs_err", "n_coarse"],
+        _aggregate_tags(dps, metrics),
     )
