@@ -427,3 +427,33 @@ def test_split_leakage_audit_separate_pair_table_single_doc_scan(spark, tmp_path
     assert counts.get("docs_s.parquet") == 2, counts
     assert counts.get("pairs_s.parquet") == 1, counts
     assert out.count() >= 1
+
+
+def test_round9_tsdb_ops_single_scan_no_joins(spark):
+    """The round-9 analytics entries must stay single-scan, join-free
+    plans: q196's two row_numbers share ONE series exchange (the
+    (metric, y) window is satisfied by the metric partitioning), q201's
+    three exchanges are the fine→coarse→series map-side agg chain, and
+    nothing re-executes the events subtree."""
+    import re
+
+    bounds = {
+        # (max exchanges, max windows); q195 = distinct + lag sort +
+        # the R-6 rank machinery's quantile explode re-partition
+        "q195_interarrival": (3, 3),
+        "q196_flatline_runs": (2, 2),
+        "q197_gap_report": (2, 1),
+        "q198_seasonal_envelope": (2, 2),
+        "q201_rollup_error": (3, 0),
+        "q202_value_precision": (1, 0),
+        "q203_compress_audit": (1, 1),
+    }
+    for name, (max_ex, max_win) in bounds.items():
+        plan = _plan(spark, name)
+        scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+        ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        win = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+        assert scans == 1, (name, scans)
+        assert ex <= max_ex, (name, ex)
+        assert win <= max_win, (name, win)
+        assert "Join" not in plan, name

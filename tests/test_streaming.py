@@ -1973,3 +1973,87 @@ def test_streaming_burn_rate_matches_batch(spark, tmp_path):
     # the late error actually moved a revised window's count
     w_late = T0 + 3 * 300_000 - 3_300_000
     assert got[w_late][0] == want[w_late][0] >= 2
+
+
+def test_streaming_liveness_matches_batch_and_fold(spark, tmp_path):
+    """The live gap/flatline monitor (streaming/liveness.py) across two
+    micro-batches: gaps equal the batch lag-deltas, the running
+    identical-value run-length matches a sequential fold, the final
+    longest_run equals batch flatline_runs' answer, the flatline alarm
+    fires ON the min_run-th frozen point (causally — the batch twin
+    q196 needs the whole window), and a replayed (us, seq) duplicate is
+    dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.liveness import streaming_liveness
+
+    # 15s cadence, one 90s silence, a 4-long frozen stretch
+    vals = [1.0, 2.0, 7.5, 7.5, 7.5, 7.5, 3.0, 4.0]
+    ts_us, t = [], 0
+    for i in range(len(vals)):
+        t += 90_000_000 if i == 2 else 15_000_000
+        ts_us.append(t)
+    rows = [("a", ts_us[i], i, vals[i]) for i in range(len(vals))]
+    half = len(rows) // 2
+    (tmp_path / "in").mkdir(exist_ok=True)
+    batches = (rows[:half], rows[half:] + [rows[half - 1]])  # replay last
+    for bi, chunk in enumerate(batches):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{s} {us} {q} {v}" for s, us, q, v in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).alias("series"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(2).cast("long").alias("seq"),
+        p.getItem(3).cast("double").alias("value"),
+    )
+    q = (
+        streaming_liveness(stream, min_run=3)
+        .writeStream.format("memory")
+        .queryName("live_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["us"], r["gap_ms"], r["run_len"], r["longest_run"], r["flatline"])
+        for r in spark.sql("select * from live_out order by us").collect()
+    ]
+
+    # sequential reference fold
+    want, run, longest, prev = [], 0, 0, None
+    last_v = None
+    for i, v in enumerate(vals):
+        gap = None if prev is None else (ts_us[i] - prev) // 1000
+        run = run + 1 if last_v == v else 1
+        longest = max(longest, run)
+        prev, last_v = ts_us[i], v
+        want.append((ts_us[i], gap, run, longest, run >= 3))
+    assert got == want
+    # live gap reading caught the 90s silence
+    assert got[2][1] == 90_000
+    # alarm fired exactly on the 3rd and 4th frozen points
+    assert [g[4] for g in got] == [False, False, False, False, True, True,
+                                   False, False]
+    # final longest_run equals the batch flatline operator's answer
+    from ticktock_spark.operators.summary import flatline_runs
+
+    batch = spark.createDataFrame(
+        [("a", ts_us[i] // 1000, vals[i]) for i in range(len(vals))],
+        "metric string, ts long, value double",
+    )
+    assert (
+        flatline_runs(batch, ["metric"], min_run=3).first()["longest_run"]
+        == got[-1][3]
+    )

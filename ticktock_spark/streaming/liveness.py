@@ -1,0 +1,152 @@
+"""Stateful streaming liveness + flatline monitor — the LIVE twin of
+q197 (gap_report) and q196 (flatline_runs).
+
+A batch gap report tells you yesterday's silences; the on-call question
+is "which metric went quiet / froze JUST NOW". Per series this keeps
+O(1) state — (last event-time, last seq, last value in micro-units,
+current identical-value run length, longest run seen) — and emits one
+row per point carrying:
+
+- ``gap_ms``: distance to the PREVIOUS point of the same series (NULL
+  for the first point) — the live inter-arrival reading whose batch
+  distribution is q195; a downstream alert on ``gap_ms >
+  k × native_interval`` is the reference's dead-man-switch pattern.
+- ``run_len`` / ``flatline``: length of the current exactly-identical
+  value run on the 1e-6 grid, and the alarm flag once it reaches
+  ``min_run`` — q196's stuck-sensor signal, evaluated causally (the
+  batch operator needs the whole day; this fires on the Nth frozen
+  point as it arrives).
+
+Module conventions match streaming/cusum.py: rows process in
+(event-time, seq) order within each micro-batch; a replayed row at or
+before the stored (us, seq) is dropped (forward-only, INCLUSIVE — the
+double-apply guard). Parity with the sequential reference fold and
+with the batch operators is pinned by test.
+
+Scale shape: one series-hash exchange into the state store, constant
+state per key — the applyInPandasWithState placement of the other
+streaming twins (70k+ rows/s single-host, SCALE.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LIVENESS_STATE = StructType(
+    [
+        StructField("us", LongType()),
+        StructField("seq", LongType()),
+        StructField("v_micro", LongType()),
+        StructField("run_len", LongType()),
+        StructField("longest_run", LongType()),
+    ]
+)
+
+LIVENESS_OUT = StructType(
+    [
+        StructField("series", StringType()),
+        StructField("us", LongType()),
+        StructField("value", DoubleType()),
+        StructField("gap_ms", LongType()),
+        StructField("run_len", LongType()),
+        StructField("longest_run", LongType()),
+        StructField("flatline", BooleanType()),
+    ]
+)
+
+
+def _make_fn(min_run: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (series,) = key
+        if state.exists:
+            last_us, last_seq, v_micro, run_len, longest = state.get
+            last_us, last_seq = int(last_us), int(last_seq)
+            v_micro, run_len, longest = int(v_micro), int(run_len), int(longest)
+        else:
+            last_us = last_seq = v_micro = None
+            run_len = longest = 0
+        out: list[tuple] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["us", "seq"])
+            import math
+
+            for us, seq, v in zip(pdf["us"], pdf["seq"], pdf["value"]):
+                us, seq, v = int(us), int(seq), float(v)
+                if last_us is not None and (us, seq) <= (last_us, last_seq):
+                    continue  # forward-only, inclusive (replay guard)
+                gap_ms = None if last_us is None else (us - last_us) // 1000
+                vm = int(math.floor(v * 1_000_000.0 + 0.5))
+                run_len = run_len + 1 if vm == v_micro else 1
+                longest = max(longest, run_len)
+                last_us, last_seq, v_micro = us, seq, vm
+                out.append(
+                    (
+                        series,
+                        us,
+                        v,
+                        gap_ms,
+                        run_len,
+                        longest,
+                        run_len >= min_run,
+                    )
+                )
+            state.update((last_us, last_seq, v_micro, run_len, longest))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "series",
+                    "us",
+                    "value",
+                    "gap_ms",
+                    "run_len",
+                    "longest_run",
+                    "flatline",
+                ],
+            )
+
+    return fn
+
+
+def streaming_liveness(
+    points: DataFrame,
+    min_run: int = 10,
+    series_col: str = "series",
+    ts_col: str = "us",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """points stream (``ts_col`` = epoch µs long) → one row per point
+    with the live gap to the previous point, the current identical-value
+    run length, the longest run seen, and the ``flatline`` alarm flag
+    (run_len ≥ ``min_run``)."""
+    prepped = points.select(
+        F.col(series_col).cast("string").alias("series"),
+        F.col(ts_col).alias("us"),
+        F.col(seq_col).alias("seq"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepped.groupBy("series").applyInPandasWithState(
+        _make_fn(int(min_run)),
+        LIVENESS_OUT,
+        LIVENESS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
