@@ -773,6 +773,11 @@ def test_http_analytics_rollup_grain(spark):
             "op=mad&m=cpu&bucket_ms=3600000&threshold=0.5",
             "op=theilsen&m=cpu&bucket_ms=3600000",
             "op=seasonal_strength&m=cpu&bucket_ms=3600000",
+            # round-9 rollup-routable ops: run lengths, bucket presence,
+            # and envelope percentiles all read off the same bucket means
+            "op=flatline&m=cpu&bucket_ms=3600000&min_run=3",
+            "op=gaps&m=cpu&bucket_ms=3600000",
+            "op=seasonal_envelope&m=cpu&bucket_ms=3600000&q=90",
         ):
             raw = _get(srv, f"/api/analytics?{q}")
             rolled = _get(srv, f"/api/analytics?{q}&grain=1h")

@@ -90,6 +90,14 @@ def main() -> None:
         "/api/analytics?op=theilsen&m=view",
         "/api/analytics?op=histogram_quantile&m=error&q=0.5&q=0.99",
         "/api/analytics?op=fano&m=click&bucket_ms=3600000",
+        # round-9 ops in the mix
+        "/api/analytics?op=interarrival&m=click",
+        "/api/analytics?op=flatline&m=purchase&bucket_ms=3600000&min_run=3",
+        "/api/analytics?op=gaps&m=view&bucket_ms=3600000",
+        "/api/analytics?op=seasonal_envelope&m=click&bucket_ms=3600000&q=90",
+        "/api/analytics?op=value_precision&m=error",
+        "/api/analytics?op=compress_audit&m=click",
+        "/api/analytics?op=rollup_error&m=purchase",
         "/api/suggest?type=metrics&q=c&max=10",
     ]
     try:
