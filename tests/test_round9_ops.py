@@ -241,3 +241,52 @@ def test_dedup_yield_monotone_and_greedy_rule(spark):
     assert out[0.9]["n_removable"] >= 1
     # removable never counts a doc without a smaller partner: doc 1 and 4
     assert out[0.5]["n_removable"] <= 2
+
+
+def test_dedup_yield_reports_zero_rows_for_dry_thresholds(spark):
+    # a strictness level with ZERO qualifying pairs must still report
+    # (t, 0, 0, 0) — "tightening costs nothing here" is the
+    # decision-relevant datapoint, and on a clean corpus an empty frame
+    # would be indistinguishable from "not run"
+    from ticktock_spark.pipeline.dedup import dedup_yield_curve
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "completely different words about spark physical plan shapes"),
+         (3, "a third unrelated document mentioning parquet row groups")],
+        "doc_id long, text string",
+    )
+    out = {r["threshold"]: r
+           for r in dedup_yield_curve(docs, thresholds=[0.5, 0.9]).collect()}
+    assert set(out) == {0.5, 0.9}  # every threshold has its row
+    for t in (0.5, 0.9):
+        assert (out[t]["n_pairs"], out[t]["n_docs"], out[t]["n_removable"]) \
+            == (0, 0, 0)
+
+
+def test_dedup_yield_single_lineage_execution(spark, tmp_path):
+    # the LSH+verify lineage must feed ONE aggregation — a second
+    # aggregation branch re-executes the whole uncached candidate
+    # pipeline (the expensive part the docstring promises runs once).
+    # explode_outer + one groupBy keeps the corpus scans at the
+    # q187-class shingle re-derivations only; the old two-branch join
+    # doubled them.
+    import re
+
+    from ticktock_spark.pipeline.dedup import dedup_yield_curve
+
+    p = str(tmp_path / "docs_y.parquet")
+    spark.createDataFrame(
+        [(i, f"some text body number {i}") for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = dedup_yield_curve(spark.read.parquet(p))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    # the q34+verify composition derives shingles 5x from the corpus
+    # (q187-class measured-cheaper recompute); the two-branch form paid
+    # 10 — pin the halved bound
+    assert scans <= 5, scans

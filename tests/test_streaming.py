@@ -2057,3 +2057,56 @@ def test_streaming_liveness_matches_batch_and_fold(spark, tmp_path):
         flatline_runs(batch, ["metric"], min_run=3).first()["longest_run"]
         == got[-1][3]
     )
+
+
+def test_streaming_liveness_nan_value_does_not_poison_the_query(spark, tmp_path):
+    """A NULL/NaN value must not kill the stateful function (the
+    checkpoint would replay the poison record forever): it still proves
+    liveness (the gap resets) but carries no value identity — it never
+    extends a run and nothing extends from it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.liveness import streaming_liveness
+
+    rows = [
+        ("a", 1_000_000, 0, "5.0"),
+        ("a", 2_000_000, 1, "5.0"),
+        ("a", 3_000_000, 2, "nan"),   # poison candidate
+        ("a", 4_000_000, 3, "nan"),   # consecutive NaNs: no NaN 'run'
+        ("a", 5_000_000, 4, "5.0"),
+    ]
+    (tmp_path / "in").mkdir(exist_ok=True)
+    f = tmp_path / "in" / "b0.txt"
+    f.write_text("\n".join(f"{s} {us} {q} {v}" for s, us, q, v in rows))
+    os.utime(f, (1_000_000_000, 1_000_000_000))
+    lines = spark.readStream.format("text").load(str(tmp_path / "in"))
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).alias("series"),
+        p.getItem(1).cast("long").alias("us"),
+        p.getItem(2).cast("long").alias("seq"),
+        p.getItem(3).cast("double").alias("value"),
+    )
+    q = (
+        streaming_liveness(stream, min_run=2)
+        .writeStream.format("memory")
+        .queryName("live_nan_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["us"], r["gap_ms"], r["run_len"], r["flatline"])
+        for r in spark.sql("select * from live_nan_out order by us").collect()
+    ]
+    assert got == [
+        (1_000_000, None, 1, False),
+        (2_000_000, 1000, 2, True),     # the real run
+        (3_000_000, 1000, 1, False),    # NaN breaks it, gap still read
+        (4_000_000, 1000, 1, False),    # NaN never extends a NaN
+        (5_000_000, 1000, 1, False),    # and nothing extends FROM NaN
+    ]

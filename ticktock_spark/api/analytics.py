@@ -113,15 +113,11 @@ def _split_series_label(m: str) -> tuple[str, dict[str, str]]:
 
 def _bucket_means(dps: DataFrame, bucket_ms: int) -> DataFrame:
     """Per-metric bucket means with the engine's exact-decimal sum
-    discipline (q157's `b` CTE)."""
-    return dps.groupBy(
-        "metric", (F.col("ts") - F.col("ts") % F.lit(bucket_ms)).alias("ts")
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("value")
-    )
+    discipline (q157's `b` CTE) — the canonical implementation lives in
+    operators/summary.py:exact_bucket_means."""
+    from ticktock_spark.operators.summary import exact_bucket_means
+
+    return exact_bucket_means(dps, ["metric"], bucket_ms)
 
 
 def _bucket_means_rollup(rollup: DataFrame, bucket_ms: int) -> DataFrame:

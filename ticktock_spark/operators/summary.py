@@ -17,6 +17,31 @@ def _q6(c):
     return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
 
 
+def exact_bucket_means(
+    df: DataFrame,
+    series_cols: list[str],
+    bucket_ms: int = MIN_MS,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series bucket means with the engine's exact-decimal sum
+    discipline (the q157 `b` CTE: DECIMAL(18,2) sum ÷ count, so the
+    mean is partial-aggregation-order-free and engine-identical). The
+    ONE canonical implementation — `api/analytics.py` and the stress
+    tools import this instead of re-stating the expression; the
+    registry fixtures keep it inline next to their oracle SQL, which
+    mirrors the same text."""
+    return df.groupBy(
+        *series_cols,
+        (F.col(ts_col) - F.col(ts_col) % F.lit(int(bucket_ms))).alias(ts_col),
+    ).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias(value_col)
+    )
+
+
 def fano_factor(
     df: DataFrame,
     series_cols: list[str],
@@ -338,11 +363,20 @@ def value_precision_audit(
 
     Scale shape: one scan, one map-side-combinable per-series groupBy.
     """
+    scale = int(value_scale)
+    if scale < 10 or scale % 10:
+        # the 1-decimal tier is scale // 10; below 10 (or off a power
+        # step) that grid is meaningless and `v % 0` is NULL-per-row /
+        # an ANSI DIVIDE_BY_ZERO — fail loudly at build time instead
+        raise ValueError(
+            f"value_precision_audit: value_scale={value_scale} must be a"
+            " multiple of 10 and >= 10 (the 1-decimal tier is"
+            " value_scale // 10)"
+        )
     v = F.floor(
         F.col(value_col).cast("double") * F.lit(float(value_scale))
         + F.lit(0.5)
     ).cast("long")
-    scale = int(value_scale)
     agg = (
         df.select(*series_cols, v.alias("v"))
         .filter(F.col("v").isNotNull())

@@ -2011,23 +2011,43 @@ def dedup_yield_curve(
     t_df = df.sparkSession.createDataFrame(
         [(float(t),) for t in ts], "threshold double"
     )
-    binned = verified.join(
-        F.broadcast(t_df), F.col("jaccard") >= F.col("threshold")
+    # LEFT join from the thresholds so a strictness level with ZERO
+    # qualifying pairs still gets its (t, 0, 0, 0) row — "tightening to
+    # 0.9 costs nothing here" is a decision-relevant datapoint, and an
+    # inner join would silently drop it (an empty frame on a clean
+    # corpus would be indistinguishable from "not run").
+    binned = F.broadcast(t_df).join(
+        verified, F.col("jaccard") >= F.col("threshold"), "left"
     )
-    # distinct participants / removables per threshold: ids are already
-    # pair-scale, so the distinct agg is cheap; id_b > id_a by the
-    # candidate convention, so removable = distinct greater endpoint
-    pairs = binned.groupBy("threshold").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.count_distinct("id_b").cast("long").alias("n_removable"),
+    # ONE aggregation over the exploded pair endpoints (g=1 marks the
+    # greater id): n_pairs = one endpoint per pair, n_docs = distinct
+    # ids, n_removable = distinct greater ids (id_b > id_a by the
+    # candidate convention — the smaller-id-partner rule). A second
+    # aggregation branch would re-execute the whole uncached LSH+verify
+    # lineage — the expensive part this function promises runs once.
+    # explode_outer + a NULL array on unmatched threshold rows: the
+    # (t, NULL) row survives the explode so the groupBy keeps the
+    # threshold, and NULL endpoints count as zero in every aggregate
+    ends = binned.select(
+        "threshold",
+        F.explode_outer(
+            F.when(
+                F.col("id_a").isNotNull(),
+                F.array(
+                    F.struct(F.col("id_a").alias("id"), F.lit(0).alias("g")),
+                    F.struct(F.col("id_b").alias("id"), F.lit(1).alias("g")),
+                ),
+            )
+        ).alias("e"),
     )
-    docs = (
-        binned.select(
-            "threshold", F.explode(F.array("id_a", "id_b")).alias("id")
+    return (
+        ends.groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("e.g") == 1, 1)).cast("long").alias("n_pairs"),
+            F.count_distinct("e.id").cast("long").alias("n_docs"),
+            F.count_distinct(F.when(F.col("e.g") == 1, F.col("e.id")))
+            .cast("long")
+            .alias("n_removable"),
         )
-        .groupBy("threshold")
-        .agg(F.count_distinct("id").cast("long").alias("n_docs"))
-    )
-    return pairs.join(docs, "threshold").select(
-        "threshold", "n_pairs", "n_docs", "n_removable"
+        .select("threshold", "n_pairs", "n_docs", "n_removable")
     )

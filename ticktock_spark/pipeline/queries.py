@@ -6346,9 +6346,11 @@ def q199(spark, sf_dir):
       JOIN sh sb ON sb.doc_id = id_b
     ),
     t AS (SELECT CAST(unnest([0.5, 0.7, 0.9]) AS DOUBLE) AS threshold),
+    -- LEFT join: a threshold with zero qualifying pairs still reports
+    -- (t, 0, 0, 0) — mirrors the Spark side's explode_outer contract
     b AS (SELECT t.threshold, j.id_a, j.id_b
-          FROM t JOIN j ON j.jac >= t.threshold),
-    p AS (SELECT threshold, count(*) AS n_pairs,
+          FROM t LEFT JOIN j ON j.jac >= t.threshold),
+    p AS (SELECT threshold, count(id_b) AS n_pairs,
                  count(DISTINCT id_b) AS n_removable
           FROM b GROUP BY 1),
     d AS (SELECT threshold, count(DISTINCT id) AS n_docs FROM (

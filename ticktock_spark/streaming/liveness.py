@@ -92,8 +92,20 @@ def _make_fn(min_run: int):
                 if last_us is not None and (us, seq) <= (last_us, last_seq):
                     continue  # forward-only, inclusive (replay guard)
                 gap_ms = None if last_us is None else (us - last_us) // 1000
-                vm = int(math.floor(v * 1_000_000.0 + 0.5))
-                run_len = run_len + 1 if vm == v_micro else 1
+                # a NULL/NaN/Inf value still proves LIVENESS (the gap
+                # resets) but carries no value identity: it never
+                # extends a run and never starts one another value can
+                # extend — and it must not poison the query (int(NaN)
+                # raises, the task dies, and the checkpoint replays the
+                # poison record forever). Sentinel = i64 min, below any
+                # finite micro value.
+                finite = math.isfinite(v)
+                vm = (
+                    int(math.floor(v * 1_000_000.0 + 0.5))
+                    if finite
+                    else -(2**63)
+                )
+                run_len = run_len + 1 if (finite and vm == v_micro) else 1
                 longest = max(longest, run_len)
                 last_us, last_seq, v_micro = us, seq, vm
                 out.append(

@@ -41,14 +41,11 @@ HOUR_MS = 3_600_000
 
 
 def bucket_means(d, bucket_ms=MIN_MS):
-    return d.groupBy(
-        "metric", (F.col("ts") - F.col("ts") % F.lit(bucket_ms)).alias("ts")
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("value")
-    )
+    # the canonical exact-decimal implementation — measure the operator
+    # shape production routes, never a drifted inline copy
+    from ticktock_spark.operators.summary import exact_bucket_means
+
+    return exact_bucket_means(d, ["metric"], bucket_ms)
 
 
 def main() -> None:
