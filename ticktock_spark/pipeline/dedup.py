@@ -1973,6 +1973,7 @@ def dedup_yield_curve(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Dedup strictness → yield curve: for each Jaccard threshold, how
     many verified near-dup pairs exist, how many docs participate, and
@@ -1992,62 +1993,72 @@ def dedup_yield_curve(
     report deliberately avoids.
 
     Output: (threshold, n_pairs, n_docs, n_removable) — one row per
-    threshold, ascending.
+    threshold, ascending. A strictness level with ZERO qualifying pairs
+    still gets its (t, 0, 0, 0) row — "tightening to 0.9 costs nothing
+    here" is a decision-relevant datapoint.
 
     Scale shape: minhash_lsh_candidates' banded-key joins (never
-    all-pairs) + verify_jaccard's broadcast-pair exact check, computed
-    ONCE at min(thresholds); the per-threshold re-bin is a 3-row
-    broadcast fan-out over the pair table (pair-scale, orders of
-    magnitude under corpus scale).
+    all-pairs; ``bucket_cap`` bounds degenerate band buckets) +
+    verify_jaccard's exact check, computed ONCE at min(thresholds);
+    the per-threshold re-bin is JOIN-FREE — one map-side-combinable
+    groupBy over the pair ENDPOINTS (per-doc max-jaccard + per-
+    threshold greater-endpoint counts), then a single global
+    conditional aggregate unpivoted with ``stack``. No broadcast of
+    the pair table, no re-executed LSH+verify lineage (a second
+    aggregation branch over ``verified`` would re-run it — the
+    expensive part this function promises runs once).
     """
-    ts = sorted(thresholds) if thresholds else [0.5, 0.7, 0.9]
+    ts = sorted(float(t) for t in thresholds) if thresholds else [0.5, 0.7, 0.9]
     cand = minhash_lsh_candidates(
         df, num_hashes=num_hashes, bands=bands, text_col=text_col,
-        id_col=id_col, k=k,
+        id_col=id_col, k=k, bucket_cap=bucket_cap,
     )
     verified = verify_jaccard(
         df, cand, text_col=text_col, id_col=id_col, k=k, threshold=min(ts)
     )
-    t_df = df.sparkSession.createDataFrame(
-        [(float(t),) for t in ts], "threshold double"
-    )
-    # LEFT join from the thresholds so a strictness level with ZERO
-    # qualifying pairs still gets its (t, 0, 0, 0) row — "tightening to
-    # 0.9 costs nothing here" is a decision-relevant datapoint, and an
-    # inner join would silently drop it (an empty frame on a clean
-    # corpus would be indistinguishable from "not run").
-    binned = F.broadcast(t_df).join(
-        verified, F.col("jaccard") >= F.col("threshold"), "left"
-    )
-    # ONE aggregation over the exploded pair endpoints (g=1 marks the
-    # greater id): n_pairs = one endpoint per pair, n_docs = distinct
-    # ids, n_removable = distinct greater ids (id_b > id_a by the
-    # candidate convention — the smaller-id-partner rule). A second
-    # aggregation branch would re-execute the whole uncached LSH+verify
-    # lineage — the expensive part this function promises runs once.
-    # explode_outer + a NULL array on unmatched threshold rows: the
-    # (t, NULL) row survives the explode so the groupBy keeps the
-    # threshold, and NULL endpoints count as zero in every aggregate
-    ends = binned.select(
-        "threshold",
-        F.explode_outer(
-            F.when(
-                F.col("id_a").isNotNull(),
-                F.array(
-                    F.struct(F.col("id_a").alias("id"), F.lit(0).alias("g")),
-                    F.struct(F.col("id_b").alias("id"), F.lit(1).alias("g")),
-                ),
+    # explode each pair into its two endpoints; g=1 marks the greater
+    # id (id_b > id_a by the candidate convention — the greedy
+    # smaller-id-partner rule keys on it)
+    ends = verified.select(
+        "jaccard",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id"), F.lit(0).alias("g")),
+                F.struct(F.col("id_b").alias("id"), F.lit(1).alias("g")),
             )
         ).alias("e"),
     )
-    return (
-        ends.groupBy("threshold")
-        .agg(
-            F.count(F.when(F.col("e.g") == 1, 1)).cast("long").alias("n_pairs"),
-            F.count_distinct("e.id").cast("long").alias("n_docs"),
-            F.count_distinct(F.when(F.col("e.g") == 1, F.col("e.id")))
-            .cast("long")
-            .alias("n_removable"),
+    # per-doc frame (endpoint-scale, map-side combinable): the doc's
+    # max jaccard over all its pairs (participates at t ⇔ mj ≥ t), the
+    # max over pairs where it is the greater endpoint (removable at
+    # t ⇔ mjg ≥ t), and per-threshold greater-endpoint pair counts
+    # (each pair counted exactly once, at its greater endpoint)
+    per_doc = ends.groupBy("e.id").agg(
+        F.max("jaccard").alias("mj"),
+        F.max(F.when(F.col("e.g") == 1, F.col("jaccard"))).alias("mjg"),
+        *[
+            F.count(
+                F.when((F.col("e.g") == 1) & (F.col("jaccard") >= F.lit(t)), 1)
+            ).alias(f"c{i}")
+            for i, t in enumerate(ts)
+        ],
+    )
+    aggs = []
+    for i, t in enumerate(ts):
+        aggs += [
+            F.coalesce(F.sum(f"c{i}"), F.lit(0)).cast("long").alias(f"p{i}"),
+            F.count(F.when(F.col("mj") >= F.lit(t), 1))
+            .cast("long").alias(f"d{i}"),
+            F.count(F.when(F.col("mjg") >= F.lit(t), 1))
+            .cast("long").alias(f"r{i}"),
+        ]
+    one = per_doc.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t!r} AS DOUBLE), p{i}, d{i}, r{i}" for i, t in enumerate(ts)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(ts)}, {stack_args})"
+            " as (threshold, n_pairs, n_docs, n_removable)"
         )
-        .select("threshold", "n_pairs", "n_docs", "n_removable")
     )

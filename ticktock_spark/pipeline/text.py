@@ -2443,6 +2443,16 @@ def vocab_coverage(
     from pyspark.sql import Window
 
     ks = list(ks) if ks is not None else [1_000, 10_000, 50_000]
+    if len(set(ks)) != len(ks) or any(
+        not isinstance(k, int) or isinstance(k, bool) or k <= 0 for k in ks
+    ):
+        # a K <= 0 matches no boundary tier and would silently VANISH
+        # from the output (a shorter frame instead of an error), and a
+        # duplicate K double-counts its row — fail loudly at build time
+        # (the value_precision_audit guard style)
+        raise ValueError(
+            f"vocab_coverage: ks={ks!r} must be distinct positive ints"
+        )
     counts = (
         df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")

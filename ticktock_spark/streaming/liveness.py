@@ -4,8 +4,8 @@ q197 (gap_report) and q196 (flatline_runs).
 A batch gap report tells you yesterday's silences; the on-call question
 is "which metric went quiet / froze JUST NOW". Per series this keeps
 O(1) state — (last event-time, last seq, last value in micro-units,
-current identical-value run length, longest run seen) — and emits one
-row per point carrying:
+whether that value was finite, current identical-value run length,
+longest run seen) — and emits one row per point carrying:
 
 - ``gap_ms``: distance to the PREVIOUS point of the same series (NULL
   for the first point) — the live inter-arrival reading whose batch
@@ -50,6 +50,7 @@ LIVENESS_STATE = StructType(
         StructField("us", LongType()),
         StructField("seq", LongType()),
         StructField("v_micro", LongType()),
+        StructField("v_finite", BooleanType()),
         StructField("run_len", LongType()),
         StructField("longest_run", LongType()),
     ]
@@ -74,11 +75,13 @@ def _make_fn(min_run: int):
     ) -> Iterator[pd.DataFrame]:
         (series,) = key
         if state.exists:
-            last_us, last_seq, v_micro, run_len, longest = state.get
+            last_us, last_seq, v_micro, v_finite, run_len, longest = state.get
             last_us, last_seq = int(last_us), int(last_seq)
-            v_micro, run_len, longest = int(v_micro), int(run_len), int(longest)
+            v_micro, v_finite = int(v_micro), bool(v_finite)
+            run_len, longest = int(run_len), int(longest)
         else:
             last_us = last_seq = v_micro = None
+            v_finite = False
             run_len = longest = 0
         out: list[tuple] = []
         chunks = [pdf for pdf in pdfs if len(pdf)]
@@ -97,17 +100,20 @@ def _make_fn(min_run: int):
                 # extends a run and never starts one another value can
                 # extend — and it must not poison the query (int(NaN)
                 # raises, the task dies, and the checkpoint replays the
-                # poison record forever). Sentinel = i64 min, below any
-                # finite micro value.
+                # poison record forever). Finiteness is a SEPARATE state
+                # flag (v_finite), not a sentinel inside the micro-value
+                # domain: every finite double round-trips, including the
+                # values near -9.22e12 whose micro form equals i64 min.
                 finite = math.isfinite(v)
-                vm = (
-                    int(math.floor(v * 1_000_000.0 + 0.5))
-                    if finite
-                    else -(2**63)
+                vm = int(math.floor(v * 1_000_000.0 + 0.5)) if finite else 0
+                run_len = (
+                    run_len + 1
+                    if (finite and v_finite and vm == v_micro)
+                    else 1
                 )
-                run_len = run_len + 1 if (finite and vm == v_micro) else 1
                 longest = max(longest, run_len)
-                last_us, last_seq, v_micro = us, seq, vm
+                last_us, last_seq = us, seq
+                v_micro, v_finite = vm, finite
                 out.append(
                     (
                         series,
@@ -119,7 +125,9 @@ def _make_fn(min_run: int):
                         run_len >= min_run,
                     )
                 )
-            state.update((last_us, last_seq, v_micro, run_len, longest))
+            state.update(
+                (last_us, last_seq, v_micro, v_finite, run_len, longest)
+            )
         if out:
             yield pd.DataFrame(
                 out,
