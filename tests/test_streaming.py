@@ -2110,3 +2110,81 @@ def test_streaming_liveness_nan_value_does_not_poison_the_query(spark, tmp_path)
         (4_000_000, 1000, 1, False),    # NaN never extends a NaN
         (5_000_000, 1000, 1, False),    # and nothing extends FROM NaN
     ]
+
+
+def test_late_point_splits_reported_gap_to_batch_answer(spark, tmp_path):
+    """The r9 verdict's OOO ask for the liveness family: a LATE point
+    arriving within the watermark that lands INSIDE an already-reported
+    gap must SPLIT it — the live gap report revises to, bit-for-bit,
+    the batch q197 answer over all points including the late one
+    (mirroring test_late_data_revises_quantile_reads_to_batch: late
+    data belongs to its timestamp's bucket, not its arrival's). The
+    causal streaming_liveness monitor deliberately drops late rows
+    (alarms never un-fire); streaming_presence is the revising twin."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.operators.summary import gap_report
+    from ticktock_spark.streaming.liveness import (
+        gap_report_reads,
+        streaming_presence,
+    )
+
+    minute = 60_000
+    t0 = 1_700_000_000_000 - (1_700_000_000_000 % minute)
+    # epoch 1: minutes 0-2 and 10-11 → one 7-bucket gap (420 s silent)
+    rows = [("m", t0 + m * minute + 123, 1.0) for m in (0, 1, 2, 10, 11)]
+    # epoch 2: a late point INSIDE the gap (minute 6, within 1h watermark)
+    late = [("m", t0 + 6 * minute + 45, 9.9)]
+    (tmp_path / "in").mkdir(exist_ok=True)
+    for bi, chunk in enumerate((rows, late)):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{s} {ts} {v}" for s, ts, v in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "in"))
+    )
+    p = F.split("value", " ")
+    stream = lines.select(
+        p.getItem(0).alias("metric"),
+        p.getItem(1).cast("long").alias("ts"),
+        p.getItem(2).cast("double").alias("value"),
+    )
+    q = (
+        streaming_presence(stream, bucket_ms=minute, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("presence_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = gap_report_reads(
+        spark.table("presence_out"), bucket_ms=minute
+    ).collect()
+    batch_all = gap_report(
+        spark.createDataFrame(
+            rows + late, "metric string, ts long, value double"
+        ),
+        ["metric"],
+        bucket_ms=minute,
+    ).collect()
+    got = {tuple(r) for r in live}
+    want = {tuple(r) for r in batch_all}
+    assert got == want  # bit-exact revision, the late point included
+    # and the late point actually SPLIT the reported gap: 7 missing
+    # buckets stay missing-minus-one, but the longest run of silence
+    # halves from 420 s to 180 s
+    pre = gap_report(
+        spark.createDataFrame(rows, "metric string, ts long, value double"),
+        ["metric"],
+        bucket_ms=minute,
+    ).first()
+    assert pre["longest_gap_ms"] == 7 * minute
+    final = live[0]
+    assert final["longest_gap_ms"] == 3 * minute
+    assert final["n_missing"] == pre["n_missing"] - 1

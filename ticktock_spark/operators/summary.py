@@ -194,6 +194,7 @@ def interarrival_percentiles(
     series_cols: list[str],
     quantiles: list[float] | None = None,
     ts_col: str = "ts",
+    slice_ms: int = DAY_MS,
 ) -> DataFrame:
     """Inter-arrival-time percentiles per series: the distribution of
     deltas between CONSECUTIVE DISTINCT timestamps — p50 is the series'
@@ -209,25 +210,64 @@ def interarrival_percentiles(
     operators/percentile.group_percentiles_r6 (rank + two-row
     interpolation, both-engine-pinned).
 
-    Scale shape: distinct (series, ts) → one per-series ordered window
-    for the lag — the same single series-sort exchange `rate` pays, and
-    the percentile machinery reuses that partitioning. No collect, no
-    per-series array.
+    Scale shape — SEGMENT-STITCHED lag, no raw-cardinality window: a
+    naive ``partitionBy(series).orderBy(ts)`` lag puts a decade-long
+    1 s-cadence series (~3×10⁸ rows) through ONE sort partition at
+    100×. Instead the lag partitions on (series, ``slice_ms``-slice) —
+    bounded by slice/cadence (86,400 rows/partition for 1 s cadence at
+    the 1-day default) — and the slice-boundary deltas are stitched
+    from a per-(series, slice) first/last frame via a lag over the
+    SLICE frame (one row per present slice, span/slice_ms-bounded).
+    Every consecutive distinct-timestamp pair is either within a slice
+    (in-slice lag) or crosses a boundary where the previous point is
+    its slice's last and the next is its slice's first (the stitch
+    row), so the delta multiset — and the percentile answer — is
+    EXACTLY the global-lag one. The percentile machinery then reuses
+    the series partitioning; no collect, no per-series array.
     """
     from ticktock_spark.operators.percentile import group_percentiles_r6
 
     qs = quantiles if quantiles is not None else [50.0, 95.0]
-    w = W.partitionBy(*series_cols).orderBy(ts_col)
-    deltas = (
+    step = int(slice_ms)
+    pts = (
         df.select(*series_cols, ts_col)
         .distinct()
         .select(
             *series_cols,
-            (F.col(ts_col) - F.lag(ts_col).over(w)).alias("delta"),
+            ts_col,
+            (F.col(ts_col) - F.col(ts_col) % F.lit(step)).alias("__slice"),
+        )
+    )
+    wsl = W.partitionBy(*series_cols, "__slice").orderBy(ts_col)
+    marked = pts.select(
+        *series_cols,
+        "__slice",
+        F.col(ts_col),
+        F.lag(ts_col).over(wsl).alias("__prev"),
+        F.row_number().over(wsl).alias("__rn"),
+        F.max(ts_col)
+        .over(W.partitionBy(*series_cols, "__slice"))
+        .alias("__last"),
+    )
+    within = marked.filter(F.col("__prev").isNotNull()).select(
+        *series_cols, (F.col(ts_col) - F.col("__prev")).alias("delta")
+    )
+    stitch = (
+        marked.filter(F.col("__rn") == 1)
+        .select(
+            *series_cols,
+            (
+                F.col(ts_col)
+                - F.lag("__last").over(
+                    W.partitionBy(*series_cols).orderBy("__slice")
+                )
+            ).alias("delta"),
         )
         .filter(F.col("delta").isNotNull())
     )
-    return group_percentiles_r6(deltas, series_cols, "delta", qs)
+    return group_percentiles_r6(
+        within.unionByName(stitch), series_cols, "delta", qs
+    )
 
 
 def flatline_runs(
@@ -314,6 +354,18 @@ def gap_report(
         )
         .distinct()
     )
+    return gap_report_over_buckets(b, series_cols, bucket_ms=bucket_ms)
+
+
+def gap_report_over_buckets(
+    b: DataFrame,
+    series_cols: list[str],
+    bucket_ms: int = MIN_MS,
+) -> DataFrame:
+    """The gap_report arithmetic over an already-distinct PRESENT-BUCKET
+    frame (series..., b) — the shared read for the batch operator above
+    and the streaming presence twin (streaming/liveness.py), so a live
+    gap read can never drift from the q197 oracle-pinned spec."""
     w = W.partitionBy(*series_cols).orderBy("b")
     d = b.select(
         *series_cols,
@@ -405,6 +457,7 @@ def compressibility_audit(
     ts_col: str = "ts",
     value_col: str = "value",
     seq_col: str | None = None,
+    slice_ms: int = DAY_MS,
 ) -> DataFrame:
     """Gorilla-compressibility audit per series: the fraction of points
     whose timestamp delta-of-delta is zero (regular cadence → the
@@ -420,11 +473,24 @@ def compressibility_audit(
     fractions 6-decimal over the points that HAVE the required lags
     (n ≥ 3 series only).
 
-    Scale shape: one per-series ordered window (two lags share the one
-    sort exchange) + a map-side-combinable per-series agg.
+    Scale shape — SEGMENT-STITCHED lags, no raw-cardinality window:
+    the delta-of-delta and value-repeat lags partition on (series,
+    ``slice_ms``-slice) — bounded by slice/cadence, never the whole
+    series — covering every row with two in-slice predecessors (rn ≥ 3
+    for dod, rn ≥ 2 for rep). The ≤2 boundary rows per slice are
+    stitched from a per-(series, slice) frame (first/second/last/
+    second-to-last ts, first/last value — all read off the slice's
+    LAST row in the same window pass) via lags over the slice frame:
+    the slice-first row's predecessors are the previous present
+    slice's last two (falling back to the slice before when that one
+    is single-row — ``coalesce(p.last2, q.last)``), the slice-second
+    row's are its own first + the previous slice's last. Each global
+    consecutive pair/triple is reproduced exactly once, so the four
+    counts — and the fractions — are EXACTLY the global-lag answer.
+    The final per-series agg is map-side combinable.
     """
     order = ["__ts"] + (["__seq"] if seq_col else [])
-    w = W.partitionBy(*series_cols).orderBy(*order)
+    step = int(slice_ms)
     v = F.floor(
         F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
     ).cast("long")
@@ -433,16 +499,79 @@ def compressibility_audit(
         F.col(ts_col).alias("__ts"),
         v.alias("__v"),
         *([F.col(seq_col).alias("__seq")] if seq_col else []),
+        (F.col(ts_col) - F.col(ts_col) % F.lit(step)).alias("__slice"),
     )
-    lagged = base.select(
+    wsl = W.partitionBy(*series_cols, "__slice").orderBy(*order)
+    wall = W.partitionBy(*series_cols, "__slice")
+    marked = base.select(
+        *series_cols,
+        "__slice",
+        "__ts",
+        "__v",
+        F.row_number().over(wsl).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        F.lag("__ts", 1).over(wsl).alias("__l1"),
+        F.lag("__ts", 2).over(wsl).alias("__l2"),
+        F.lag("__v", 1).over(wsl).alias("__lv"),
+        F.first("__ts").over(wsl).alias("__first_ts"),
+        F.nth_value("__ts", 2).over(wsl).alias("__second_ts"),
+        F.first("__v").over(wsl).alias("__first_v"),
+    )
+    # in-slice contributions: dod valid from rn>=3, rep from rn>=2
+    # (null lags contribute zero to every count, exactly as the global
+    # form's first-two rows did)
+    within = marked.filter(F.col("__rn") >= 2).select(
+        *series_cols,
+        (F.col("__ts") - 2 * F.col("__l1") + F.col("__l2")).alias("dod"),
+        (F.col("__v") == F.col("__lv")).alias("rep"),
+    )
+    # one row per present (series, slice), emitted from the slice's
+    # LAST row so last2_ts is just its lag-1
+    sliceframe = marked.filter(F.col("__rn") == F.col("__n")).select(
+        *series_cols,
+        "__slice",
+        "__n",
+        "__first_ts",
+        "__second_ts",
+        "__first_v",
+        F.col("__ts").alias("__last_ts"),
+        F.col("__l1").alias("__last2_ts"),
+        F.col("__v").alias("__last_v"),
+    )
+    ws = W.partitionBy(*series_cols).orderBy("__slice")
+    b = sliceframe.select(
+        *series_cols,
+        "__n",
+        "__first_ts",
+        "__second_ts",
+        "__first_v",
+        F.lag("__last_ts").over(ws).alias("__p_last"),
+        F.lag("__last2_ts").over(ws).alias("__p_last2"),
+        F.lag("__last_v").over(ws).alias("__p_lastv"),
+        F.lag("__last_ts", 2).over(ws).alias("__q_last"),
+    )
+    # slice-first row: preds = prev slice's last two (or the slice
+    # before's last when prev is single-row — its last2 lag is NULL)
+    b1 = b.select(
         *series_cols,
         (
-            F.col("__ts") - 2 * F.lag("__ts", 1).over(w)
-            + F.lag("__ts", 2).over(w)
+            F.col("__first_ts")
+            - 2 * F.col("__p_last")
+            + F.coalesce(F.col("__p_last2"), F.col("__q_last"))
         ).alias("dod"),
-        (F.col("__v") == F.lag("__v").over(w)).alias("rep"),
+        (F.col("__first_v") == F.col("__p_lastv")).alias("rep"),
     )
-    agg = lagged.groupBy(*series_cols).agg(
+    # slice-second row (n>=2): preds = own first + prev slice's last;
+    # its rep is in-slice and already counted above
+    b2 = b.filter(F.col("__n") >= 2).select(
+        *series_cols,
+        (
+            F.col("__second_ts") - 2 * F.col("__first_ts") + F.col("__p_last")
+        ).alias("dod"),
+        F.lit(None).cast("boolean").alias("rep"),
+    )
+    contrib = within.unionByName(b1).unionByName(b2)
+    agg = contrib.groupBy(*series_cols).agg(
         F.count(F.when(F.col("dod").isNotNull(), 1)).alias("n_dod"),
         F.count(F.when(F.col("dod") == 0, 1)).alias("n_dod0"),
         F.count(F.when(F.col("rep").isNotNull(), 1)).alias("n_rep"),

@@ -170,3 +170,58 @@ def streaming_liveness(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_presence(
+    dps: DataFrame,
+    bucket_ms: int = 60_000,
+    watermark: str = "10 minutes",
+    series_col: str = "metric",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked per-(series, bucket) presence counts — the REVISING
+    complement to ``streaming_liveness``: the stateful monitor above is
+    causal and forward-only (a replayed or late (us, seq) is dropped —
+    alarms must never un-fire), so a late point that lands INSIDE an
+    already-reported gap cannot update it there. This stream gives late
+    data its batch semantics (SURVEY §1.3: a point belongs to its
+    TIMESTAMP's bucket, not its arrival's): a point arriving within the
+    watermark lands in its event-time bucket, the bucket becomes
+    present, and the next ``gap_report_reads`` over the live state
+    shows the gap SPLIT — bit-identical to the batch q197 answer.
+
+    State is |series| × |buckets in watermark horizon| rows (the
+    streaming_histogram bound), evicted by the watermark; ``ts_col`` is
+    epoch ms. Output: (series, b, n) in update mode.
+    """
+    with_ts = dps.withColumn(
+        "event_time", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("event_time", watermark)
+    return (
+        with_ts.groupBy(
+            F.col(series_col).cast("string").alias("series"),
+            F.window("event_time", f"{int(bucket_ms)} milliseconds").alias(
+                "w"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "series",
+            F.unix_millis(F.col("w.start")).alias("b"),
+            "n",
+        )
+    )
+
+
+def gap_report_reads(presence: DataFrame, bucket_ms: int = 60_000) -> DataFrame:
+    """Gap report over the live presence state — reuses the EXACT batch
+    arithmetic (operators/summary.gap_report_over_buckets), so the live
+    read can never drift from the q197 oracle-pinned spec. Output:
+    (series, n_expected, n_present, n_missing, longest_gap_ms)."""
+    from ticktock_spark.operators.summary import gap_report_over_buckets
+
+    return gap_report_over_buckets(
+        presence.select("series", "b").distinct(),
+        ["series"],
+        bucket_ms=bucket_ms,
+    )
