@@ -46,8 +46,9 @@ def bucket_means(d, bucket_ms=MIN_MS):
     return exact_bucket_means(d, ["metric"], bucket_ms)
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+def run(n: int = 8) -> dict:
+    """Programmatic entry (the @pytest.mark.scale tier asserts on the
+    returned dict); main() wraps it for the CLI."""
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(SCRATCH, ignore_errors=True)
@@ -157,14 +158,40 @@ def main() -> None:
             lambda d: vocab_coverage(d), "docs_1", f"docs_{n}")
     measure("dedup_yield_docs",
             lambda d: dedup_yield_curve(d), "docs_1", f"docs_{n}")
+    # r10 (verdict ask #3): CANDIDATE-PAIR counts at 1x/N x — wall
+    # clock hides the number that actually predicts 100x cost for the
+    # LSH+verify class (the windowed-containment evidence pattern:
+    # candidates 11.9x vs quadratic 64x). Same knobs dedup_yield_curve
+    # passes to minhash_lsh_candidates.
+    from ticktock_spark.pipeline.dedup import minhash_lsh_candidates
+
+    for lbl, tag in (("1", "docs_1"), (str(n), f"docs_{n}")):
+        d = spark.read.parquet(paths[tag])
+        cnt = minhash_lsh_candidates(
+            d, num_hashes=8, bands=4, k=5
+        ).count()
+        out["ops"]["dedup_yield_docs"][f"candidates{lbl}x"] = cnt
+    dy = out["ops"]["dedup_yield_docs"]
+    dy["candidates_ratio"] = round(
+        dy[f"candidates{n}x"] / max(dy["candidates1x"], 1), 1
+    )
+    print("dedup_yield candidates:", dy[f"candidates{n}x"], "at",
+          f"{n}x vs", dy["candidates1x"], "at 1x →",
+          dy["candidates_ratio"], "x (quadratic would be",
+          n * n, "x)", flush=True)
 
     flagged = {
         k: v["ratio"] for k, v in out["ops"].items()
         if v["ratio"] > 2 * n  # grossly super-linear
     }
     out["flagged_superlinear"] = flagged
-    print(json.dumps(out))
     shutil.rmtree(SCRATCH, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    print(json.dumps(run(n)))
 
 
 if __name__ == "__main__":

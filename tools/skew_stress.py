@@ -90,8 +90,9 @@ def gram_novelty_window_form(df, n=3):
     )
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+def run(n: int = 8) -> dict:
+    """Programmatic entry (the @pytest.mark.scale tier asserts on the
+    returned dict); main() wraps it for the CLI."""
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(SCRATCH, ignore_errors=True)
@@ -247,6 +248,24 @@ def main() -> None:
         "changepoint_q171",
         lambda d: mean_shift_score(bucket_means(d), ["metric"]),
     )
+    # r10: the RAW-POINT ops the r9 stress skipped (verdict "what's
+    # wrong #1") — one series holding 50% of all points. Since the
+    # segment-stitch rewrite their lag windows partition on (series,
+    # day-slice), so the hot series fans across slices instead of one
+    # sort task; ratios must stay ~1.
+    from ticktock_spark.operators.summary import (
+        compressibility_audit,
+        interarrival_percentiles,
+    )
+
+    ab_ev(
+        "interarrival_q195",
+        lambda d: interarrival_percentiles(d, ["metric"]),
+    )
+    ab_ev(
+        "compress_audit_q203",
+        lambda d: compressibility_audit(d, ["metric"]),
+    )
 
     flagged = {
         k: v["ratio"]
@@ -256,8 +275,13 @@ def main() -> None:
         and not k.endswith("_WINDOW_FORM")
     }
     out["flagged_over_2x"] = flagged
-    print(json.dumps(out))
     shutil.rmtree(SCRATCH, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    print(json.dumps(run(n)))
 
 
 if __name__ == "__main__":
