@@ -111,31 +111,43 @@ def cosine_scores(
     q_norms = np.sqrt(acc)
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norms))
 
+    # cap the rows x queries fan-out PER YIELDED FRAME: an Arrow input
+    # batch of 10k corpus rows against 20k queries is 2x10^8 pairs in
+    # one output buffer (~1.2 GB — measured OOM against the 8 GiB
+    # direct-memory cap on the 10x bench). Chunking the corpus rows
+    # changes nothing arithmetically (every pair's dot product is
+    # row-local) and bounds both the numpy dots matrix and the Arrow
+    # batch to ~MAX_PAIRS cells.
+    MAX_PAIRS = 2_000_000
+
     def block(batches):
         b_qids, b_Q, b_qnorms = bc.value
+        step = max(1, MAX_PAIRS // max(1, len(b_qids)))
         for pdf_in in batches:
-            if len(pdf_in) == 0:
-                continue
-            c_ids = pdf_in[id_col].to_numpy()
-            C = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
-            dots = np.zeros((len(c_ids), len(b_qids)))
-            for d in range(dim):
-                dots += C[:, d : d + 1] * b_Q[:, d]
-            acc_c = np.zeros(len(c_ids))
-            for d in range(dim):
-                acc_c += C[:, d] * C[:, d]
-            cos = dots / (np.sqrt(acc_c)[:, None] * b_qnorms[None, :])
-            if quantize:
-                cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
-            keep = c_ids[:, None] != b_qids[None, :]
-            ci, qj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[qj],
-                    "vec_id": c_ids[ci],
-                    "cosine": cos[ci, qj],
-                }
-            )
+            for lo in range(0, len(pdf_in), step):
+                pdf = pdf_in.iloc[lo : lo + step]
+                if len(pdf) == 0:
+                    continue
+                c_ids = pdf[id_col].to_numpy()
+                C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                dots = np.zeros((len(c_ids), len(b_qids)))
+                for d in range(dim):
+                    dots += C[:, d : d + 1] * b_Q[:, d]
+                acc_c = np.zeros(len(c_ids))
+                for d in range(dim):
+                    acc_c += C[:, d] * C[:, d]
+                cos = dots / (np.sqrt(acc_c)[:, None] * b_qnorms[None, :])
+                if quantize:
+                    cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
+                keep = c_ids[:, None] != b_qids[None, :]
+                ci, qj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[qj],
+                        "vec_id": c_ids[ci],
+                        "cosine": cos[ci, qj],
+                    }
+                )
 
     return corpus.select(id_col, vec_col).mapInPandas(
         block, schema=f"query_id {qid_type}, vec_id {id_type}, cosine double"

@@ -10,9 +10,13 @@ interpretable (growth ≈ N for scans, never fabricated quadratics):
 - customer / supplier / part / orders / lineitem: N copies with every
   key domain shifted by copy × 10_000_000, consistently across tables
   (referential integrity holds within each copy; joins stay 1:1).
-- events: N time-shifted copies (copy × full-span offset) — same series
-  set, N× longer timeline; per-series cadence unchanged (the
-  round9_scale_stress timeline axis).
+- events: N user-shifted copies in the SAME time window — N× the
+  series per metric, per-series cadence and bucket counts unchanged.
+  This is the realistic sf growth shape (a bigger fleet emits more
+  series over the same month, not a 10× longer month), it keeps
+  metric-pinned TSDB queries seeing real N× growth, and it respects
+  per-series bucket guards (theil_sen max_buckets) that a timeline
+  stretch would trip.
 - documents: N Caesar-shifted copies with fresh doc_ids — cross-copy
   shingles differ, so dedup/gram ops see real corpus growth, not
   planted duplicate blowup (the robust_scale_stress recipe).
@@ -81,18 +85,9 @@ def main() -> None:
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
 
-    ev = read("events")
-    lohi = ev.agg(
-        F.min(F.unix_millis("ts")).alias("lo"),
-        F.max(F.unix_millis("ts")).alias("hi"),
-    ).first()
-    span = int(lohi["hi"] - lohi["lo"]) + 3_600_000
-    write("events", ev.crossJoin(copies).select(
-        shift("event_id"),
-        F.timestamp_millis(
-            F.unix_millis("ts") + F.col("copy") * span
-        ).alias("ts"),
-        "user_id", "event_type", "value", "props"))
+    write("events", read("events").crossJoin(copies).select(
+        shift("event_id"), "ts", shift("user_id"), "event_type",
+        "value", "props"))
 
     import string
 
