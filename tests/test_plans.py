@@ -438,22 +438,28 @@ def test_round9_tsdb_ops_single_scan_no_joins(spark):
     import re
 
     bounds = {
-        # (max exchanges, max windows); q195 = distinct + lag sort +
-        # the R-6 rank machinery's quantile explode re-partition
-        "q195_interarrival": (3, 3),
-        "q196_flatline_runs": (2, 2),
-        "q197_gap_report": (2, 1),
-        "q198_seasonal_envelope": (2, 2),
-        "q201_rollup_error": (3, 0),
-        "q202_value_precision": (1, 0),
-        "q203_compress_audit": (1, 1),
+        # (max scans, max exchanges, max windows).
+        # q195/q203 are the r10 SEGMENT-STITCHED forms: the in-slice
+        # branch and the slice-boundary branch carry different pruned
+        # schemas under their windows, so static exchange reuse does
+        # not collapse the (2-column) fact scans — 2-3 pruned parallel
+        # scans are the designed price for removing the raw-cardinality
+        # per-series sort partition (see SCALE.md round 10 and
+        # tests/test_segment_stitch.py's raw-window plan assert).
+        "q195_interarrival": (2, 6, 6),
+        "q196_flatline_runs": (1, 2, 2),
+        "q197_gap_report": (1, 2, 1),
+        "q198_seasonal_envelope": (1, 2, 2),
+        "q201_rollup_error": (1, 3, 0),
+        "q202_value_precision": (1, 1, 0),
+        "q203_compress_audit": (3, 6, 7),
     }
-    for name, (max_ex, max_win) in bounds.items():
+    for name, (max_scan, max_ex, max_win) in bounds.items():
         plan = _plan(spark, name)
         scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
         ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
         win = len(re.findall(r"^\(\d+\) Window", plan, re.M))
-        assert scans == 1, (name, scans)
+        assert scans <= max_scan, (name, scans)
         assert ex <= max_ex, (name, ex)
         assert win <= max_win, (name, win)
         assert "Join" not in plan, name
