@@ -950,25 +950,33 @@ def knn_quantized(
     qn[qn == 0] = 1.0  # zero-code queries: cosine 0 everywhere
     bc = corpus_q.sparkSession.sparkContext.broadcast((q_ids, Q, qn))
 
+    # bound rows x queries per yielded frame (the cosine_scores fix):
+    # one Arrow input batch against a large broadcast query side would
+    # otherwise materialize an unbounded pair buffer
+    MAX_PAIRS = 2_000_000
+
     def block(batches):
         b_qids, b_Q, b_qn = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            c_ids = pdf[id_col].to_numpy()
-            C = np.stack(pdf["q"].to_numpy()).astype(np.int32)
-            cn = np.sqrt((C * C).sum(axis=1))
-            cn[cn == 0] = 1.0
-            cos = (C @ b_Q.T) / (cn[:, None] * b_qn[None, :])
-            keep = c_ids[:, None] != b_qids[None, :]
-            ci, qj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[qj],
-                    "vec_id": c_ids[ci],
-                    "cosine": cos[ci, qj],
-                }
-            )
+        step = max(1, MAX_PAIRS // max(1, len(b_qids)))
+        for pdf_in in batches:
+            for lo in range(0, len(pdf_in), step):
+                pdf = pdf_in.iloc[lo : lo + step]
+                if not len(pdf):
+                    continue
+                c_ids = pdf[id_col].to_numpy()
+                C = np.stack(pdf["q"].to_numpy()).astype(np.int32)
+                cn = np.sqrt((C * C).sum(axis=1))
+                cn[cn == 0] = 1.0
+                cos = (C @ b_Q.T) / (cn[:, None] * b_qn[None, :])
+                keep = c_ids[:, None] != b_qids[None, :]
+                ci, qj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[qj],
+                        "vec_id": c_ids[ci],
+                        "cosine": cos[ci, qj],
+                    }
+                )
 
     scored = corpus_q.select(id_col, "q").mapInPandas(
         block, schema=f"query_id {qid_type}, vec_id {id_type}, cosine double"
