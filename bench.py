@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "q192_source_word_entropy",   # vocab-bounded micro-nat entropy
     "q193_centroid_agreement",    # broadcast-centroid probe (q190's scale path)
     "q194_histogram_quantile",    # O(bins) percentile estimation
+    # round-10 additions (the segment-stitched raw-point audits)
+    "q195_interarrival",          # slice-partitioned lag + boundary stitch
+    "q203_compress_audit",        # dod/repeat lags, slice-partitioned
 ]
 
 

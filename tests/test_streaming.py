@@ -2188,3 +2188,71 @@ def test_late_point_splits_reported_gap_to_batch_answer(spark, tmp_path):
     final = live[0]
     assert final["longest_gap_ms"] == 3 * minute
     assert final["n_missing"] == pre["n_missing"] - 1
+
+
+def test_streaming_presence_restart_preserves_gap_state(spark, tmp_path):
+    """streaming_presence across a STOP/RESTART: the watermarked bucket
+    counts live in the checkpoint, so a second query instance resumes
+    from epoch 1's state and a late point delivered after the restart
+    still splits the reported gap to the exact batch answer — the
+    WAL/crash-recovery contract (SURVEY §2.1) for the revising twin."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.operators.summary import gap_report
+    from ticktock_spark.streaming.liveness import (
+        gap_report_reads,
+        streaming_presence,
+    )
+
+    minute = 60_000
+    t0 = 1_700_000_000_000 - (1_700_000_000_000 % minute)
+    rows = [("m", t0 + m * minute + 7, 1.0) for m in (0, 1, 8, 9)]
+    late = [("m", t0 + 4 * minute + 7, 2.0)]  # splits the 6-bucket gap
+    (tmp_path / "in").mkdir(exist_ok=True)
+
+    def write_epoch(bi, chunk):
+        f = tmp_path / "in" / f"b{bi}.txt"
+        f.write_text("\n".join(f"{s} {ts} {v}" for s, ts, v in chunk))
+        os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+
+    def run_query():
+        lines = spark.readStream.format("text").load(str(tmp_path / "in"))
+        p = F.split("value", " ")
+        stream = lines.select(
+            p.getItem(0).alias("metric"),
+            p.getItem(1).cast("long").alias("ts"),
+            p.getItem(2).cast("double").alias("value"),
+        )
+        q = (
+            streaming_presence(stream, bucket_ms=minute, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("presence_restart_out")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_epoch(0, rows)
+    run_query()  # instance 1 processes epoch 1, then terminates
+    pre = gap_report_reads(
+        spark.table("presence_restart_out"), bucket_ms=minute
+    ).first()
+    assert pre["longest_gap_ms"] == 6 * minute
+    write_epoch(1, late)
+    run_query()  # instance 2 resumes from the checkpoint
+    live = gap_report_reads(
+        spark.table("presence_restart_out"), bucket_ms=minute
+    ).collect()
+    want = gap_report(
+        spark.createDataFrame(
+            rows + late, "metric string, ts long, value double"
+        ),
+        ["metric"],
+        bucket_ms=minute,
+    ).collect()
+    assert {tuple(r) for r in live} == {tuple(r) for r in want}
+    assert live[0]["longest_gap_ms"] == 3 * minute  # the gap split
