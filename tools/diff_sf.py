@@ -54,8 +54,14 @@ def main():
     # NO temp_directory by default, so exceeding memory_limit is fatal
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     con.sql("SET memory_limit='48GB'")
+    import os
+
     for t in TESTDATA_TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (e.g. the
+        # gen_sf_scaled corpora); DuckDB needs the glob form there
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     spark = get_spark()
     names = [
         n for n in sorted(QUERIES)
