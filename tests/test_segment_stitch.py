@@ -229,3 +229,82 @@ def test_no_raw_cardinality_window_partition_remains(spark):
             # slice-partitioned; slice-frame specs order by __slice
             if re.search(r"\b(ts|__ts)#\d+L ASC", spec):
                 assert "__slice" in spec, spec
+
+
+def _py_compress_reference(rows_by_metric):
+    """Pure-Python re-statement of the q203 spec (global consecutive
+    lags, 2-decimal grid, q6-floored fractions) — the shrinking oracle
+    for the hypothesis test below."""
+    import math
+
+    out = {}
+    for m, rows in rows_by_metric.items():
+        rows = sorted(rows)
+        ts = [r[0] for r in rows]
+        vs = [
+            None if r[1] is None
+            else math.floor(r[1] * 100.0 + 0.5)
+            for r in rows
+        ]
+        n_dod = n_dod0 = n_rep = n_rep1 = 0
+        for i in range(len(rows)):
+            if i >= 2:
+                n_dod += 1
+                if ts[i] - 2 * ts[i - 1] + ts[i - 2] == 0:
+                    n_dod0 += 1
+            if i >= 1 and vs[i] is not None and vs[i - 1] is not None:
+                n_rep += 1
+                if vs[i] == vs[i - 1]:
+                    n_rep1 += 1
+        if n_dod > 0:
+            q6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+            out[m] = (
+                n_dod + 2,
+                q6(n_dod0 / n_dod),
+                q6(n_rep1 / n_rep) if n_rep else None,
+            )
+    return out
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _ROWS = st.dictionaries(
+        st.sampled_from(["m0", "m1"]),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),
+                st.sampled_from([1.0, 2.5, None]),
+            ),
+            min_size=0,
+            max_size=10,
+            unique_by=lambda t: t[0],  # unique ts per metric (no seq)
+        ),
+        min_size=1,
+        max_size=2,
+    )
+
+    @given(rows=_ROWS, slice_ms=st.sampled_from([3, 5, 7]))
+    @settings(max_examples=25, deadline=None)
+    def test_compressibility_stitch_matches_python_reference(
+        spark, rows, slice_ms
+    ):
+        flat = [
+            (m, ts, v) for m, rs in rows.items() for ts, v in rs
+        ]
+        if not flat:
+            return
+        df = spark.createDataFrame(
+            flat, "metric string, ts long, value double"
+        )
+        got = {
+            r["metric"]: (r["n"], r["frac_ts_regular"], r["frac_val_repeat"])
+            for r in compressibility_audit(
+                df, ["metric"], slice_ms=slice_ms
+            ).collect()
+        }
+        assert got == _py_compress_reference(
+            {m: rs for m, rs in rows.items()}
+        )
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass

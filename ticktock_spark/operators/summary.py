@@ -583,9 +583,17 @@ def compressibility_audit(
         _q6(F.col("n_dod0").cast("double") / F.col("n_dod")).alias(
             "frac_ts_regular"
         ),
-        _q6(F.col("n_rep1").cast("double") / F.col("n_rep")).alias(
-            "frac_val_repeat"
-        ),
+        # a series whose values are ALL NULL has n_dod > 0 but n_rep == 0
+        # (every rep comparison is NULL) — frac_val_repeat is then NULL
+        # ("fractions over the points that HAVE the required lags"),
+        # matching DuckDB's x/0 → NULL; an unguarded divide is an ANSI
+        # DIVIDE_BY_ZERO (found by the hypothesis shrinker)
+        _q6(
+            F.when(
+                F.col("n_rep") > 0,
+                F.col("n_rep1").cast("double") / F.col("n_rep"),
+            )
+        ).alias("frac_val_repeat"),
     )
 
 
