@@ -41,7 +41,7 @@ def _ts_array(vals_us):
     return pa.array(vals_us, type=pa.timestamp("us"))
 
 
-def gen_events(rng, n=600):
+def gen_events(rng, n=600, with_nulls=False):
     """Edges: exact-duplicate (event_type,user,ts) with different values
     (last-wins dedup), points ON minute/hour/day bucket boundaries,
     same-ts-different-series, negative / zero / large 2-decimal values."""
@@ -89,6 +89,17 @@ def gen_events(rng, n=600):
     # the ulp and the E[x²]−E[x]² cancellation amplifies it.
     for v in (0.0, -0.01, 29_999.99, -29_999.99, 0.01):
         add(T0 + int(rng.integers(0, span_us)), 9, "error", v)
+    if with_nulls:
+        # OPT-IN (--nulls): an ALL-NULL-value series (its own user,
+        # regular cadence) — the shape that had n_dod > 0 with
+        # n_rep == 0 in q203 (ANSI DIVIDE_BY_ZERO before the r10
+        # guard). Off by default because a NULL value is UNREPRESENTABLE
+        # in the put-line ingest protocol (q29's roundtrip correctly
+        # rejects it) and the r10 probe found 5 entries whose NULL/NaN
+        # group semantics diverge across engines (q85/q148/q153/q157/
+        # q194 — the open r11 item; see BENCHNOTES round 10).
+        for i in range(6):
+            add(T0 + (i + 1) * 60 * US + 15 * US, 11, "signup", None)
     return pa.table(
         {
             "event_id": pa.array(rows["event_id"], pa.int64()),
@@ -229,12 +240,12 @@ def gen_tpch(rng):
             "supplier": supplier, "part": part, "orders": orders, "lineitem": lineitem}
 
 
-def generate(out_dir: str, seed: int = 7) -> None:
+def generate(out_dir: str, seed: int = 7, with_nulls: bool = False) -> None:
     rng = np.random.default_rng(seed)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     tables = gen_tpch(rng)
-    tables["events"] = gen_events(rng)
+    tables["events"] = gen_events(rng, with_nulls=with_nulls)
     tables["documents"] = gen_documents(rng)
     tables["embeddings"] = gen_embeddings(rng)
     for name, tbl in tables.items():
@@ -246,5 +257,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--nulls", action="store_true",
+                    help="include the all-NULL-value series (open r11 item)")
     a = ap.parse_args()
-    generate(a.out_dir, a.seed)
+    generate(a.out_dir, a.seed, with_nulls=a.nulls)
