@@ -235,7 +235,10 @@ def interarrival_percentiles(
         .select(
             *series_cols,
             ts_col,
-            (F.col(ts_col) - F.col(ts_col) % F.lit(step)).alias("__slice"),
+            # pmod, not %: Spark's % is sign-of-dividend, which would make the
+            # slice at 0 span (-step, step) for negative epochs and double the
+            # documented slice/cadence partition bound; pmod floor-aligns all ts.
+            (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(step))).alias("__slice"),
         )
     )
     wsl = W.partitionBy(*series_cols, "__slice").orderBy(ts_col)
@@ -499,7 +502,10 @@ def compressibility_audit(
         F.col(ts_col).alias("__ts"),
         v.alias("__v"),
         *([F.col(seq_col).alias("__seq")] if seq_col else []),
-        (F.col(ts_col) - F.col(ts_col) % F.lit(step)).alias("__slice"),
+        # pmod, not %: Spark's % is sign-of-dividend, which would make the
+        # slice at 0 span (-step, step) for negative epochs and double the
+        # documented slice/cadence partition bound; pmod floor-aligns all ts.
+        (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(step))).alias("__slice"),
     )
     wsl = W.partitionBy(*series_cols, "__slice").orderBy(*order)
     wall = W.partitionBy(*series_cols, "__slice")

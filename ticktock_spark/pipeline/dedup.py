@@ -238,6 +238,7 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
                     ids.append(doc_id)
                     band_idx.append(b)
                     keys.append(md5(f"b{b}:{sig_slice}".encode()).hexdigest())
+            # yield bound: bands-per-doc is the constant `bands` (row-local)
             yield pd.DataFrame({id_col: ids, "band": band_idx, "key": keys})
 
     return stage

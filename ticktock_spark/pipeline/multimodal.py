@@ -152,7 +152,7 @@ def decode_and_featurize(
                         ],
                     }
                 )
-            yield out
+            yield out  # yield bound: row-local (one output row per payload)
 
     return df.mapInPandas(_batches, DECODE_OUT_SCHEMA)
 
@@ -297,6 +297,7 @@ def frame_sample(df: DataFrame, fps: float = 1.0, id_col: str = "doc_id") -> Dat
                     frames.append(
                         hashlib.md5(bytes(payload) + i.to_bytes(4, "big")).digest()
                     )
+            # yield bound: frames-per-doc = dur*fps (metadata-bounded, not pair-product)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
             )
@@ -366,6 +367,7 @@ def audio_windows(
                     ends.append(min((i + 1) * window_ms, dur))
                     chunks.append(chunk)
                     rmss.append(sum(chunk) / len(chunk) / 255.0)
+            # yield bound: windows-per-doc = dur/window_ms (metadata-bounded)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -419,6 +421,7 @@ def image_dhash(
                 ws.append(w)
                 hs.append(h)
                 hashes.append(_dhash64(gray, w, h))
+            # yield bound: row-local (at most one output row per payload)
             yield pd.DataFrame(
                 {id_col: ids, "width": ws, "height": hs, "dhash": hashes}
             )

@@ -27,6 +27,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+# Upper bound on rows x queries cells per yielded Arrow frame in the
+# pair-product kernels (cosine_scores, knn_quantized). An unchunked
+# 10k-row Arrow input batch against a 20k-vector broadcast query side
+# materializes 2x10^8 pairs in ONE output buffer (~1.2 GB — measured
+# direct-memory OOM against the 8 GiB cap on the 10x/sf1 bench).
+# Chunking the corpus rows is arithmetically free (every pair is
+# row-local), so any NEW kernel whose output frame scales with
+# |input batch| x |broadcast side| must slice its batches to this
+# bound; kernels whose yields are row-local (<= a few columns per
+# input row) need no cap.
+MAX_PAIR_CELLS = 2_000_000
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -111,18 +123,13 @@ def cosine_scores(
     q_norms = np.sqrt(acc)
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norms))
 
-    # cap the rows x queries fan-out PER YIELDED FRAME: an Arrow input
-    # batch of 10k corpus rows against 20k queries is 2x10^8 pairs in
-    # one output buffer (~1.2 GB — measured OOM against the 8 GiB
-    # direct-memory cap on the 10x bench). Chunking the corpus rows
-    # changes nothing arithmetically (every pair's dot product is
-    # row-local) and bounds both the numpy dots matrix and the Arrow
-    # batch to ~MAX_PAIRS cells.
-    MAX_PAIRS = 2_000_000
+    # cap the rows x queries fan-out PER YIELDED FRAME (module-level
+    # MAX_PAIR_CELLS carries the measured OOM rationale); bounds both
+    # the numpy dots matrix and the Arrow output batch.
 
     def block(batches):
         b_qids, b_Q, b_qnorms = bc.value
-        step = max(1, MAX_PAIRS // max(1, len(b_qids)))
+        step = max(1, MAX_PAIR_CELLS // max(1, len(b_qids)))
         for pdf_in in batches:
             for lo in range(0, len(pdf_in), step):
                 pdf = pdf_in.iloc[lo : lo + step]
@@ -342,7 +349,7 @@ def srp_bucketed(
             bits = _srp_project(M, P) >= 0.0
             pdf = pdf[[id_col, vec_col]].copy()
             pdf["bucket"] = (bits * w).sum(axis=1)
-            yield pdf
+            yield pdf  # yield bound: row-local (one output row per input row)
 
     vec_type = dict(corpus.dtypes)[vec_col]
     id_type = dict(corpus.dtypes)[id_col]
@@ -642,6 +649,7 @@ def kmeans_lloyd(
                     if m.any():
                         S[j] += X[m].sum(axis=0)
                         n[j] += int(m.sum())
+            # yield bound: k x dim partials per partition (model-scale)
             yield pd.DataFrame(
                 {"j": range(len(Cn)), "s": [list(row) for row in S], "n": n}
             )
@@ -671,6 +679,7 @@ def kmeans_lloyd(
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             a = _assign_rows(X, Cn)
+            # yield bound: row-local (one output row per input row)
             yield pd.DataFrame({id_col: pdf[id_col], "bucket": a.astype("int32")})
 
     id_type = dict(corpus.dtypes)[id_col]
@@ -950,14 +959,13 @@ def knn_quantized(
     qn[qn == 0] = 1.0  # zero-code queries: cosine 0 everywhere
     bc = corpus_q.sparkSession.sparkContext.broadcast((q_ids, Q, qn))
 
-    # bound rows x queries per yielded frame (the cosine_scores fix):
-    # one Arrow input batch against a large broadcast query side would
+    # bound rows x queries per yielded frame (see MAX_PAIR_CELLS): one
+    # Arrow input batch against a large broadcast query side would
     # otherwise materialize an unbounded pair buffer
-    MAX_PAIRS = 2_000_000
 
     def block(batches):
         b_qids, b_Q, b_qn = bc.value
-        step = max(1, MAX_PAIRS // max(1, len(b_qids)))
+        step = max(1, MAX_PAIR_CELLS // max(1, len(b_qids)))
         for pdf_in in batches:
             for lo in range(0, len(pdf_in), step):
                 pdf = pdf_in.iloc[lo : lo + step]
@@ -1148,6 +1156,7 @@ def _pq_encode_numpy(
                 )
                 cols.append(d.argmin(axis=1))
             codes = np.stack(cols, axis=1).astype("int32")
+            # yield bound: row-local (one codes row per input row)
             yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
 
     return corpus.select(id_col, vec_col).mapInPandas(
@@ -1459,7 +1468,7 @@ def jl_project(
             proj = _srp_project(M, P) * scale
             out = pdf[[id_col]].copy()
             out["jl"] = list(proj)
-            yield out
+            yield out  # yield bound: row-local (one output row per input row)
 
     id_type = dict(corpus.dtypes)[id_col]
     return corpus.select(id_col, vec_col).mapInPandas(

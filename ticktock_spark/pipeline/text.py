@@ -1206,6 +1206,7 @@ def winnowing_fingerprints(
                     }
                     ids.extend([doc_id] * len(sel))
                     fps.extend(sel)
+                # yield bound: fingerprints-per-doc <= token count (row-local in doc size)
                 yield pd.DataFrame({id_col: ids, "fp": fps})
 
         return nm.mapInPandas(_batches, schema=f"{id_col} {id_type}, fp string")

@@ -268,6 +268,7 @@ def influx_lines_to_datapoints(
                     if dp["ts"] is None:
                         dp = {**dp, "ts": default_ts_ms}
                     rows.append(dp)
+            # yield bound: rows-per-line is the line's field count (row-local)
             yield pd.DataFrame(
                 rows, columns=["metric", "ts", "value", "tags"]
             ) if rows else pd.DataFrame(

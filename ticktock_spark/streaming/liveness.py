@@ -45,6 +45,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# STATE SCHEMA VERSION NOTE: v2 (adds `v_finite` between `v_micro` and
+# `run_len`, replacing the NaN-sentinel encoding). Spark's state-store
+# schema compatibility check REJECTS a restart of this query from a v1
+# (pre-`v_finite`) checkpoint — on upgrade, discard the old checkpoint
+# directory and let the monitor rebuild state from the replayed source;
+# there is no in-place state migration for applyInPandasWithState.
 LIVENESS_STATE = StructType(
     [
         StructField("us", LongType()),

@@ -92,6 +92,16 @@ def main() -> None:
     import string
 
     lo_a, up_a = string.ascii_lowercase, string.ascii_uppercase
+    # The per-copy Caesar shift c*3 % 25 + 1 cycles with period 25, so a
+    # 26th copy would be byte-identical to copy 1 — planted exact-dup
+    # cliques that break the "real corpus growth, not planted
+    # duplicates" guarantee. Hard-stop rather than silently plant them.
+    if n > 25:
+        raise SystemExit(
+            "documents recipe supports n <= 25 distinct copies (the "
+            "alphabet-shift perturbation repeats with period 25); "
+            f"got n={n}. Extend the perturbation before scaling further."
+        )
     pert = F.col("text")
     for c in range(1, n):
         sh = c * 3 % 25 + 1
