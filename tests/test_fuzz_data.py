@@ -39,6 +39,15 @@ SUBSET = [
     "q21_revenue_by_nation",   # orderdate on [start, end) bounds + orphan FK
     "q100_semantic_dedup",     # duplicate/tiny-norm vectors through CC closure
     "q101_source_cap",         # cap vs sources smaller than the cap
+    # the all-NULL-value series (default-on since r11): the 5 entries
+    # whose NULL/NaN group semantics diverged across engines before the
+    # r11 alignment (NULL-value rows dropped at the scan, both sides)
+    "q85_percentile_rollup",
+    "q148_ewma_baseline",
+    "q153_rolling_p95",
+    "q157_anomaly_ensemble",
+    "q194_histogram_quantile",
+    "q203_compress_audit",     # all-NULL series through the r10 n_rep==0 guard
 ]
 
 

@@ -1446,3 +1446,82 @@ def test_http_analytics_round9_ops(spark):
                 assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_http_stream_gaps_parity_with_batch(spark, tmp_path):
+    """GET /api/analytics/stream?op=gaps serves the LIVE streaming_presence
+    monitor's revising gap report with the exact response shape and
+    values of the batch op: the same points (including a late one that
+    splits a reported gap) are POSTed to /api/put for the batch path and
+    replayed through a watermarked streaming_presence query for the live
+    path, and the two endpoints' dps must be identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.streaming.liveness import streaming_presence
+
+    minute = 60_000
+    t0 = 1_700_000_000_000 - (1_700_000_000_000 % minute)
+    rows = [("gapm", t0 + m * minute + 123, 1.0) for m in (0, 1, 2, 10, 11)]
+    late = [("gapm", t0 + 6 * minute + 45, 9.9)]
+
+    srv = TsdbHttpServer(spark).start()
+    try:
+        # batch side: every point (late one included) through /api/put
+        body = "\n".join(
+            f"put {m} {ts} {v} host=x" for m, ts, v in rows + late
+        )
+        assert _post(srv, "/api/put", body)["success"] == len(rows) + len(late)
+
+        # streaming side: two file micro-batches, the late point second
+        (tmp_path / "in").mkdir()
+        for bi, chunk in enumerate((rows, late)):
+            f = tmp_path / "in" / f"b{bi}.txt"
+            f.write_text("\n".join(f"{m} {ts} {v}" for m, ts, v in chunk))
+            os.utime(f, (1_000_000_000 + bi, 1_000_000_000 + bi))
+        p = F.split("value", " ")
+        stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(tmp_path / "in"))
+            .select(
+                p.getItem(0).alias("metric"),
+                p.getItem(1).cast("long").alias("ts"),
+                p.getItem(2).cast("double").alias("value"),
+            )
+        )
+        q = (
+            streaming_presence(stream, bucket_ms=minute, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("presence_http")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        srv.store.attach_presence(
+            lambda: spark.table("presence_http"), bucket_ms=minute
+        )
+
+        live = _get(srv, "/api/analytics/stream?op=gaps&m=gapm")
+        batch = _get(srv, "/api/analytics?op=gaps&m=gapm")
+        assert len(live) == 1 and len(batch) == 1
+        assert live[0]["metric"] == batch[0]["metric"] == "gaps(gapm)"
+        assert live[0]["dps"] == batch[0]["dps"]
+        # the late point split the 7-bucket gap: longest run is 3 minutes
+        assert live[0]["dps"]["3"] == 3 * minute
+
+        # unknown op and unattached-monitor guards
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/api/analytics/stream?op=nope")
+        assert ei.value.code == 400
+        srv.store._presence = None
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/api/analytics/stream?op=gaps")
+        assert ei.value.code == 400
+    finally:
+        srv.stop()

@@ -276,3 +276,125 @@ def test_rollup_raw_fallback_splice(spark):
     # days 1/3 must still be served by the (unchanged) rollup rows
     assert math.isclose(spliced[0].dps[0], stale[0].dps[0])
     assert math.isclose(spliced[0].dps[48 * H], stale[0].dps[48 * H])
+
+
+# --- persisted rollup table: plan-level routing guarantees ---------------
+
+def _fmt_plan(df) -> str:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _scan_sections(plan: str) -> list[str]:
+    """Split a formatted plan's node-detail area into per-scan chunks so
+    each Location can be paired with ITS PartitionFilters."""
+    import re
+
+    chunks = re.split(r"\n\(\d+\) Scan parquet ?\n", plan)
+    return chunks[1:]  # chunk i follows scan node i
+
+
+def _persisted_fixture(spark, tmp_path):
+    """3 days of hourly points written as a dt-partitioned parquet raw
+    table; the hourly rollup persisted from that snapshot; then LATE
+    points appended to day 2 of the raw table only — the exact
+    late/OOO shape that makes a day's rollup stale
+    (query.cpp:1109-1238)."""
+    from ticktock_spark.maintenance import persisted_rollup_1h
+
+    schema = "metric string, ts long, value double, tags map<string,string>, seq long"
+    rows = []
+    seq = 0
+    for d in range(3):
+        for h in range(24):
+            rows.append(("m", (d * 24 + h) * H, float(h % 7) + d, {"host": "x"}, seq))
+            seq += 1
+    base = spark.createDataFrame(rows, schema).withColumn(
+        "dt", F.to_date(F.timestamp_millis(F.col("ts")))
+    )
+    raw_path = str(tmp_path / "datapoints")
+    base.write.partitionBy("dt").parquet(raw_path)
+
+    r1h = persisted_rollup_1h(
+        spark,
+        spark.read.parquet(raw_path).drop("dt"),
+        cache_key="splice-test",
+        base_dir=str(tmp_path / "rollups"),
+    )
+
+    late = spark.createDataFrame(
+        [("m", (24 + h) * H, 100.0 + h, {"host": "x"}, 1000 + h) for h in range(0, 24, 3)],
+        schema,
+    ).withColumn("dt", F.to_date(F.timestamp_millis(F.col("ts"))))
+    late.write.partitionBy("dt").mode("append").parquet(raw_path)
+    raw = spark.read.parquet(raw_path)
+    return raw, r1h
+
+
+def test_routed_plan_scans_rollup_parquet_only(spark, tmp_path):
+    """With a PERSISTED rollup table, the routed 2h-avg plan's ONLY file
+    scan is the rollup parquet — the raw table never appears in the
+    physical plan (the q26 production shape; at 100 TB this is the
+    difference between reading ~8760 rows/series and reading raw
+    points). The rollup scan must also carry dt partition pruning."""
+    from ticktock_spark.plans.spec import QuerySpec
+
+    raw, r1h = _persisted_fixture(spark, tmp_path)
+    ctx = TsdbContext(raw, rollup_1h=r1h)
+    ds, did = ctx._downsampled_series(
+        QuerySpec(metric="m", downsample="2h-avg"), 0, 3 * 24 * H, []
+    )
+    assert did
+    plan = _fmt_plan(ds)
+    scans = _scan_sections(plan)
+    assert len(scans) == 1, f"expected 1 file scan, saw {len(scans)}"
+    assert "rollup_1h" in scans[0] and "datapoints" not in scans[0]
+    assert "PartitionFilters" in scans[0] and "dt" in scans[0]
+
+
+def test_splice_plan_prunes_to_exactly_invalid_partitions(spark, tmp_path):
+    """ROLLUP_FALLBACK_RAW over a persisted rollup: the raw-table scans
+    are partition-pruned to EXACTLY the invalidated day; the rollup scan
+    excludes that day via its dt partition column; and the spliced
+    answer equals the pure-raw truth (late data included) while valid
+    days still serve the unchanged rollup rows."""
+    from ticktock_spark.plans.spec import QuerySpec
+
+    raw, r1h = _persisted_fixture(spark, tmp_path)
+    spec = QuerySpec(metric="m", downsample="1d-avg")
+
+    stale_ctx = TsdbContext(raw, rollup_1h=r1h)
+    stale = {
+        r["ts"]: r["value"]
+        for r in stale_ctx._downsampled_series(spec, 0, 3 * 24 * H, [])[0].collect()
+    }
+    truth = {
+        r["ts"]: r["value"]
+        for r in TsdbContext(raw)._downsampled_series(spec, 0, 3 * 24 * H, [])[0].collect()
+    }
+    assert stale[24 * H] != truth[24 * H]  # day-2 rollup IS stale
+
+    ctx = TsdbContext(raw, rollup_1h=r1h, rollup_invalid_dts={"1970-01-02"})
+    ds, _ = ctx._downsampled_series(spec, 0, 3 * 24 * H, [])
+    plan = _fmt_plan(ds)
+    for section in _scan_sections(plan):
+        if "datapoints" in section:
+            # raw branch: pruned to the one invalid day, and ONLY it
+            assert "PartitionFilters" in section
+            assert "1970-01-02" in section
+            assert "1970-01-01" not in section.split("PushedFilters")[0].split(
+                "PartitionFilters"
+            )[1].split("]")[0].replace("1970-01-02", "")
+        else:
+            assert "rollup_1h" in section
+            assert "NOT (dt" in section and "1970-01-02" in section
+
+    spliced = {r["ts"]: r["value"] for r in ds.collect()}
+    assert spliced.keys() == truth.keys()
+    for k in truth:
+        assert math.isclose(spliced[k], truth[k]), k
+    assert math.isclose(spliced[0], stale[0])  # valid days: rollup rows
+    assert math.isclose(spliced[48 * H], stale[48 * H])

@@ -1038,6 +1038,38 @@ def gaps_op(
     )
 
 
+def stream_gaps_op(
+    presence: DataFrame,
+    bucket_ms: int = MIN_MS,
+    metrics: list[str] | None = None,
+) -> list[ResultSet]:
+    """gaps_op's STREAMING twin, reachable over GET /api/analytics/stream:
+    the live presence state table (streaming/liveness.streaming_presence's
+    sink, columns series/b/n) read through the SAME gap arithmetic
+    (gap_report_reads → gap_report_over_buckets) and shaped into the SAME
+    response as the batch op — dps {0: expected buckets, 1: present,
+    2: missing, 3: longest gap ms}. A late point inside the watermark has
+    already revised the state (the reported gap SPLITS), so this read
+    reflects it immediately, where the batch op sees it only after the
+    buffered points flush into the base table. The monitor state has no
+    tag dimension (series strings only), so aggregate_tags is always []."""
+    from ticktock_spark.streaming.liveness import gap_report_reads
+
+    if metrics:
+        presence = presence.filter(F.col("series").isin(list(metrics)))
+    rows = (
+        gap_report_reads(presence, bucket_ms=bucket_ms)
+        .withColumnRenamed("series", "metric")
+        .collect()
+    )
+    return _fixed_key_resultsets(
+        rows,
+        "gaps({})",
+        ["n_expected", "n_present", "n_missing", "longest_gap_ms"],
+        {},
+    )
+
+
 def seasonal_envelope_op(
     dps: DataFrame,
     metrics: list[str] | None = None,

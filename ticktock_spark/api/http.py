@@ -112,6 +112,16 @@ class TsdbStore:
             "query_latency_ms": 0.0,
             "ingested_dps": 0,
         }
+        # live streaming_presence monitor: (state-table source, bucket_ms)
+        self._presence: tuple | None = None
+
+    def attach_presence(self, presence, bucket_ms: int = 60_000) -> None:
+        """Register a running streaming_presence monitor's state table so
+        GET /api/analytics/stream can serve its revising gap report.
+        ``presence`` is the live state DataFrame (e.g. the memory-sink
+        table of the streaming query) or a zero-arg callable returning
+        one (re-resolved per request, for sinks that re-register)."""
+        self._presence = (presence, int(bucket_ms))
 
     # -- self-metrics loop (src/utils/stats.cpp:230-430) --
 
@@ -397,6 +407,27 @@ class _Handler(BaseHTTPRequestHandler):
                 t0 = _t.perf_counter()
                 top = parse_query_params(params)
                 results = self.store.context().execute(top)
+                self.store.note_query((_t.perf_counter() - t0) * 1000.0)
+                self._send_query_results(results)
+            elif route == "/api/analytics/stream":
+                import time as _t
+
+                from ticktock_spark.api import analytics
+
+                if self.store._presence is None:
+                    raise _BadRequest(
+                        "no streaming presence monitor attached "
+                        "(TsdbStore.attach_presence)"
+                    )
+                op = (params.get("op") or ["gaps"])[0]
+                if op != "gaps":
+                    raise _BadRequest(f"unknown stream op {op!r}")
+                presence, bucket_ms = self.store._presence
+                df = presence() if callable(presence) else presence
+                t0 = _t.perf_counter()
+                results = analytics.stream_gaps_op(
+                    df, bucket_ms=bucket_ms, metrics=params.get("m")
+                )
                 self.store.note_query((_t.perf_counter() - t0) * 1000.0)
                 self._send_query_results(results)
             elif route == "/api/analytics":

@@ -204,3 +204,73 @@ def adopt_streaming_table(spark: SparkSession, table_path: str) -> bool:
         shutil.rmtree(md)
         spark.catalog.refreshByPath(table_path)
     return existed
+
+
+def source_fingerprint(path: str) -> str:
+    """Content key for a parquet source (file OR Spark-written directory):
+    md5 over the sorted (relative-name, size, mtime_ns) of its data files.
+    Used to key derived-table caches (:func:`persisted_rollup_1h`) so a
+    regenerated source (same path, new content — e.g. a reseeded fuzz
+    dir) never serves a stale derivation."""
+    import hashlib
+    import os
+
+    p = Path(path)
+    parts: list[str] = []
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    for f in files:
+        st = f.stat()
+        parts.append(f"{f.name}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:16]
+
+
+def persisted_rollup_1h(
+    spark: SparkSession,
+    dps,
+    cache_key: str,
+    base_dir: str = "/tmp/ticktock_rollup_cache",
+):
+    """Materialize the hourly rollup of ``dps`` as a day-partitioned
+    parquet table (once per ``cache_key``) and return a DataFrame READING
+    that table — the production shape of §2.8 rollup routing.
+
+    The reference accumulates rollups at ingest time and stores them as
+    their own files (`src/agg/rollup.cpp:199-276`); a routed query reads
+    rollup storage, never the raw points. The in-memory
+    ``TsdbContext.materialize_rollups()`` twin derives the rollup lazily
+    from the raw DataFrame, which is correct but makes a routed plan
+    still SCAN the raw source. This persisted form is what a 100 TB
+    deployment runs: the routed plan's only file scan is the (3-4 orders
+    smaller) rollup table, and the fallback splice's day filters become
+    partition pruning on its ``dt`` partition column.
+
+    Build is atomic (write to a tmp dir, rename into place): concurrent
+    builders race benignly — the loser discards its build. Content is
+    exactly ``materialize_rollups``'s rollup_1h plus the ``dt`` partition
+    column derived from bucket_ts (an hourly bucket never crosses a day
+    boundary, so dt identifies the day partition that produced it).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ticktock_spark.plans.planner import TsdbContext
+
+    path = Path(base_dir) / cache_key / "rollup_1h"
+    if not path.is_dir():
+        ctx = TsdbContext(dps)
+        ctx.materialize_rollups()
+        tmp = Path(f"{path}.build-{os.getpid()}")
+        (
+            ctx.rollup_1h.withColumn(
+                "dt", F.to_date(F.timestamp_millis(F.col("bucket_ts")))
+            )
+            .write.partitionBy("dt")
+            .mode("overwrite")
+            .parquet(str(tmp))
+        )
+        try:
+            tmp.rename(path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    return spark.read.parquet(str(path))

@@ -2162,6 +2162,7 @@ _EVQ = (
       SELECT metric, user_id, ts - ts % 3600000 AS ts,
              list_sort(list(value)) AS vals
       FROM {_EVQ}
+      WHERE value IS NOT NULL
       GROUP BY 1, 2, 3
     )
     SELECT metric, user_id, ts,
@@ -2177,11 +2178,17 @@ def q85(spark, sf_dir):
     the latency-dashboard materialization the reference's cnt/min/max/sum
     rollups can't answer. ONE collect_list agg per bucket; the three R-6
     interpolations share the sorted array column (a plain projection, so
-    no recompute — contrast per-pair HOF evaluation)."""
+    no recompute — contrast per-pair HOF evaluation).
+
+    NULL-value rows are not datapoints (unrepresentable in the put-line
+    ingest — q29 rejects them): dropped at the scan on BOTH engine
+    sides, so an all-NULL bucket emits no row (the reference's
+    empty-set drop, plans/shape.py) instead of engine-dependent
+    cnt=0/NaN rows."""
     from ticktock_spark.operators.downsample import bucket_expr, percentile_r6_on_array
     from ticktock_spark.queries import _dps
 
-    d = _dps(spark, sf_dir)
+    d = _dps(spark, sf_dir).filter(F.col("value").isNotNull())
     b = d.groupBy("metric", "user_id", bucket_expr("ts", 3_600_000).alias("ts")).agg(
         F.sort_array(F.collect_list("value")).alias("vals")
     )
@@ -4973,7 +4980,7 @@ def q147(spark, sf_dir):
     WITH b AS (
       SELECT metric, ts - ts % 60000 AS ts,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
-      FROM {{ev}} GROUP BY 1, 2
+      FROM {{ev}} WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     w AS (
       SELECT metric, ts, v,
@@ -5002,11 +5009,13 @@ def q148(spark, sf_dir):
     residual, the smoothed twin of q84's rolling z-score. Bucket means
     are exact decimal sums (aggregation-order-proof); alpha=0.5 keeps
     every decay weight an exact binary double, and the weighted fold is
-    left-to-right in both engines."""
+    left-to-right in both engines. NULL-value rows are dropped at the
+    scan on both engine sides (not datapoints — see q85): an all-NULL
+    series contributes no buckets, so it emits no rows."""
     from ticktock_spark.operators.rolling import ewma_baseline
     from ticktock_spark.queries import _dps, MIN_MS
 
-    d = _dps(spark, sf_dir)
+    d = _dps(spark, sf_dir).filter(F.col("value").isNotNull())
     b = (
         d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts"))
         .agg(
@@ -5232,6 +5241,7 @@ def q152(spark, sf_dir):
       SELECT metric, ts - ts % 60000 AS ts,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
       FROM (SELECT event_type AS metric, epoch_ms(ts) AS ts, value FROM events)
+      WHERE value IS NOT NULL
       GROUP BY 1, 2
     ),
     w AS (
@@ -5256,11 +5266,13 @@ def q153(spark, sf_dir):
     rolling.py rolling_percentile_r6) — the "rolling p95 latency" SRE
     query, interpolating with the same OpenTSDB q*(n+1) rule as every
     other percentile in the engine (agg_test.cpp:29-76 semantics).
-    Constant-bounded trailing arrays; exact decimal bucket means."""
+    Constant-bounded trailing arrays; exact decimal bucket means.
+    NULL-value rows are dropped at the scan on both engine sides (not
+    datapoints — see q85): an all-NULL series emits no rows."""
     from ticktock_spark.operators.rolling import rolling_percentile_r6
     from ticktock_spark.queries import MIN_MS, _dps
 
-    d = _dps(spark, sf_dir)
+    d = _dps(spark, sf_dir).filter(F.col("value").isNotNull())
     b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
         (
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")

@@ -140,6 +140,16 @@ class TsdbContext:
         if spec.tags:
             pred = pred & compile_tag_filters(F.col("tags"), spec.tags, spec.explicit_tags)
         scan = table.filter(pred)
+        if "dt" in table.columns:
+            # persisted rollup tables (maintenance.persisted_rollup_1h) are
+            # day-partitioned: the redundant dt bound turns the ts range
+            # into partition pruning, mirroring _base_scan's dt filter
+            scan = scan.filter(
+                F.col("dt").between(
+                    F.from_unixtime(F.lit(start_ms // 1000)).cast("date"),
+                    F.from_unixtime(F.lit(end_ms // 1000)).cast("date"),
+                )
+            )
         if self.rollup_invalid_dts:
             scan = self._splice_raw_fallback(scan, spec, start_ms, end_ms, unit)
         return scan, snapped
@@ -156,7 +166,14 @@ class TsdbContext:
         on the `dt` partition column, so at scale it scans only the
         invalidated days — everything else stays on the rollup table."""
         invalid = sorted(self.rollup_invalid_dts)
-        bucket_day = F.to_date(F.timestamp_millis(F.col("bucket_ts")))
+        # on a persisted (day-partitioned) rollup table the NOT-IN over the
+        # dt partition column is partition pruning; unpartitioned in-memory
+        # rollups fall back to deriving the day from bucket_ts
+        bucket_day = (
+            F.col("dt")
+            if "dt" in scan.columns
+            else F.to_date(F.timestamp_millis(F.col("bucket_ts")))
+        )
         valid = scan.filter(~bucket_day.isin(invalid))
 
         raw = self._base_scan(spec, start_ms, end_ms)

@@ -892,6 +892,20 @@ _SERIES_SQL = "'host=' || tag_host || ',k=' || tag_k || ',user=' || tag_user"
 _Q26_HI = T_END + 2 * HOUR_MS - 1
 
 
+def _persisted_view_rollup(spark, sf_dir):
+    """The q26/q27 harness's PERSISTED hourly rollup of the metric='view'
+    decimal datapoints: built once per source content into a parquet
+    table (maintenance.persisted_rollup_1h), so the routed plans scan
+    rollup storage — not events — exactly like a deployment where
+    rollups are their own table (rollup.cpp ingest-time accumulation)."""
+    from ticktock_spark.maintenance import persisted_rollup_1h, source_fingerprint
+
+    d = _tagged_dps(spark, sf_dir).filter(F.col("metric") == "view")
+    d = d.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    key = source_fingerprint(f"{sf_dir}/events.parquet") + "-view-dec"
+    return d, persisted_rollup_1h(spark, d, key)
+
+
 @register(
     "q26_rollup_routed_2h_avg",
     f"""
@@ -909,20 +923,20 @@ _Q26_HI = T_END + 2 * HOUR_MS - 1
 )
 def q26(spark, sf_dir):
     """Answer-from-rollup ROUTING through the planner (query.cpp:1032-1091):
-    a 2h-avg query with rollups materialized must be served from rollup_1h
-    (interval snapped to the 1h unit, avg = Σsum/Σcnt re-agg) and hash-equal
-    the direct raw re-aggregation the oracle computes. DECIMAL-valued
-    datapoints keep the Σ exact; the planner casts to double only after the
-    final fold, so both engines see one deterministic decimal→double cast.
-    tests/test_planner.py::test_q26_is_served_from_rollup pins that the raw
-    table is NOT scanned."""
+    a 2h-avg query with a PERSISTED rollup table must be served from the
+    rollup_1h parquet (interval snapped to the 1h unit, avg = Σsum/Σcnt
+    re-agg) and hash-equal the direct raw re-aggregation the oracle
+    computes. DECIMAL-valued datapoints keep the Σ exact; the planner
+    casts to double only after the final fold, so both engines see one
+    deterministic decimal→double cast.
+    tests/test_planner.py::test_q26_is_served_from_rollup pins that the
+    raw table is NOT touched; test_routed_plan_scans_rollup_parquet_only
+    pins that the physical plan's ONLY file scan is the rollup table."""
     from ticktock_spark.plans.planner import TsdbContext
     from ticktock_spark.plans.spec import QuerySpec
 
-    d = _tagged_dps(spark, sf_dir).filter(F.col("metric") == "view")
-    d = d.withColumn("value", F.col("value").cast("decimal(18,2)"))
-    ctx = TsdbContext(d)
-    ctx.materialize_rollups()
+    d, r1h = _persisted_view_rollup(spark, sf_dir)
+    ctx = TsdbContext(d, rollup_1h=r1h)
     spec = QuerySpec(metric="view", downsample="2h-avg")
     ds, _ = ctx._downsampled_series(spec, T0, T_END, [])
     return ds.select(
@@ -968,16 +982,16 @@ def q27(spark, sf_dir):
     """ROLLUP_FALLBACK_RAW splice (query.cpp:1109-1238): one day partition
     is marked rollup-invalid (late/OOO data), so its buckets are re-
     aggregated from raw (with last-wins dedup) and spliced into the rollup
-    stream; every other day is still served from rollup_1h. The oracle
-    computes the same union: rollup-equivalent agg for valid days +
-    deduped re-agg for the invalidated day."""
+    stream; every other day is still served from the PERSISTED rollup_1h
+    parquet, whose dt partition column turns the valid/invalid day split
+    into partition pruning on both branches. The oracle computes the same
+    union: rollup-equivalent agg for valid days + deduped re-agg for the
+    invalidated day."""
     from ticktock_spark.plans.planner import TsdbContext
     from ticktock_spark.plans.spec import QuerySpec
 
-    d = _tagged_dps(spark, sf_dir).filter(F.col("metric") == "view")
-    d = d.withColumn("value", F.col("value").cast("decimal(18,2)"))
-    ctx = TsdbContext(d, rollup_invalid_dts={_Q27_INVALID})
-    ctx.materialize_rollups()
+    d, r1h = _persisted_view_rollup(spark, sf_dir)
+    ctx = TsdbContext(d, rollup_1h=r1h, rollup_invalid_dts={_Q27_INVALID})
     spec = QuerySpec(metric="view", downsample="2h-avg")
     ds, _ = ctx._downsampled_series(spec, T0, T_END, [])
     return ds.select(
@@ -1035,15 +1049,15 @@ def q28(spark, sf_dir):
     SELECT event_type AS metric, epoch_ms(ts) AS ts, value,
            'u' || CAST(user_id AS VARCHAR) AS tag_user,
            'h' || CAST(user_id % 10 AS VARCHAR) AS extra
-    FROM events
+    FROM events WHERE value IS NOT NULL
     UNION ALL
     SELECT event_type, epoch_ms(ts), value,
            'u' || CAST(user_id AS VARCHAR), 'value@x y'
-    FROM events
+    FROM events WHERE value IS NOT NULL
     UNION ALL
     SELECT event_type, epoch_ms(ts), CAST(user_id % 5 AS DOUBLE),
            'u' || CAST(user_id AS VARCHAR), 'n@x y'
-    FROM events
+    FROM events WHERE value IS NOT NULL
     """,
 )
 def q29(spark, sf_dir):
@@ -1052,13 +1066,19 @@ def q29(spark, sf_dir):
     escaped `\\ ` tag value and an integer-suffix field), pushed through the
     bulk ingest parsers, and the canonical rows must hash-equal the oracle
     computing the same values directly — pinning line splitting, sec/ms
-    detection, tag parsing, escape handling, and `_field` explosion."""
+    detection, tag parsing, escape handling, and `_field` explosion.
+
+    NULL-value rows are excluded from the line SYNTHESIS on both engine
+    sides: neither protocol can represent a valueless point (dp.cpp's
+    put grammar requires the value field; concat_ws would silently skip
+    the NULL and emit a malformed line whose first tag lands in the
+    value slot)."""
     from ticktock_spark.sources.parsers import (
         influx_lines_to_datapoints,
         put_lines_to_datapoints,
     )
 
-    ev = _table(spark, sf_dir, "events")
+    ev = _table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ms = F.unix_millis("ts").cast("string")
     uid = F.col("user_id").cast("string")
 
@@ -1397,7 +1417,7 @@ def q156(spark, sf_dir):
     WITH b AS (
       SELECT metric, ts - ts % 60000 AS ts,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
-      FROM {_EV} GROUP BY 1, 2
+      FROM {_EV} WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     p AS (
       SELECT metric, CAST((ts // 3600000) % 24 AS INT) AS hour_utc,
@@ -1433,9 +1453,11 @@ def q157(spark, sf_dir):
     recency residual (|v - trailing EWMA baseline|, q148) in one
     per-bucket score — seasonal-aware AND level-aware alerting from two
     already-pinned baselines. Exact decimal bucket means; one window
-    pass + one broadcast profile join."""
+    pass + one broadcast profile join. NULL-value rows are dropped at
+    the scan on both engine sides (not datapoints — see q85): an
+    all-NULL series emits no rows."""
     hour = (F.expr("ts div 3600000") % 24).cast("int")
-    d = _dps(spark, sf_dir)
+    d = _dps(spark, sf_dir).filter(F.col("value").isNotNull())
     b = d.groupBy("metric", (F.col("ts") - F.col("ts") % MIN_MS).alias("ts")).agg(
         (
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
@@ -2296,7 +2318,7 @@ def q189(spark, sf_dir):
     f"""
     WITH h AS (
       SELECT metric, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS c
-      FROM {_EV} GROUP BY 1, 2
+      FROM {_EV} WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     cw AS (
       SELECT metric, bin, c,
@@ -2324,13 +2346,20 @@ def q194(spark, sf_dir):
     bin — the O(bins) percentile path for 100 TB dashboards, next to
     the exact R-6 machinery (q05/q85/q102) whose cost is value-scale.
     Integer bin counts; the interpolation is four pinned IEEE ops; the
-    shuffle carries one row per (metric, bin)."""
+    shuffle carries one row per (metric, bin). NULL-value rows are
+    dropped at the scan on both engine sides (not datapoints — see
+    q85): a NULL value would otherwise land in an engine-ordered NULL
+    bin and inflate n."""
     from ticktock_spark.operators.summary import (
         histogram_quantiles,
         value_histogram,
     )
 
-    h = value_histogram(_dps(spark, sf_dir), ["metric"], width=10.0)
+    h = value_histogram(
+        _dps(spark, sf_dir).filter(F.col("value").isNotNull()),
+        ["metric"],
+        width=10.0,
+    )
     return histogram_quantiles(h, [0.5, 0.9, 0.99], width=10.0)
 
 

@@ -41,7 +41,7 @@ def _ts_array(vals_us):
     return pa.array(vals_us, type=pa.timestamp("us"))
 
 
-def gen_events(rng, n=600, with_nulls=False):
+def gen_events(rng, n=600, with_nulls=True):
     """Edges: exact-duplicate (event_type,user,ts) with different values
     (last-wins dedup), points ON minute/hour/day bucket boundaries,
     same-ts-different-series, negative / zero / large 2-decimal values."""
@@ -90,14 +90,16 @@ def gen_events(rng, n=600, with_nulls=False):
     for v in (0.0, -0.01, 29_999.99, -29_999.99, 0.01):
         add(T0 + int(rng.integers(0, span_us)), 9, "error", v)
     if with_nulls:
-        # OPT-IN (--nulls): an ALL-NULL-value series (its own user,
-        # regular cadence) — the shape that had n_dod > 0 with
+        # DEFAULT-ON since round 11: an ALL-NULL-value series (its own
+        # user, regular cadence) — the shape that had n_dod > 0 with
         # n_rep == 0 in q203 (ANSI DIVIDE_BY_ZERO before the r10
-        # guard). Off by default because a NULL value is UNREPRESENTABLE
-        # in the put-line ingest protocol (q29's roundtrip correctly
-        # rejects it) and the r10 probe found 5 entries whose NULL/NaN
-        # group semantics diverge across engines (q85/q148/q153/q157/
-        # q194 — the open r11 item; see BENCHNOTES round 10).
+        # guard), and that exposed 5 entries with engine-dependent
+        # NULL/NaN group semantics (q85/q148/q153/q157/q194 — aligned
+        # in r11: NULL-value rows are dropped at the scan on both
+        # engine sides; see BENCHNOTES round 11). A NULL value is
+        # unrepresentable in the put-line ingest protocol (q29's
+        # roundtrip rejects it) but external parquet is a first-class
+        # source, so the shape stays in the default corpus.
         for i in range(6):
             add(T0 + (i + 1) * 60 * US + 15 * US, 11, "signup", None)
     return pa.table(
@@ -240,7 +242,7 @@ def gen_tpch(rng):
             "supplier": supplier, "part": part, "orders": orders, "lineitem": lineitem}
 
 
-def generate(out_dir: str, seed: int = 7, with_nulls: bool = False) -> None:
+def generate(out_dir: str, seed: int = 7, with_nulls: bool = True) -> None:
     rng = np.random.default_rng(seed)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -257,7 +259,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--nulls", action="store_true",
-                    help="include the all-NULL-value series (open r11 item)")
+    ap.add_argument("--no-nulls", action="store_true",
+                    help="omit the all-NULL-value series (default corpus "
+                         "includes it since round 11)")
     a = ap.parse_args()
-    generate(a.out_dir, a.seed, with_nulls=a.nulls)
+    generate(a.out_dir, a.seed, with_nulls=not a.no_nulls)
