@@ -39,15 +39,47 @@ def canon(df):
     return sorted(out)
 
 
+def _oracle_df(con, sql: str, timeout: float | None):
+    """Run an oracle with an optional wall-clock bound: a watchdog thread
+    calls connection.interrupt() at the deadline, which aborts the
+    running statement with an exception → None."""
+    if timeout is None:
+        return con.sql(sql).df()
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout):
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    try:
+        return con.sql(sql).df()
+    except duckdb.InterruptException:
+        return None
+    finally:
+        done.set()
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    pats = [a for a in sys.argv[2:] if not a.startswith("--skip=")]
+    pats = [a for a in sys.argv[2:] if not a.startswith("--")]
     skips: list[str] = []
+    oracle_timeout: float | None = None
     for a in sys.argv[2:]:
         if a.startswith("--skip="):
             # --skip=q49,q50: exclude by substring (e.g. the 5 queries
             # whose recursive-CTE oracle is quadratic at sf0.1)
             skips += [p for p in a[len("--skip="):].split(",") if p]
+        elif a.startswith("--oracle-timeout="):
+            # bound EACH DuckDB oracle run (big-SF sweeps: a superlinear
+            # oracle — PQ/minhash SQL at sf1 — can run for hours; a
+            # timed-out oracle prints TIMEOUT and the sweep continues,
+            # recording the entry as oracle-infeasible at this SF rather
+            # than wedging the whole run)
+            oracle_timeout = float(a[len("--oracle-timeout="):])
     con = duckdb.connect()
     # let heavy oracles (q169/q178's tile-minhash SQL at sf0.1) spill
     # instead of dying on a bad allocation: an in-memory connection has
@@ -84,7 +116,11 @@ def main():
                 else:
                     print(f"OK {name} (no oracle; {len(got)} rows, spark {t_spark:.1f}s)")
                 continue
-            exp = con.sql(ORACLES[name]).df()
+            exp = _oracle_df(con, ORACLES[name], oracle_timeout)
+            if exp is None:
+                bad.append(name)
+                print(f"TIMEOUT {name}: oracle exceeded {oracle_timeout:.0f}s")
+                continue
             t_oracle = time.monotonic() - t0 - t_spark
             if sorted(got.columns) != sorted(exp.columns):
                 bad.append(name)
