@@ -186,9 +186,22 @@ class TsdbContext:
         raw = raw.withColumn(SERIES_KEY, canonical_series_key(F.col("tags")))
         if "seq" in raw.columns:
             raw = dedup_last_wins(raw, ["metric", SERIES_KEY], seq_col="seq")
-        series_dim = raw.groupBy("metric", SERIES_KEY).agg(F.first("tags").alias("tags"))
-        re_agg = build_rollup(raw, ["metric", SERIES_KEY], unit).join(
-            series_dim, ["metric", SERIES_KEY]
+        # tags ride inside the SAME aggregation instead of a separate
+        # series-dim scan + join: the series key is DERIVED from the tag
+        # map (canonical_series_key), so every row of a (metric, series)
+        # group carries the identical map and first() is exact — one scan
+        # of the invalidated partitions, not two
+        from ticktock_spark.operators.downsample import bucket_expr
+
+        v = F.col("value")
+        re_agg = raw.groupBy(
+            "metric", SERIES_KEY, bucket_expr("ts", unit).alias("bucket_ts")
+        ).agg(
+            F.count(v).alias("cnt"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.sum(v).alias("sum"),
+            F.first("tags").alias("tags"),
         )
         cols = ["metric", SERIES_KEY, "bucket_ts", "cnt", "min", "max", "sum", "tags"]
         return valid.select(*cols).unionByName(re_agg.select(*cols))
