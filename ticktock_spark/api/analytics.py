@@ -176,6 +176,7 @@ def _aggregate_tags(
     fact table is never touched on the rollup path."""
     src = rollup if rollup is not None else dps
     rows = (
+        # driver-bound: distinct (metric, tag-key) rows — dimension-scale
         _filtered(src, metrics)
         .select("metric", F.explode(F.map_keys("tags")).alias("k"))
         .distinct()
@@ -193,6 +194,7 @@ def _to_resultsets(
     value_col: str,
     agg_tags: dict[str, list[str]],
 ) -> list[ResultSet]:
+    # driver-bound: response rows (every caller passes a per-series result set)
     rows = df.collect()
     by_metric: dict[str, dict] = {}
     for r in rows:
@@ -360,6 +362,7 @@ def correlation(
     One ResultSet, metric ``corr(a,b)``, dps ``{0: r}``."""
     b = _bucket_source(dps, rollup, [metric_a, metric_b], bucket_ms)
     jd = _micro_series(b, metric_a, "x").join(_micro_series(b, metric_b, "y"), "ts")
+    # driver-bound: single correlation row
     row = pearson_moments(jd, []).first()
     r = None if row is None else row["pearson_r"]
     return [
@@ -393,6 +396,7 @@ def lead_lag(
         c.select(F.col("ts").alias("__ots"), "y"),
         F.col("__ots") == F.col("ts") + F.col("lag") * F.lit(bucket_ms),
     )
+    # driver-bound: one row per lag offset (≤ max_lag)
     rows = pearson_moments(jd, ["lag"]).collect()
     return [
         ResultSet(
@@ -463,6 +467,7 @@ def burn_rate(
     )
     span = int(bucket_ms) * (int(long_buckets) - 1)
     hw = Window.orderBy("ts").rangeBetween(-span, Window.currentRow)
+    # driver-bound: one row per bucket in the query range — the response series
     rows = b.select(
         "ts",
         q6(F.col("n_err").cast("double") / F.col("n_tot")).alias("fast"),
@@ -507,6 +512,7 @@ def trend_fit(
     from ticktock_spark.operators.correlate import trend
 
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    # driver-bound: one row per metric
     rows = trend(b, ["metric"], bucket_ms=bucket_ms).collect()
     return _fixed_key_resultsets(
         rows, "trend({})", ["slope", "intercept", "pearson_r"],
@@ -551,6 +557,7 @@ def dominant_period(
     rn = F.row_number().over(
         W.partitionBy("metric").orderBy(F.col("pearson_r").desc_nulls_last(), "lag")
     )
+    # driver-bound: one row per metric (rn == 1)
     rows = r.withColumn("rn", rn).filter(F.col("rn") == 1).collect()
     tags = _aggregate_tags(dps, metrics, rollup)
     out = []
@@ -847,6 +854,7 @@ def theilsen_fit(
     from ticktock_spark.operators.robust import theil_sen
 
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    # driver-bound: one row per metric
     rows = theil_sen(b, ["metric"], bucket_ms=bucket_ms).collect()
     return _fixed_key_resultsets(
         rows, "theilsen({})", ["slope", "n", "n_pairs"],
@@ -867,6 +875,7 @@ def seasonal_strength_op(
     from ticktock_spark.operators.robust import seasonal_strength
 
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    # driver-bound: one row per metric
     rows = seasonal_strength(b, ["metric"]).collect()
     return _fixed_key_resultsets(
         rows, "seasonal_strength({})", ["strength", "n", "n_phases"],
@@ -887,6 +896,7 @@ def wasserstein_op(
     from ticktock_spark.operators.drift import wasserstein_drift
 
     d = _filtered(dps, metrics)
+    # driver-bound: one row per metric
     rows = wasserstein_drift(
         d, F.col("ts") < F.lit(int(split_ts)), group_cols=["metric"]
     ).collect()
@@ -908,6 +918,7 @@ def fano_op(
     counts), so this op always scans raw datapoints."""
     from ticktock_spark.operators.summary import fano_factor
 
+    # driver-bound: one row per metric
     rows = fano_factor(
         _filtered(dps, metrics), ["metric"], bucket_ms=bucket_ms
     ).collect()
@@ -977,6 +988,7 @@ def interarrival_op(
     Raw timestamps by definition: bucketing erases cadence."""
     from ticktock_spark.operators.summary import interarrival_percentiles
 
+    # driver-bound: one row per metric
     rows = interarrival_percentiles(
         _filtered(dps, metrics), ["metric"], quantiles=[50.0, 95.0]
     ).collect()
@@ -1007,6 +1019,7 @@ def flatline_op(
     from ticktock_spark.operators.summary import flatline_runs
 
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    # driver-bound: response rows — flatline runs ≥ min_run per metric
     rows = flatline_runs(b, ["metric"], min_run=min_run).collect()
     return _fixed_key_resultsets(
         rows,
@@ -1029,6 +1042,7 @@ def gaps_op(
     from ticktock_spark.operators.summary import gap_report
 
     b = _bucket_source(dps, rollup, metrics, bucket_ms)
+    # driver-bound: response rows — gaps per metric in the query range
     rows = gap_report(b, ["metric"], bucket_ms=bucket_ms).collect()
     return _fixed_key_resultsets(
         rows,
@@ -1058,6 +1072,7 @@ def stream_gaps_op(
     if metrics:
         presence = presence.filter(F.col("series").isin(list(metrics)))
     rows = (
+        # driver-bound: monitor state is O(series); report rows ⊆ state
         gap_report_reads(presence, bucket_ms=bucket_ms)
         .withColumnRenamed("series", "metric")
         .collect()
@@ -1104,6 +1119,7 @@ def value_precision_op(
     3: n}. Raw-only: bucket means destroy the precision signature."""
     from ticktock_spark.operators.summary import value_precision_audit
 
+    # driver-bound: one row per metric
     rows = value_precision_audit(_filtered(dps, metrics), ["metric"]).collect()
     return _fixed_key_resultsets(
         rows,
@@ -1122,6 +1138,7 @@ def compress_audit_op(
     definition."""
     from ticktock_spark.operators.summary import compressibility_audit
 
+    # driver-bound: one row per metric
     rows = compressibility_audit(
         _filtered(dps, metrics), ["metric"], seq_col="seq"
     ).collect()
@@ -1142,6 +1159,7 @@ def rollup_error_op(
     rollup would cost); read it before trusting grain=1h."""
     from ticktock_spark.operators.summary import rollup_error_audit
 
+    # driver-bound: one row per metric
     rows = rollup_error_audit(_filtered(dps, metrics), ["metric"]).collect()
     return _fixed_key_resultsets(
         rows,

@@ -94,6 +94,7 @@ class TsdbStore:
         # than old flushed rows, silently inverting last-write-wins dedup
         self._seq = 0
         if base is not None and "seq" in base.columns:
+            # driver-bound: single max(seq) scalar
             self._seq = (base.agg({"seq": "max"}).first()[0] or 0)
         self._lock = threading.Lock()
         self._flush_lock = threading.Lock()
@@ -644,6 +645,7 @@ class _Handler(BaseHTTPRequestHandler):
             raise _BadRequest(f"Unrecognized suggest type: {typ}")
         if not (typ == "metrics" and q == "*"):
             col = col.filter(F.col("v").startswith(q))
+        # driver-bound: explicit limit(mx)
         out = col.distinct().orderBy("v").limit(mx).collect()
         return [r["v"] for r in out]
 
@@ -665,6 +667,7 @@ class _Handler(BaseHTTPRequestHandler):
             # (pushdown/codegen); paging stays driver-side, as in the
             # reference (query.cpp:1477-1602)
             df = df.filter(compile_tag_filters(F.col("tags"), tag_filters))
+        # driver-bound: series-dim rows (never the fact table); paging slices below
         series = df.select(
             "metric", F.map_entries("tags").alias("te"), "tsuid"
         ).collect()

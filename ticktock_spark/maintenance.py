@@ -134,6 +134,7 @@ def compact_partition(
 
             # ts bounds are partition-scoped (one day): two driver
             # numbers, same discipline as the documents-side layout
+            # driver-bound: two scalars (partition ts lo/hi)
             lohi = df.agg(
                 F.min("ts").alias("lo"), F.max("ts").alias("hi")
             ).first()

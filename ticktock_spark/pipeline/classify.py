@@ -124,6 +124,7 @@ def lr_train(
                 "err"
             ),
         )
+        # driver-bound: one gradient row per hash bucket (model-scale)
         grad_rows = (
             feats.join(err, id_col)
             .groupBy("bucket")

@@ -99,6 +99,7 @@ def connected_components(
     """
 
     def _sig(df: DataFrame) -> tuple:
+        # driver-bound: single signature row (n, hash-sum)
         r = df.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal accumulator: sum of 64-bit hashes overflows long

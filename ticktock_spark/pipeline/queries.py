@@ -5192,6 +5192,7 @@ def q151(spark, sf_dir):
     from ticktock_spark.operators.zorder import scale_to_16bit, zorder_key
 
     d = _table(spark, sf_dir, "documents")
+    # driver-bound: min/max scalars for z-order scaling
     row = d.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
     dim_a = scale_to_16bit(F.col("n_chars"), float(row[0]), float(row[1]))
     dim_b = F.conv(F.substring(F.md5(F.col("lang")), 1, 4), 16, 10).cast("long")

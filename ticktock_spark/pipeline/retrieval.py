@@ -59,6 +59,7 @@ def _postings(
 def corpus_stats(df: DataFrame, text_col: str = "text") -> tuple[int, float]:
     """(N, avgdl) from one tiny aggregate action (two numbers to the
     driver — metadata-scale, same as tfidf_top_terms's corpus count)."""
+    # driver-bound: two scalars (N, total length)
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(tokens(F.col(text_col)))).alias("tl"),
@@ -132,6 +133,7 @@ def bm25_topk(
         .select(id_col, F.size("__tk").alias("dl"), F.col("__tk"))
         .persist()
     )
+    # driver-bound: two scalars (N, total length)
     row = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tl")
     ).collect()[0]
@@ -188,6 +190,7 @@ def _write_segment(
         .mode("overwrite")
         .parquet(f"{path}/postings")
     )
+    # driver-bound: two scalars (N, total length)
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)).alias("tl"),
@@ -273,6 +276,7 @@ def bm25_index_topk(
     only those directories. Ranking is identical to bm25_topk (same
     quantize-then-rank rule), pinned by a parity test.
     """
+    # driver-bound: ≤ |terms| bucket ids
     bucket_rows = spark.createDataFrame(
         [(t,) for t in terms], "tok string"
     ).select(term_bucket(F.col("tok")).alias("b")).distinct().collect()
@@ -280,6 +284,7 @@ def bm25_index_topk(
     # stats rows are additive per segment — merging them here is what
     # lets append_inverted_index skip touching the standing corpus
     srow = (
+        # driver-bound: merged (n, tl) scalars across segments
         spark.read.parquet(f"{path}/stats")
         .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("tl"))
         .collect()[0]

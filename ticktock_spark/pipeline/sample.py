@@ -168,6 +168,7 @@ def temperature_rebalance_rates(
     """
     import math
 
+    # driver-bound: one row per stratum (map-side combined)
     counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
     if not counts:
         return {}
@@ -220,6 +221,7 @@ def uniform_rebalance_rates(
     apply the result with stratified_sample for the scan-side filter, so
     the whole rebalance is one cheap counting scan + one filtered scan.
     """
+    # driver-bound: one row per stratum (map-side combined)
     counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
     if not counts:
         return {}
@@ -551,6 +553,7 @@ def dsir_weights(
                 F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))
             ).alias("c_tgt"),
         )
+        # driver-bound: two totals
         tot = lm.agg(
             F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
         ).collect()[0]
@@ -560,7 +563,8 @@ def dsir_weights(
         ) - F.log(
             (F.col("c_raw").cast("double") + F.lit(1.0)) / F.lit(t_raw + 256.0)
         )
-        lm_rows = lm.select("b", llr.alias("llr")).collect()  # ≤256 rows
+        # driver-bound: ≤256 token-bucket LM rows
+        lm_rows = lm.select("b", llr.alias("llr")).collect()
     finally:
         per_doc.unpersist()
     spark = df.sparkSession
@@ -676,6 +680,7 @@ def dsir_llr_table(
         F.count(F.lit(1)).alias("c_raw"),
         F.count(F.when(F.col("is_t"), 1)).alias("c_tgt"),
     )
+    # driver-bound: one row per token bucket (hashed LM, ≤ n_buckets)
     rows = lm.collect()
     t_raw = float(sum(r["c_raw"] for r in rows))
     t_tgt = float(sum(r["c_tgt"] for r in rows))

@@ -113,6 +113,7 @@ def cosine_scores(
 
     qid_type = dict(queries.dtypes)[query_id_col]
     id_type = dict(corpus.dtypes)[id_col]
+    # driver-bound: query-set matrix (eval-sample scale by spec)
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     q_ids = qpdf[query_id_col].to_numpy()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
@@ -386,6 +387,7 @@ def srp_lsh_knn(
     spark = corpus.sparkSession
     bucketed = srp_bucketed(corpus, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
 
+    # driver-bound: query-set matrix (eval-sample scale by spec)
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     dim = len(qpdf[vec_col].iloc[0])
     planes = srp_planes(nbits, dim, seed)
@@ -525,6 +527,7 @@ def ivf_index_knn(
         F.col("r") <= nprobe
     )
     bucket_ids = sorted(
+        # driver-bound: ≤ nprobe × |queries| distinct bucket ids
         {r[bucket_col] for r in probes.select(bucket_col).distinct().collect()}
     )
     vectors = spark.read.parquet(f"{path}/vectors").filter(
@@ -612,6 +615,7 @@ def kmeans_lloyd(
 
     hexcol = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     seeds = (
+        # driver-bound: k seed rows (limit below)
         corpus.select(id_col, vec_col, hexcol.alias("__h"))
         .orderBy("__h", id_col)
         .limit(k)
@@ -658,6 +662,7 @@ def kmeans_lloyd(
 
     dim = len(C[0])
     for _ in range(iters):
+        # driver-bound: k partial-sum rows per input partition
         rows = corpus.select(vec_col).mapInPandas(
             _partials(C), schema=f"j int, s array<double>, n long"
         ).collect()
@@ -826,6 +831,7 @@ def mmr_rerank(
         F.col("cosine").desc(), F.col("vec_id")
     )
     cand_rows = (
+        # driver-bound: top-m candidates per query
         rel.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= m)
         .drop("__r")
@@ -836,6 +842,7 @@ def mmr_rerank(
         rels.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
     cand_ids = sorted({r["vec_id"] for r in cand_rows})
     cvecs = corpus.filter(F.col(id_col).isin(cand_ids)).select(id_col, vec_col)
+    # driver-bound: |cand|² pairs with cand ≤ m × |queries| (eval-sample scale)
     pair_rows = cosine_scores(
         cvecs,
         cvecs.select(F.col(id_col).alias("__mq"), vec_col),
@@ -952,6 +959,7 @@ def knn_quantized(
 
     qid_type = dict(queries_q.dtypes)[query_id_col]
     id_type = dict(corpus_q.dtypes)[id_col]
+    # driver-bound: query-set matrix (eval-sample scale by spec)
     qpdf = queries_q.select(query_id_col, "q").toPandas()
     q_ids = qpdf[query_id_col].to_numpy()
     Q = np.stack(qpdf["q"].to_numpy()).astype(np.int32)
@@ -1037,6 +1045,7 @@ def pq_codebooks(
     sized = corpus.select(
         bucket_col, F.col(vec_col).cast("array<double>").alias("_v0")
     ).select(bucket_col, _unit_vec(F.col("_v0")).alias("v"))
+    # driver-bound: one scalar (vector dim)
     dim = sized.select(F.size("v")).first()[0]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1053,6 +1062,7 @@ def pq_codebooks(
 
 def _pq_collect(codebooks: DataFrame) -> tuple[int, int, dict]:
     """codebooks DF -> (m, dsub, {j: [(code, centroid), ...] code-asc})."""
+    # driver-bound: m×2^nbits codebook rows (model-scale)
     rows = codebooks.collect()
     cb: dict[int, list] = {}
     for r in rows:
@@ -1174,6 +1184,7 @@ def _pq_query_rows(
     import numpy as np
 
     rows = []
+    # driver-bound: query-set matrix (eval-sample scale by spec)
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     for qid, vec in zip(qpdf[query_id_col], qpdf[vec_col]):
         q = np.asarray(list(vec), dtype=np.float64)
@@ -1284,6 +1295,7 @@ def pq_codebooks_kmeans(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v0"))
         .select(F.col(id_col), _unit_vec(F.col("_v0")).alias("_vn"))
     )
+    # driver-bound: one scalar (vector dim)
     dim = sliced.select(F.size("_vn")).first()[0]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1379,6 +1391,7 @@ def ivfpq_index_knn(
     probes = pscore.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= nprobe
     ).select(query_id_col, "bucket")
+    # driver-bound: ≤ nprobe × |queries| distinct bucket ids
     bucket_ids = sorted({r["bucket"] for r in probes.distinct().collect()})
 
     tbls = spark.createDataFrame(
@@ -1428,6 +1441,7 @@ def jl_project(
     """
     import math
 
+    # driver-bound: one scalar (vector dim)
     first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = first["d"] if first else 0
     scale = 1.0 / math.sqrt(out_dim)

@@ -829,6 +829,7 @@ def cap_to_vocab(
         return _cap_to_vocab_join(df, vocab_size, unk, text_col, id_col)
     vocab = [
         r["tok"]
+        # driver-bound: vocab_size rows (capped vocabulary)
         for r in vocab_top_k(df, k=vocab_size, text_col=text_col, id_col=id_col)
         .select("tok")
         .collect()
@@ -1413,6 +1414,7 @@ def heavy_hitters(
             ])
         ).alias("c")
     )
+    # driver-bound: depth × width CMS cells
     sketch_rows = (
         cells.groupBy("c.d", "c.w").agg(F.count(F.lit(1)).alias("n")).collect()
     )
@@ -1507,6 +1509,7 @@ def bpe_train(
                     F.element_at("syms", (i + 1).cast("int")).alias("b"),
                 ),
             )
+            # driver-bound: single top-pair row per merge step (first below)
             top = (
                 state.filter(F.size("syms") >= 2)
                 .select(F.explode(pair_structs).alias("p"), "wc")
@@ -1588,6 +1591,7 @@ def _bpe_train_local(
     # at the web-scale operating point (~10M unique words, SCALE.md)
     # Row-object materialization is ~10× the memory and wall of the
     # Arrow path, and this collect is the trainer's driver bound.
+    # driver-bound: unique-word vocab (measured 16 GiB cap, SCALE.md)
     pdf = vocab.toPandas()
 
     words: list[list] = [list(w) for w in pdf["w"]]
@@ -1713,6 +1717,7 @@ def bpe_encode(
         return _bpe_encode_arrow(df, merges, text_col, id_col)
     if engine != "sql":
         raise ValueError(f"unknown bpe_encode engine: {engine!r}")
+    # driver-bound: merge table (≤ _SQL_ENGINE_MAX_MERGES)
     rows = merges.orderBy("rank").collect()
     if len(rows) > _SQL_ENGINE_MAX_MERGES:
         raise ValueError(
@@ -1789,6 +1794,7 @@ def _bpe_encode_arrow(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # driver-bound: merge table (model-scale)
     mrows = merges.orderBy("rank").collect()
     by_rank: dict[int, tuple[str, str, str]] = {
         int(r["rank"]): (r["a"], r["b"], r["a"] + r["b"]) for r in mrows
@@ -1883,6 +1889,7 @@ def bpe_vocab(
     )
     alpha = sorted(
         r["c"]
+        # driver-bound: alphabet chars (charset-scale)
         for r in df.filter(F.col(text_col).isNotNull())
         .select(F.explode(tokens(F.col(text_col))).alias("w"))
         .select(F.explode(chars).alias("c"))
@@ -1892,6 +1899,7 @@ def bpe_vocab(
     sym_id: dict[str, int] = {}
     for i, c in enumerate(alpha):
         sym_id[c] = i
+    # driver-bound: merge table (model-scale)
     for r in merges.orderBy("rank").collect():
         sym = r["a"] + r["b"]
         sym_id.setdefault(sym, len(alpha) + int(r["rank"]) - 1)
@@ -1930,6 +1938,7 @@ def bpe_encode_ids(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # driver-bound: merge table (model-scale)
     mrows = merges.orderBy("rank").collect()
     by_rank: dict[int, tuple[str, str, str]] = {
         int(r["rank"]): (r["a"], r["b"], r["a"] + r["b"]) for r in mrows
@@ -1939,6 +1948,7 @@ def bpe_encode_ids(
         ranks_of.setdefault((r["a"], r["b"]), []).append(int(r["rank"]))
     if vocab_df is None:
         vocab_df = bpe_vocab(df, merges, text_col=text_col)
+    # driver-bound: vocab table (alphabet + merges, model-scale)
     vocab = {r["sym"]: r["token_id"] for r in vocab_df.collect()}
 
     def _token_ids(tok_arrays):
@@ -2222,6 +2232,7 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("n"))
         .persist()
     )
+    # driver-bound: single grand-total scalar
     total = counts.agg(F.sum("n")).collect()[0][0] or 0
     left = F.sum("n").over(Window.partitionBy("w1"))
     right = F.sum("n").over(Window.partitionBy("w2"))

@@ -368,12 +368,14 @@ class TsdbContext:
 
             # series metadata (tags maps) — tiny, bounded by series
             # cardinality; read from the persisted frame, not a re-scan
+            # driver-bound: one tags row per series (dimension-scale)
             meta_rows = (
                 ds.groupBy(SERIES_KEY)
                 .agg(F.first("__tags", ignorenulls=True).alias("tags"))
                 .collect()
             )
             meta = {r[SERIES_KEY]: dict(r["tags"] or {}) for r in meta_rows}
+            # driver-bound: the query's result rows — the response payload itself
             rows = result_df.collect()
         finally:
             ds.unpersist()

@@ -48,6 +48,7 @@ def streaming_drift_monitor(
         )
         rows = []
         if value_col is not None:
+            # driver-bound: one drift-stat row
             r = ks_drift(u, F.col("__ref"), value_col).collect()
             if r:
                 rows.append(
@@ -55,6 +56,7 @@ def streaming_drift_monitor(
                      r[0]["n_b"], float(r[0]["ks"]), float(r[0]["ks_at"]))
                 )
         if cat_col is not None:
+            # driver-bound: one drift-stat row
             r = categorical_drift(u, F.col("__ref"), cat_col).collect()
             if r:
                 rows.append(
