@@ -2256,3 +2256,18 @@ def test_streaming_presence_restart_preserves_gap_state(spark, tmp_path):
     ).collect()
     assert {tuple(r) for r in live} == {tuple(r) for r in want}
     assert live[0]["longest_gap_ms"] == 3 * minute  # the gap split
+
+
+def test_liveness_checkpoint_dir_is_version_scoped(tmp_path, monkeypatch):
+    """A LIVENESS_STATE schema bump must land restarts in a FRESH
+    checkpoint directory: applyInPandasWithState has no state migration,
+    and resuming v2 code on a v1 checkpoint dies inside the state store.
+    The helper bakes the version into the path so the old checkpoint is
+    orphaned, not crashed into."""
+    from ticktock_spark.streaming import liveness as lv
+
+    d2 = lv.liveness_checkpoint_dir(str(tmp_path))
+    assert f"liveness-state-v{lv.LIVENESS_STATE_VERSION}" in d2
+    monkeypatch.setattr(lv, "LIVENESS_STATE_VERSION", 3)
+    d3 = lv.liveness_checkpoint_dir(str(tmp_path))
+    assert d3 != d2 and "liveness-state-v3" in d3

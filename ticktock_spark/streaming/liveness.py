@@ -51,6 +51,21 @@ from pyspark.sql.types import (
 # (pre-`v_finite`) checkpoint — on upgrade, discard the old checkpoint
 # directory and let the monitor rebuild state from the replayed source;
 # there is no in-place state migration for applyInPandasWithState.
+# Callers that derive checkpointLocation via liveness_checkpoint_dir()
+# get this for free: a version bump lands in a fresh directory, so the
+# old checkpoint is orphaned instead of crashed into.
+LIVENESS_STATE_VERSION = 2
+
+
+def liveness_checkpoint_dir(base: str) -> str:
+    """checkpointLocation for a streaming_liveness query, scoped to the
+    current LIVENESS_STATE schema version. applyInPandasWithState has no
+    in-place state migration, and restarting on an old checkpoint after
+    a schema change fails deep inside the state store; versioning the
+    directory turns that failure mode into a clean cold start."""
+    import os
+
+    return os.path.join(base, f"liveness-state-v{LIVENESS_STATE_VERSION}")
 LIVENESS_STATE = StructType(
     [
         StructField("us", LongType()),
