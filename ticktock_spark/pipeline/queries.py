@@ -2541,7 +2541,8 @@ def q98(spark, sf_dir):
     WITH src AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000000 AS doc_id, text FROM documents
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+             text FROM documents
     ),
     n AS (
       SELECT doc_id, {_NORM} AS norm FROM src WHERE text IS NOT NULL
@@ -2563,12 +2564,25 @@ def q99(spark, sf_dir):
     100% for these pairs on any corpus, and the DuckDB oracle
     (shingle-set-equality pairs, no LSH mirror needed — DuckDB has no
     xxhash64) matches exactly. The looser-threshold twin is q35 on the
-    md5 engine, whose oracle mirrors the hash scheme."""
+    md5 engine, whose oracle mirrors the hash scheme.
+
+    The twin offset is max(doc_id)+1, NOT a constant: the entry's
+    soundness needs every twin id to be UNIQUE in the union, and a
+    fixed offset silently breaks on any corpus whose ids reach it
+    (found at sf1 — gen_sf_scaled strides copies by exactly 10M, so a
+    +10M twin of copy 0 collided with copy 1's real ids and the
+    id-keyed verify joins fanned out 3.6x on both engines,
+    differently)."""
     BANDS = 4  # passed to LSH AND used in the full-agreement filter —
     # a single definition so the filter can't silently drop jaccard=1.0
     # pairs if the operator's default band count ever changes
     d = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    off = d.agg((F.max("doc_id") + F.lit(1)).alias("__off"))
+    src = d.unionByName(
+        d.crossJoin(F.broadcast(off))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__off"))
+        .drop("__off")
+    )
     cand = dd.minhash_lsh_candidates(src, engine="xxh64", bands=BANDS)
     # jaccard = 1.0 ⇒ equal signatures ⇒ ALL bands agree, so restricting
     # verification to full-agreement candidates is lossless and skips
