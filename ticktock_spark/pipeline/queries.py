@@ -6140,9 +6140,18 @@ def q190(spark, sf_dir):
     with vec_id tiebreak, agreement joined from the label column."""
     e = _table(spark, sf_dir, "embeddings")
     q = e.select(F.col("vec_id").alias("query_id"), "embedding")
-    scored = sim.cosine_scores(e, q)
+    # per-block argmax INSIDE the Arrow kernel (r11): the kernel emits
+    # one winner row per (query, corpus block) under the same
+    # (cosine, -vec_id) total order, so only blocks x |queries| rows
+    # cross Arrow + the exchange instead of the N x N score table; the
+    # global max_by below reduces the partial winners exactly as it
+    # reduced the full table. min_parallelism spreads the single-file
+    # embeddings scan across cores (result-invariant for an argmax).
+    scored = sim.cosine_argmax_partials(
+        e, q, min_parallelism=spark.sparkContext.defaultParallelism
+    )
     # argmax via max_by on (cosine, -vec_id), NOT a row_number window:
-    # the aggregate combines map-side, so the N x N score table never
+    # the aggregate combines map-side, so the partial-winner table never
     # sort-shuffles -- only |queries| rows cross the exchange. The
     # struct order (quantized cosine desc, vec_id asc) is exactly the
     # window's tiebreak.

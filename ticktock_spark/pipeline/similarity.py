@@ -89,6 +89,21 @@ def brute_force_knn(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _spread_scan(df: DataFrame, min_parallelism: int | None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan would otherwise run on
+    fewer tasks than ``min_parallelism`` — a single small parquet file
+    (one row group) arrives as ONE scan partition, serializing every
+    downstream per-row kernel onto one core. At scale the scan already
+    yields >= parallelism splits and this is a no-op (no shuffle added),
+    which is what makes it safe to leave on: the repartition cost only
+    exists where the data is small enough for it to be trivial."""
+    if not min_parallelism:
+        return df
+    if df.rdd.getNumPartitions() >= min_parallelism:
+        return df
+    return df.repartition(min_parallelism)
+
+
 def cosine_scores(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,6 +173,112 @@ def cosine_scores(
                 )
 
     return corpus.select(id_col, vec_col).mapInPandas(
+        block, schema=f"query_id {qid_type}, vec_id {id_type}, cosine double"
+    )
+
+
+def cosine_argmax_partials(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    quantize: bool = True,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Per-(query, corpus-block) argmax rows of ``cosine_scores``: for
+    every scored block, the single (query_id, vec_id, cosine) row that
+    maximizes (cosine, -vec_id) — the same total order a Spark
+    ``max_by(vec_id, struct(cosine, -vec_id))`` uses, with NaN ranking
+    above every finite double (Spark's NaN ordering). A global
+    ``groupBy(query_id).agg(max_by(...))`` over this output is therefore
+    EXACTLY the argmax over the full pair table, while only
+    (blocks x |queries|) rows ever cross the Arrow boundary and the
+    exchange instead of (|corpus| x |queries|) — the §2.3
+    aggregate-before-you-shuffle move pushed inside the kernel, where
+    the pair table is born.
+
+    Scoring is bit-identical to ``cosine_scores`` (same broadcast query
+    matrix, same sequential per-dimension float64 accumulation, same
+    6-decimal quantization), so the winning (cosine, vec_id) per query
+    is the one the full table's max_by would pick. Requires an integral
+    ``id_col`` (the in-kernel tiebreak uses an int64 sentinel). With
+    ``quantize=False`` a -0.0 cosine could tie a +0.0 one under numpy
+    (== treats them equal) while Spark's Double.compare orders them;
+    quantization canonicalizes -0.0 away (floor(x*1e6+0.5) of a
+    representable value never yields -0.0), so keep quantize=True.
+
+    ``min_parallelism`` spreads a single-file scan (see ``_spread_scan``)
+    — grouping of corpus rows into blocks does not affect the global
+    argmax, so the repartition is result-invariant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"cosine_argmax_partials needs an integral id column, got {id_type}"
+        )
+    # driver-bound: query-set matrix (eval-sample scale by spec)
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    q_ids = qpdf[query_id_col].to_numpy()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    dim = Q.shape[1]
+    acc = np.zeros(len(q_ids))
+    for d in range(dim):
+        acc = acc + Q[:, d] * Q[:, d]
+    q_norms = np.sqrt(acc)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norms))
+
+    def block(batches):
+        b_qids, b_Q, b_qnorms = bc.value
+        step = max(1, MAX_PAIR_CELLS // max(1, len(b_qids)))
+        id_sentinel = np.iinfo(np.int64).max
+        for pdf_in in batches:
+            for lo in range(0, len(pdf_in), step):
+                pdf = pdf_in.iloc[lo : lo + step]
+                if len(pdf) == 0:
+                    continue
+                c_ids = pdf[id_col].to_numpy()
+                C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                dots = np.zeros((len(c_ids), len(b_qids)))
+                for d in range(dim):
+                    dots += C[:, d : d + 1] * b_Q[:, d]
+                acc_c = np.zeros(len(c_ids))
+                for d in range(dim):
+                    acc_c += C[:, d] * C[:, d]
+                cos = dots / (np.sqrt(acc_c)[:, None] * b_qnorms[None, :])
+                if quantize:
+                    cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
+                # ordering key: NaN above every double (Spark ordering),
+                # self-pairs excluded outright
+                key = np.where(np.isnan(cos), np.inf, cos)
+                key[c_ids[:, None] == b_qids[None, :]] = -np.inf
+                best = key.max(axis=0)
+                alive = best > -np.inf
+                if not alive.any():
+                    continue
+                # min vec_id among rows achieving the block max
+                cand = key == best[None, :]
+                best_ids = np.where(
+                    cand, c_ids[:, None], id_sentinel
+                ).min(axis=0)
+                win_row = np.argmax(
+                    cand & (c_ids[:, None] == best_ids[None, :]), axis=0
+                )
+                cols = np.nonzero(alive)[0]
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[cols],
+                        "vec_id": best_ids[cols],
+                        "cosine": cos[win_row[cols], cols],
+                    }
+                )
+
+    src = _spread_scan(corpus.select(id_col, vec_col), min_parallelism)
+    return src.mapInPandas(
         block, schema=f"query_id {qid_type}, vec_id {id_type}, cosine double"
     )
 
