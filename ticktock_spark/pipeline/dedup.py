@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ticktock_spark.pipeline.text import normalize_text
+from ticktock_spark.pipeline.util import spread_scan
 
 
 def shingles(text: Column, k: int = 5) -> Column:
@@ -1721,11 +1722,18 @@ def decontaminate(
     recomputed per call. ``benchmark`` is ignored when it is given.
     """
     grams = lambda c: F.explode(word_shingles(c, n)).alias("gram")  # noqa: E731
-    doc_grams = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), grams(F.col(text_col)))
-        .distinct()
+    # NO .distinct() after the explode: word_shingles is array_distinct
+    # per doc and id_col identifies the doc, so (id, gram) rows are
+    # already unique — the removed distinct was a full exchange of the
+    # exploded gram lineage that deduped nothing (r11 plan audit). The
+    # spread_scan replaces the parallelism that exchange incidentally
+    # provided, at doc-row cost instead of gram-row cost (no-op once the
+    # scan has enough splits).
+    src = spread_scan(
+        df.filter(F.col(text_col).isNotNull()),
+        df.sparkSession.sparkContext.defaultParallelism,
     )
+    doc_grams = src.select(F.col(id_col), grams(F.col(text_col)))
     bench_grams = (
         benchmark_grams(benchmark, n=n, bench_text_col=bench_text_col)
         if bench_grams_df is None
@@ -1762,14 +1770,19 @@ def _doc_grams(
     df: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
     """One row per (doc, DISTINCT word n-gram) — the shared base of the
-    corpus-internal gram statistics below (one scan + explode)."""
-    return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
-        )
-        .distinct()
+    corpus-internal gram statistics below (one scan + explode; no
+    .distinct() needed — word_shingles is array_distinct per doc and
+    id_col identifies the doc, so the exploded rows are already unique;
+    a distinct here was a full exchange that deduped nothing). The
+    spread_scan keeps the shingle/explode work off a single task when
+    the scan is one small file (no-op at scale)."""
+    src = spread_scan(
+        df.filter(F.col(text_col).isNotNull()),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+    return src.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
     )
 
 
@@ -1806,10 +1819,18 @@ def gram_duplication(
     quadratic in cluster size. Skew proof: tools/robust_scale_stress.py
     plants one gram in 50% of docs at 8× — SCALE.md gram-skew row.
     """
-    dg = _doc_grams(df, n, text_col, id_col)
-    per_doc = dg.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
+    src = spread_scan(
+        df.filter(F.col(text_col).isNotNull()),
+        df.sparkSession.sparkContext.defaultParallelism,
     )
+    sh = src.select(id_col, word_shingles(F.col(text_col), n).alias("__sh"))
+    # n_grams straight off the shingle ARRAY (word_shingles is already
+    # per-doc distinct): no explode + groupBy(doc) + exchange just to
+    # count what size() reads in place (r11)
+    per_doc = sh.select(
+        F.col(id_col), F.size("__sh").cast("long").alias("n_grams")
+    )
+    dg = sh.select(F.col(id_col), F.explode("__sh").alias("gram"))
     uniq = (
         dg.groupBy("gram")
         .agg(
@@ -1859,10 +1880,16 @@ def gram_novelty(
     per-doc novelty counts at document cardinality; the final join is
     doc-keyed. One gram exchange + one doc exchange, corpus linear.
     """
-    dg = _doc_grams(df, n, text_col, id_col)
-    per_doc = dg.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
+    src = spread_scan(
+        df.filter(F.col(text_col).isNotNull()),
+        df.sparkSession.sparkContext.defaultParallelism,
     )
+    sh = src.select(id_col, word_shingles(F.col(text_col), n).alias("__sh"))
+    # n_grams from the shingle array in place (see gram_duplication)
+    per_doc = sh.select(
+        F.col(id_col), F.size("__sh").cast("long").alias("n_grams")
+    )
+    dg = sh.select(F.col(id_col), F.explode("__sh").alias("gram"))
     firsts = (
         dg.groupBy("gram")
         .agg(F.min(id_col).alias("first_id"))

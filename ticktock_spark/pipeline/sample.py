@@ -569,19 +569,30 @@ def dsir_weights(
         per_doc.unpersist()
     spark = df.sparkSession
     lmw = spark.createDataFrame(lm_rows, "b string, llr double")
-    out = (
-        tf_table().join(F.broadcast(lmw), "b")
+    # Scoring pass WITHOUT the doc-spine outer join (r11): explode_outer
+    # keeps token-less docs as one (doc, tok=NULL) row, whose bucket is
+    # NULL — the left join then gives it llr=NULL, sum() skips it
+    # (log_w NULL, n_tokens 0), which is exactly what the removed
+    # `spine LEFT JOIN scores` emitted. Every REAL token's bucket exists
+    # in lmw (it was fit from this corpus), so the (tf · llr) multiset
+    # per doc is unchanged. Saves one corpus scan, one doc-keyed
+    # exchange, and a SortMergeJoin of the whole spine — at 100 TB that
+    # join was the plan's only corpus-wide sort.
+    base_all = df.select(
+        F.col(id_col), tk.alias("__tk")
+    ).select(id_col, F.explode_outer("__tk").alias("tok"))
+    tf_all = base_all.groupBy(
+        id_col, token_bucket(F.col("tok")).alias("b")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf_all.join(F.broadcast(lmw), "b", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("tf").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("b").isNotNull(), F.col("tf"))), F.lit(0)
+            ).alias("n_tokens"),
             F.sum(F.col("tf").cast("double") * F.col("llr")).alias("log_w"),
         )
-    )
-    spine = df.select(id_col)
-    return spine.join(out, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-        F.col("log_w"),
     )
 
 

@@ -90,18 +90,9 @@ def brute_force_knn(
 
 
 def _spread_scan(df: DataFrame, min_parallelism: int | None) -> DataFrame:
-    """Round-robin repartition ONLY when the plan would otherwise run on
-    fewer tasks than ``min_parallelism`` — a single small parquet file
-    (one row group) arrives as ONE scan partition, serializing every
-    downstream per-row kernel onto one core. At scale the scan already
-    yields >= parallelism splits and this is a no-op (no shuffle added),
-    which is what makes it safe to leave on: the repartition cost only
-    exists where the data is small enough for it to be trivial."""
-    if not min_parallelism:
-        return df
-    if df.rdd.getNumPartitions() >= min_parallelism:
-        return df
-    return df.repartition(min_parallelism)
+    from ticktock_spark.pipeline.util import spread_scan
+
+    return spread_scan(df, min_parallelism)
 
 
 def cosine_scores(

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ticktock_spark.pipeline.util import spread_scan
+
 # Small per-language stopword lists (public common words). Kept tiny and
 # deterministic so the oracle SQL can mirror them exactly.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -1817,13 +1819,18 @@ def _bpe_encode_arrow(
         return tok_arrays.map(lambda toks: sum(word_len(w) for w in toks))
 
     _n_subwords.__annotations__ = {"tok_arrays": pd.Series, "return": pd.Series}
-    n_subwords = pandas_udf(_n_subwords, "long")
+    # asNondeterministic: the replay is pure, but the marking stops the
+    # optimizer from duplicating the ArrowEvalPython node when a derived
+    # filter is pushed below it (two evaluations per row otherwise —
+    # the q127 pathology; same rationale there)
+    n_subwords = pandas_udf(_n_subwords, "long").asNondeterministic()
 
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
         .filter(F.size("_t") > 0)  # no tokens -> no accounting row
     )
+    toks = spread_scan(toks, df.sparkSession.sparkContext.defaultParallelism)
     return toks.select(
         F.col(id_col),
         F.size("_t").alias("n_words"),
@@ -1967,13 +1974,24 @@ def bpe_encode_ids(
         )
 
     _token_ids.__annotations__ = {"tok_arrays": pd.Series, "return": pd.Series}
-    token_ids = pandas_udf(_token_ids, "array<int>")
+    # asNondeterministic (guide §4.4 shape): a downstream posexplode gets
+    # an inferred `size(col) > 0 AND isnotnull(col)` filter
+    # (InferFiltersFromGenerate) on the UDF column; predicate pushdown
+    # then re-evaluates the UDF below the filter AND in the projection —
+    # TWO ArrowEvalPython nodes per row (observed in q127's plan). The
+    # replay is pure, so blocking the duplication cannot change results;
+    # the inferred filter itself is vacuous here (every kept doc has
+    # >= 1 token and every token >= 1 symbol).
+    token_ids = pandas_udf(_token_ids, "array<int>").asNondeterministic()
 
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
         .filter(F.size("_t") > 0)
     )
+    # spread a single-file scan so tokenize + replay parallelize; the
+    # UDF is row-local, so regrouping rows cannot change any result
+    toks = spread_scan(toks, df.sparkSession.sparkContext.defaultParallelism)
     return toks.select(
         F.col(id_col),
         token_ids("_t").alias("token_ids"),
