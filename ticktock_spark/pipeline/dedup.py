@@ -186,61 +186,116 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
     """
     import hashlib
 
+    import numpy as np
     import pandas as pd
 
     n_digests = (num_hashes + 3) // 4
     seeds = [f"{d}:".encode() for d in range(n_digests)]
 
     md5 = hashlib.md5
-    slices = [(j * 8, j * 8 + 8) for j in range(num_hashes)]
-    # shingle → its num_hashes hex pieces, cached across the partition:
-    # natural-language 5-gram vocabulary is FAR smaller than the total
-    # shingle instance count ("the q" recurs in every batch), so the
-    # cache converts most md5 work into a dict hit. Capped so a
-    # pathological high-entropy corpus can't grow it unboundedly.
-    cache: dict[str, tuple] = {}
+    # shingle → row index into a uint64 piece matrix, cached across the
+    # partition: natural-language 5-gram vocabulary is FAR smaller than
+    # the total shingle instance count ("the q" recurs in every batch),
+    # so the cache converts most md5 work into a dict hit. The pieces
+    # are FIXED-WIDTH lowercase hex, whose lexicographic order equals
+    # their integer order, so the per-doc min over piece STRINGS (the
+    # md5 scheme's spec) == min over their uint64 values — which lets
+    # the whole chunk's minima run as ONE np.minimum.reduceat call
+    # instead of an interpreted per-doc zip/min loop (r11; band keys
+    # byte-identical, pinned by the engine-parity tests). Capped so a
+    # pathological high-entropy corpus can't grow the cache unboundedly
+    # (checked between chunks — a chunk's rows stay index-stable).
+    index: dict[str, int] = {}
+    # uint32 (pieces are 32-bit by construction): besides halving the
+    # matrix, 64-bit 2-D gathers are pathologically slow on some
+    # BLAS/memcpy paths (measured 100× vs uint32 here) — and np.take is
+    # used over fancy indexing for the same reason
+    piece_mat = np.empty((1 << 14, num_hashes), dtype=np.uint32)
+    n_pieces = 0
+    CHUNK = 4096
 
-    def _pieces(s: str) -> tuple:
-        p = cache.get(s)
-        if p is None:
-            sb = s.encode()
-            cat = "".join(md5(seed + sb).hexdigest() for seed in seeds)
-            p = tuple(cat[a:b] for a, b in slices)
-            if len(cache) > 2_000_000:
-                cache.clear()
-            cache[s] = p
-        return p
+    def _row(s: str) -> int:
+        nonlocal piece_mat, n_pieces
+        i = index.get(s)
+        if i is None:
+            # raw digest bytes, no hex round-trip: hexdigest()[j*8:j*8+8]
+            # is exactly digest()[j*4:j*4+4] rendered as lowercase hex,
+            # so the big-endian uint32 view of the digest IS the piece's
+            # integer value (format(v, '08x') reconstructs the hex piece
+            # bit-exactly at emit time)
+            cat = b"".join(md5(seed + s.encode()).digest() for seed in seeds)
+            i = n_pieces
+            if i == len(piece_mat):
+                piece_mat = np.concatenate([piece_mat, np.empty_like(piece_mat)])
+            piece_mat[i] = np.frombuffer(cat, dtype=">u4")[:num_hashes]
+            n_pieces = i + 1
+            index[s] = i
+        return i
 
     def stage(pdfs):
+        nonlocal n_pieces
         for pdf in pdfs:
-            ids: list = []
-            band_idx: list[int] = []
-            keys: list[str] = []
             col = pdf["norm"] if k is not None else pdf["sh"]
-            for doc_id, doc in zip(pdf[id_col], col):
-                if doc is None:
-                    # NULL text: the expression path yields NULL band keys
-                    # (md5 of NULL) which posexplode drops — match it by
-                    # emitting nothing instead of crashing on len(None)
-                    continue
-                if k is not None:
-                    sh = set(doc[i : i + k] for i in range(max(len(doc) - k + 1, 1)))
-                else:
-                    sh = doc
-                # len() not truthiness: a shingles_df column arrives as a
-                # numpy array, whose bool() raises "truth value ambiguous"
-                if len(sh):
-                    # min per hash over all shingles, in C (zip + min)
-                    minima = [min(c) for c in zip(*(_pieces(s) for s in sh))]
-                else:
-                    minima = ["g"] * num_hashes
-                for b in range(bands):
-                    sig_slice = "".join(minima[b * rows : (b + 1) * rows])
-                    ids.append(doc_id)
-                    band_idx.append(b)
-                    keys.append(md5(f"b{b}:{sig_slice}".encode()).hexdigest())
-            # yield bound: bands-per-doc is the constant `bands` (row-local)
-            yield pd.DataFrame({id_col: ids, "band": band_idx, "key": keys})
+            id_seq = pdf[id_col]
+            for lo in range(0, len(pdf), CHUNK):
+                if len(index) > 2_000_000:
+                    index.clear()
+                    n_pieces = 0
+                ids: list = []
+                band_idx: list[int] = []
+                keys: list[str] = []
+                doc_ids: list = []
+                flat: list[int] = []
+                starts: list[int] = []
+                for doc_id, doc in zip(
+                    id_seq.iloc[lo : lo + CHUNK], col.iloc[lo : lo + CHUNK]
+                ):
+                    if doc is None:
+                        # NULL text: the expression path yields NULL band
+                        # keys (md5 of NULL) which posexplode drops —
+                        # match it by emitting nothing instead of
+                        # crashing on len(None)
+                        continue
+                    if k is not None:
+                        sh = {
+                            doc[i : i + k]
+                            for i in range(max(len(doc) - k + 1, 1))
+                        }
+                    else:
+                        sh = doc
+                    # len() not truthiness: a shingles_df column arrives
+                    # as a numpy array, whose bool() raises "truth value
+                    # ambiguous"
+                    if len(sh):
+                        starts.append(len(flat))
+                        flat.extend(_row(s) for s in sh)
+                        doc_ids.append(doc_id)
+                    else:
+                        # precomputed-empty shingle array: the sentinel
+                        # "g" sorts after every hex char, same as before
+                        minima = ["g"] * num_hashes
+                        for b in range(bands):
+                            sig = "".join(minima[b * rows : (b + 1) * rows])
+                            ids.append(doc_id)
+                            band_idx.append(b)
+                            keys.append(md5(f"b{b}:{sig}".encode()).hexdigest())
+                if doc_ids:
+                    gathered = np.take(
+                        piece_mat, np.asarray(flat, dtype=np.int64), axis=0
+                    )
+                    mins = np.minimum.reduceat(
+                        gathered, np.asarray(starts, dtype=np.int64), axis=0
+                    )
+                    for di, doc_id in enumerate(doc_ids):
+                        minima = [format(v, "08x") for v in mins[di]]
+                        for b in range(bands):
+                            sig = "".join(minima[b * rows : (b + 1) * rows])
+                            ids.append(doc_id)
+                            band_idx.append(b)
+                            keys.append(md5(f"b{b}:{sig}".encode()).hexdigest())
+                # yield bound: bands-per-doc is the constant `bands`
+                # (row-local) and chunks cap rows at CHUNK * bands
+                yield pd.DataFrame({id_col: ids, "band": band_idx, "key": keys})
 
     return stage
 
@@ -472,10 +527,12 @@ def minhash_lsh_candidates(
     """
     rows = num_hashes // bands
     par = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    # explicit exchange: spreads a single-file scan across tasks (and acts
-    # as a CollapseProject barrier for the expression engine)
+    # spread_scan, not an unconditional repartition (r11): a single-file
+    # scan still spreads across tasks locally, but at scale — where the
+    # scan already has >= par splits — no full-text exchange is added
+    # (§2.4: the signature kernel is row-local, placement is free)
     if engine == "pandas" and shingles_df is None:
-        nm = df.repartition(par).select(
+        nm = spread_scan(df, par).select(
             F.col(id_col), normalize_text(F.col(text_col)).alias("norm")
         )
         id_type = dict(nm.dtypes)[id_col]
@@ -503,11 +560,9 @@ def minhash_lsh_candidates(
         if shingles_df is not None:
             sh = shingles_df.filter(F.element_at(F.col("sh"), 1).isNotNull())
         else:
-            sh = (
-                df.filter(F.col(text_col).isNotNull())
-                .repartition(par)
-                .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
-            )
+            sh = spread_scan(
+                df.filter(F.col(text_col).isNotNull()), par
+            ).select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
         if engine == "xxh64":
             # signature + banding fused into one aggregate (finish
             # lambda), so the signature can't be re-inlined per band key
@@ -820,9 +875,9 @@ def minhash_lsh_join(
             # text-column null filter BEFORE the shingle projection (not
             # element_at(sh,1) after — that re-inlines the shingle
             # expression into the predicate; see minhash_lsh_candidates)
-            sh = df.filter(F.col(text_col).isNotNull()).repartition(par).select(
-                F.col(id_col), shingles(F.col(text_col), k).alias("sh")
-            )
+            sh = spread_scan(
+                df.filter(F.col(text_col).isNotNull()), par
+            ).select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
             b = sh.select(
                 id_col,
                 F.posexplode(
@@ -831,7 +886,7 @@ def minhash_lsh_join(
             )
             return b.withColumnRenamed(id_col, out_id)
         id_type = dict(df.select(id_col).dtypes)[id_col]
-        nm = df.repartition(par).select(
+        nm = spread_scan(df, par).select(
             F.col(id_col), normalize_text(F.col(text_col)).alias("norm")
         )
         b = nm.mapInPandas(
@@ -1200,7 +1255,7 @@ def cross_source_matrix(
     # shingles_df sharing contract both callees document. CacheManager
     # note as elsewhere: long-lived sessions reclaim with clearCache().
     sh = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        spread_scan(df, df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
         .persist()
     )
@@ -1329,7 +1384,7 @@ def tile_band_keys(
     stride = int(stride) if stride else max(1, window_words // 2)
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.filter(F.col(text_col).isNotNull())
-    toks = base.repartition(par).select(
+    toks = spread_scan(base, par).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
     )
     long_docs = toks.filter(F.size("_w") > int(window_words))
@@ -1399,7 +1454,7 @@ def windowed_containment_candidates(
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.filter(F.col(text_col).isNotNull())
     if shingles_df is None:
-        shingles_df = base.repartition(par).select(
+        shingles_df = spread_scan(base, par).select(
             F.col(id_col), shingles(F.col(text_col), k).alias("sh")
         )
     doc_keys = _band_keys_frame(
@@ -1477,7 +1532,7 @@ def containment_pairs(
     Output: (id_a < id_b, inter, n_a, n_b, containment, contained).
     """
     sh = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        spread_scan(df, df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
         .persist()
     )
@@ -1548,7 +1603,7 @@ def dedup_threshold_sweep(
     # cross_source_matrix sharing shape; unshared, the audit shows the
     # corpus text scanned twice just to re-derive shingles)
     sh = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        spread_scan(df, df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
         .persist()
     )

@@ -5411,9 +5411,11 @@ def q159(spark, sf_dir):
     to intra-word edits with |shingle set| ~ token count. Same banding
     engine as q34, fed through the shingles_df sharing contract; the
     oracle re-derives identical word shingles in SQL."""
+    from ticktock_spark.pipeline.util import spread_scan
+
     d = _table(spark, sf_dir, "documents")
-    sh = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism
+    sh = spread_scan(
+        d, d.sparkSession.sparkContext.defaultParallelism
     ).select(F.col("doc_id"), dd.word_shingles(F.col("text"), 3).alias("sh"))
     return dd.minhash_lsh_candidates(d, shingles_df=sh)
 

@@ -1172,9 +1172,8 @@ def winnowing_fingerprints(
         )
     if engine == "pandas":
         nm = (
-            df.filter(F.length(norm) > 0)
+            spread_scan(df.filter(F.length(norm) > 0), par)
             .select(F.col(id_col), norm.alias("norm"))
-            .repartition(par)
         )
         id_type = dict(nm.dtypes)[id_col]
 
@@ -1958,17 +1957,19 @@ def bpe_encode_ids(
     # driver-bound: vocab table (alphabet + merges, model-scale)
     vocab = {r["sym"]: r["token_id"] for r in vocab_df.collect()}
 
+    # memo OUTSIDE the udf body: per-task lifetime (guide §4.5), so the
+    # word replay amortizes across every batch a task sees, not per batch
+    memo: dict[str, list] = {}
+
+    def word_ids(w: str) -> list:
+        got = memo.get(w)
+        if got is None:
+            got = memo[w] = [
+                vocab[s] for s in _bpe_replay_word(w, by_rank, ranks_of)
+            ]
+        return got
+
     def _token_ids(tok_arrays):
-        memo: dict[str, list] = {}
-
-        def word_ids(w: str) -> list:
-            got = memo.get(w)
-            if got is None:
-                got = memo[w] = [
-                    vocab[s] for s in _bpe_replay_word(w, by_rank, ranks_of)
-                ]
-            return got
-
         return tok_arrays.map(
             lambda toks: [tid for w in toks for tid in word_ids(w)]
         )
