@@ -122,3 +122,135 @@ def test_cosine_argmax_partials_rejects_string_ids(spark):
     q = e.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="integral id"):
         sim.cosine_argmax_partials(e, q)
+
+
+def _centroid_agreement_spec(spark, df):
+    """The pre-r11 min_by reference for centroid_label_agreement:
+    struct-ordered argmin over the scored table (forces SortAggregate —
+    kept here only as the correctness spec for the packed-long argmax)."""
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    cent = (
+        df.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("x").cast("double") * 1000000.0 + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "label",
+            "pos",
+            (
+                F.floor(F.col("s").cast("double") / F.col("c") + F.lit(0.5))
+                / F.lit(1_000_000.0)
+            ).alias("m"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    ev = df.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(F.zip_with("ed", "cv", lambda a, b: a * b))
+    n_e = F.sqrt(fold(F.transform("ed", lambda a: a * a)))
+    n_c = F.sqrt(fold(F.transform("cv", lambda b: b * b)))
+    scored = (
+        ev.crossJoin(F.broadcast(cent))
+        .withColumn("__ne", n_e)
+        .withColumn("__nc", n_c)
+        .filter((F.col("__ne") > 0) & (F.col("__nc") > 0))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            q6(dot / (F.col("__ne") * F.col("__nc"))).alias("cosine"),
+        )
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min_by(
+            "c_label",
+            F.struct((-F.col("cosine")).alias("nc"), F.col("c_label")),
+        ).alias("pred")
+    )
+    return best.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("pred") == F.col("label"), 1))
+        .cast("long")
+        .alias("n_match"),
+        q6(
+            F.count(F.when(F.col("pred") == F.col("label"), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("agreement"),
+    )
+
+
+def test_centroid_agreement_packed_argmax_matches_minby_spec(spark):
+    # random frame + planted exact ties (twin vectors under two labels)
+    from ticktock_spark.pipeline.similarity import centroid_label_agreement
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[rng.uniform(-1, 1) for _ in range(6)],
+                label=f"c{i % 5}",
+            )
+        )
+    for i in range(15):  # exact twins across labels -> quantized ties
+        rows.append(
+            Row(
+                vec_id=200 + i,
+                embedding=list(rows[i]["embedding"]),
+                label=f"c{(i + 1) % 5}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = _collect_sorted(centroid_label_agreement(df))
+    want = _collect_sorted(_centroid_agreement_spec(spark, df))
+    assert got == want
+
+
+def test_centroid_agreement_label_with_only_null_vectors(spark):
+    # A label whose every vector is NULL/empty never reaches posexplode,
+    # so it is absent from the centroid frame while still present as a
+    # true label. The packed argmax must keep labels that sort AFTER it
+    # matching correctly (the match bit sidesteps lid->label unpacking,
+    # so centroid-frame lids shifting past the hole is harmless).
+    from ticktock_spark.pipeline.similarity import centroid_label_agreement
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label="a"),
+        Row(vec_id=2, embedding=[1.0, 0.1], label="a"),
+        # "b" has only NULL / empty vectors -> no centroid
+        Row(vec_id=3, embedding=None, label="b"),
+        Row(vec_id=4, embedding=[], label="b"),
+        Row(vec_id=5, embedding=[0.0, 1.0], label="c"),
+        Row(vec_id=6, embedding=[0.1, 1.0], label="c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = _collect_sorted(centroid_label_agreement(df))
+    want = _collect_sorted(_centroid_agreement_spec(spark, df))
+    assert got == want
+    out = {r[0]: r for r in got}
+    # every "c" vector must still predict "c" (lid NOT shifted by "b")
+    assert out["c"][2] == 2  # n_match

@@ -1704,6 +1704,13 @@ def centroid_label_agreement(
     scoring is one scan × L broadcast centroids; no pair table.
     """
     q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    # A single-file corpus arrives as ONE scan partition, serializing
+    # the N·L cosine folds (the dominant compute) onto one core.
+    # Regrouping rows is result-neutral here by construction: the
+    # centroid moments are order-free (integer micro-unit DECIMAL sums,
+    # one rounding at the mean), the component order is restored by
+    # array_sort on pos, and scoring/argmax are per-row + groupBy.
+    df = _spread_scan(df, df.sparkSession.sparkContext.defaultParallelism)
     cent = (
         df.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
         .groupBy(label_col, "pos")
@@ -1734,44 +1741,107 @@ def centroid_label_agreement(
         )
         .select(F.col(label_col).alias("c_label"), "cv")
     )
-    ev = df.select(
-        id_col,
-        label_col,
-        F.transform(vec_col, lambda x: x.cast("double")).alias("ed"),
-    )
     fold = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0.0), lambda acc, x: acc + x
     )
     dot = fold(F.zip_with("ed", "cv", lambda a, b: a * b))
     n_e = F.sqrt(fold(F.transform("ed", lambda a: a * a)))
     n_c = F.sqrt(fold(F.transform("cv", lambda b: b * b)))
+    # Norms are computed BEFORE the crossJoin on purpose: __ne depends
+    # only on the vector (N rows) and __nc only on the centroid (L
+    # rows), but as post-join withColumns each d-element HOF fold ran
+    # once per (vector, centroid) PAIR — N·L evaluations instead of
+    # N + L. Same expressions over the same arrays, so the values (and
+    # the > 0 filter and the cosine) are bit-identical.
+    ev = df.select(
+        id_col,
+        label_col,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("ed"),
+    ).withColumn("__ne", n_e)
+    # Label rank for the packed argmax below: a row_number over the
+    # centroid frame ONLY (L rows, one trivial window task — no driver
+    # collect, no extra corpus scan). Ascending c_label NULLS FIRST is
+    # exactly the tiebreak order min_by(struct(−cosine, c_label)) used.
+    # The lid never needs to map BACK to a label value: the final
+    # aggregation only ever asks whether the winning centroid's label
+    # EQUALS the row's own label, so the key carries that equality as a
+    # match bit instead of an unpackable label id (a label absent from
+    # the centroid frame — e.g. all its vectors NULL/empty — can then
+    # never be predicted, which is also what min_by over the crossJoin
+    # produced). raise_error guards the 2^21 packing bound at L scale
+    # (evaluated once per centroid row, not per pair).
+    w_lid = Window.orderBy(F.col("c_label").asc_nulls_first())
+    cent = cent.withColumn(
+        "__lid",
+        F.when(
+            F.row_number().over(w_lid) > 2_097_152,
+            F.raise_error(
+                "centroid_label_agreement: label cardinality exceeds "
+                "the 2^21 argmax packing bound"
+            ).cast("int"),
+        ).otherwise(F.row_number().over(w_lid) - 1),
+    ).withColumn("__nc", n_c)
+    # Packed argmax key, exact: mc = floor(cos·1e6 + 0.5) is the
+    # quantized micro-cosine (integer-valued, |mc| ≤ ~1e6 for the real
+    # cosines that pass the ne/nc > 0 filter). A NaN cosine (possible
+    # only via ±inf components: inf norm passes the > 0 filter and
+    # inf/inf or 0·inf in the dot is NaN) maps to the −3e6 sentinel —
+    # BELOW every real mc — because Spark orders NaN ABOVE all doubles,
+    # so min_by(−cosine, …) ranked a NaN candidate strictly last
+    # (floor(NaN).cast(long) would instead yield 0 = a mid-rank cosine).
+    # key = mc·2²² − lid·2 + match fits a long exactly (|mc|·2²² ≤
+    # ~1.3e13); max(key) picks max mc, then (tie) MIN lid = min c_label
+    # ascending — precisely min_by(struct(−cosine, c_label)) — because
+    # lid steps are 2 while the match bit contributes at most 1, it can
+    # never override the lid order. The surviving bit IS the winner's
+    # pred == label verdict (plain equality: a NULL comparison scores 0,
+    # exactly like count(pred == label) skipped it).
+    # __cos is hoisted into its own projection step ON PURPOSE: mc below
+    # references the cosine twice (isnan branch + floor branch), and the
+    # HOF dot fold is CodegenFallback with no subexpression elimination —
+    # inlining cosv's expression into both branches evaluates the whole
+    # d-element fold twice per (vector, centroid) pair (measured: warm
+    # 1.38 s vs 1.01 s at sf0.1 — slower than the min_by form it
+    # replaces). As a multiply-referenced non-cheap alias, CollapseProject
+    # keeps __cos as one evaluation (the same mechanism __ne/__nc rely
+    # on).
+    cosv = F.col("__cos")
+    mc = F.when(F.isnan(cosv), F.lit(-3_000_000).cast("long")).otherwise(
+        F.floor(cosv * 1000000.0 + F.lit(0.5)).cast("long")
+    )
+    match = (
+        F.when(F.col("c_label") == F.col(label_col), 1)
+        .otherwise(0)
+        .cast("long")
+    )
     scored = (
         ev.crossJoin(F.broadcast(cent))
-        .withColumn("__ne", n_e)
-        .withColumn("__nc", n_c)
         .filter((F.col("__ne") > 0) & (F.col("__nc") > 0))
+        .withColumn("__cos", dot / (F.col("__ne") * F.col("__nc")))
         .select(
             id_col,
             label_col,
-            "c_label",
-            q6(dot / (F.col("__ne") * F.col("__nc"))).alias("cosine"),
+            (
+                mc * F.lit(4_194_304).cast("long")
+                - F.col("__lid") * F.lit(2).cast("long")
+                + match
+            ).alias("__key"),
         )
     )
-    best = scored.groupBy(id_col, label_col).agg(
-        F.min_by(
-            "c_label",
-            F.struct((-F.col("cosine")).alias("nc"), F.col("c_label")),
-        ).alias("pred")
+    packed = scored.groupBy(id_col, label_col).agg(
+        F.max("__key").alias("__key")
+    )
+    # pmod(key, 2) recovers the winner's match bit for any mc/lid sign
+    # (mc·2²² and lid·2 are both even).
+    best = packed.select(
+        id_col,
+        label_col,
+        F.pmod(F.col("__key"), F.lit(2).cast("long")).alias("__match"),
     )
     return best.groupBy(label_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.count(F.when(F.col("pred") == F.col(label_col), 1))
-        .cast("long")
-        .alias("n_match"),
+        F.sum("__match").cast("long").alias("n_match"),
         q6(
-            F.count(F.when(F.col("pred") == F.col(label_col), 1)).cast(
-                "double"
-            )
-            / F.count(F.lit(1))
+            F.sum("__match").cast("double") / F.count(F.lit(1))
         ).alias("agreement"),
     )
