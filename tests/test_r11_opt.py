@@ -254,3 +254,59 @@ def test_centroid_agreement_label_with_only_null_vectors(spark):
     out = {r[0]: r for r in got}
     # every "c" vector must still predict "c" (lid NOT shifted by "b")
     assert out["c"][2] == 2  # n_match
+
+
+def _acf_join_spec(df, series_cols, max_lag, bucket_ms):
+    """The pre-r11 acf: broadcast lag fan-out + (series, shifted-ts)
+    self equi-join — kept as the correctness spec for the range-frame
+    window rewrite."""
+    from ticktock_spark.operators.correlate import pearson_moments
+
+    micro = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = df.select(*series_cols, F.col("ts").alias("ts"), micro.alias("x"))
+    lags = df.sparkSession.range(1, int(max_lag) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    expanded = base.crossJoin(F.broadcast(lags)).withColumn(
+        "__tts",
+        F.col("ts") + F.col("lag").cast("long") * F.lit(int(bucket_ms)),
+    )
+    shifted = base.select(
+        *[F.col(c).alias(f"__r_{c}") for c in series_cols],
+        F.col("ts").alias("__ots"),
+        F.col("x").alias("y"),
+    )
+    cond = [expanded[c] == shifted[f"__r_{c}"] for c in series_cols]
+    cond.append(expanded["__tts"] == shifted["__ots"])
+    jd = expanded.join(shifted, cond)
+    return pearson_moments(jd, [*series_cols, "lag"])
+
+
+def _acf_frame(spark, seed=2203):
+    # bucketed series with MISSING buckets (pairs must drop, not
+    # interpolate), a NULL-value bucket (row exists: pairs count toward
+    # n, sums skip it), and a constant series (zero variance -> NULL r)
+    rng = random.Random(seed)
+    rows = []
+    for s in range(5):
+        for i in sorted(rng.sample(range(60), rng.randint(10, 45))):
+            rows.append(
+                Row(metric=f"m{s}", ts=i * 60_000, value=rng.uniform(-99, 99))
+            )
+    rows.append(Row(metric="m0", ts=61 * 60_000, value=None))
+    rows.append(Row(metric="m0", ts=62 * 60_000, value=None))
+    for i in range(12):
+        rows.append(Row(metric="mconst", ts=i * 60_000, value=7.25))
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+def test_acf_window_matches_join_spec(spark):
+    from ticktock_spark.operators.correlate import acf
+
+    df = _acf_frame(spark)
+    for max_lag in (1, 5, 8):
+        got = _collect_sorted(acf(df, ["metric"], max_lag, 60_000))
+        want = _collect_sorted(_acf_join_spec(df, ["metric"], max_lag, 60_000))
+        assert got == want, f"max_lag={max_lag}"

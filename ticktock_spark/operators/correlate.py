@@ -18,6 +18,21 @@ def _q6(c):
     return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
 
 
+def _r_from_moments(s: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., n, sx, sy, sxy, sxx, syy) DECIMAL(38,0) moments →
+    (group..., n, pearson_r): the pinned-order final double arithmetic
+    shared by every Pearson producer (pair-row and wide-moment forms
+    must agree bit-for-bit, so they share this tail)."""
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        _q6(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny))).alias("pearson_r"),
+    )
+
+
 def pearson_moments(jd: DataFrame, group_cols: list[str]) -> DataFrame:
     """(x, y) integer micro-unit pairs → (group..., n, pearson_r)."""
     dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
@@ -30,14 +45,7 @@ def pearson_moments(jd: DataFrame, group_cols: list[str]) -> DataFrame:
         F.sum(dec("x") * dec("x")).alias("sxx"),
         F.sum(dec("y") * dec("y")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return s.select(
-        *group_cols,
-        F.col("n").cast("long").alias("n"),
-        _q6(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny))).alias("pearson_r"),
-    )
+    return _r_from_moments(s, group_cols)
 
 
 def acf(
@@ -63,32 +71,75 @@ def acf(
     Output: (series..., lag, n, pearson_r), one row per series × lag
     with ≥1 aligned pair.
 
-    Scale shape: the lag fan-out is a broadcast ``max_lag``-row literal
-    cross join; the aligned self-join is one shuffle on (series, ts) at
-    bucket scale — no per-series collection, no window state.
+    Scale shape: one range-frame window pass over the (series, ts) sort
+    — for each lag k the frame [k·bucket, k·bucket] FOLLOWING holds
+    exactly the aligned partner bucket (or nothing), so no self-join, no
+    lag fan-out shuffle, and the bucket frame is computed ONCE (as a
+    self-join of a derived frame it was computed twice). All 2·max_lag
+    frames share one partition/order spec = one WindowExec, one sort;
+    the per-lag moments then aggregate in the SAME groupBy(series) —
+    which reuses the window's hash partitioning, no further exchange —
+    and only the |series|-row moment frame is unpivoted to (series,
+    lag) rows. Window partitions are per-series at bucket scale
+    (time-range / bucket_ms rows), the same bound q171's changepoint
+    windows carry — not raw-event cardinality.
     """
+    from pyspark.sql import Window
+
     micro = F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
         "long"
     )
     base = df.select(*series_cols, F.col(ts_col).alias("ts"), micro.alias("x"))
-    lags = df.sparkSession.range(1, int(max_lag) + 1).select(
-        F.col("id").cast("int").alias("lag")
-    )
-    # equi-join on (series, shifted ts): hash join at bucket scale — the
-    # lag condition must be a join KEY, not a post-cartesian filter
-    expanded = base.crossJoin(F.broadcast(lags)).withColumn(
-        "__tts",
-        F.col("ts") + F.col("lag").cast("long") * F.lit(int(bucket_ms)),
-    )
-    shifted = base.select(
-        *[F.col(c).alias(f"__r_{c}") for c in series_cols],
-        F.col("ts").alias("__ots"),
-        F.col("x").alias("y"),
-    )
-    cond = [expanded[c] == shifted[f"__r_{c}"] for c in series_cols]
-    cond.append(expanded["__tts"] == shifted["__ots"])
-    jd = expanded.join(shifted, cond)
-    return pearson_moments(jd, [*series_cols, "lag"])
+    # For each lag: y = the partner bucket's x, present = does that
+    # bucket exist. The pair (x, y) must be kept whenever the partner
+    # ROW exists even if its value is NULL (the join version counted
+    # such pairs in n while the sums skipped the NULL), so presence is
+    # a count over the frame, not y IS NOT NULL. One row per (series,
+    # bucket) is the operator's documented precondition — under it the
+    # frame holds at most one row and max(x) IS that row's x.
+    w = Window.partitionBy(*series_cols).orderBy("ts")
+    proj = [*series_cols, F.col("x")]
+    for k in range(1, int(max_lag) + 1):
+        fr = w.rangeBetween(k * int(bucket_ms), k * int(bucket_ms))
+        proj.append(F.max("x").over(fr).alias(f"__y{k}"))
+        proj.append(F.count(F.lit(1)).over(fr).alias(f"__c{k}"))
+    wide = base.select(*proj)
+    # Per-lag moments inline (no pair-row explode): each sum matches the
+    # pair-table aggregate exactly — n counts rows whose partner row
+    # EXISTS (__c >= 1, value NULLs included, same as count(1) over join
+    # rows); the value sums skip NULLs on their own (a guarded `x` is
+    # NULL when x is NULL; y/x·y/y² are NULL when either side is),
+    # which is precisely F.sum's NULL-skip over the pair rows. All in
+    # DECIMAL(38,0) like pearson_moments, order-free under partial agg.
+    dec38 = "decimal(38,0)"
+    aggs = []
+    for k in range(1, int(max_lag) + 1):
+        present = F.col(f"__c{k}") >= 1
+        xk = F.when(present, F.col("x")).cast(dec38)
+        yk = F.col(f"__y{k}").cast(dec38)
+        aggs += [
+            F.sum(F.when(present, F.lit(1))).cast(dec38).alias(f"n{k}"),
+            F.sum(xk).alias(f"sx{k}"),
+            F.sum(yk).alias(f"sy{k}"),
+            F.sum(xk * yk).alias(f"sxy{k}"),
+            F.sum(xk * xk).alias(f"sxx{k}"),
+            F.sum(yk * yk).alias(f"syy{k}"),
+        ]
+    mom = wide.groupBy(*series_cols).agg(*aggs)
+    stacked = mom.select(
+        *series_cols,
+        F.expr(
+            "stack({}, {}) AS (lag, n, sx, sy, sxy, sxx, syy)".format(
+                int(max_lag),
+                ", ".join(
+                    f"CAST({k} AS INT), n{k}, sx{k}, sy{k}, sxy{k}, "
+                    f"sxx{k}, syy{k}"
+                    for k in range(1, int(max_lag) + 1)
+                ),
+            )
+        ),
+    ).filter(F.col("n") > 0)  # a (series, lag) group exists iff >=1 pair
+    return _r_from_moments(stacked, [*series_cols, "lag"])
 
 
 def trend(
