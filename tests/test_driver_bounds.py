@@ -45,8 +45,14 @@ def _sites(path: pathlib.Path):
             continue
         recv = node.func.value
         # F.first(...) / functions.collect_list(...) are column
-        # expressions, not actions
-        if isinstance(recv, ast.Name) and recv.id in ("F", "functions"):
+        # expressions, not actions; np.take(...) / pd.* are numpy/pandas
+        # kernel calls inside executor-side UDFs, not driver actions
+        if isinstance(recv, ast.Name) and recv.id in (
+            "F",
+            "functions",
+            "np",
+            "pd",
+        ):
             continue
         lo = max(0, node.lineno - 1 - LOOKBACK)
         hi = min(len(lines), (node.end_lineno or node.lineno))

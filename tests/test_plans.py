@@ -53,13 +53,19 @@ def test_topn_broadcast_semi_join(spark):
 
 def test_bpe_token_ids_single_scan_no_shuffle(spark):
     """q127's id emission is one corpus scan through Arrow stages with
-    ZERO exchanges — the model state (merge table + vocab) is collected
-    and closed over, never joined. A shuffle appearing here means the
-    vocab mapping regressed into a join."""
+    zero KEYED exchanges — the model state (merge table + vocab) is
+    collected and closed over, never joined. A hashpartitioning
+    exchange or a join appearing here means the vocab mapping regressed
+    into a join. The one allowed exchange is spread_scan's round-robin
+    REPARTITION_BY_NUM (local-only: at scale the scan has >= parallelism
+    splits and spread_scan adds nothing)."""
     import re
 
     plan = _plan(spark, "q127_bpe_token_ids")
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", plan, re.M)
+    assert all(a.startswith("RoundRobinPartitioning") for a in exchanges), exchanges
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
 
 

@@ -20,6 +20,10 @@ def spread_scan(df: DataFrame, min_parallelism: int | None) -> DataFrame:
     change any downstream result."""
     if not min_parallelism:
         return df
+    if df.isStreaming:
+        # a micro-batch's partitioning is the source's business (and
+        # .rdd is illegal on a streaming DataFrame) — no-op
+        return df
     if df.rdd.getNumPartitions() >= min_parallelism:
         return df
     return df.repartition(min_parallelism)
