@@ -1862,49 +1862,69 @@ def gram_duplication(
     (df ≥ 2) exactly when it is NOT unique to one doc, so
     n_dup = n_grams − (# grams whose ONLY holder is this doc). Both
     sides are map-side-combinable groupBys over the exploded lineage:
-    per-doc gram counts key on the doc id (bounded rows per doc), and
-    the unique-gram side keys on the gram — partial aggregation folds a
-    stop-word gram present in 1% of 10¹⁰ docs down to ONE row per map
-    task before the exchange, where the previous
-    `count() over (partition by gram)` window form put all ~10⁸
-    occurrences of that hot gram through a single un-splittable window
-    task (AQE splits skewed joins, not window partitions). The final
-    join is doc-keyed at document cardinality. No pairwise comparison
-    anywhere, so cost is corpus-linear where pair-based dedup is
-    quadratic in cluster size. Skew proof: tools/robust_scale_stress.py
-    plants one gram in 50% of docs at 8× — SCALE.md gram-skew row.
+    partial aggregation folds a stop-word gram present in 1% of 10¹⁰
+    docs down to ONE row per map task before the exchange, where the
+    previous `count() over (partition by gram)` window form put all
+    ~10⁸ occurrences of that hot gram through a single un-splittable
+    window task (AQE splits skewed joins, not window partitions). No
+    pairwise comparison anywhere, so cost is corpus-linear where
+    pair-based dedup is quadratic in cluster size. Skew proof:
+    tools/robust_scale_stress.py plants one gram in 50% of docs at 8×
+    — SCALE.md gram-skew row.
+
+    SINGLE-LINEAGE by a per-doc sentinel gram (r11): the per-doc
+    n_grams count and the per-gram uniqueness reduction used to be two
+    consumers of the shingle frame — a derived-DataFrame diamond, so
+    the corpus scan AND the shingle regex work executed twice, stitched
+    back by a doc-keyed join. Prepending one sentinel gram
+    `"\\x01" + id` per doc (normalize_text output is [a-z0-9 ] only, so
+    no real gram can ever equal it; ids are unique per the one-row-per-
+    doc contract, so every sentinel has document frequency exactly 1)
+    makes the gram-keyed reduction itself recover the doc spine: every
+    doc owns at least its sentinel as a unique gram, so the
+    unique-grams-per-doc regroup sees every doc, n_uniq = count − 1,
+    and n_grams rides along (each exploded row carries its doc's
+    size(__sh); a unique gram's single row necessarily belongs to the
+    counted doc). One scan, one shingle evaluation, two exchanges
+    (gram, doc), zero joins.
     """
     src = spread_scan(
         df.filter(F.col(text_col).isNotNull()),
         df.sparkSession.sparkContext.defaultParallelism,
     )
-    sh = src.select(id_col, word_shingles(F.col(text_col), n).alias("__sh"))
-    # n_grams straight off the shingle ARRAY (word_shingles is already
-    # per-doc distinct): no explode + groupBy(doc) + exchange just to
-    # count what size() reads in place (r11)
-    per_doc = sh.select(
-        F.col(id_col), F.size("__sh").cast("long").alias("n_grams")
+    sh = src.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh")
     )
-    dg = sh.select(F.col(id_col), F.explode("__sh").alias("gram"))
+    dg = sh.select(
+        F.col(id_col),
+        F.size("__sh").alias("__ng"),
+        F.explode(
+            F.concat(
+                F.array(F.concat(F.lit("\x01"), F.col(id_col).cast("string"))),
+                F.col("__sh"),
+            )
+        ).alias("gram"),
+    )
     uniq = (
         dg.groupBy("gram")
         .agg(
             F.count(F.lit(1)).alias("gdf"),
             F.min(id_col).alias("only_doc"),
+            F.min("__ng").alias("__ng"),
         )
         .filter(F.col("gdf") == 1)
         .groupBy(F.col("only_doc").alias(id_col))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_uniq"))
-    )
-    n_dup = F.col("n_grams") - F.coalesce(F.col("n_uniq"), F.lit(0))
-    return (
-        per_doc.join(uniq, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            n_dup.cast("long").alias("n_dup"),
-            (n_dup.cast("double") / F.col("n_grams")).alias("dup_ratio"),
+        .agg(
+            F.min("__ng").cast("long").alias("n_grams"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_uniq"),
         )
+    )
+    n_dup = F.col("n_grams") - F.col("n_uniq")
+    return uniq.select(
+        F.col(id_col),
+        "n_grams",
+        n_dup.cast("long").alias("n_dup"),
+        (n_dup.cast("double") / F.col("n_grams")).alias("dup_ratio"),
     )
 
 
@@ -1932,34 +1952,50 @@ def gram_novelty(
     previous `min() over (partition by gram)` window put every
     occurrence of a stop-word gram through one un-splittable window
     task). Re-keying that per-gram result by its first_id doc gives the
-    per-doc novelty counts at document cardinality; the final join is
-    doc-keyed. One gram exchange + one doc exchange, corpus linear.
+    per-doc novelty counts at document cardinality.
+
+    SINGLE-LINEAGE via the gram_duplication sentinel (r11): each doc's
+    `"\\x01" + id` sentinel gram has min(id) = the doc itself, so the
+    first-occurrence regroup sees every doc (n_new = count − 1) and the
+    doc's n_grams rides the lineage as min_by(__ng, id) — the min-id
+    row of a gram's group IS the first_id doc, so the carried __ng is
+    that doc's gram count. One scan, one shingle evaluation, zero
+    joins (was: two of each plus a doc-keyed join).
     """
     src = spread_scan(
         df.filter(F.col(text_col).isNotNull()),
         df.sparkSession.sparkContext.defaultParallelism,
     )
-    sh = src.select(id_col, word_shingles(F.col(text_col), n).alias("__sh"))
-    # n_grams from the shingle array in place (see gram_duplication)
-    per_doc = sh.select(
-        F.col(id_col), F.size("__sh").cast("long").alias("n_grams")
+    sh = src.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh")
     )
-    dg = sh.select(F.col(id_col), F.explode("__sh").alias("gram"))
+    dg = sh.select(
+        F.col(id_col),
+        F.size("__sh").alias("__ng"),
+        F.explode(
+            F.concat(
+                F.array(F.concat(F.lit("\x01"), F.col(id_col).cast("string"))),
+                F.col("__sh"),
+            )
+        ).alias("gram"),
+    )
     firsts = (
         dg.groupBy("gram")
-        .agg(F.min(id_col).alias("first_id"))
-        .groupBy(F.col("first_id").alias(id_col))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_new0"))
-    )
-    n_new = F.coalesce(F.col("n_new0"), F.lit(0)).cast("long")
-    return (
-        per_doc.join(firsts, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            n_new.alias("n_new"),
-            (n_new.cast("double") / F.col("n_grams")).alias("novelty"),
+        .agg(
+            F.min(id_col).alias("first_id"),
+            F.min_by("__ng", F.col(id_col)).alias("__ng"),
         )
+        .groupBy(F.col("first_id").alias(id_col))
+        .agg(
+            F.min("__ng").cast("long").alias("n_grams"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_new"),
+        )
+    )
+    return firsts.select(
+        F.col(id_col),
+        "n_grams",
+        "n_new",
+        (F.col("n_new").cast("double") / F.col("n_grams")).alias("novelty"),
     )
 
 
