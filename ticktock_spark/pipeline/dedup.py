@@ -2049,15 +2049,21 @@ def decontaminate_rarity(
         else bench_grams_df.select("gram")
     )
     gdf = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
-    weighted = dg.join(gdf, "gram").withColumn(
-        "w",
+    # bench membership and the idf weight both resolve at VOCAB
+    # cardinality, so attach them to the per-gram frame and probe the
+    # lineage ONCE (r11): the previous weighted-then-marked form probed
+    # the exploded lineage twice (gdf join, then bench join). Every dg
+    # gram exists in gdf (built from the same dg), so the inner join's
+    # row set is unchanged and each lineage row carries the same (w,
+    # __hit) it did before.
+    gw = gdf.join(bench.withColumn("__hit", F.lit(1)), "gram", "left").select(
+        "gram",
         F.expr(
             "greatest(CAST(1 AS BIGINT), CAST(1000000 AS BIGINT) div gdf)"
-        ),
+        ).alias("w"),
+        "__hit",
     )
-    marked = weighted.join(
-        bench.withColumn("__hit", F.lit(1)), "gram", "left"
-    )
+    marked = dg.join(gw, "gram")
     q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
     return (
         marked.groupBy(id_col)
