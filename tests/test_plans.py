@@ -81,10 +81,14 @@ def test_topn_no_single_partition_exchange(spark):
 
 
 def test_single_shuffle_aggregations(spark):
-    """Each single-level aggregation pipeline shuffles exactly once, with
-    map-side partial aggregation ahead of it. q13 (daily-from-hourly) is
-    deliberately two exchanges: both carry partial aggregates, which at
-    scale beats one raw-row repartition."""
+    """Each single-level aggregation pipeline shuffles exactly once on a
+    KEY, with map-side partial aggregation ahead of it. q13
+    (daily-from-hourly) is deliberately two exchanges: both carry
+    partial aggregates, which at scale beats one raw-row repartition.
+    q20 additionally carries spread_scan's round-robin repartition
+    (local-only: at scale the scan has >= parallelism splits and
+    spread_scan adds nothing), so the assert counts KEYED exchanges and
+    allows only RoundRobinPartitioning besides them."""
     import re
 
     for name in (
@@ -95,7 +99,12 @@ def test_single_shuffle_aggregations(spark):
         "q05_downsample_p95_10m",
     ):
         plan = _plan(spark, name)
-        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, name
+        args = re.findall(
+            r"^\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", plan, re.M
+        )
+        keyed = [a for a in args if not a.startswith("RoundRobinPartitioning")]
+        assert len(keyed) == 1, (name, args)
+        assert all(a.startswith("hashpartitioning") for a in keyed), (name, args)
 
 
 def test_time_filter_pushdown(spark):

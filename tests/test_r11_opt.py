@@ -310,3 +310,51 @@ def test_acf_window_matches_join_spec(spark):
         got = _collect_sorted(acf(df, ["metric"], max_lag, 60_000))
         want = _collect_sorted(_acf_join_spec(df, ["metric"], max_lag, 60_000))
         assert got == want, f"max_lag={max_lag}"
+
+
+def test_source_word_entropy_postfilter_matches_prefilter(spark):
+    """r11: source_word_entropy drops empty-norm docs via a post-explode
+    tok != '' filter (ONE normalize_text evaluation, inside the Generate)
+    instead of the pre-filter on length(norm) > 0 that made the Filter
+    node re-evaluate the whole regex chain per row. The two forms admit
+    exactly the same token multiset: normalize_text output is trimmed
+    with single interior spaces, so a nonempty norm never splits into an
+    empty token, and an empty norm splits into exactly [''] which the
+    post-filter drops (NULL text yields a NULL array that explode drops
+    under both forms)."""
+    from ticktock_spark.pipeline import text as tx
+
+    rows = [
+        ("a", None),
+        ("a", ""),
+        ("a", "   \t  "),
+        ("b", "!!! ?? ,,"),
+        ("b", "Hello, World"),
+        ("b", "a  b\tc"),
+        ("c", "THE the the"),
+        ("c", "x"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+
+    norm = tx.normalize_text(F.col("text"))
+    old_t = df.filter(F.length(norm) > 0).select(
+        "source", F.explode(F.split(norm, r"\s+")).alias("tok")
+    )
+    new_t = df.select(
+        "source", F.explode(F.split(norm, r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    assert sorted(map(tuple, old_t.collect())) == sorted(
+        map(tuple, new_t.collect())
+    )
+
+    got = {
+        r["source"]: (r["n_tokens"], r["vocab"])
+        for r in tx.source_word_entropy(df).collect()
+    }
+    exp = {
+        r["source"]: (r["n"], r["v"])
+        for r in old_t.groupBy("source")
+        .agg(F.count("*").alias("n"), F.count_distinct("tok").alias("v"))
+        .collect()
+    }
+    assert got == exp

@@ -84,7 +84,17 @@ def _lang_case() -> str:
 def q30(spark, sf_dir):
     """Per-document whitespace + BPE-ish token counts, punctuation ratio,
     quality score — one scan, pure JVM expressions (pipeline/text.py)."""
-    d = _table(spark, sf_dir, "documents")
+    from ticktock_spark.pipeline.util import spread_scan
+
+    # spread_scan (r11, guide §2.5): the stat set is a pure per-doc
+    # projection (5 regex evaluations per row), which a single-file
+    # scan runs entirely on one core; row-local, so regrouping cannot
+    # change any output row. No-op at scale. Interleaved A/B at
+    # sf0.1/local[32]: 0.68 → 0.48 s.
+    d = spread_scan(
+        _table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark.sparkContext.defaultParallelism,
+    )
     t = F.col("text")
     return d.select(
         "doc_id",

@@ -2417,12 +2417,27 @@ def source_word_entropy(
 
     Output: (group, n_tokens, vocab, entropy).
     """
+    # r11: empty-norm docs are dropped by a post-explode tok != ''
+    # filter instead of a pre-filter on length(norm) — the pre-filter
+    # form evaluated the whole normalize_text regex chain TWICE per row
+    # (once in the Filter node, once in the Generate input; no
+    # cross-operator subexpression elimination). Equivalent because
+    # normalize_text output is trimmed with single interior spaces: a
+    # nonempty norm never splits into an empty token, an empty norm
+    # splits into exactly [''], and NULL text yields a NULL array that
+    # explode drops under both forms (parity pinned in
+    # tests/test_r11_opt.py). Measured 0.90 → 0.52 s at sf0.1 (the
+    # regex chain is the whole cost of this stage). A spread_scan here
+    # was A/B-measured and REJECTED: the extra round-robin stage costs
+    # more than the single-task explode saves at bench scale, and at
+    # 100 TB it is a no-op anyway.
     toks = F.explode(
         F.split(normalize_text(F.col(text_col)), r"\s+")
     ).alias("tok")
-    t = df.filter(
-        F.length(normalize_text(F.col(text_col))) > 0
-    ).select(group_col, toks)
+    t = (
+        df.select(group_col, toks)
+        .filter(F.col("tok") != "")
+    )
     c = t.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("c"))
     dec = "decimal(38,0)"
     ln_micro = F.floor(

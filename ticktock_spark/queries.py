@@ -38,6 +38,7 @@ from ticktock_spark.operators.rollup import (
     rollup_daily_from_hourly,
     rollup_monthly_from_daily,
 )
+from ticktock_spark.pipeline.util import spread_scan
 from ticktock_spark.schema import load_table
 
 # --- time constants (UTC, epoch ms) ---
@@ -1156,8 +1157,23 @@ def q20(spark, sf_dir):
     disc_price = dec_price * dec_disc1
     charge = disc_price.cast("decimal(18,4)") * dec_tax1
     n = F.count(F.lit(1))
+    # spread_scan (r11, guide §2.5 input skew): a single-row-group
+    # lineitem file arrives as ONE scan split, serializing the decimal
+    # partial aggregation onto one core; every aggregate here is an
+    # exact DECIMAL sum or a count, so regrouping rows cannot change a
+    # bit of the result. At scale the scan has >= parallelism splits
+    # and this is a no-op (no exchange added). Interleaved A/B at
+    # sf0.1/local[32]: 1.02 → 0.84 s — the ~0.7 s single-core decimal
+    # agg outweighs the added round-robin stage. (The same spread was
+    # A/B-measured on the ~100k-row events aggregations and on q21's
+    # join probe and REJECTED there: +0.3-0.4 s stage cost for <0.15 s
+    # of single-task work.)
+    src = spread_scan(
+        l.filter(F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp")),
+        spark.sparkContext.defaultParallelism,
+    )
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp"))
+        src
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec_qty).cast("double").alias("sum_qty"),
