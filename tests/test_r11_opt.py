@@ -358,3 +358,43 @@ def test_source_word_entropy_postfilter_matches_prefilter(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_bpe_post_udf_filter_matches_prefilter(spark):
+    """r11: both Arrow BPE paths drop no-token docs AFTER the UDF
+    (filter on the nondeterministic output column) instead of the
+    size(_t) > 0 pre-filter that re-evaluated the whole tokens() chain
+    in the Filter node. Row sets coincide: token_ids == [] iff
+    _t == [] (every word replays to >= 1 id/symbol). Pin the edge
+    shapes (NULL / empty / whitespace / punct-only text) and parity
+    with the SQL spec engine."""
+    from ticktock_spark.pipeline import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "  !! ?? "),
+            (4, "low lower lowest"),
+            (5, "aa ab aa"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = spark.createDataFrame(
+        [(1, "l", "o"), (2, "lo", "w")], "rank int, a string, b string"
+    )
+
+    ids = tx.bpe_encode_ids(docs, merges).collect()
+    assert sorted(r["doc_id"] for r in ids) == [4, 5]
+    assert all(r["n_tokens"] == len(r["token_ids"]) > 0 for r in ids)
+
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in tx.bpe_encode(docs, merges, engine="arrow").collect()
+    }
+    sql_rows = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in tx.bpe_encode(docs, merges, engine="sql").collect()
+    }
+    assert enc == sql_rows
+    assert sorted(enc) == [4, 5]

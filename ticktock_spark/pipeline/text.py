@@ -1827,14 +1827,19 @@ def _bpe_encode_arrow(
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-        .filter(F.size("_t") > 0)  # no tokens -> no accounting row
     )
     toks = spread_scan(toks, df.sparkSession.sparkContext.defaultParallelism)
+    # No-token docs ("no accounting row") drop AFTER the UDF (r11, same
+    # rationale as bpe_encode_ids: the size(_t) pre-filter re-evaluated
+    # the whole tokens() chain in the Filter node). Filtering on the
+    # NONDETERMINISTIC n_subwords column keeps the tokenize single-
+    # evaluation (the filter cannot push below the UDF projection);
+    # n_subwords > 0 iff n_words > 0 (every word replays to >= 1 symbol).
     return toks.select(
         F.col(id_col),
         F.size("_t").alias("n_words"),
         n_subwords("_t").alias("n_subwords"),
-    )
+    ).filter(F.col("n_subwords") > 0)
 
 
 def _bpe_replay_word(w: str, by_rank: dict, ranks_of: dict) -> list:
@@ -1988,15 +1993,26 @@ def bpe_encode_ids(
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-        .filter(F.size("_t") > 0)
     )
     # spread a single-file scan so tokenize + replay parallelize; the
     # UDF is row-local, so regrouping rows cannot change any result
     toks = spread_scan(toks, df.sparkSession.sparkContext.defaultParallelism)
-    return toks.select(
-        F.col(id_col),
-        token_ids("_t").alias("token_ids"),
-    ).withColumn("n_tokens", F.size("token_ids"))
+    # No-token docs drop AFTER the UDF (r11): the old
+    # `.filter(F.size("_t") > 0)` pre-filter pushed below the tokenize
+    # projection, re-evaluating the whole tokens() regex chain in the
+    # Filter node — two tokenizations per row (no cross-operator
+    # subexpression elimination; observed in q127's plan). token_ids is
+    # nondeterministic, so THIS filter cannot be pushed below the UDF;
+    # the row sets coincide because token_ids == [] iff _t == [] (every
+    # word replays to >= 1 id). Parity pinned in tests/test_r11_opt.py.
+    return (
+        toks.select(
+            F.col(id_col),
+            token_ids("_t").alias("token_ids"),
+        )
+        .filter(F.size("token_ids") > 0)
+        .withColumn("n_tokens", F.size("token_ids"))
+    )
 
 
 def bpe_decode_ids(
