@@ -398,3 +398,110 @@ def test_bpe_post_udf_filter_matches_prefilter(spark):
     }
     assert enc == sql_rows
     assert sorted(enc) == [4, 5]
+
+
+def _old_decode_netpbm_spec(payload: bytes):
+    """The pre-r11 pure-Python loop form of _decode_netpbm (luma
+    generator + per-byte histogram), kept verbatim as the parity spec."""
+    if not payload.startswith((b"P5", b"P6")):
+        return None
+    pos, toks = 2, []
+    n = len(payload)
+    while len(toks) < 3 and pos < n:
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            while pos < n and payload[pos] not in b"\r\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < n and payload[pos] not in b" \t\r\n":
+                pos += 1
+            tok = payload[start:pos]
+            if not tok.isdigit():
+                return None
+            toks.append(int(tok))
+    if len(toks) < 3 or pos >= n:
+        return None
+    w, h, maxval = toks
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    pos += 1
+    ch = 3 if payload.startswith(b"P6") else 1
+    raster = payload[pos : pos + w * h * ch]
+    if len(raster) < w * h * ch:
+        return None
+    if ch == 1:
+        gray = bytes(raster)
+    else:
+        gray = bytes(
+            (raster[i] * 19595 + raster[i + 1] * 38470 + raster[i + 2] * 7471)
+            >> 16
+            for i in range(0, len(raster), 3)
+        )
+    hist256 = [0] * 256
+    for b in gray:
+        hist256[b] += 1
+    npix = max(1, w * h)
+    mean = sum(i * c for i, c in enumerate(hist256)) / npix
+    bins = [float(sum(hist256[i : i + 32])) for i in range(0, 256, 32)]
+    return w, h, mean, bins
+
+
+def test_netpbm_vectorized_decode_matches_loop_spec():
+    """r11: _decode_netpbm's numpy luma/bincount path must be
+    bit-identical to the pure-Python loop form on random P5/P6 payloads
+    (including boundary-luma pixels like RGB(100,0,150)) and agree on
+    every malformed-payload rejection."""
+    import random
+
+    from ticktock_spark.pipeline.multimodal import _decode_netpbm
+
+    rng = random.Random(11)
+    payloads = []
+    for _ in range(12):
+        w, h = rng.randint(1, 37), rng.randint(1, 29)
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        payloads.append(b"P6\n# c\n%d %d\n255\n" % (w, h) + raster)
+        grayr = bytes(rng.randrange(256) for _ in range(w * h))
+        payloads.append(b"P5 %d %d 255 " % (w, h) + grayr)
+    # the documented boundary pixel + malformed shapes
+    payloads.append(b"P6 1 1 255 " + bytes([100, 0, 150]))
+    payloads.append(b"P6 2 1 255 " + bytes([1, 2]))  # short raster
+    payloads.append(b"P5 1 1 999 \x00")  # 16-bit maxval
+    payloads.append(b"JUNK")
+    for p in payloads:
+        got, exp = _decode_netpbm(p), _old_decode_netpbm_spec(p)
+        assert got == exp, p[:24]
+
+
+def test_fake_decode_vectorized_matches_loop_spec(spark):
+    """r11: the fake engine's bincount mean/feature must equal the old
+    per-payload sum()/count() forms bit-for-bit (empty payload
+    included)."""
+    import random
+
+    from ticktock_spark.pipeline.multimodal import decode_and_featurize
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(6):
+        size = rng.choice([0, 1, 17, 256, 1024])
+        payload = bytes(rng.randrange(256) for _ in range(size))
+        rows.append(
+            (i, payload, {"width": 8, "height": 4, "duration_ms": 100})
+        )
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, "
+        "media_meta struct<width:int,height:int,duration_ms:int>",
+    )
+    got = {
+        r["doc_id"]: (r["mean_byte"], r["feature"])
+        for r in decode_and_featurize(df).collect()
+    }
+    for i, payload, _m in rows:
+        mean = float(sum(payload)) / len(payload) if len(payload) else 0.0
+        feat = [float(payload.count(bytes([v]))) for v in range(0, 256, 32)]
+        assert got[i] == (mean, feat), i

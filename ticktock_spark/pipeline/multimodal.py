@@ -137,19 +137,33 @@ def decode_and_featurize(
                     }
                 )
             else:
+                # vectorized byte moments (r11, guide §4.2): sum(b)
+                # iterated per byte in Python and count() scanned the
+                # payload 8 times; one bincount yields both, with exact
+                # integer arithmetic (bit-identical to the loop forms,
+                # parity pinned in tests/test_r11_opt.py — the feature
+                # bins count the EXACT byte values 0,32,...,224, as
+                # b.count(bytes([v])) did).
+                import numpy as np
+
+                means: list[float] = []
+                feats: list[list[float]] = []
+                for b in payloads:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    if len(arr):
+                        hist = np.bincount(arr, minlength=256)
+                        means.append(int(arr.sum(dtype=np.int64)) / len(arr))
+                    else:
+                        hist = np.zeros(256, dtype=np.int64)
+                        means.append(0.0)
+                    feats.append([float(hist[v]) for v in range(0, 256, 32)])
                 out = pd.DataFrame(
                     {
                         "doc_id": pdf[id_col],
                         "width": [m["width"] for m in meta],
                         "height": [m["height"] for m in meta],
-                        "mean_byte": [
-                            float(sum(b)) / len(b) if len(b) else 0.0
-                            for b in payloads
-                        ],
-                        "feature": [
-                            [float(b.count(bytes([v]))) for v in range(0, 256, 32)]
-                            for b in payloads
-                        ],
+                        "mean_byte": means,
+                        "feature": feats,
                     }
                 )
             yield out  # yield bound: row-local (one output row per payload)
@@ -200,10 +214,22 @@ def _netpbm_gray(payload: bytes) -> tuple[int, int, bytes] | None:
     if ch == 1:
         gray = bytes(raster)
     else:
-        gray = bytes(
-            (raster[i] * 19595 + raster[i + 1] * 38470 + raster[i + 2] * 7471)
-            >> 16
-            for i in range(0, len(raster), 3)
+        # vectorized luma (r11, guide §4.2): the per-pixel Python
+        # generator was the kernel's hot loop on real rasters. Exact:
+        # R*19595 + G*38470 + B*7471 <= 255*65536 < 2^32, so the uint32
+        # arithmetic and >> 16 are bit-identical to the int expression
+        # (parity pinned per-byte in tests/test_r11_opt.py).
+        import numpy as np
+
+        a = (
+            np.frombuffer(raster, dtype=np.uint8)
+            .reshape(-1, 3)
+            .astype(np.uint32)
+        )
+        gray = (
+            ((a[:, 0] * 19595 + a[:, 1] * 38470 + a[:, 2] * 7471) >> 16)
+            .astype(np.uint8)
+            .tobytes()
         )
     return w, h, gray
 
@@ -215,12 +241,18 @@ def _decode_netpbm(payload: bytes) -> tuple[int, int, float, list[float]] | None
     if g is None:
         return None
     w, h, gray = g
-    hist256 = [0] * 256
-    for b in gray:
-        hist256[b] += 1
+    # vectorized histogram/moments (r11, guide §4.2): the per-byte
+    # Python loop dominated the decode at real raster sizes. All
+    # arithmetic is exact integer (np.bincount counts; int64 dot for
+    # sum(i*c) — bound 255·npix, far under 2^63), so mean and bins are
+    # bit-identical to the loop form (parity pinned in
+    # tests/test_r11_opt.py).
+    import numpy as np
+
+    hist256 = np.bincount(np.frombuffer(gray, dtype=np.uint8), minlength=256)
     npix = max(1, w * h)
-    mean = sum(i * c for i, c in enumerate(hist256)) / npix
-    bins = [float(sum(hist256[i : i + 32])) for i in range(0, 256, 32)]
+    mean = int(np.dot(np.arange(256, dtype=np.int64), hist256)) / npix
+    bins = [float(v) for v in hist256.reshape(8, 32).sum(axis=1)]
     return w, h, mean, bins
 
 
