@@ -1144,20 +1144,34 @@ def winnowing_fingerprints(
         # per-gram lambda it would be re-interpreted once per gram
         # position (HOF lambdas get no CSE) — O(chars²) regex work per
         # doc, defeating this engine's all-native 100 TB purpose.
+        # r11: empty-norm docs are handled INSIDE the single-evaluation
+        # binding (hs = [] via the length guard on the bound nm) and
+        # dropped post-explode — the old `filter(length(norm) > 0)`
+        # re-evaluated the whole normalize regex chain in the Filter
+        # node (a deterministic post-filter would be pushed back below
+        # the repartition and re-inline it, probed in Spark 4.1).
+        # Exactness: elements of hs are xxhash64 of nonempty strings
+        # (never NULL) and every window slice of a nonempty hs is
+        # nonempty, so array_min yields NULL iff hs = [] iff norm = ''
+        # — fp IS NOT NULL drops exactly the docs the pre-filter
+        # dropped. NULL text keeps its own cheap, scan-pushable filter.
         hashes = F.flatten(
             F.transform(
                 F.array(norm),
-                lambda nm: F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(F.length(nm) - F.lit(k - 1), F.lit(1)),
+                lambda nm: F.when(
+                    F.length(nm) > 0,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.length(nm) - F.lit(k - 1), F.lit(1)),
+                        ),
+                        lambda i: F.xxhash64(nm.substr(i, F.lit(k))),
                     ),
-                    lambda i: F.xxhash64(nm.substr(i, F.lit(k))),
-                ),
+                ).otherwise(F.array().cast("array<bigint>")),
             )
         )
         grams = (
-            df.filter(F.length(norm) > 0)
+            df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col), hashes.alias("hs"))
             .repartition(par)  # CollapseProject barrier, as for 'sql'
         )
@@ -1169,10 +1183,16 @@ def winnowing_fingerprints(
         )
         return grams.select(
             F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
-        )
+        ).filter(F.col("fp").isNotNull())
     if engine == "pandas":
+        # r11: the old `filter(length(norm) > 0)` evaluated the whole
+        # normalize regex chain in the Filter node (single scan task,
+        # below the spread) on top of the projection's evaluation;
+        # empty-norm docs now skip INSIDE the kernel (`if not nrm`),
+        # which is plan-hazard-free, and NULL text keeps a cheap
+        # scan-pushable filter (length(NULL) > 0 dropped it before).
         nm = (
-            spread_scan(df.filter(F.length(norm) > 0), par)
+            spread_scan(df.filter(F.col(text_col).isNotNull()), par)
             .select(F.col(id_col), norm.alias("norm"))
         )
         id_type = dict(nm.dtypes)[id_col]
@@ -1198,6 +1218,10 @@ def winnowing_fingerprints(
                 ids: list = []
                 fps: list[str] = []
                 for doc_id, nrm in zip(pdf[id_col], pdf["norm"]):
+                    if not nrm:
+                        # empty norm: the pre-r11 plan-level pre-filter
+                        # dropped these docs; same semantics, kernel-side
+                        continue
                     hs = [
                         h(nrm[i : i + k])
                         for i in range(max(len(nrm) - k + 1, 1))
