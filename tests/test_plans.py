@@ -88,20 +88,24 @@ def test_single_shuffle_aggregations(spark):
     q20 additionally carries spread_scan's round-robin repartition
     (local-only: at scale the scan has >= parallelism splits and
     spread_scan adds nothing), so the assert counts KEYED exchanges and
-    allows only RoundRobinPartitioning besides them."""
+    pins the exact RoundRobinPartitioning count per query — only q20
+    may carry one (ADVICE r11: a regression adding an unneeded
+    round-robin to the others must not pass silently)."""
     import re
 
-    for name in (
-        "q20_pricing_summary",
-        "q33_exact_dedup",
-        "q12_rollup_1h",
-        "q07_rate",
-        "q05_downsample_p95_10m",
+    for name, rr_expected in (
+        ("q20_pricing_summary", 1),
+        ("q33_exact_dedup", 0),
+        ("q12_rollup_1h", 0),
+        ("q07_rate", 0),
+        ("q05_downsample_p95_10m", 0),
     ):
         plan = _plan(spark, name)
         args = re.findall(
             r"^\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", plan, re.M
         )
+        rr = [a for a in args if a.startswith("RoundRobinPartitioning")]
+        assert len(rr) == rr_expected, (name, args)
         keyed = [a for a in args if not a.startswith("RoundRobinPartitioning")]
         assert len(keyed) == 1, (name, args)
         assert all(a.startswith("hashpartitioning") for a in keyed), (name, args)

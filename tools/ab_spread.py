@@ -37,6 +37,15 @@ def main() -> None:
     from ticktock_spark.queries import BENCH_ONLY, QUERIES
     from ticktock_spark.session import get_spark
 
+    # validate up front: an unknown name otherwise surfaces as a bare
+    # KeyError mid-benchmark, after warmup work has already run (ADVICE r11)
+    unknown = [n for n in args.names if n not in QUERIES and n not in BENCH_ONLY]
+    if unknown:
+        sys.exit(
+            f"unknown queries: {unknown}; known = QUERIES/BENCH_ONLY names "
+            f"(e.g. {sorted(QUERIES)[:3]} ...)"
+        )
+
     spark = get_spark(
         app_name="ticktock-ab-spread",
         master=f"local[{CPUS}]",
