@@ -209,13 +209,20 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
     # uint32 (pieces are 32-bit by construction): besides halving the
     # matrix, 64-bit 2-D gathers are pathologically slow on some
     # BLAS/memcpy paths (measured 100× vs uint32 here) — and np.take is
-    # used over fancy indexing for the same reason
-    piece_mat = np.empty((1 << 14, num_hashes), dtype=np.uint32)
-    n_pieces = 0
+    # used over fancy indexing for the same reason.
+    # State lives in a MUTATED dict, never a rebound closure variable:
+    # `nonlocal` rebinding shared between _row and stage works
+    # in-process but NOT through Spark's worker-side deserialization,
+    # where the two functions come back with SEPARATE cells — stage
+    # then reads the never-grown matrix and a frozen n_pieces while
+    # _row grows its own copy (reproduced at sf1: every task with
+    # > 2^14 distinct shingles crashed np.take; invisible at sf0.1
+    # where tasks stay under the initial capacity). The shared `index`
+    # dict always worked because it is mutated, not rebound.
+    state = {"mat": np.empty((1 << 14, num_hashes), dtype=np.uint32), "n": 0}
     CHUNK = 4096
 
     def _row(s: str) -> int:
-        nonlocal piece_mat, n_pieces
         i = index.get(s)
         if i is None:
             # raw digest bytes, no hex round-trip: hexdigest()[j*8:j*8+8]
@@ -224,23 +231,23 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
             # integer value (format(v, '08x') reconstructs the hex piece
             # bit-exactly at emit time)
             cat = b"".join(md5(seed + s.encode()).digest() for seed in seeds)
-            i = n_pieces
-            if i == len(piece_mat):
-                piece_mat = np.concatenate([piece_mat, np.empty_like(piece_mat)])
-            piece_mat[i] = np.frombuffer(cat, dtype=">u4")[:num_hashes]
-            n_pieces = i + 1
+            i = state["n"]
+            mat = state["mat"]
+            if i == len(mat):
+                state["mat"] = mat = np.concatenate([mat, np.empty_like(mat)])
+            mat[i] = np.frombuffer(cat, dtype=">u4")[:num_hashes]
+            state["n"] = i + 1
             index[s] = i
         return i
 
     def stage(pdfs):
-        nonlocal n_pieces
         for pdf in pdfs:
             col = pdf["norm"] if k is not None else pdf["sh"]
             id_seq = pdf[id_col]
             for lo in range(0, len(pdf), CHUNK):
                 if len(index) > 2_000_000:
                     index.clear()
-                    n_pieces = 0
+                    state["n"] = 0
                 ids: list = []
                 band_idx: list[int] = []
                 keys: list[str] = []
@@ -281,7 +288,7 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
                             keys.append(md5(f"b{b}:{sig}".encode()).hexdigest())
                 if doc_ids:
                     gathered = np.take(
-                        piece_mat, np.asarray(flat, dtype=np.int64), axis=0
+                        state["mat"], np.asarray(flat, dtype=np.int64), axis=0
                     )
                     mins = np.minimum.reduceat(
                         gathered, np.asarray(starts, dtype=np.int64), axis=0
