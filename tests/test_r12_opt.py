@@ -8,6 +8,27 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def test_query_matrix_cap_fails_loudly(spark, monkeypatch):
+    """An oversized query frame must raise at build time, not OOM the
+    driver mid-collect (r11 verdict ask #6: the broadcast-query kernels
+    collected the query side with no named cardinality bound)."""
+    from ticktock_spark.pipeline import similarity as sim
+
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    monkeypatch.setattr(sim, "MAX_QUERY_ROWS", 4)
+    with pytest.raises(ValueError, match="MAX_QUERY_ROWS"):
+        sim.cosine_scores(df, df.withColumnRenamed("vec_id", "query_id"))
+    # at or under the cap the kernels build normally
+    monkeypatch.setattr(sim, "MAX_QUERY_ROWS", 10)
+    out = sim.cosine_scores(
+        df, df.withColumnRenamed("vec_id", "query_id")
+    )
+    assert out.count() == 90  # 10x10 minus self-pairs
+
+
 def test_banded_kernel_grows_past_initial_capacity(spark):
     """The vectorized MinHash kernel must survive > 2^14 distinct
     shingles per task THROUGH SPARK (not just in-process): r11's form

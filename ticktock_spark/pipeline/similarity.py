@@ -39,6 +39,35 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # input row) need no cap.
 MAX_PAIR_CELLS = 2_000_000
 
+#: Driver-side cap on collected query matrices. The broadcast-query
+#: kernels (cosine_scores, cosine_argmax_partials, cosine_topk_partials,
+#: srp_lsh_knn, knn_quantized, pq_knn) collect the QUERY frame to the
+#: driver and broadcast it — eval-sample scale by spec. The cap makes an
+#: oversized query frame fail LOUDLY at build time instead of silently
+#: OOMing the driver (the bd8d042 rule: name the bound at every
+#: materialization site). 2^18 rows × (64-dim float64 + id) ≈ 140 MB of
+#: broadcast — at the top of the guide's comfortable-broadcast range;
+#: corpus-scale "query" sets belong on the bucketed/index paths
+#: (srp_bucketed, ivf_index_knn, centroid_label_agreement).
+MAX_QUERY_ROWS = 1 << 18
+
+
+def _query_matrix(queries: DataFrame, cols: list[str]):
+    """Collect ``queries[cols]`` to pandas under the named cap.
+
+    Row order is whatever the scan yields — every caller is
+    order-insensitive (per-query outputs, broadcast join inputs)."""
+    # driver-bound: <= MAX_QUERY_ROWS rows enforced by the limit below
+    qpdf = queries.select(*cols).limit(MAX_QUERY_ROWS + 1).toPandas()
+    if len(qpdf) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query frame exceeds MAX_QUERY_ROWS={MAX_QUERY_ROWS}: the"
+            " broadcast-query kernels are for eval-sample-scale query"
+            " sets; route corpus-scale probes through the bucketed or"
+            " persisted-index paths instead"
+        )
+    return qpdf
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -119,8 +148,8 @@ def cosine_scores(
 
     qid_type = dict(queries.dtypes)[query_id_col]
     id_type = dict(corpus.dtypes)[id_col]
-    # driver-bound: query-set matrix (eval-sample scale by spec)
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    # driver-bound: query-set matrix, capped (see _query_matrix)
+    qpdf = _query_matrix(queries, [query_id_col, vec_col])
     q_ids = qpdf[query_id_col].to_numpy()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     dim = Q.shape[1]
@@ -212,8 +241,8 @@ def cosine_argmax_partials(
         raise ValueError(
             f"cosine_argmax_partials needs an integral id column, got {id_type}"
         )
-    # driver-bound: query-set matrix (eval-sample scale by spec)
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    # driver-bound: query-set matrix, capped (see _query_matrix)
+    qpdf = _query_matrix(queries, [query_id_col, vec_col])
     q_ids = qpdf[query_id_col].to_numpy()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     dim = Q.shape[1]
@@ -499,8 +528,8 @@ def srp_lsh_knn(
     spark = corpus.sparkSession
     bucketed = srp_bucketed(corpus, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
 
-    # driver-bound: query-set matrix (eval-sample scale by spec)
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    # driver-bound: query-set matrix, capped (see _query_matrix)
+    qpdf = _query_matrix(queries, [query_id_col, vec_col])
     dim = len(qpdf[vec_col].iloc[0])
     planes = srp_planes(nbits, dim, seed)
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
@@ -1071,8 +1100,8 @@ def knn_quantized(
 
     qid_type = dict(queries_q.dtypes)[query_id_col]
     id_type = dict(corpus_q.dtypes)[id_col]
-    # driver-bound: query-set matrix (eval-sample scale by spec)
-    qpdf = queries_q.select(query_id_col, "q").toPandas()
+    # driver-bound: query-set matrix, capped (see _query_matrix)
+    qpdf = _query_matrix(queries_q, [query_id_col, "q"])
     q_ids = qpdf[query_id_col].to_numpy()
     Q = np.stack(qpdf["q"].to_numpy()).astype(np.int32)
     qn = np.sqrt((Q * Q).sum(axis=1))
@@ -1296,8 +1325,8 @@ def _pq_query_rows(
     import numpy as np
 
     rows = []
-    # driver-bound: query-set matrix (eval-sample scale by spec)
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    # driver-bound: query-set matrix, capped (see _query_matrix)
+    qpdf = _query_matrix(queries, [query_id_col, vec_col])
     for qid, vec in zip(qpdf[query_id_col], qpdf[vec_col]):
         q = np.asarray(list(vec), dtype=np.float64)
         q = q / max(float(np.linalg.norm(q)), 1e-30)
@@ -1702,15 +1731,20 @@ def centroid_label_agreement(
     Output: (label, n, n_match, agreement). Scale shape: centroid
     aggregation is dimension-bounded (the embedding_drift shuffle);
     scoring is one scan × L broadcast centroids; no pair table.
+
+    Form history (r12): r11 replaced this min_by with a packed-long
+    HashAggregate argmax (+ a spread_scan) to kill the min_by(struct)
+    SortAggregate; interleaved 4-arm A/Bs at sf0.1 AND the 10× sf1
+    corpus (plans/r12/ab_q193_forms_*.json) measured the packing and
+    the spread as pure losses at both scales (sf1: min_by+hoisted-norms
+    0.77 s vs packed+spread 1.29 s) while the NORM HOISTING was the
+    real win — so the min_by aggregation is restored and the hoisting
+    kept. The SortAggregate's map-side sort of the N·L pair rows
+    remains the theoretical cost at extreme L; every measurable regime
+    says the two extra plan steps (lid window, packing projection) cost
+    more than it saves.
     """
     q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
-    # A single-file corpus arrives as ONE scan partition, serializing
-    # the N·L cosine folds (the dominant compute) onto one core.
-    # Regrouping rows is result-neutral here by construction: the
-    # centroid moments are order-free (integer micro-unit DECIMAL sums,
-    # one rounding at the mean), the component order is restored by
-    # array_sort on pos, and scoring/argmax are per-row + groupBy.
-    df = _spread_scan(df, df.sparkSession.sparkContext.defaultParallelism)
     cent = (
         df.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
         .groupBy(label_col, "pos")
@@ -1758,90 +1792,32 @@ def centroid_label_agreement(
         label_col,
         F.transform(vec_col, lambda x: x.cast("double")).alias("ed"),
     ).withColumn("__ne", n_e)
-    # Label rank for the packed argmax below: a row_number over the
-    # centroid frame ONLY (L rows, one trivial window task — no driver
-    # collect, no extra corpus scan). Ascending c_label NULLS FIRST is
-    # exactly the tiebreak order min_by(struct(−cosine, c_label)) used.
-    # The lid never needs to map BACK to a label value: the final
-    # aggregation only ever asks whether the winning centroid's label
-    # EQUALS the row's own label, so the key carries that equality as a
-    # match bit instead of an unpackable label id (a label absent from
-    # the centroid frame — e.g. all its vectors NULL/empty — can then
-    # never be predicted, which is also what min_by over the crossJoin
-    # produced). raise_error guards the 2^21 packing bound at L scale
-    # (evaluated once per centroid row, not per pair).
-    w_lid = Window.orderBy(F.col("c_label").asc_nulls_first())
-    cent = cent.withColumn(
-        "__lid",
-        F.when(
-            F.row_number().over(w_lid) > 2_097_152,
-            F.raise_error(
-                "centroid_label_agreement: label cardinality exceeds "
-                "the 2^21 argmax packing bound"
-            ).cast("int"),
-        ).otherwise(F.row_number().over(w_lid) - 1),
-    ).withColumn("__nc", n_c)
-    # Packed argmax key, exact: mc = floor(cos·1e6 + 0.5) is the
-    # quantized micro-cosine (integer-valued, |mc| ≤ ~1e6 for the real
-    # cosines that pass the ne/nc > 0 filter). A NaN cosine (possible
-    # only via ±inf components: inf norm passes the > 0 filter and
-    # inf/inf or 0·inf in the dot is NaN) maps to the −3e6 sentinel —
-    # BELOW every real mc — because Spark orders NaN ABOVE all doubles,
-    # so min_by(−cosine, …) ranked a NaN candidate strictly last
-    # (floor(NaN).cast(long) would instead yield 0 = a mid-rank cosine).
-    # key = mc·2²² − lid·2 + match fits a long exactly (|mc|·2²² ≤
-    # ~1.3e13); max(key) picks max mc, then (tie) MIN lid = min c_label
-    # ascending — precisely min_by(struct(−cosine, c_label)) — because
-    # lid steps are 2 while the match bit contributes at most 1, it can
-    # never override the lid order. The surviving bit IS the winner's
-    # pred == label verdict (plain equality: a NULL comparison scores 0,
-    # exactly like count(pred == label) skipped it).
-    # __cos is hoisted into its own projection step ON PURPOSE: mc below
-    # references the cosine twice (isnan branch + floor branch), and the
-    # HOF dot fold is CodegenFallback with no subexpression elimination —
-    # inlining cosv's expression into both branches evaluates the whole
-    # d-element fold twice per (vector, centroid) pair (measured: warm
-    # 1.38 s vs 1.01 s at sf0.1 — slower than the min_by form it
-    # replaces). As a multiply-referenced non-cheap alias, CollapseProject
-    # keeps __cos as one evaluation (the same mechanism __ne/__nc rely
-    # on).
-    cosv = F.col("__cos")
-    mc = F.when(F.isnan(cosv), F.lit(-3_000_000).cast("long")).otherwise(
-        F.floor(cosv * 1000000.0 + F.lit(0.5)).cast("long")
-    )
-    match = (
-        F.when(F.col("c_label") == F.col(label_col), 1)
-        .otherwise(0)
-        .cast("long")
-    )
+    cent = cent.withColumn("__nc", n_c)
     scored = (
         ev.crossJoin(F.broadcast(cent))
         .filter((F.col("__ne") > 0) & (F.col("__nc") > 0))
-        .withColumn("__cos", dot / (F.col("__ne") * F.col("__nc")))
         .select(
             id_col,
             label_col,
-            (
-                mc * F.lit(4_194_304).cast("long")
-                - F.col("__lid") * F.lit(2).cast("long")
-                + match
-            ).alias("__key"),
+            "c_label",
+            q6(dot / (F.col("__ne") * F.col("__nc"))).alias("cosine"),
         )
     )
-    packed = scored.groupBy(id_col, label_col).agg(
-        F.max("__key").alias("__key")
-    )
-    # pmod(key, 2) recovers the winner's match bit for any mc/lid sign
-    # (mc·2²² and lid·2 are both even).
-    best = packed.select(
-        id_col,
-        label_col,
-        F.pmod(F.col("__key"), F.lit(2).cast("long")).alias("__match"),
+    best = scored.groupBy(id_col, label_col).agg(
+        F.min_by(
+            "c_label",
+            F.struct((-F.col("cosine")).alias("nc"), F.col("c_label")),
+        ).alias("pred")
     )
     return best.groupBy(label_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__match").cast("long").alias("n_match"),
+        F.count(F.when(F.col("pred") == F.col(label_col), 1))
+        .cast("long")
+        .alias("n_match"),
         q6(
-            F.sum("__match").cast("double") / F.count(F.lit(1))
+            F.count(F.when(F.col("pred") == F.col(label_col), 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
         ).alias("agreement"),
     )

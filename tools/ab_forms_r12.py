@@ -160,6 +160,94 @@ def old_centroid_label_agreement(
     )
 
 
+# --------------------------------------------------------------------
+# HYBRID q193 form: old min_by aggregation + r11's hoisted norms
+# (the r11 change bundled two independent moves — the packed-long
+# HashAggregate argmax AND hoisting the N·L-per-pair HOF norm folds to
+# the pre-join frames. This arm keeps the hoisting, drops the packing.)
+# --------------------------------------------------------------------
+def hybrid_centroid_label_agreement(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    spread: bool = True,
+) -> DataFrame:
+    from ticktock_spark.pipeline.similarity import _spread_scan
+
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    if spread:
+        df = _spread_scan(df, df.sparkSession.sparkContext.defaultParallelism)
+    cent = (
+        df.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("x").cast("double") * 1000000.0 + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            label_col,
+            "pos",
+            (
+                F.floor(F.col("s").cast("double") / F.col("c") + F.lit(0.5))
+                / F.lit(1_000_000.0)
+            ).alias("m"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        .select(F.col(label_col).alias("c_label"), "cv")
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(F.zip_with("ed", "cv", lambda a, b: a * b))
+    n_e = F.sqrt(fold(F.transform("ed", lambda a: a * a)))
+    n_c = F.sqrt(fold(F.transform("cv", lambda b: b * b)))
+    ev = df.select(
+        id_col,
+        label_col,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("ed"),
+    ).withColumn("__ne", n_e)
+    cent = cent.withColumn("__nc", n_c)
+    scored = (
+        ev.crossJoin(F.broadcast(cent))
+        .filter((F.col("__ne") > 0) & (F.col("__nc") > 0))
+        .select(
+            id_col,
+            label_col,
+            "c_label",
+            q6(dot / (F.col("__ne") * F.col("__nc"))).alias("cosine"),
+        )
+    )
+    best = scored.groupBy(id_col, label_col).agg(
+        F.min_by(
+            "c_label",
+            F.struct((-F.col("cosine")).alias("nc"), F.col("c_label")),
+        ).alias("pred")
+    )
+    return best.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("pred") == F.col(label_col), 1))
+        .cast("long")
+        .alias("n_match"),
+        q6(
+            F.count(F.when(F.col("pred") == F.col(label_col), 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("agreement"),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=3)
@@ -211,17 +299,25 @@ def main() -> None:
             "new_packed": lambda: sim.centroid_label_agreement(
                 _table(spark, SF_DIR, "embeddings")
             ),
+            "hybrid_minby_hoisted": lambda: hybrid_centroid_label_agreement(
+                _table(spark, SF_DIR, "embeddings")
+            ),
+            "hybrid_nospread": lambda: hybrid_centroid_label_agreement(
+                _table(spark, SF_DIR, "embeddings"), spread=False
+            ),
         }
 
     # equivalence first: both arms must produce identical rows
     if not args.skip_verify:
         for qname, arms in builders.items():
-            (a_name, a_fn), (b_name, b_fn) = arms.items()
+            items = list(arms.items())
+            a_name, a_fn = items[0]
             ra = sorted(map(tuple, a_fn().collect()))
-            rb = sorted(map(tuple, b_fn().collect()))
-            assert ra == rb, f"{qname}: {a_name} != {b_name}\n{ra}\n{rb}"
+            for b_name, b_fn in items[1:]:
+                rb = sorted(map(tuple, b_fn().collect()))
+                assert ra == rb, f"{qname}: {a_name} != {b_name}\n{ra}\n{rb}"
             print(
-                f"VERIFIED {qname}: {a_name} == {b_name} "
+                f"VERIFIED {qname}: all {len(items)} arms equal "
                 f"({len(ra)} rows)",
                 file=sys.stderr,
                 flush=True,
