@@ -216,14 +216,23 @@ def interarrival_percentiles(
     100×. Instead the lag partitions on (series, ``slice_ms``-slice) —
     bounded by slice/cadence (86,400 rows/partition for 1 s cadence at
     the 1-day default) — and the slice-boundary deltas are stitched
-    from a per-(series, slice) first/last frame via a lag over the
-    SLICE frame (one row per present slice, span/slice_ms-bounded).
+    from a per-(series, slice) min/max-ts AGGREGATION via a lag over
+    the SLICE frame (one row per present slice, span/slice_ms-bounded).
     Every consecutive distinct-timestamp pair is either within a slice
     (in-slice lag) or crosses a boundary where the previous point is
     its slice's last and the next is its slice's first (the stitch
     row), so the delta multiset — and the percentile answer — is
     EXACTLY the global-lag one. The percentile machinery then reuses
     the series partitioning; no collect, no per-series array.
+
+    The stitch branch deliberately reads its slice first/last from a
+    plain groupBy (map-side combinable, slice-cardinality exchange) and
+    NOT from the window pass: ``within`` and ``stitch`` are two
+    consumers of the same derived frame, so everything above the fork
+    executes once per branch modulo AQE's runtime exchange reuse — the
+    r11 form re-SORTED the full distinct frame a second time (plus a
+    whole-partition max window) just to read two values per slice
+    (r12 plan audit: 2 full Sort+Window subtrees → 1).
     """
     from ticktock_spark.operators.percentile import group_percentiles_r6
 
@@ -242,25 +251,21 @@ def interarrival_percentiles(
         )
     )
     wsl = W.partitionBy(*series_cols, "__slice").orderBy(ts_col)
-    marked = pts.select(
+    within = pts.select(
         *series_cols,
-        "__slice",
-        F.col(ts_col),
-        F.lag(ts_col).over(wsl).alias("__prev"),
-        F.row_number().over(wsl).alias("__rn"),
-        F.max(ts_col)
-        .over(W.partitionBy(*series_cols, "__slice"))
-        .alias("__last"),
-    )
-    within = marked.filter(F.col("__prev").isNotNull()).select(
-        *series_cols, (F.col(ts_col) - F.col("__prev")).alias("delta")
+        (F.col(ts_col) - F.lag(ts_col).over(wsl)).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    # slice first/last: min/max over the DISTINCT timestamps of the
+    # slice — identical to the rn==1 row's ts and the slice-max window
+    # the r11 form read them from
+    sliceframe = pts.groupBy(*series_cols, "__slice").agg(
+        F.min(ts_col).alias("__first"), F.max(ts_col).alias("__last")
     )
     stitch = (
-        marked.filter(F.col("__rn") == 1)
-        .select(
+        sliceframe.select(
             *series_cols,
             (
-                F.col(ts_col)
+                F.col("__first")
                 - F.lag("__last").over(
                     W.partitionBy(*series_cols).orderBy("__slice")
                 )
@@ -480,17 +485,25 @@ def compressibility_audit(
     the delta-of-delta and value-repeat lags partition on (series,
     ``slice_ms``-slice) — bounded by slice/cadence, never the whole
     series — covering every row with two in-slice predecessors (rn ≥ 3
-    for dod, rn ≥ 2 for rep). The ≤2 boundary rows per slice are
-    stitched from a per-(series, slice) frame (first/second/last/
-    second-to-last ts, first/last value — all read off the slice's
-    LAST row in the same window pass) via lags over the slice frame:
-    the slice-first row's predecessors are the previous present
-    slice's last two (falling back to the slice before when that one
-    is single-row — ``coalesce(p.last2, q.last)``), the slice-second
-    row's are its own first + the previous slice's last. Each global
-    consecutive pair/triple is reproduced exactly once, so the four
-    counts — and the fractions — are EXACTLY the global-lag answer.
-    The final per-series agg is map-side combinable.
+    for dod, rn ≥ 2 for rep). In-slice contributions reduce to per-
+    (series, slice) COUNTS in the same pass (a groupBy that reuses the
+    window's hash partitioning — no extra exchange), and that same
+    aggregation reads off the slice's boundary values (first/second/
+    last/second-to-last ts, first/last value). Lags over the resulting
+    slice frame (one row per present slice, span/slice_ms-bounded)
+    supply the ≤2 boundary contributions per slice: the slice-first
+    row's predecessors are the previous present slice's last two
+    (falling back to the slice before when that one is single-row —
+    ``coalesce(p.last2, q.last)``), the slice-second row's are its own
+    first + the previous slice's last. Each global consecutive
+    pair/triple is counted exactly once, so the four counts — and the
+    fractions — are EXACTLY the global-lag answer.
+
+    Everything is ONE lineage: the r11 form forked the windowed frame
+    into three branches (in-slice rows / slice-first / slice-second)
+    and re-executed the full scan+sort+window subtree per branch
+    modulo AQE's exchange reuse (r12 plan audit: 3 full Sort+Window
+    passes, a 3-way Union, 44 plan nodes → 1 pass, no Union, ~22).
     """
     order = ["__ts"] + (["__seq"] if seq_col else [])
     step = int(slice_ms)
@@ -508,46 +521,49 @@ def compressibility_audit(
         (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(step))).alias("__slice"),
     )
     wsl = W.partitionBy(*series_cols, "__slice").orderBy(*order)
-    wall = W.partitionBy(*series_cols, "__slice")
     marked = base.select(
         *series_cols,
         "__slice",
         "__ts",
         "__v",
         F.row_number().over(wsl).alias("__rn"),
-        F.count(F.lit(1)).over(wall).alias("__n"),
         F.lag("__ts", 1).over(wsl).alias("__l1"),
         F.lag("__ts", 2).over(wsl).alias("__l2"),
         F.lag("__v", 1).over(wsl).alias("__lv"),
-        F.first("__ts").over(wsl).alias("__first_ts"),
-        F.nth_value("__ts", 2).over(wsl).alias("__second_ts"),
-        F.first("__v").over(wsl).alias("__first_v"),
+        # past-partition-end sentinel: NULL exactly on the slice's last
+        # row (a lead of the TS column would also be NULL when the next
+        # row's ts is NULL, which NULLS-FIRST ordering cannot produce
+        # mid-partition, but the literal form is unconditionally safe)
+        F.lead(F.lit(1), 1).over(wsl).alias("__nx"),
     )
     # in-slice contributions: dod valid from rn>=3, rep from rn>=2
     # (null lags contribute zero to every count, exactly as the global
-    # form's first-two rows did)
-    within = marked.filter(F.col("__rn") >= 2).select(
-        *series_cols,
-        (F.col("__ts") - 2 * F.col("__l1") + F.col("__l2")).alias("dod"),
-        (F.col("__v") == F.col("__lv")).alias("rep"),
-    )
-    # one row per present (series, slice), emitted from the slice's
-    # LAST row so last2_ts is just its lag-1
-    sliceframe = marked.filter(F.col("__rn") == F.col("__n")).select(
-        *series_cols,
-        "__slice",
-        "__n",
-        "__first_ts",
-        "__second_ts",
-        "__first_v",
-        F.col("__ts").alias("__last_ts"),
-        F.col("__l1").alias("__last2_ts"),
-        F.col("__v").alias("__last_v"),
+    # form's first-two rows did); boundary values are picked by exact
+    # row predicates (rn==1 / rn==2 / last row) so a NULL ts or value
+    # on those rows stays NULL, exactly as the window first/nth/lag
+    # reads they replace
+    dod_w = F.col("__ts") - 2 * F.col("__l1") + F.col("__l2")
+    rep_w = F.col("__v") == F.col("__lv")
+    is_last = F.col("__nx").isNull()
+    slice_agg = marked.groupBy(*series_cols, "__slice").agg(
+        F.count(F.when(dod_w.isNotNull(), 1)).alias("__nd"),
+        F.count(F.when(dod_w == 0, 1)).alias("__nd0"),
+        F.count(F.when(rep_w.isNotNull(), 1)).alias("__nr"),
+        F.count(F.when(rep_w, 1)).alias("__nr1"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__ts"))).alias("__first_ts"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__ts"))).alias("__second_ts"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__v"))).alias("__first_v"),
+        F.max(F.when(is_last, F.col("__ts"))).alias("__last_ts"),
+        F.max(F.when(is_last, F.col("__l1"))).alias("__last2_ts"),
+        F.max(F.when(is_last, F.col("__v"))).alias("__last_v"),
     )
     ws = W.partitionBy(*series_cols).orderBy("__slice")
-    b = sliceframe.select(
+    b = slice_agg.select(
         *series_cols,
-        "__n",
+        "__nd",
+        "__nd0",
+        "__nr",
+        "__nr1",
         "__first_ts",
         "__second_ts",
         "__first_v",
@@ -557,31 +573,32 @@ def compressibility_audit(
         F.lag("__last_ts", 2).over(ws).alias("__q_last"),
     )
     # slice-first row: preds = prev slice's last two (or the slice
-    # before's last when prev is single-row — its last2 lag is NULL)
-    b1 = b.select(
-        *series_cols,
-        (
-            F.col("__first_ts")
-            - 2 * F.col("__p_last")
-            + F.coalesce(F.col("__p_last2"), F.col("__q_last"))
-        ).alias("dod"),
-        (F.col("__first_v") == F.col("__p_lastv")).alias("rep"),
+    # before's last when prev is single-row — its last2 lag is NULL);
+    # slice-second row: preds = own first + prev slice's last (its rep
+    # is in-slice and already counted; __second_ts is NULL for
+    # single-row slices, so dod2 self-gates by null propagation)
+    dod1 = (
+        F.col("__first_ts")
+        - 2 * F.col("__p_last")
+        + F.coalesce(F.col("__p_last2"), F.col("__q_last"))
     )
-    # slice-second row (n>=2): preds = own first + prev slice's last;
-    # its rep is in-slice and already counted above
-    b2 = b.filter(F.col("__n") >= 2).select(
+    rep1 = F.col("__first_v") == F.col("__p_lastv")
+    dod2 = F.col("__second_ts") - 2 * F.col("__first_ts") + F.col("__p_last")
+    one = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    totals = b.select(
         *series_cols,
-        (
-            F.col("__second_ts") - 2 * F.col("__first_ts") + F.col("__p_last")
-        ).alias("dod"),
-        F.lit(None).cast("boolean").alias("rep"),
+        (F.col("__nd") + one(dod1.isNotNull()) + one(dod2.isNotNull())).alias(
+            "__td"
+        ),
+        (F.col("__nd0") + one(dod1 == 0) + one(dod2 == 0)).alias("__td0"),
+        (F.col("__nr") + one(rep1.isNotNull())).alias("__tr"),
+        (F.col("__nr1") + one(rep1)).alias("__tr1"),
     )
-    contrib = within.unionByName(b1).unionByName(b2)
-    agg = contrib.groupBy(*series_cols).agg(
-        F.count(F.when(F.col("dod").isNotNull(), 1)).alias("n_dod"),
-        F.count(F.when(F.col("dod") == 0, 1)).alias("n_dod0"),
-        F.count(F.when(F.col("rep").isNotNull(), 1)).alias("n_rep"),
-        F.count(F.when(F.col("rep"), 1)).alias("n_rep1"),
+    agg = totals.groupBy(*series_cols).agg(
+        F.sum("__td").alias("n_dod"),
+        F.sum("__td0").alias("n_dod0"),
+        F.sum("__tr").alias("n_rep"),
+        F.sum("__tr1").alias("n_rep1"),
     )
     return agg.filter(F.col("n_dod") > 0).select(
         *series_cols,
