@@ -381,7 +381,13 @@ def q40(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    scored = sim.cosine_scores(e, q)
+    # per-block top-10 INSIDE the Arrow kernel (r12, the q190 argmax
+    # move generalized to k): any global top-10 row is in its block's
+    # top-10 under the same (cosine DESC, vec_id ASC) total order, so
+    # the row_number cut below selects exactly what it selected over
+    # the full |corpus| x |queries| table while only blocks x 10 x
+    # |queries| rows cross Arrow and the window exchange.
+    scored = sim.cosine_topk_partials(e, q, k=10)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 

@@ -335,7 +335,8 @@ def hybrid_rrf(
     candidates; rank 0 means "absent from that list".
 
     Scale shape: one corpus text scan (bm25_topk) + one embedding scan
-    (cosine_scores against the broadcast query matrix), each cut to its
+    (cosine_topk_partials against the broadcast query matrix — per-block
+    top-k inside the kernel), each cut to its
     top list via quantize-then-rank TakeOrdered (orderBy+limit — no
     single-partition window over corpus rows). Everything downstream of
     the two cuts — rank windows, the full-outer fusion join, the final
@@ -346,9 +347,13 @@ def hybrid_rrf(
     wl = Window.orderBy(F.col("score").desc(), F.col(id_col))
     lex_r = lex.select(F.col(id_col), F.row_number().over(wl).alias("lex_rank"))
 
-    from ticktock_spark.pipeline.similarity import cosine_scores
+    from ticktock_spark.pipeline.similarity import cosine_topk_partials
 
-    scored = cosine_scores(emb, query, id_col=vec_id_col)
+    # per-block top-k_dense inside the Arrow kernel (r12): the global
+    # TakeOrdered below ranks by the same (cosine DESC, id ASC) total
+    # order the kernel keeps per block, so the cut is exactly the full
+    # score table's — with blocks x k rows crossing Arrow, not |emb|.
+    scored = cosine_topk_partials(emb, query, k_dense, id_col=vec_id_col)
     cand = scored.orderBy(F.col("cosine").desc(), F.col(vec_id_col)).limit(k_dense)
     wd = Window.orderBy(F.col("cosine").desc(), F.col(vec_id_col))
     dense_r = cand.select(

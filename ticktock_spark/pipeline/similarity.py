@@ -209,8 +209,15 @@ def cosine_argmax_partials(
     """Per-(query, corpus-block) argmax rows of ``cosine_scores``: for
     every scored block, the single (query_id, vec_id, cosine) row that
     maximizes (cosine, -vec_id) — the same total order a Spark
-    ``max_by(vec_id, struct(cosine, -vec_id))`` uses, with NaN ranking
-    above every finite double (Spark's NaN ordering). A global
+    ``max_by(vec_id, struct(cosine, -vec_id))`` uses, with a NaN cosine
+    ranking LAST (min id among all-NaN): the kernel emits through
+    Arrow, where pandas' NaN becomes SQL NULL, and the struct
+    comparison orders a NULL first field below every value — so the
+    downstream max_by sees NULL-cosine rows as the weakest candidates.
+    (r12 fix: the r11 form ranked NaN FIRST in-kernel per Spark's raw
+    NaN-is-largest double order, which is unreachable through Arrow — a
+    block containing one NaN-cosine row emitted IT and silently
+    suppressed the block's finite candidates.) A global
     ``groupBy(query_id).agg(max_by(...))`` over this output is therefore
     EXACTLY the argmax over the full pair table, while only
     (blocks x |queries|) rows ever cross the Arrow boundary and the
@@ -272,19 +279,34 @@ def cosine_argmax_partials(
                 cos = dots / (np.sqrt(acc_c)[:, None] * b_qnorms[None, :])
                 if quantize:
                     cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
-                # ordering key: NaN above every double (Spark ordering),
-                # self-pairs excluded outright
-                key = np.where(np.isnan(cos), np.inf, cos)
-                key[c_ids[:, None] == b_qids[None, :]] = -np.inf
-                best = key.max(axis=0)
-                alive = best > -np.inf
+                # winner = max cosine among FINITE candidates (min id on
+                # ties); NaN-cosine candidates only win when a query has
+                # no finite candidate at all (they surface as NULL after
+                # Arrow and max_by ranks NULL last, min id within the
+                # NULL group). Self-pairs are excluded outright.
+                invalid = c_ids[:, None] == b_qids[None, :]
+                isnan_cos = np.isnan(cos)
+                finite_cand = ~isnan_cos & ~invalid
+                keyf = np.where(finite_cand, cos, -np.inf)
+                best = keyf.max(axis=0)
+                has_finite = finite_cand.any(axis=0)
+                # finite_cand guard: the -inf fill must not tie a real
+                # (freak, denorm-underflow) -inf cosine candidate
+                cand_f = finite_cand & (keyf == best[None, :])
+                best_ids_f = np.where(
+                    cand_f, c_ids[:, None], id_sentinel
+                ).min(axis=0)
+                nan_cand = isnan_cos & ~invalid
+                has_nan = nan_cand.any(axis=0)
+                use_nan = ~has_finite & has_nan
+                alive = has_finite | has_nan
                 if not alive.any():
                     continue
-                # min vec_id among rows achieving the block max
-                cand = key == best[None, :]
-                best_ids = np.where(
-                    cand, c_ids[:, None], id_sentinel
+                best_ids_n = np.where(
+                    nan_cand, c_ids[:, None], id_sentinel
                 ).min(axis=0)
+                best_ids = np.where(use_nan, best_ids_n, best_ids_f)
+                cand = np.where(use_nan[None, :], nan_cand, cand_f)
                 win_row = np.argmax(
                     cand & (c_ids[:, None] == best_ids[None, :]), axis=0
                 )
@@ -296,6 +318,110 @@ def cosine_argmax_partials(
                         "cosine": cos[win_row[cols], cols],
                     }
                 )
+
+    src = _spread_scan(corpus.select(id_col, vec_col), min_parallelism)
+    return src.mapInPandas(
+        block, schema=f"query_id {qid_type}, vec_id {id_type}, cosine double"
+    )
+
+
+def cosine_topk_partials(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    quantize: bool = True,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Per-(query, corpus-block) top-``k`` rows of ``cosine_scores``
+    under the (cosine DESC, vec_id ASC) total order every consumer
+    ranks by — ``cosine_argmax_partials`` generalized from k=1. Any
+    row in the GLOBAL top-k of a query is in its block's top-k, so a
+    downstream ``row_number``/``orderBy().limit(k)`` over this output
+    (same ordering) selects exactly the rows it selected over the full
+    pair table, while only (blocks × k × |queries|) rows cross the
+    Arrow boundary and the exchange instead of (|corpus| × |queries|)
+    — §2.3 aggregate-before-you-shuffle pushed inside the kernel.
+
+    Scoring is bit-identical to ``cosine_scores`` (same broadcast query
+    matrix, sequential per-dimension float64 accumulation, 6-decimal
+    quantization); self-pairs are excluded as in ``cosine_scores``-
+    plus-ranking. A NaN cosine ranks LAST: every kernel emits through
+    Arrow, where pandas' NaN becomes SQL NULL, so the downstream
+    ``cosine DESC`` is desc_nulls_last over these rows — numpy's
+    sort-NaN-to-the-end convention reproduces exactly that (ties among
+    NaNs fall to the stable id-ascending secondary sort, = the NULL
+    group's vec_id tiebreak). Requires an integral ``id_col`` (the
+    tiebreak sorts ids numerically).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"cosine_topk_partials needs an integral id column, got {id_type}"
+        )
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"cosine_topk_partials needs k >= 1, got {k}")
+    # driver-bound: query-set matrix, capped (see _query_matrix)
+    qpdf = _query_matrix(queries, [query_id_col, vec_col])
+    q_ids = qpdf[query_id_col].to_numpy()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    dim = Q.shape[1]
+    acc = np.zeros(len(q_ids))
+    for d in range(dim):
+        acc = acc + Q[:, d] * Q[:, d]
+    q_norms = np.sqrt(acc)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norms))
+
+    def block(batches):
+        b_qids, b_Q, b_qnorms = bc.value
+        step = max(1, MAX_PAIR_CELLS // max(1, len(b_qids)))
+        for pdf_in in batches:
+            for lo in range(0, len(pdf_in), step):
+                pdf = pdf_in.iloc[lo : lo + step]
+                if len(pdf) == 0:
+                    continue
+                c_ids = pdf[id_col].to_numpy()
+                C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                dots = np.zeros((len(c_ids), len(b_qids)))
+                for d in range(dim):
+                    dots += C[:, d : d + 1] * b_Q[:, d]
+                acc_c = np.zeros(len(c_ids))
+                for d in range(dim):
+                    acc_c += C[:, d] * C[:, d]
+                cos = dots / (np.sqrt(acc_c)[:, None] * b_qnorms[None, :])
+                if quantize:
+                    cos = np.floor(cos * 1_000_000.0 + 0.5) / 1_000_000.0
+                out_q: list = []
+                out_id: list = []
+                out_cos: list = []
+                for j in range(len(b_qids)):
+                    # exact (cosine DESC NULLS LAST, id ASC) order:
+                    # lexsort is stable with the last key primary, and
+                    # numpy sorts NaN (= -cos NaN) to the END — the
+                    # post-Arrow NULL group — with the prior id order
+                    # preserved among them
+                    vi = np.nonzero(c_ids != b_qids[j])[0]
+                    order = vi[np.lexsort((c_ids[vi], -cos[vi, j]))][:kk]
+                    if len(order) == 0:
+                        continue
+                    out_q.append(np.full(len(order), b_qids[j]))
+                    out_id.append(c_ids[order])
+                    out_cos.append(cos[order, j])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "vec_id": np.concatenate(out_id),
+                            "cosine": np.concatenate(out_cos),
+                        }
+                    )
 
     src = _spread_scan(corpus.select(id_col, vec_col), min_parallelism)
     return src.mapInPandas(
