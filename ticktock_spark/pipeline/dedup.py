@@ -1390,11 +1390,25 @@ def tile_band_keys(
     documents (streaming/containment.py)."""
     stride = int(stride) if stride else max(1, window_words // 2)
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.filter(F.col(text_col).isNotNull())
-    toks = spread_scan(base, par).select(
+    # Long-doc filter WITHOUT touching the split array: size(split(t,
+    # " ")) == #spaces + 1 exactly (single-space literal split; Spark's
+    # split keeps trailing empty strings, limit -1), so `size(_w) >
+    # window_words` == `#spaces >= window_words`. Filtering on the
+    # split-size alias instead re-inlined the whole split into the
+    # pushed-down predicate — the split evaluated once in the Filter at
+    # the scan and again in the projection (the §2.4 single-evaluation
+    # defect class, r11 verdict leftover) — and kept short docs flowing
+    # through the spread exchange. The length/translate form is a cheap
+    # scan-pushable predicate, evaluated nowhere else.
+    n_spaces = F.length(F.col(text_col)) - F.length(
+        F.translate(F.col(text_col), " ", "")
+    )
+    base = df.filter(
+        F.col(text_col).isNotNull() & (n_spaces >= int(window_words))
+    )
+    long_docs = spread_scan(base, par).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
     )
-    long_docs = toks.filter(F.size("_w") > int(window_words))
     starts = F.sequence(F.lit(1), F.size("_w"), F.lit(stride))
     tiles = (
         long_docs.select(
