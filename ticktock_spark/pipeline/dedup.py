@@ -169,12 +169,28 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
-def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int | None = None):
+def _banded_pandas(
+    num_hashes: int,
+    bands: int,
+    rows: int,
+    id_col: str,
+    k: int | None = None,
+    binary_keys: bool = False,
+):
     """mapInPandas stage: (id, sh) or (id, norm) → (id, band, key) rows.
 
     Bit-identical to minhash_signature + band_keys (same md5 inputs), but
     the per-shingle hashing runs in C (hashlib) instead of the interpreted
     expression evaluator — the signature is the md5-bound hot loop.
+    With ``binary_keys``, the band key is the raw 16-byte md5 digest
+    instead of its 32-char lowercase hex — the SAME value bijectively
+    (unhex(hex) == digest), so grouping is collision-identical while
+    the banding exchange carries half the key bytes (§2.3 narrower
+    types). Only for keys that stay INSIDE one pipeline
+    (minhash_lsh_candidates): persistable band-key frames
+    (_band_keys_frame, streaming dedup) keep the hex contract — a
+    binary column joined against a persisted hex index would cast,
+    mismatch and silently match nothing.
     With ``k`` set, the input carries the NORMALIZED text (`norm`) and
     shingle extraction happens here too: plain substring slicing has
     identical semantics in Python and the JVM (unlike the normalization
@@ -193,6 +209,10 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
     seeds = [f"{d}:".encode() for d in range(n_digests)]
 
     md5 = hashlib.md5
+
+    def band_key(b: int, sig: str):
+        h = md5(f"b{b}:{sig}".encode())
+        return h.digest() if binary_keys else h.hexdigest()
     # shingle → row index into a uint64 piece matrix, cached across the
     # partition: natural-language 5-gram vocabulary is FAR smaller than
     # the total shingle instance count ("the q" recurs in every batch),
@@ -285,7 +305,7 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
                             sig = "".join(minima[b * rows : (b + 1) * rows])
                             ids.append(doc_id)
                             band_idx.append(b)
-                            keys.append(md5(f"b{b}:{sig}".encode()).hexdigest())
+                            keys.append(band_key(b, sig))
                 if doc_ids:
                     gathered = np.take(
                         state["mat"], np.asarray(flat, dtype=np.int64), axis=0
@@ -299,7 +319,7 @@ def _banded_pandas(num_hashes: int, bands: int, rows: int, id_col: str, k: int |
                             sig = "".join(minima[b * rows : (b + 1) * rows])
                             ids.append(doc_id)
                             band_idx.append(b)
-                            keys.append(md5(f"b{b}:{sig}".encode()).hexdigest())
+                            keys.append(band_key(b, sig))
                 # yield bound: bands-per-doc is the constant `bands`
                 # (row-local) and chunks cap rows at CHUNK * bands
                 yield pd.DataFrame({id_col: ids, "band": band_idx, "key": keys})
@@ -538,20 +558,26 @@ def minhash_lsh_candidates(
     # scan still spreads across tasks locally, but at scale — where the
     # scan already has >= par splits — no full-text exchange is added
     # (§2.4: the signature kernel is row-local, placement is free)
+    # band keys stay INSIDE this function (straight into the bucket
+    # aggregation), so the md5 keys travel as their raw 16-byte digests
+    # instead of 32-char hex — the same value bijectively, grouping
+    # collision-identical, half the key bytes through the banding
+    # exchange (§2.3 narrower types). Persistable band-key producers
+    # (_band_keys_frame, streaming) keep the hex contract.
     if engine == "pandas" and shingles_df is None:
         nm = spread_scan(df, par).select(
             F.col(id_col), normalize_text(F.col(text_col)).alias("norm")
         )
         id_type = dict(nm.dtypes)[id_col]
         banded = nm.mapInPandas(
-            _banded_pandas(num_hashes, bands, rows, id_col, k=k),
-            schema=f"{id_col} {id_type}, band int, key string",
+            _banded_pandas(num_hashes, bands, rows, id_col, k=k, binary_keys=True),
+            schema=f"{id_col} {id_type}, band int, key binary",
         )
     elif engine == "pandas":
         id_type = dict(shingles_df.dtypes)[id_col]
         banded = shingles_df.mapInPandas(
-            _banded_pandas(num_hashes, bands, rows, id_col),
-            schema=f"{id_col} {id_type}, band int, key string",
+            _banded_pandas(num_hashes, bands, rows, id_col, binary_keys=True),
+            schema=f"{id_col} {id_type}, band int, key binary",
         )
     else:
         # Drop NULL-text docs: shingles(NULL) is [NULL], and every
@@ -591,7 +617,12 @@ def minhash_lsh_candidates(
             )
             banded = sig.select(
                 id_col,
-                F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key"),
+                F.posexplode(
+                    F.transform(
+                        band_keys(F.col("sig"), bands, rows),
+                        lambda kk: F.unhex(kk),
+                    )
+                ).alias("band", "key"),
             )
     buckets = _collect_buckets(banded, id_col, bucket_cap)
     if engine in ("pandas", "xxh64"):
